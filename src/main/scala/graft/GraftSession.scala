@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the dev harness (local[32], 128 GiB) but every knob is the one
+  * you would also set on a 1000-executor cluster: AQE on (runtime shuffle
+  * coalescing + skew-join splitting), small shuffle partition count locally
+  * (cluster: ~2-3x total cores), broadcast threshold sized so dimension
+  * tables (region/nation/supplier/part) broadcast while facts never do.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+      // default; read as Long and normalize in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory.
+  *
+  * Every key in [[queries]] has a matching DuckDB oracle in [[oracleSql]]
+  * (same column names, same ordering) unless the operator is not
+  * SQL-expressible, in which case the driver records a rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q3_shipping_priority" -> (Relational.q3ShippingPriority _),
+    "q5_local_supplier" -> (Relational.q5LocalSupplier _),
+    "q_filter_pushdown" -> (Relational.qFilterPushdown _),
+    "q_window_rank" -> (Relational.qWindowRank _),
+    "q_distinct_agg" -> (Relational.qDistinctAgg _),
+    "q_anti_join" -> (Relational.qAntiJoin _),
+    "q_semi_join" -> (Relational.qSemiJoin _),
+    "q_events_hourly" -> (Relational.qEventsHourly _),
+    "q_sessionize" -> (Relational.qSessionize _),
+    "q_json_extract" -> (Relational.qJsonExtract _),
+  )
+
+  /** DuckDB oracle SQL per query key (same parquet tables, same column
+    * names/ordering as the Spark result).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" -> Relational.q1Oracle,
+    "q3_shipping_priority" -> Relational.q3Oracle,
+    "q5_local_supplier" -> Relational.q5Oracle,
+    "q_filter_pushdown" -> Relational.qFilterPushdownOracle,
+    "q_window_rank" -> Relational.qWindowRankOracle,
+    "q_distinct_agg" -> Relational.qDistinctAggOracle,
+    "q_anti_join" -> Relational.qAntiJoinOracle,
+    "q_semi_join" -> Relational.qSemiJoinOracle,
+    "q_events_hourly" -> Relational.qEventsHourlyOracle,
+    "q_sessionize" -> Relational.qSessionizeOracle,
+    "q_json_extract" -> Relational.qJsonExtractOracle,
+  )
 }

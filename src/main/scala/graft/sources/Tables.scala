@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Typed loaders for the testdata star schema (see TESTDATA.md).
+  *
+  * All loaders are lazy parquet scans — column pruning and predicate
+  * pushdown are left to Catalyst, so an operator that selects 2 columns
+  * reads 2 columns.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark reads as a
+    * nanosecond Long under `nanosAsLong`; normalize to a microsecond
+    * TimestampType column (floor division — matches DuckDB's ns→µs
+    * truncation) so downstream operators see a plain timestamp.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
