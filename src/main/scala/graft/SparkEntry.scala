@@ -29,6 +29,12 @@ object SparkEntry {
     "q_events_hourly" -> (Relational.qEventsHourly _),
     "q_sessionize" -> (Relational.qSessionize _),
     "q_json_extract" -> (Relational.qJsonExtract _),
+    "q_manifest_discovery" -> (Catalog.qManifestDiscovery _),
+    "q_manifest_regex" -> (Catalog.qManifestRegex _),
+    "q_catalog_dedup_bases" -> (Catalog.qCatalogDedupBases _),
+    "q_catalog_parse" -> (Catalog.qCatalogParse _),
+    "q_sensor_cursor" -> (Catalog.qSensorCursor _),
+    "q_ingest_dedup" -> (Catalog.qIngestDedup _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -46,5 +52,11 @@ object SparkEntry {
     "q_events_hourly" -> Relational.qEventsHourlyOracle,
     "q_sessionize" -> Relational.qSessionizeOracle,
     "q_json_extract" -> Relational.qJsonExtractOracle,
+    "q_manifest_discovery" -> Catalog.qManifestDiscoveryOracle,
+    "q_manifest_regex" -> Catalog.qManifestRegexOracle,
+    "q_catalog_dedup_bases" -> Catalog.qCatalogDedupBasesOracle,
+    "q_catalog_parse" -> Catalog.qCatalogParseOracle,
+    "q_sensor_cursor" -> Catalog.qSensorCursorOracle,
+    "q_ingest_dedup" -> Catalog.qIngestDedupOracle,
   )
 }

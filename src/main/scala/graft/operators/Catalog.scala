@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Climate-surface operators (SURVEY.md §2, table 1): the reference's ETL
+  * semantics re-expressed as declarative Spark plans.
+  *
+  * The reference (atmsillinois/DownscaledClimateData) discovers LOCA2 files
+  * by regex (sensors/loca2_sensor.py:34-78), collapses Zarr directory
+  * listings to base paths and parses object keys into catalog metadata
+  * (assets/loca2.py:115-232), and processes model/scenario chunks
+  * incrementally via a sorted cursor (sensors/loca2_sensor.py:81-102).
+  *
+  * Inputs are LOCA2-shaped object keys synthesized *deterministically from
+  * testdata columns* — the oracle SQL builds byte-identical keys from the
+  * same parquet, so the parse/dedup/cursor semantics are what's compared.
+  * All operations are pure Column expressions (codegen'd, no UDFs): at
+  * 100 TB an object-listing table is billions of rows of short strings,
+  * and these plans are single-pass scans with map-side-combined distincts.
+  */
+object Catalog {
+
+  private val UcsdRoot = "https://cirrus.ucsd.edu/~pierce/LOCA2/CONUS_regions_split/"
+  private val ZarrPrefix = "zarr/LOCA2/monthly/"
+
+  /** element_at over string literals, 1-based via idx+1 (idx ∈ [0, n)). */
+  private def pick(idx: Column, vals: String*): Column =
+    element_at(array(vals.map(lit): _*), (idx + 1).cast("int"))
+
+  private def str(c: Column): Column = c.cast("string")
+
+  // ---- shared key synthesis (mirrored verbatim in the oracle SQL) ----
+
+  private def docVariable = pick(col("doc_id") % 3, "tasmax", "tasmin", "pr")
+  private def docModel = concat(lit("MODEL-"), str(col("doc_id") % 7))
+  private def docScheme =
+    pick(col("doc_id") % 4, "historical", "ssp245", "ssp370", "ssp585")
+  private def docMember = concat(lit("r"), str(col("doc_id") % 5 + 1), lit("i1p1f1"))
+  private def docTimeRange =
+    pick(col("doc_id") % 4, "1950-2014", "2015-2044", "2045-2074", "2075-2100")
+
+  /** filename stem: variable.model.scheme.member.range.LOCA_16thdeg_v20220413 */
+  private def docStem: Column = concat_ws(".",
+    docVariable, docModel, docScheme, docMember, docTimeRange,
+    lit("LOCA_16thdeg_v20220413"))
+
+  private val docStemSql =
+    "(['tasmax','tasmin','pr'])[CAST(doc_id % 3 AS INT) + 1]" +
+      " || '.' || 'MODEL-' || CAST(doc_id % 7 AS VARCHAR)" +
+      " || '.' || (['historical','ssp245','ssp370','ssp585'])[CAST(doc_id % 4 AS INT) + 1]" +
+      " || '.' || 'r' || CAST(doc_id % 5 + 1 AS VARCHAR) || 'i1p1f1'" +
+      " || '.' || (['1950-2014','2015-2044','2045-2074','2075-2100'])[CAST(doc_id % 4 AS INT) + 1]" +
+      " || '.' || 'LOCA_16thdeg_v20220413'"
+
+  private val docModelSchemeSql =
+    "'MODEL-' || CAST(doc_id % 7 AS VARCHAR) || '/' ||" +
+      " (['historical','ssp245','ssp370','ssp585'])[CAST(doc_id % 4 AS INT) + 1]"
+
+  // -------------------------------------------------------------------
+
+  /** Manifest expansion (`Loca2Datasets.get_downloadable_files`): the
+    * model catalog × scenarios × member ids → one candidate record per
+    * remote file, with its URL and target object key. Pure cross-join of
+    * tiny dimensions — at scale this is generated driver-free as a
+    * broadcast-ready manifest.
+    */
+  def qManifestDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val models = Tables.nation(s, dir).select(col("n_name").as("model"))
+    val scenarios = s.range(0, 4).select(
+      pick(col("id"), "historical", "ssp245", "ssp370", "ssp585").as("scenario"))
+    val members = s.range(1, 4).select(
+      concat(lit("r"), str(col("id")), lit("i1p1f1")).as("memberid"))
+    models.crossJoin(scenarios).crossJoin(members)
+      .select(
+        col("model"), col("scenario"), col("memberid"),
+        lit("tasmax").as("variable"),
+        concat(lit(UcsdRoot), col("model"), lit("/cent/0p0625deg/"),
+          col("memberid"), lit("/"), col("scenario"), lit("/tasmax/")).as("url"),
+        concat(lit("/"), col("model"), lit("/"), col("scenario"), lit("/")).as("s3_key"))
+      .orderBy(col("model"), col("scenario"), col("memberid"))
+  }
+
+  val qManifestDiscoveryOracle: String =
+    s"""SELECT n_name AS model, scenario, 'r' || CAST(m AS VARCHAR) || 'i1p1f1' AS memberid,
+       |  'tasmax' AS variable,
+       |  '$UcsdRoot' || n_name || '/cent/0p0625deg/' || 'r' || CAST(m AS VARCHAR) || 'i1p1f1'
+       |    || '/' || scenario || '/tasmax/' AS url,
+       |  '/' || n_name || '/' || scenario || '/' AS s3_key
+       |FROM nation
+       |CROSS JOIN (VALUES ('historical'), ('ssp245'), ('ssp370'), ('ssp585')) sc(scenario)
+       |CROSS JOIN (VALUES (1), (2), (3)) mm(m)
+       |ORDER BY model, scenario, memberid""".stripMargin
+
+  /** Regex filename filter (`loca2_sensor.py:58-61`): the daily pattern
+    * must NOT match monthly files and vice versa; non-data files drop out
+    * entirely. Patterns are anchored like Python's re.match. rlike is
+    * codegen'd — at 100 TB this is a scan-side filter with zero shuffle.
+    */
+  def qManifestRegex(s: SparkSession, dir: String): DataFrame = {
+    val fname = concat(docStem,
+      pick(col("doc_id") % 4, ".cent.nc", ".monthly.cent.nc", ".cent.monthly.nc", ".txt"))
+    val daily =
+      "^(tasmax|tasmin|pr)\\.MODEL-[0-9]+\\.(historical|ssp245|ssp370|ssp585)\\.r[0-9]i1p1f1\\..*\\.LOCA_16thdeg_v[0-9]+\\.cent\\.nc"
+    val monthly =
+      "^(tasmax|tasmin|pr)\\.MODEL-[0-9]+\\.(historical|ssp245|ssp370|ssp585)\\.r[0-9]i1p1f1\\..*\\.LOCA_16thdeg_v[0-9]+\\.(monthly\\.cent\\.nc|cent\\.monthly\\.nc)"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fname.as("filename"))
+      .withColumn("frequency",
+        when(col("filename").rlike(monthly), "monthly")
+          .when(col("filename").rlike(daily), "daily"))
+      .filter(col("frequency").isNotNull)
+      .select(col("doc_id"), col("filename"), col("frequency"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qManifestRegexOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    $docStemSql ||
+       |      (['.cent.nc','.monthly.cent.nc','.cent.monthly.nc','.txt'])[CAST(doc_id % 4 AS INT) + 1]
+       |      AS filename
+       |  FROM documents
+       |)
+       |SELECT doc_id, filename,
+       |  CASE
+       |    WHEN regexp_matches(filename, '^(tasmax|tasmin|pr)\\.MODEL-[0-9]+\\.(historical|ssp245|ssp370|ssp585)\\.r[0-9]i1p1f1\\..*\\.LOCA_16thdeg_v[0-9]+\\.(monthly\\.cent\\.nc|cent\\.monthly\\.nc)') THEN 'monthly'
+       |    WHEN regexp_matches(filename, '^(tasmax|tasmin|pr)\\.MODEL-[0-9]+\\.(historical|ssp245|ssp370|ssp585)\\.r[0-9]i1p1f1\\..*\\.LOCA_16thdeg_v[0-9]+\\.cent\\.nc') THEN 'daily'
+       |  END AS frequency
+       |FROM f
+       |WHERE frequency IS NOT NULL
+       |ORDER BY doc_id""".stripMargin
+
+  /** Zarr base-path collapse (`loca2.py:185-204`): an object listing shows
+    * a Zarr store as many child keys; cut each key at the store marker and
+    * dedupe. distinct() is a map-side-combined hash aggregate — the
+    * shuffle carries unique base paths, not listing rows.
+    */
+  def qCatalogDedupBases(s: SparkSession, dir: String): DataFrame = {
+    val marker1 = "monthly.cent.zarr"
+    val marker2 = "cent.monthly.zarr"
+    val stemZarr = concat(docStem,
+      pick(col("doc_id") % 2, ".monthly.cent.zarr", ".cent.monthly.zarr"))
+    val fullKey = concat(lit(ZarrPrefix), docModel, lit("/"), docScheme, lit("/"),
+      stemZarr, pick(col("doc_id") % 3, "/time/0", "/lat/0", "/.zmetadata"))
+    Tables.documents(s, dir)
+      .select(fullKey.as("full_key"))
+      .select(
+        when(locate(marker1, col("full_key")) > 0,
+          col("full_key").substr(lit(1), locate(marker1, col("full_key")) + lit(marker1.length - 1)))
+          .otherwise(col("full_key").substr(lit(1), locate(marker2, col("full_key")) + lit(marker2.length - 1)))
+          .as("base_path"))
+      .distinct()
+      .orderBy(col("base_path"))
+  }
+
+  val qCatalogDedupBasesOracle: String =
+    s"""WITH listing AS (
+       |  SELECT 'zarr/LOCA2/monthly/' || $docModelSchemeSql || '/' || $docStemSql ||
+       |    (['.monthly.cent.zarr','.cent.monthly.zarr'])[CAST(doc_id % 2 AS INT) + 1] ||
+       |    (['/time/0','/lat/0','/.zmetadata'])[CAST(doc_id % 3 AS INT) + 1] AS full_key
+       |  FROM documents
+       |)
+       |SELECT DISTINCT
+       |  CASE WHEN instr(full_key, 'monthly.cent.zarr') > 0
+       |       THEN substr(full_key, 1, instr(full_key, 'monthly.cent.zarr') + 16)
+       |       ELSE substr(full_key, 1, instr(full_key, 'cent.monthly.zarr') + 16)
+       |  END AS base_path
+       |FROM listing
+       |ORDER BY base_path""".stripMargin
+
+  /** Catalog build (`parse_key`, loca2.py:115-136): strip the path root,
+    * split on '/' for model/scheme, split the filename on '.' for
+    * variable/experiment_id/time_range, emit the s3 URI. One projection —
+    * fully codegen'd string ops, no shuffle except the final distinct.
+    */
+  def qCatalogParse(s: SparkSession, dir: String): DataFrame = {
+    val key = concat(docModel, lit("/"), docScheme, lit("/"), docStem,
+      pick(col("doc_id") % 2, ".monthly.cent.zarr", ".cent.monthly.zarr"))
+    Tables.documents(s, dir)
+      .select(key.as("key"))
+      .distinct()
+      .select(col("key"),
+        split(element_at(split(col("key"), "/"), -1), "\\.").as("file_parts"),
+        split(col("key"), "/").as("path_parts"))
+      .select(
+        element_at(col("file_parts"), 1).as("variable"),
+        element_at(col("path_parts"), 1).as("model"),
+        element_at(col("path_parts"), 2).as("scheme"),
+        element_at(col("file_parts"), 4).as("experiment_id"),
+        element_at(col("file_parts"), 5).as("time_range"),
+        concat(lit("s3://test-bucket/" + ZarrPrefix), col("key")).as("path"))
+      .orderBy(col("path"))
+  }
+
+  val qCatalogParseOracle: String =
+    s"""WITH keys AS (
+       |  SELECT DISTINCT $docModelSchemeSql || '/' || $docStemSql ||
+       |    (['.monthly.cent.zarr','.cent.monthly.zarr'])[CAST(doc_id % 2 AS INT) + 1] AS key
+       |  FROM documents
+       |), parts AS (
+       |  SELECT key,
+       |    str_split(str_split(key, '/')[-1], '.') AS file_parts,
+       |    str_split(key, '/') AS path_parts
+       |  FROM keys
+       |)
+       |SELECT file_parts[1] AS variable,
+       |  path_parts[1] AS model,
+       |  path_parts[2] AS scheme,
+       |  file_parts[4] AS experiment_id,
+       |  file_parts[5] AS time_range,
+       |  's3://test-bucket/zarr/LOCA2/monthly/' || key AS path
+       |FROM parts
+       |ORDER BY path""".stripMargin
+
+  /** Incremental cursor (`model_for_cursor`, loca2_sensor.py:81-102):
+    * sorted distinct model/scheme keys; the next chunk is the smallest key
+    * strictly greater than the cursor. min() over a filtered distinct —
+    * one partial-agg scan at any scale.
+    */
+  def qSensorCursor(s: SparkSession, dir: String): DataFrame = {
+    val cursor = "MODEL-3/ssp245"
+    Tables.documents(s, dir)
+      .select(concat(docModel, lit("/"), docScheme).as("key"))
+      .filter(col("key") > cursor)
+      .agg(min(col("key")).as("next_key"))
+      .select(
+        element_at(split(col("next_key"), "/"), 1).as("next_model"),
+        element_at(split(col("next_key"), "/"), 2).as("next_scenario"))
+  }
+
+  val qSensorCursorOracle: String =
+    s"""SELECT str_split(next_key, '/')[1] AS next_model,
+       |  str_split(next_key, '/')[2] AS next_scenario
+       |FROM (
+       |  SELECT min($docModelSchemeSql) AS next_key
+       |  FROM documents
+       |  WHERE $docModelSchemeSql > 'MODEL-3/ssp245'
+       |) t""".stripMargin
+
+  /** Run-key ingestion dedup (`run_key=s3_key`, loca2_sensor.py:117):
+    * first-writer-wins per object key. Hash aggregate on the key — the
+    * shuffle carries one row per distinct key.
+    */
+  def qIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    val scheme = pick(col("event_id") % 4, "historical", "ssp245", "ssp370", "ssp585")
+    val key = concat(lit("/MODEL-"), str(col("event_id") % 7), lit("/"), scheme,
+      lit("/file-"), str(col("event_id") % 97), lit(".nc"))
+    Tables.events(s, dir)
+      .select(key.as("s3_key"), col("event_id"))
+      .groupBy(col("s3_key"))
+      .agg(min(col("event_id")).as("first_run"), count(lit(1)).as("n_attempts"))
+      .orderBy(col("s3_key"))
+  }
+
+  val qIngestDedupOracle: String =
+    """SELECT '/MODEL-' || CAST(event_id % 7 AS VARCHAR) || '/' ||
+      |    (['historical','ssp245','ssp370','ssp585'])[CAST(event_id % 4 AS INT) + 1] ||
+      |    '/file-' || CAST(event_id % 97 AS VARCHAR) || '.nc' AS s3_key,
+      |  min(event_id) AS first_run,
+      |  count(*) AS n_attempts
+      |FROM events
+      |GROUP BY s3_key
+      |ORDER BY s3_key""".stripMargin
+}
