@@ -35,6 +35,17 @@ object SparkEntry {
     "q_catalog_parse" -> (Catalog.qCatalogParse _),
     "q_sensor_cursor" -> (Catalog.qSensorCursor _),
     "q_ingest_dedup" -> (Catalog.qIngestDedup _),
+    "q_text_tokens" -> (TextAnalysis.qTextTokens _),
+    "q_text_quality" -> (TextAnalysis.qTextQuality _),
+    "q_text_langid" -> (TextAnalysis.qTextLangid _),
+    "q_text_fingerprint" -> (TextAnalysis.qTextFingerprint _),
+    "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (Dedup.qDedupNgramJaccard _),
+    "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
+    "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
+    "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
+    "q_ann_topk" -> (Similarity.qAnnTopk _),
+    "q_ann_lsh" -> (Similarity.qAnnLsh _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -58,5 +69,16 @@ object SparkEntry {
     "q_catalog_parse" -> Catalog.qCatalogParseOracle,
     "q_sensor_cursor" -> Catalog.qSensorCursorOracle,
     "q_ingest_dedup" -> Catalog.qIngestDedupOracle,
+    "q_text_tokens" -> TextAnalysis.qTextTokensOracle,
+    "q_text_quality" -> TextAnalysis.qTextQualityOracle,
+    "q_text_langid" -> TextAnalysis.qTextLangidOracle,
+    "q_text_fingerprint" -> TextAnalysis.qTextFingerprintOracle,
+    "q_dedup_exact" -> Dedup.qDedupExactOracle,
+    "q_dedup_ngram_jaccard" -> Dedup.qDedupNgramJaccardOracle,
+    "q_dedup_minhash" -> Dedup.qDedupMinhashOracle,
+    "q_dedup_simhash" -> Dedup.qDedupSimhashOracle,
+    "q_embed_neardup" -> Similarity.qEmbedNeardupOracle,
+    "q_ann_topk" -> Similarity.qAnnTopkOracle,
+    "q_ann_lsh" -> Similarity.qAnnLshOracle,
   )
 }

@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Deduplication operators (SURVEY.md §2, table 3).
+  *
+  * Scale design: none of these is O(n²) over the corpus.
+  *  - exact: map-side-combined hash aggregate on a 128-bit fingerprint —
+  *    the shuffle carries (fingerprint, id) pairs, not documents.
+  *  - n-gram Jaccard: candidate pairs are generated per min-shingle-hash
+  *    bucket (1-permutation MinHash blocking), so only documents that
+  *    agree on their minimum shingle hash are ever compared.
+  *  - MinHash LSH: 32 permutations, 8 bands × 4 rows; the shuffle carries
+  *    (band, band_key, id) triples and pairs explode only within a bucket.
+  *  - SimHash: one 64-bit fingerprint per document via explode + 60
+  *    bit-bucket sums — a single aggregation, hamming-band joins downstream.
+  *
+  * All hash math is md5-prefix based so the DuckDB oracles reproduce it
+  * bit-for-bit (see TextFns).
+  */
+object Dedup {
+
+  private val P = TextFns.MinHashPrime
+  val NumPerms = 32
+  val NumBands = 8
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.5
+
+  private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val shinglesSql =
+    "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+  private def hash28Sql(x: String) = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
+  private def hash60Sql(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  /** documents → (doc_id, sh) distinct 3-shingle sets. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), TextFns.shingles(col("t")).as("sh"))
+
+  private val shingledSql =
+    s"""t AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |s AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(t) >= 3)""".stripMargin
+
+  private def jaccardOut: Column =
+    round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6)
+
+  private val jaccardOutSql =
+    "round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+
+  /** Exact dedup: md5 of whitespace-canonicalized text, first-writer-wins. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(TextFns.normalized(col("text"))).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fingerprint"))
+
+  val qDedupExactOracle: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  min(doc_id) AS keeper_id,
+      |  count(*) AS n_copies
+      |FROM documents
+      |GROUP BY fingerprint
+      |ORDER BY fingerprint""".stripMargin
+
+  /** 3-gram Jaccard near-dup pairs, blocked on the minimum shingle hash
+    * (1-permutation MinHash): a pair is compared iff both docs share their
+    * min-hashed shingle — recall ≈ Jaccard for high-similarity pairs, and
+    * bucket sizes stay tiny at any corpus size.
+    */
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val blocked = shingled(s, dir)
+      .withColumn("blk", array_min(transform(col("sh"), TextFns.hash28(_))))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("blk"))
+    val b = blocked.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("blk"))
+    a.join(b, "blk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccardOut.as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupNgramJaccardOracle: String =
+    s"""WITH $shingledSql,
+       |b AS (
+       |  SELECT doc_id, sh,
+       |    list_min(list_transform(sh, x -> ${hash28Sql("x")})) AS blk
+       |  FROM s
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $jaccardOutSql AS jaccard
+       |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |WHERE $jaccardOutSql >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash + LSH: 32-permutation signatures, 8 bands of 4 — candidate
+    * pairs from band-bucket equality, then exact Jaccard verification.
+    * Signatures are computed scan-side in one pass; the band join shuffles
+    * (band, key, doc_id) only, and shingle sets are re-joined by id for
+    * verification (never carried through the band explode).
+    */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+    val hashed = base.select(col("doc_id"), col("sh"),
+      transform(col("sh"), TextFns.hash28(_)).as("h0s"))
+    val sigCols = (0 until NumPerms).map(j => TextFns.minhash(col("h0s"), j).as(s"m$j"))
+    val sigs = hashed.select(col("doc_id") +: sigCols: _*)
+    val bandStructs = (0 until NumBands).map { bnd =>
+      struct(
+        lit(bnd).as("band"),
+        md5(concat_ws("-", (0 until RowsPerBand).map(r => col(s"m${RowsPerBand * bnd + r}")): _*)).as("bkey"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), jaccardOut.as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupMinhashOracle: String = {
+    val ms = (0 until NumPerms).map { j =>
+      val a = 2L * j + 3L
+      val b = 101L * j + 7L
+      s"list_min(list_transform(h0s, hh -> ($a * hh + $b) % $P)) AS m$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { bnd =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(m${RowsPerBand * bnd + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $bnd AS band, md5($key) AS bkey FROM m"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingledSql,
+       |h AS (SELECT doc_id, sh, list_transform(sh, x -> ${hash28Sql("x")}) AS h0s FROM s),
+       |m AS (
+       |  SELECT doc_id,
+       |    $ms
+       |  FROM h
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, $jaccardOutSql AS jaccard
+       |FROM cand
+       |JOIN h x ON x.doc_id = doc_a
+       |JOIN h y ON y.doc_id = doc_b
+       |WHERE $jaccardOutSql >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash: 60-bit fingerprint from per-bit ±1 votes over the distinct
+    * token set. Explode + one grouped aggregation (60 conditional sums) —
+    * a single shuffle keyed by doc_id, then a pure projection folds the
+    * votes into the fingerprint.
+    */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokenSet(col("text"))).as("tok"))
+      .select(col("doc_id"), TextFns.hash60(col("tok")).as("h"))
+    val votes = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s$i"))
+    val fp = (0 until 60)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDedupSimhashOracle: String = {
+    val votes = (0 until 60)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n    ")
+    val fp = (0 until 60)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH u AS (
+       |  SELECT doc_id, unnest(list_distinct($toksSql)) AS tok FROM documents
+       |),
+       |hh AS (SELECT doc_id, ${hash60Sql("tok")} AS h FROM u),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM hh GROUP BY doc_id
+       |)
+       |SELECT doc_id, $fp AS simhash
+       |FROM v
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** Similarity-search operators over the embeddings table (SURVEY.md §2,
+  * table 3): threshold near-dup pairs, brute-force top-k (the correctness
+  * baseline) and random-hyperplane LSH bucketing (the 100 TB scale path —
+  * each query probes one bucket, ~1/2^planes of the corpus).
+  *
+  * Float discipline: all similarities are computed dot/(sqrt(na)*sqrt(nb))
+  * in double with sequential accumulation and rounded to 4 decimals; the
+  * thresholds (0.40) sit in empirically verified gaps of the similarity
+  * distribution, so last-bit drift between engines cannot flip a row.
+  */
+object Similarity {
+
+  val Dims = 64
+  val Planes = 8
+  val NearDupThreshold = 0.40
+
+  private val vSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))"
+
+  /** embeddings → (vec_id, label, v, nsq) with the squared norm
+    * precomputed once per row (never per pair).
+    */
+  private def prepared(s: SparkSession, dir: String): DataFrame = {
+    val v = VectorFns.asDouble(col("embedding"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nsq", VectorFns.normSq(col("v")))
+  }
+
+  private val preparedSql =
+    s"""e AS (SELECT vec_id, label, $vSql AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${dotSql("v", "v")} AS nsq FROM e)""".stripMargin
+
+  private def simCol = round(
+    VectorFns.cosineWithNorms(
+      VectorFns.dot(col("a.v"), col("b.v")), col("a.nsq"), col("b.nsq")), 4)
+
+  /** Embedding-cosine near-duplicate pairs within a label block. The
+    * label is the shard key: at scale each block joins independently
+    * (AQE splits skewed blocks); cross-block pairs are by-construction
+    * not duplicates in this data model.
+    */
+  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = prepared(s, dir)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_id_a"),
+        col("b.vec_id").as("vec_id_b"),
+        col("a.label").as("label"),
+        simCol.as("sim"))
+      .filter(col("sim") >= NearDupThreshold)
+      .orderBy(col("vec_id_a"), col("vec_id_b"))
+  }
+
+  val qEmbedNeardupOracle: String =
+    s"""WITH $preparedSql
+       |SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
+       |  round(${dotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)), 4) AS sim
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${dotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)), 4) >= $NearDupThreshold
+       |ORDER BY vec_id_a, vec_id_b""".stripMargin
+
+  /** Brute-force cosine top-5: the exact baseline. The query set is tiny
+    * and broadcast; the corpus streams past it in one scan — no shuffle
+    * of the corpus, only of the per-query candidate heaps.
+    */
+  def qAnnTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = prepared(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        simCol.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnTopkOracle: String =
+    s"""WITH $preparedSql,
+       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)), 4) AS sim
+       |  FROM q JOIN n c ON c.vec_id != q.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM p) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN: 8 deterministic integer hyperplanes → 256 buckets;
+    * each query only scores its own bucket (~1/256 of the corpus), then
+    * takes top-3. This is the plan shape that survives 100 TB: bucket
+    * assignment is scan-side, the join is bucket-equality (shuffle on an
+    * 8-bit key with AQE skew handling), and per-bucket brute force is
+    * bounded.
+    */
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = prepared(s, dir)
+      .withColumn("bucket", VectorFns.lshBucket(col("v"), Planes, Dims))
+    val q = e.filter(col("vec_id") < 10)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        simCol.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnLshOracle: String = {
+    val bucket = (0 until Planes).map { j =>
+      val proj =
+        s"list_sum(list_transform(range(1, ${Dims + 1}), i -> v[i] * CAST((((i-1)*7 + ${j * 13}) % 11) - 5 AS DOUBLE)))"
+      s"CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH $preparedSql,
+       |bk AS (SELECT vec_id, v, nsq, $bucket AS bucket FROM n),
+       |q AS (SELECT * FROM bk WHERE vec_id < 10),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)), 4) AS sim
+       |  FROM q JOIN bk c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM p) t
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents corpus (SURVEY.md §2,
+  * table 3): token counting, quality scoring, language-ID heuristic and
+  * document fingerprinting. All are single-pass scan-side projections —
+  * no shuffle except each query's final presentation sort — so they
+  * stream at parquet-scan speed regardless of corpus size.
+  */
+object TextAnalysis {
+
+  private val EnStop = Seq("the", "a", "of", "and", "to")
+  private val EsStop = Seq("el", "la", "de", "y", "en")
+  private val DeStop = Seq("der", "die", "das", "und", "zu")
+  private val FrStop = Seq("le", "un", "une", "et", "dans")
+
+  private def stopCount(toksCol: String, words: Seq[String]): org.apache.spark.sql.Column =
+    size(filter(col(toksCol), t => t.isin(words.map(w => lit(w): Any): _*)))
+
+  private def stopCountSql(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / single digits / single punctuation marks).
+    */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextFns.tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  val qTextTokensOracle: String =
+    s"""SELECT doc_id,
+       |  len($toksSql) AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       |  length(text) AS n_chars_measured
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: token count, stopword ratio, type-token ratio, and
+    * a composite score — integer counts with double ratios (identical
+    * division on both engines).
+    */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        stopCount("toks", EnStop).as("n_stop"),
+        size(array_distinct(col("toks"))).as("n_types"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_stop"),
+        round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("n_types") / col("n_tokens"), 6).as("type_token_ratio"),
+        round(least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(1.0) - col("n_stop") / col("n_tokens")), 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val qTextQualityOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    ${stopCountSql(EnStop)} AS n_stop,
+       |    len(list_distinct(toks)) AS n_types
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, n_stop,
+       |  round(n_stop / n_tokens, 6) AS stop_ratio,
+       |  round(n_types / n_tokens, 6) AS type_token_ratio,
+       |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop / n_tokens), 6) AS quality_score
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: stopword-profile scores per candidate
+    * language, argmax with a fixed tie-break order (en > es > de > fr).
+    * The corpus ships a ground-truth lang column, so the query exposes
+    * both for downstream accuracy measurement.
+    */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("lang"),
+        stopCount("toks", EnStop).as("s_en"),
+        stopCount("toks", EsStop).as("s_es"),
+        stopCount("toks", DeStop).as("s_de"),
+        stopCount("toks", FrStop).as("s_fr"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("lang"), col("predicted"),
+        col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+      .orderBy(col("doc_id"))
+
+  val qTextLangidOracle: String =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |    ${stopCountSql(EnStop)} AS s_en,
+       |    ${stopCountSql(EsStop)} AS s_es,
+       |    ${stopCountSql(DeStop)} AS s_de,
+       |    ${stopCountSql(FrStop)} AS s_fr
+       |  FROM t
+       |)
+       |SELECT doc_id, lang,
+       |  CASE
+       |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |    WHEN s_de >= s_fr THEN 'de'
+       |    ELSE 'fr'
+       |  END AS predicted,
+       |  s_en, s_es, s_de, s_fr
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 over the whitespace-canonicalized text —
+    * the content-addressable identity used by exact dedup.
+    */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(TextFns.normalized(col("text"))).as("fingerprint"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  val qTextFingerprintOracle: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  length(text) AS n_chars_measured
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}
