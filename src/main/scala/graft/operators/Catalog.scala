@@ -171,10 +171,26 @@ object Catalog {
        |FROM listing
        |ORDER BY base_path""".stripMargin
 
-  /** Catalog build (`parse_key`, loca2.py:115-136): strip the path root,
-    * split on '/' for model/scheme, split the filename on '.' for
-    * variable/experiment_id/time_range, emit the s3 URI. One projection —
-    * fully codegen'd string ops, no shuffle except the final distinct.
+  /** `parse_key` semantics (loca2.py:115-136) as a reusable struct
+    * expression: split the relative path on '/' (dropping empty segments,
+    * as the reference does for consecutive slashes), take model/scheme
+    * from the first two segments, split the last segment on '.' for
+    * variable/experiment_id/time_range, and emit the s3 URI.
+    */
+  def parseKey(relative: Column, bucket: String, fullKey: Column): Column = {
+    val pathParts = filter(split(relative, "/"), p => p =!= "")
+    val fileParts = split(element_at(pathParts, -1), "\\.")
+    struct(
+      element_at(fileParts, 1).as("variable"),
+      element_at(pathParts, 1).as("model"),
+      element_at(pathParts, 2).as("scheme"),
+      element_at(fileParts, 4).as("experiment_id"),
+      element_at(fileParts, 5).as("time_range"),
+      concat(lit(s"s3://$bucket/"), fullKey).as("path"))
+  }
+
+  /** Catalog build over a synthesized listing: one projection — fully
+    * codegen'd string ops, no shuffle except the final distinct + sort.
     */
   def qCatalogParse(s: SparkSession, dir: String): DataFrame = {
     val key = concat(docModel, lit("/"), docScheme, lit("/"), docStem,
@@ -182,16 +198,10 @@ object Catalog {
     Tables.documents(s, dir)
       .select(key.as("key"))
       .distinct()
-      .select(col("key"),
-        split(element_at(split(col("key"), "/"), -1), "\\.").as("file_parts"),
-        split(col("key"), "/").as("path_parts"))
-      .select(
-        element_at(col("file_parts"), 1).as("variable"),
-        element_at(col("path_parts"), 1).as("model"),
-        element_at(col("path_parts"), 2).as("scheme"),
-        element_at(col("file_parts"), 4).as("experiment_id"),
-        element_at(col("file_parts"), 5).as("time_range"),
-        concat(lit("s3://test-bucket/" + ZarrPrefix), col("key")).as("path"))
+      .select(parseKey(col("key"), "test-bucket", concat(lit(ZarrPrefix), col("key"))).as("p"))
+      .select(col("p.variable").as("variable"), col("p.model").as("model"),
+        col("p.scheme").as("scheme"), col("p.experiment_id").as("experiment_id"),
+        col("p.time_range").as("time_range"), col("p.path").as("path"))
       .orderBy(col("path"))
   }
 

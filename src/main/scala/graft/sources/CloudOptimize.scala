@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Cloud-optimized re-encoding — the Spark analog of the reference's
+  * netCDF→Zarr conversion (assets/loca2.py:61-103): take a dataset in an
+  * access-hostile layout and rewrite it partitioned, sorted and sized for
+  * parallel cloud scans.
+  *
+  * What Zarr gives xarray (chunked arrays + consolidated metadata),
+  * partitioned parquet gives Spark: directory-level partition pruning,
+  * row-group statistics for predicate skipping, and ~128 MB splits that
+  * map 1:1 onto tasks. At 100 TB the partition column choice bounds every
+  * downstream query's scan: partition by the coarse query key (e.g.
+  * model/scenario or event date), sort within files by the fine key so
+  * min/max stats prune row groups.
+  */
+object CloudOptimize {
+
+  /** Rewrite `df` at `outPath` partitioned by `partitionCols`, sorted
+    * within partitions by `sortCols`, targeting `maxRecordsPerFile` rows
+    * per file (the small-file / giant-file guard).
+    */
+  def write(
+      df: DataFrame,
+      outPath: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else df
+    sorted.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(outPath)
+  }
+}

