@@ -46,6 +46,11 @@ object SparkEntry {
     "q_embed_neardup" -> (Similarity.qEmbedNeardup _),
     "q_ann_topk" -> (Similarity.qAnnTopk _),
     "q_ann_lsh" -> (Similarity.qAnnLsh _),
+    "q_rollup_agg" -> (Analytics.qRollupAgg _),
+    "q_percentiles" -> (Analytics.qPercentiles _),
+    "q_moving_avg" -> (Analytics.qMovingAvg _),
+    "q_asof_join" -> (Analytics.qAsofJoin _),
+    "q_set_ops" -> (Analytics.qSetOps _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -80,5 +85,10 @@ object SparkEntry {
     "q_embed_neardup" -> Similarity.qEmbedNeardupOracle,
     "q_ann_topk" -> Similarity.qAnnTopkOracle,
     "q_ann_lsh" -> Similarity.qAnnLshOracle,
+    "q_rollup_agg" -> Analytics.qRollupAggOracle,
+    "q_percentiles" -> Analytics.qPercentilesOracle,
+    "q_moving_avg" -> Analytics.qMovingAvgOracle,
+    "q_asof_join" -> Analytics.qAsofJoinOracle,
+    "q_set_ops" -> Analytics.qSetOpsOracle,
   )
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Second-tier analytic operators (SURVEY.md §2): multi-level rollups,
+  * exact percentiles, sliding-window aggregation, as-of joins and set
+  * operations. Same float discipline as Relational (round after
+  * aggregate, mirrored total ordering).
+  */
+object Analytics {
+
+  /** ROLLUP aggregation: per-(flag,status), per-flag subtotal, and grand
+    * total in one pass — Spark expands grouping sets map-side, so the
+    * shuffle carries one partial row per (set × group), not extra scans.
+    * NULL subtotal markers are coalesced to 'ALL' on both engines (the
+    * data itself is null-free).
+    */
+  def qRollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("sum_price"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val qRollupAggOracle: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Exact percentiles with linear interpolation (Spark `percentile` ≡
+    * DuckDB `quantile_cont`). Exact percentile is a sort-based aggregate;
+    * at 100 TB swap in approx_percentile (t-digest) — the library keeps
+    * the exact form as the correctness baseline.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentilesOracle: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Sliding-window aggregation: per-user 4-row moving average over event
+    * time. One shuffle on user_id, per-user sort — the rows-frame is
+    * streaming-friendly (bounded state) at any scale.
+    */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("mavg", round(avg(col("value")).over(w), 6))
+      .select(col("user_id"), col("event_id"), col("mavg"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qMovingAvgOracle: String =
+    """SELECT user_id, event_id,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** As-of join, composed from Spark primitives (union + last-ignore-nulls
+    * window): for each error event, the most recent purchase by the same
+    * user at-or-before it. The union keeps it to ONE shuffle on user_id —
+    * no range join, no per-row probe; ties at identical timestamps rank
+    * the purchase first (at-or-before semantics). The oracle mirrors the
+    * construction rather than using a native ASOF JOIN so tie handling is
+    * identical by definition.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .filter(col("event_type").isin("error", "purchase"))
+      .withColumn("is_err", when(col("event_type") === "error", 1).otherwise(0))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("is_err"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = ev
+      .withColumn("purchase_id",
+        when(col("is_err") === 0, col("event_id")))
+      .withColumn("last_purchase_id", last(col("purchase_id"), ignoreNulls = true).over(w))
+      .withColumn("purchase_us", when(col("is_err") === 0, col("us")))
+      .withColumn("last_purchase_us", last(col("purchase_us"), ignoreNulls = true).over(w))
+    tagged
+      .filter(col("is_err") === 1 && col("last_purchase_id").isNotNull)
+      .select(
+        col("event_id").as("error_event_id"),
+        col("user_id"),
+        col("last_purchase_id"),
+        (col("us") - col("last_purchase_us")).as("gap_us"))
+      .orderBy(col("error_event_id"))
+  }
+
+  val qAsofJoinOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      |  FROM events
+      |  WHERE event_type IN ('error', 'purchase')
+      |), tagged AS (
+      |  SELECT user_id, event_id, us, is_err,
+      |    last_value(CASE WHEN is_err = 0 THEN event_id END IGNORE NULLS)
+      |      OVER w AS last_purchase_id,
+      |    last_value(CASE WHEN is_err = 0 THEN us END IGNORE NULLS)
+      |      OVER w AS last_purchase_us
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, is_err, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT event_id AS error_event_id, user_id, last_purchase_id,
+      |  us - last_purchase_us AS gap_us
+      |FROM tagged
+      |WHERE is_err = 1 AND last_purchase_id IS NOT NULL
+      |ORDER BY error_event_id""".stripMargin
+
+  /** Set operations: nations that have customers but no suppliers
+    * (EXCEPT) and nations with both (INTERSECT), tagged and unioned.
+    * Both are distinct-set operators — hash aggregates over keys only.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")).distinct()
+    val suppN = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")).distinct()
+    val only = custN.except(suppN).withColumn("kind", lit("customer_only"))
+    val both = custN.intersect(suppN).withColumn("kind", lit("both"))
+    only.unionByName(both)
+      .select(col("kind"), col("nationkey"))
+      .orderBy(col("kind"), col("nationkey"))
+  }
+
+  val qSetOpsOracle: String =
+    """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+      |o AS (SELECT 'customer_only' AS kind, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s) t1),
+      |b AS (SELECT 'both' AS kind, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s) t2)
+      |SELECT kind, nationkey FROM o
+      |UNION ALL
+      |SELECT kind, nationkey FROM b
+      |ORDER BY kind, nationkey""".stripMargin
+}

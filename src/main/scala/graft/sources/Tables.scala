@@ -32,8 +32,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
+    // integer `div`, NOT `/`: Spark's `/` on longs is double division, and
+    // epoch-nanos (~1.7e18) exceed a double's 2^53 integer range — the
+    // rounding jitter shows up as ±1µs timestamp drift.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -76,7 +76,7 @@ object EventPipeline {
     val st = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     if (st.schema("ts").dataType == LongType)
-      st.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else st
   }
 }
