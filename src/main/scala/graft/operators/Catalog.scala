@@ -250,6 +250,24 @@ object Catalog {
        |  WHERE $docModelSchemeSql > 'MODEL-3/ssp245'
        |) t""".stripMargin
 
+  /** Incremental chunk API (library form of [[qSensorCursor]]): given a
+    * listing with a sortable chunk key and the last-processed cursor,
+    * return the next chunk's rows and the advanced cursor — the Spark
+    * translation of the reference's sensor loop (one bounded chunk per
+    * tick, resumable, exactly-once per key). The key scan is a pure
+    * aggregate; only the selected chunk's rows are ever materialized.
+    */
+  def nextChunk(listing: DataFrame, keyCol: String, cursor: Option[String])
+      : Option[(DataFrame, String)] = {
+    val after = cursor.fold(listing)(c => listing.filter(col(keyCol) > c))
+    val next = after.agg(min(col(keyCol))).collect().head
+    if (next.isNullAt(0)) None
+    else {
+      val k = next.getString(0)
+      Some((listing.filter(col(keyCol) === k), k))
+    }
+  }
+
   /** Run-key ingestion dedup (`run_key=s3_key`, loca2_sensor.py:117):
     * first-writer-wins per object key. Hash aggregate on the key — the
     * shuffle carries one row per distinct key.

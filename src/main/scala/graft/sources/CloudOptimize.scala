@@ -39,4 +39,25 @@ object CloudOptimize {
       .partitionBy(partitionCols: _*)
       .parquet(outPath)
   }
+
+  /** Bucketed table write: pre-shuffles data into `numBuckets` by
+    * `bucketCols` so that joins and aggregations on the bucket key plan
+    * with NO exchange — the co-located join. This is the 100 TB answer to
+    * "lineitem ⋈ orders shuffles twice per query": pay the shuffle once
+    * at ingest, never again. (Bucketing requires the table catalog, hence
+    * saveAsTable rather than a bare path.)
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }
