@@ -51,6 +51,10 @@ object SparkEntry {
     "q_moving_avg" -> (Analytics.qMovingAvg _),
     "q_asof_join" -> (Analytics.qAsofJoin _),
     "q_set_ops" -> (Analytics.qSetOps _),
+    "q_scalar_subquery" -> (Analytics.qScalarSubquery _),
+    "q_pivot" -> (Analytics.qPivot _),
+    "q_explode_wordcount" -> (Analytics.qExplodeWordcount _),
+    "q_ann_ivf" -> (Similarity.qAnnIvf _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -90,5 +94,9 @@ object SparkEntry {
     "q_moving_avg" -> Analytics.qMovingAvgOracle,
     "q_asof_join" -> Analytics.qAsofJoinOracle,
     "q_set_ops" -> Analytics.qSetOpsOracle,
+    "q_scalar_subquery" -> Analytics.qScalarSubqueryOracle,
+    "q_pivot" -> Analytics.qPivotOracle,
+    "q_explode_wordcount" -> Analytics.qExplodeWordcountOracle,
+    "q_ann_ivf" -> Similarity.qAnnIvfOracle,
   )
 }

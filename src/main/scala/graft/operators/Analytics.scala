@@ -144,6 +144,79 @@ object Analytics {
       |WHERE is_err = 1 AND last_purchase_id IS NOT NULL
       |ORDER BY error_event_id""".stripMargin
 
+  /** Correlated scalar subquery, decorrelated by hand into the plan Spark
+    * would produce anyway (aggregate + join): orders whose total exceeds
+    * 2× their customer's average order value. One extra aggregation on
+    * the fact table, one broadcastable per-customer average.
+    */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val custAvg = ord.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    ord.join(custAvg, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price") * 2.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        round(col("avg_price"), 2).as("cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qScalarSubqueryOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, round(avg_price, 2) AS cust_avg
+      |FROM orders
+      |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
+      |      FROM orders GROUP BY o_custkey) ca
+      |  ON o_custkey = ck
+      |WHERE o_totalprice > avg_price * 2.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Pivot: event counts per user across event types as columns. The
+    * oracle mirrors with FILTERed aggregates (identical semantics to
+    * Spark's pivot with an explicit value list — no engine-specific
+    * column-name inference).
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"), col("error").as("n_error"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("view").as("n_view"))
+      .orderBy(col("user_id"))
+
+  val qPivotOracle: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS n_click,
+      |  count(*) FILTER (event_type = 'error') AS n_error,
+      |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+      |  count(*) FILTER (event_type = 'signup') AS n_signup,
+      |  count(*) FILTER (event_type = 'view') AS n_view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Lateral explode + aggregation: corpus-wide word counts (top 50).
+    * explode is a generator — rows fan out scan-side, and the count
+    * aggregate combines map-side, so the shuffle carries (word, n)
+    * partials, not token rows.
+    */
+  def qExplodeWordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  val qExplodeWordcountOracle: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      |      FROM documents) t
+      |GROUP BY word
+      |ORDER BY n DESC, word
+      |LIMIT 50""".stripMargin
+
   /** Set operations: nations that have customers but no suppliers
     * (EXCEPT) and nations with both (INTERSECT), tagged and unioned.
     * Both are distinct-set operators — hash aggregates over keys only.

@@ -131,6 +131,70 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style ANN: the corpus is partitioned into cells around seed
+    * centroids (deterministically the first `NumCentroids` vectors);
+    * each query probes only its own cell. Centroids broadcast (they are
+    * tiny by construction), cell assignment is one scan + an 8-way
+    * argmax, and the probe join shuffles on the cell id — at 100 TB this
+    * is the inverted-file layout: cells are the partition key, and a
+    * real deployment would k-means the seeds and probe nprobe>1 cells.
+    */
+  val NumCentroids = 8
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = prepared(s, dir)
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nsq").as("cnsq"))
+    def assign(df: DataFrame): DataFrame = {
+      val csim = VectorFns.cosineWithNorms(
+        VectorFns.dot(col("v"), col("cv")), col("nsq"), col("cnsq"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", csim)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("label"), col("v"), col("nsq"), col("cent_id").as("cell"))
+    }
+    val cells = assign(e)
+    val q = cells.filter(col("vec_id") < 10)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("neighbor_id"),
+        simCol.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val qAnnIvfOracle: String =
+    s"""WITH $preparedSql,
+       |c AS (SELECT vec_id AS cent_id, v AS cv, nsq AS cnsq FROM n WHERE vec_id < $NumCentroids),
+       |a AS (
+       |  SELECT n.vec_id, n.v, n.nsq, c.cent_id,
+       |    row_number() OVER (
+       |      PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv")} / (sqrt(n.nsq) * sqrt(c.cnsq)) DESC, c.cent_id
+       |    ) AS rk
+       |  FROM n CROSS JOIN c
+       |),
+       |cells AS (SELECT vec_id, v, nsq, cent_id AS cell FROM a WHERE rk = 1),
+       |q AS (SELECT * FROM cells WHERE vec_id < 10),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+       |    round(${dotSql("q.v", "c2.v")} / (sqrt(q.nsq) * sqrt(c2.nsq)), 4) AS sim
+       |  FROM q JOIN cells c2 ON c2.cell = q.cell AND c2.vec_id != q.vec_id
+       |)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM p) t
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val qAnnLshOracle: String = {
     val bucket = (0 until Planes).map { j =>
       val proj =

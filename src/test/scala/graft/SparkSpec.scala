@@ -8,7 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val s = GraftSession.builder("local[4]", 4)
+      .config("spark.sql.warehouse.dir", wh) // fresh per JVM: saveAsTable
+      .getOrCreate() //  locations must not outlive the in-memory catalog
     s.sparkContext.setLogLevel("ERROR")
     s
   }
