@@ -23,6 +23,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // never leave a previous run's dump behind a failure — a stale
+        // directory would read as a (false) pass downstream
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -196,6 +196,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Hamming-band near-dup pairs over SimHash fingerprints: split the
+    * 60-bit fingerprint into `bands` chunks; docs agreeing on any chunk
+    * are candidates (two fingerprints within hamming distance d collide
+    * on ≥1 of b bands whenever d < b — exact, not probabilistic); verify
+    * with bit_count(xor) ≤ maxHamming. The band join shuffles
+    * (band, chunk-value, id) triples only — the SimHash analog of the
+    * MinHash LSH layout.
+    */
+  def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 12, bands: Int = 15): DataFrame = {
+    val bits = 60 / bands
+    val bandStructs = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col("simhash"), bnd * bits).bitwiseAND((1L << bits) - 1).as("chunk"))
+    }
+    val banded = fingerprints
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val qDedupSimhashOracle: String = {
     val votes = (0 until 60)
       .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")

@@ -64,6 +64,17 @@ object EventPipeline {
       }
   }
 
+  /** Streaming exact dedup — the run-key semantics of the reference's
+    * ingestion (one logical row per key, ever) under unbounded input:
+    * dropDuplicatesWithinWatermark keys state by (user_id, event_id) and
+    * evicts it once the watermark passes, so state is bounded by the
+    * duplicate-arrival horizon rather than the stream length.
+    */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+
   /** Batch-equivalent entry used by tests: stream the events parquet
     * through a file source (raw on-disk schema — ts arrives as a ns Long
     * under nanosAsLong and is normalized to a µs timestamp, mirroring
