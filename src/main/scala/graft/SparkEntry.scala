@@ -55,6 +55,11 @@ object SparkEntry {
     "q_pivot" -> (Analytics.qPivot _),
     "q_explode_wordcount" -> (Analytics.qExplodeWordcount _),
     "q_ann_ivf" -> (Similarity.qAnnIvf _),
+    "q_funnel" -> (Behavioral.qFunnel _),
+    "q_retention_cohort" -> (Behavioral.qRetentionCohort _),
+    "q_interval_join" -> (Behavioral.qIntervalJoin _),
+    "q_cube_agg" -> (Behavioral.qCubeAgg _),
+    "q_dedup_cluster" -> (Dedup.qDedupCluster _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -98,5 +103,10 @@ object SparkEntry {
     "q_pivot" -> Analytics.qPivotOracle,
     "q_explode_wordcount" -> Analytics.qExplodeWordcountOracle,
     "q_ann_ivf" -> Similarity.qAnnIvfOracle,
+    "q_funnel" -> Behavioral.qFunnelOracle,
+    "q_retention_cohort" -> Behavioral.qRetentionCohortOracle,
+    "q_interval_join" -> Behavioral.qIntervalJoinOracle,
+    "q_cube_agg" -> Behavioral.qCubeAggOracle,
+    "q_dedup_cluster" -> Dedup.qDedupClusterOracle,
   )
 }

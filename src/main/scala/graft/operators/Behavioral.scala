@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Behavioral / event-sequence analytics (SURVEY.md §2): funnel analysis,
+  * cohort retention, and interval (range) joins over the event stream.
+  *
+  * These are the event-log counterparts of the reference's incremental
+  * pipeline semantics: each is a fixed number of aggregations and
+  * equi-key joins on `user_id`, so at 100 TB every shuffle in the query
+  * aligns on the same key and AQE can reuse the exchange. No operator
+  * here sorts globally except the final presentation ORDER BY.
+  */
+object Behavioral {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+
+  /** Ordered funnel view → click → purchase: per user, the first view,
+    * the first click strictly after that view, and the first purchase
+    * strictly after that click. Three min-aggregations (map-side
+    * combinable) chained by equi-joins on user_id — never a per-user
+    * sort, never a collect. stage counts how deep the user got.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id")
+      .filter(col("us") > col("view_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .filter(col("us") > col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+        (lit(1L)
+          + when(col("click_us").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_us").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  val qFunnelOracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |t1 AS (SELECT user_id, min(us) AS view_us FROM ev
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, min(e.us) AS click_us FROM ev e
+      |       JOIN t1 ON e.user_id = t1.user_id AND e.us > t1.view_us
+      |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, min(e.us) AS purchase_us FROM ev e
+      |       JOIN t2 ON e.user_id = t2.user_id AND e.us > t2.click_us
+      |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT t1.user_id, t1.view_us, t2.click_us, t3.purchase_us,
+      |  1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS stage
+      |FROM t1
+      |LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |LEFT JOIN t3 ON t1.user_id = t3.user_id
+      |ORDER BY t1.user_id""".stripMargin
+
+  /** Cohort retention: users grouped by first-active day; for each
+    * (cohort_day, day_offset) the count of distinct users active that
+    * many days after their first day. Two aggregations on user_id plus
+    * one equi-join — the first-seen table is tiny relative to the event
+    * log (one row per user) and broadcast-eligible at any scale.
+    */
+  def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).cast("bigint").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val qRetentionCohortOracle: String =
+    """WITH act AS (SELECT user_id, ts::DATE AS d FROM events),
+      |f AS (SELECT user_id, min(d) AS cohort_d FROM act GROUP BY user_id)
+      |SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
+      |  date_diff('day', f.cohort_d, act.d) AS day_offset,
+      |  count(DISTINCT act.user_id) AS n_users
+      |FROM act JOIN f ON act.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Interval (range) join: for every purchase, the number of error
+    * events by the same user within the following hour. The equality on
+    * user_id makes this a hash join with the range as a residual
+    * predicate — the scale-correct plan (a pure range join would be
+    * O(n²) per overlap); both sides shuffle once on user_id.
+    */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("us").as("e_us"))
+    purchases
+      .join(errors.hint("shuffle_hash"),
+        col("p_user") === col("e_user")
+          && col("e_us") > col("p_us")
+          && col("e_us") <= col("p_us") + lit(3600000000L),
+        "left")
+      .groupBy(col("purchase_id"), col("p_user"))
+      .agg(count(col("e_us")).as("n_errors"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("n_errors"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val qIntervalJoinOracle: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM ev
+      |      WHERE event_type = 'purchase'),
+      |e AS (SELECT user_id, us AS e_us FROM ev WHERE event_type = 'error')
+      |SELECT p.purchase_id, p.user_id, count(e.e_us) AS n_errors
+      |FROM p LEFT JOIN e
+      |  ON p.user_id = e.user_id
+      |  AND e.e_us > p.p_us AND e.e_us <= p.p_us + 3600000000
+      |GROUP BY p.purchase_id, p.user_id
+      |ORDER BY p.purchase_id""".stripMargin
+
+  /** CUBE aggregation over orders: all four grouping sets of
+    * (priority, status) in one pass. Like ROLLUP, Spark expands the
+    * sets map-side so the shuffle carries one partial row per
+    * (set × group) — four cheap groups, not four scans.
+    */
+  def qCubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("sum_price"), col("n_orders"))
+      .orderBy(col("priority"), col("status"))
+
+  val qCubeAggOracle: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  COALESCE(o_orderstatus, 'ALL') AS status,
+      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin
+}

@@ -76,7 +76,14 @@ object Dedup {
     * probability; and min/max over the md5 strings directly avoids any
     * per-shingle radix conversion in the hot path.
     */
-  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** (doc_a, doc_b, jaccard) near-dup pairs above [[JaccardThreshold]],
+    * unordered — shared edge set for the pair query and the cluster
+    * operator.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val blocked = shingled(s, dir)
       .withColumn("m", transform(col("sh"), md5 _))
       .withColumn("mn", array_min(col("m")))
@@ -90,7 +97,6 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), jaccardOut.as("jaccard"))
     graft.plans.Fence.filterNoPushdown(pairs, col("jaccard"), _ >= JaccardThreshold)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val qDedupNgramJaccardOracle: String =
@@ -174,6 +180,63 @@ object Dedup {
        |WHERE $jaccardOutSql >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Near-dup clusters: connected components over the Jaccard near-dup
+    * graph, labeling every document with the minimum doc_id reachable
+    * through near-dup edges (its canonical representative — "keep one
+    * doc per cluster" is the downstream dedup action). Pregel-style
+    * min-label propagation: each round joins current labels to the edge
+    * list and takes the per-node min, converging in O(graph diameter)
+    * rounds — near-dup components are tiny chains in practice, so this
+    * is 2-4 rounds of (edges ⋈ labels) equi-joins, each one shuffle on
+    * id. `localCheckpoint` truncates the growing lineage per round so
+    * plan size stays constant at any round count. The driver-side loop
+    * only ever moves a single `count` — never rows.
+    */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // edge derivation (shingle pipeline) runs once, not per round
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("doc_id").as("cluster"))
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("cluster")).orderBy(col("doc_id"))
+  }
+
+  val qDedupClusterOracle: String =
+    s"""WITH RECURSIVE $shingledSql,
+       |blk AS (
+       |  SELECT doc_id, sh,
+       |    list_min(list_transform(sh, x -> md5(x))) AS mn,
+       |    list_max(list_transform(sh, x -> md5(x))) AS mx
+       |  FROM s
+       |),
+       |pr AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM blk x JOIN blk y ON x.mn = y.mn AND x.mx = y.mx AND x.doc_id < y.doc_id
+       |  WHERE $jaccardOutSql >= $JaccardThreshold
+       |),
+       |ed AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT ed.b, reach.r FROM ed JOIN reach ON ed.a = reach.id
+       |)
+       |SELECT id AS doc_id, min(r) AS cluster
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin
 
   /** SimHash: 60-bit fingerprint from per-bit ±1 votes over the distinct
     * token set. Explode + one grouped aggregation (60 conditional sums) —
