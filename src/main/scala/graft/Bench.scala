@@ -4,9 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
-  * Each query gets one untimed warm run (codegen compilation, JIT, file
-  * listing) followed by one timed run — steady-state numbers, which is
-  * what a resident engine on a cluster actually delivers.
+  *
+  * One untimed warm sweep over the whole suite first (codegen
+  * compilation, C2 JIT, file listing — a single per-query warm run is
+  * not enough on a cold JVM: queries early in the alphabet were paying
+  * multi-second JIT tax that vanished once the JVM was hot), then each
+  * query is timed as the min of two runs — steady-state numbers, which
+  * is what a resident engine on a cluster actually delivers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,12 +28,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    suite.foreach { case (name, fn) => // warm sweep: codegen + JIT + listing
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
+    }
+    val results = suite.map { case (name, fn) =>
       try {
-        fn(spark, sfDir).count() // warm: codegen + JIT + listing
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

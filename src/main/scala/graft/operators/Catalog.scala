@@ -292,4 +292,26 @@ object Catalog {
       |FROM events
       |GROUP BY s3_key
       |ORDER BY s3_key""".stripMargin
+
+  /** Queryable-catalog writer — the reference's catalog output contract
+    * (CSV rows + a JSON column spec, loca2.py:206-232) on Spark's
+    * writer: the catalog itself lands as header'd CSV part files
+    * (metadata-width rows, so a single part unless the catalog is huge)
+    * and the machine-readable spec `_spec.json` (column names/types +
+    * row count) is written driver-side — schema is driver metadata, no
+    * collect of data rows.
+    */
+  def writeCatalog(catalog: DataFrame, outDir: String): Unit = {
+    val spark = catalog.sparkSession
+    val n = catalog.count()
+    catalog.write.mode("overwrite").option("header", "true").csv(s"$outDir/catalog.csv")
+    val cols = catalog.schema.fields
+      .map(f => s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+      .mkString("[", ",", "]")
+    val spec = s"""{"columns":$cols,"row_count":$n}"""
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/_spec.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(spec.getBytes("UTF-8")) finally out.close()
+  }
 }

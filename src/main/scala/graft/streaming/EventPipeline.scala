@@ -75,6 +75,32 @@ object EventPipeline {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_id")
 
+  /** Stream-stream interval join — the streaming mirror of the batch
+    * q_interval_join: every purchase paired with the same user's error
+    * events in the following hour. Both sides carry watermarks and the
+    * join condition bounds event time on both ends, so each side's
+    * buffered state is evicted once the watermark passes the interval —
+    * state is O(in-flight hour), not O(stream length). The equi-key on
+    * user_id keeps the runtime join a hash join per micro-batch.
+    */
+  def purchaseErrorJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val e = errors
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    p.join(e,
+      col("p_user") === col("e_user")
+        && col("e_ts") > col("p_ts")
+        && col("e_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("error_id"))
+  }
+
   /** Batch-equivalent entry used by tests: stream the events parquet
     * through a file source (raw on-disk schema — ts arrives as a ns Long
     * under nanosAsLong and is normalized to a µs timestamp, mirroring

@@ -30,6 +30,31 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join converges to the batch inner join") {
+    val joined = EventPipeline.purchaseErrorJoin(
+      EventPipeline.streamEventsFrom(spark, sf001),
+      EventPipeline.streamEventsFrom(spark, sf001))
+    val q = joined.writeStream.format("memory").queryName("pe_join_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT count(*) FROM pe_join_test").collect()(0).getLong(0)
+      // batch mirror: same equi-key + interval condition, inner join
+      val ev = Tables.events(spark, sf001)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("us").as("p_us"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("eu"), col("us").as("e_us"))
+      val batch = p.join(e, col("pu") === col("eu")
+        && col("e_us") > col("p_us")
+        && col("e_us") <= col("p_us") + lit(3600000000L)).count()
+      assert(streamed == batch)
+      assert(batch > 0L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window-function answer") {
     import spark.implicits._
     val evs = Tables.events(spark, sf001)
