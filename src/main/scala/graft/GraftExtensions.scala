@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.RollingHash
+import graft.expressions.{MinHashSigs, RollingHash}
 
 /** Session extensions for the graft engine: registers the native
   * expressions as SQL functions. Activate with
@@ -19,5 +19,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sigs numPerms must be an int literal, got $other")
+        }
+        MinHashSigs(children.head, n)
+      }))
   }
 }

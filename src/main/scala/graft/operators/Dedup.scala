@@ -122,12 +122,16 @@ object Dedup {
     val base = shingled(s, dir)
     val hashed = base.select(col("doc_id"), col("sh"),
       transform(col("sh"), TextFns.hash28(_)).as("h0s"))
-    val sigCols = (0 until NumPerms).map(j => TextFns.minhash(col("h0s"), j).as(s"m$j"))
-    val sigs = hashed.select(col("doc_id") +: sigCols: _*)
+    // native one-pass signature bank (vs 32 array_min(transform(...))
+    // columns = 32 traversals + allocations per row); same constants, so
+    // the oracle SQL below is unchanged
+    val sigs = hashed.select(col("doc_id"),
+      expr(s"minhash_sigs(h0s, $NumPerms)").as("sigs"))
     val bandStructs = (0 until NumBands).map { bnd =>
       struct(
         lit(bnd).as("band"),
-        md5(concat_ws("-", (0 until RowsPerBand).map(r => col(s"m${RowsPerBand * bnd + r}")): _*)).as("bkey"))
+        md5(concat_ws("-", (0 until RowsPerBand)
+          .map(r => element_at(col("sigs"), RowsPerBand * bnd + r + 1)): _*)).as("bkey"))
     }
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
@@ -198,8 +202,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint() // edge derivation (shingle pipeline) runs once, not per round
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id").as("id"), col("doc_id").as("cluster"))
+    // only edge endpoints participate in propagation — near-dup nodes are
+    // a sliver of the corpus, so each round's joins touch the graph, not
+    // the full document set; singletons rejoin (trivially self-labeled)
+    // at the end
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val prop = edges.join(labels, col("src") === col("id"))
@@ -211,7 +220,10 @@ object Dedup {
         .filter(col("cluster") =!= col("prev")).count()
       labels = next
     }
-    labels.select(col("id").as("doc_id"), col("cluster")).orderBy(col("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .orderBy(col("doc_id"))
   }
 
   val qDedupClusterOracle: String =

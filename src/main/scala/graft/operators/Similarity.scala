@@ -183,12 +183,20 @@ object Similarity {
     def assign(df: DataFrame): DataFrame = {
       val csim = VectorFns.cosineWithNorms(
         VectorFns.dot(col("v"), col("cv")), col("nsq"), col("cnsq"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      // argmax via max_by, not a window rank: the crossJoin expands each
+      // vector × NumCentroids, and max_by collapses it map-side in the
+      // same task — a window would shuffle AND sort the expanded rows.
+      // Ordering matches the oracle's (csim DESC, cent_id ASC) via the
+      // (csim, -cent_id) struct.
       df.crossJoin(broadcast(cents))
         .withColumn("csim", csim)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("label"), col("v"), col("nsq"), col("cent_id").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(
+          first(col("label")).as("label"),
+          first(col("v")).as("v"),
+          first(col("nsq")).as("nsq"),
+          max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cell"))
+        .select(col("vec_id"), col("label"), col("v"), col("nsq"), col("cell"))
     }
     val cells = assign(e)
     val q = cells.filter(col("vec_id") < 10)
