@@ -60,6 +60,7 @@ object SparkEntry {
     "q_interval_join" -> (Behavioral.qIntervalJoin _),
     "q_cube_agg" -> (Behavioral.qCubeAgg _),
     "q_dedup_cluster" -> (Dedup.qDedupCluster _),
+    "q_tfidf" -> (TextAnalysis.qTfidf _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -108,5 +109,6 @@ object SparkEntry {
     "q_interval_join" -> Behavioral.qIntervalJoinOracle,
     "q_cube_agg" -> Behavioral.qCubeAggOracle,
     "q_dedup_cluster" -> Dedup.qDedupClusterOracle,
+    "q_tfidf" -> TextAnalysis.qTfidfOracle,
   )
 }

@@ -144,4 +144,53 @@ object TextAnalysis {
       |  length(text) AS n_chars_measured
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Top-3 TF-IDF terms per document. Term frequencies combine map-side
+    * under the explode (the shuffle carries (doc, word, n) partials, not
+    * token rows); document frequencies are one more aggregation over the
+    * tf table keyed by word; the corpus size joins in as a broadcast
+    * 1-row aggregate. The per-document top-3 is a bounded window — its
+    * sort is per-doc (tiny), never global. idf = ln(N/df), scores
+    * rounded to 6 on both engines and ranked AFTER rounding with a word
+    * tie-break, so cross-engine last-bit drift cannot flip ranks.
+    */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("word"), col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val qTfidfOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+      |  FROM documents
+      |),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+      |)
+      |SELECT doc_id, word, tfidf, rank FROM (
+      |  SELECT doc_id, word, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+      |  FROM sc) t
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
 }
