@@ -61,6 +61,9 @@ object SparkEntry {
     "q_cube_agg" -> (Behavioral.qCubeAgg _),
     "q_dedup_cluster" -> (Dedup.qDedupCluster _),
     "q_tfidf" -> (TextAnalysis.qTfidf _),
+    "q_histogram" -> (Analytics.qHistogram _),
+    "q_corr" -> (Analytics.qCorr _),
+    "q_catalog_skip_malformed" -> (Catalog.qCatalogSkipMalformed _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -110,5 +113,8 @@ object SparkEntry {
     "q_cube_agg" -> Behavioral.qCubeAggOracle,
     "q_dedup_cluster" -> Dedup.qDedupClusterOracle,
     "q_tfidf" -> TextAnalysis.qTfidfOracle,
+    "q_histogram" -> Analytics.qHistogramOracle,
+    "q_corr" -> Analytics.qCorrOracle,
+    "q_catalog_skip_malformed" -> Catalog.qCatalogSkipMalformedOracle,
   )
 }

@@ -231,6 +231,54 @@ object Analytics {
       .orderBy(col("kind"), col("nationkey"))
   }
 
+  /** Fixed-width histogram: floor-division binning of order totals —
+    * binned aggregation is the scan-side pattern for distribution
+    * profiling at scale (map-side combine into ~tens of buckets; the
+    * shuffle carries one partial row per bucket per task, never data).
+    * Fixed bin width (not min/max-relative) keeps bins deterministic
+    * and engine-independent.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("bigint").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  val qHistogramOracle: String =
+    """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |  count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  /** Statistical aggregates per group: Pearson correlation and sample
+    * covariance/stddev of quantity vs price. One map-side-combinable
+    * aggregation (all four moments fold associatively); rounded to 4
+    * decimals because the engines accumulate in different orders.
+    */
+  def qCorr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val qCorrOracle: String =
+    """SELECT l_returnflag,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+      |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val qSetOpsOracle: String =
     """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
       |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),

@@ -293,6 +293,61 @@ object Catalog {
       |GROUP BY s3_key
       |ORDER BY s3_key""".stripMargin
 
+  /** Malformed-key skipping (`except ... continue`, loca2.py:223): the
+    * reference drops keys whose shape can't be parsed rather than
+    * failing the catalog build. Synthesized listing where 1-in-5 keys
+    * is a stray root file and 1-in-7 (of the rest) is missing its
+    * scheme directory; structural validity (3 path segments, ≥6
+    * filename dot-parts) is a codegen'd predicate evaluated before any
+    * parse projection — malformed rows never reach the parser, exactly
+    * one scan at any scale.
+    */
+  def qCatalogSkipMalformed(s: SparkSession, dir: String): DataFrame = {
+    val wellFormed = concat(docModel, lit("/"), docScheme, lit("/"), docStem,
+      pick(col("doc_id") % 2, ".monthly.cent.zarr", ".cent.monthly.zarr"))
+    val key = when(col("doc_id") % 5 === 0,
+        concat(lit("stray-"), str(col("doc_id")), lit(".nc")))
+      .when(col("doc_id") % 7 === 0,
+        concat(docModel, lit("/truncated.file")))
+      .otherwise(wellFormed)
+    val listing = Tables.documents(s, dir).select(key.as("key")).distinct()
+    val pathParts = filter(split(col("key"), "/"), p => p =!= "")
+    val fileParts = split(element_at(pathParts, -1), "\\.")
+    listing
+      .filter(size(pathParts) === 3 && size(fileParts) >= 6)
+      .select(parseKey(col("key"), "test-bucket", concat(lit(ZarrPrefix), col("key"))).as("p"))
+      .select(col("p.variable").as("variable"), col("p.model").as("model"),
+        col("p.scheme").as("scheme"), col("p.experiment_id").as("experiment_id"),
+        col("p.time_range").as("time_range"), col("p.path").as("path"))
+      .orderBy(col("path"))
+  }
+
+  val qCatalogSkipMalformedOracle: String =
+    s"""WITH keys AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN doc_id % 5 = 0 THEN 'stray-' || CAST(doc_id AS VARCHAR) || '.nc'
+       |         WHEN doc_id % 7 = 0 THEN 'MODEL-' || CAST(doc_id % 7 AS VARCHAR) || '/truncated.file'
+       |         ELSE $docModelSchemeSql || '/' || $docStemSql ||
+       |           (['.monthly.cent.zarr','.cent.monthly.zarr'])[CAST(doc_id % 2 AS INT) + 1]
+       |    END AS key
+       |  FROM documents
+       |), ok AS (
+       |  SELECT key,
+       |    str_split(key, '/') AS path_parts,
+       |    str_split(str_split(key, '/')[-1], '.') AS file_parts
+       |  FROM keys
+       |  WHERE len(str_split(key, '/')) = 3
+       |    AND len(str_split(str_split(key, '/')[-1], '.')) >= 6
+       |)
+       |SELECT file_parts[1] AS variable,
+       |  path_parts[1] AS model,
+       |  path_parts[2] AS scheme,
+       |  file_parts[4] AS experiment_id,
+       |  file_parts[5] AS time_range,
+       |  's3://test-bucket/zarr/LOCA2/monthly/' || key AS path
+       |FROM ok
+       |ORDER BY path""".stripMargin
+
   /** Queryable-catalog writer — the reference's catalog output contract
     * (CSV rows + a JSON column spec, loca2.py:206-232) on Spark's
     * writer: the catalog itself lands as header'd CSV part files
