@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{MinHashSigs, RollingHash}
+import graft.expressions.{MinHashSigs, RollingHash, VecDot}
 
 /** Session extensions for the graft engine: registers the native
   * expressions as SQL functions. Activate with
@@ -30,5 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSigs(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(children(0), children(1))))
   }
 }

@@ -14,17 +14,17 @@ object VectorFns {
   /** Cast an Array[Float] embedding column to Array[Double]. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product, unrolled to a left-associated 64-term sum of
-    * element_at products. Unrolling matters: higher-order functions
-    * (zip_with/aggregate) are interpreted per element (~50µs per pair at
-    * dim 64), while this chain compiles into whole-stage codegen — same
-    * value, same left-to-right accumulation order as the HOF fold and as
-    * DuckDB's list_sum, ~40× faster in the pairwise hot path.
+  /** Dot product — the native codegen'd `vec_dot` expression (one plan
+    * node, tight primitive loop). Same left-to-right double accumulation
+    * as DuckDB's list_sum, so oracles stay exact. This replaced an
+    * unrolled 64-term element_at chain: the chain also codegen'd, but
+    * cost ~0.3-0.5s of Catalyst planning per ANN query because optimizer
+    * time scales with plan-tree size. Higher-order zip_with/aggregate
+    * remain wrong for the pairwise hot path (interpreted per element,
+    * ~50µs/pair at dim 64).
     */
   def dot(a: Column, b: Column, dims: Int = 64): Column =
-    (0 until dims)
-      .map(i => element_at(a, i + 1) * element_at(b, i + 1))
-      .reduce(_ + _)
+    call_function("vec_dot", a, b)
 
   /** Squared L2 norm. */
   def normSq(v: Column, dims: Int = 64): Column = dot(v, v, dims)
