@@ -36,22 +36,40 @@ object Dedup {
   private def hash28Sql(x: String) = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
   private def hash60Sql(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
-  /** documents → (doc_id, sh) distinct 3-shingle sets. */
+  /** documents → (doc_id, hs) distinct 28-bit-hashed 3-shingle sets.
+    * Everything downstream (blocking, LSH, Jaccard verification) works
+    * over the hashed sets: an 8-byte long per shingle instead of a ~25
+    * byte string shrinks every corpus shuffle ~5-8× and makes set
+    * intersection primitive-typed. Jaccard over the hashed sets is the
+    * engine's similarity definition (identical on both engines — the
+    * oracle hashes the same way — and within ~1e-4 of string Jaccard:
+    * a 28-bit collision inside one pair's union is ~|union|²/2²⁹).
+    *
+    * Materialized once per query (localCheckpoint): every dedup query
+    * references this table 2-3 times (self-join sides, signature +
+    * verification), and without materialization each reference re-runs
+    * tokenize→shingle→md5 over the corpus — the single most expensive
+    * stage. The 100 TB form of the same decision is persisting the
+    * fingerprint table before the pair-generation stages.
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), TextFns.shingles(col("t")).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(TextFns.shingles(col("t")), TextFns.hash28(_))).as("hs"))
+      .localCheckpoint()
 
   private val shingledSql =
     s"""t AS (SELECT doc_id, $toksSql AS t FROM documents),
-       |s AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(t) >= 3)""".stripMargin
+       |s0 AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(t) >= 3),
+       |s AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${hash28Sql("x")})) AS hs FROM s0)""".stripMargin
 
   private def jaccardOut: Column =
-    round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6)
+    round(TextFns.jaccard(col("hs_a"), col("hs_b")), 6)
 
   private val jaccardOutSql =
-    "round(len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+    "round(len(list_intersect(x.hs, y.hs))::DOUBLE / len(list_distinct(list_concat(x.hs, y.hs))), 6)"
 
   /** Exact dedup: md5 of whitespace-canonicalized text, first-writer-wins. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -69,12 +87,11 @@ object Dedup {
       |GROUP BY fingerprint
       |ORDER BY fingerprint""".stripMargin
 
-  /** 3-gram Jaccard near-dup pairs, blocked on the (min, max) md5'd
+  /** 3-gram Jaccard near-dup pairs, blocked on the (min, max) hashed
     * shingle pair — a two-constraint MinHash-style block. Selectivity is
-    * ~j² for background pairs (261 candidates out of 12.5M possible at
-    * sf0.1) while ≥0.8-Jaccard pairs agree on both extremes with ~93%
-    * probability; and min/max over the md5 strings directly avoids any
-    * per-shingle radix conversion in the hot path.
+    * ~j² for background pairs (hundreds of candidates out of 12.5M
+    * possible at sf0.1) while ≥0.8-Jaccard pairs agree on both extremes
+    * with ~93% probability.
     */
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -85,11 +102,10 @@ object Dedup {
     */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val blocked = shingled(s, dir)
-      .withColumn("m", transform(col("sh"), md5 _))
-      .withColumn("mn", array_min(col("m")))
-      .withColumn("mx", array_max(col("m")))
-    val a = blocked.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("mn"), col("mx"))
-    val b = blocked.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("mn"), col("mx"))
+      .withColumn("mn", array_min(col("hs")))
+      .withColumn("mx", array_max(col("hs")))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("mn"), col("mx"))
+    val b = blocked.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("mn"), col("mx"))
     // shuffle_hash, never broadcast: the build side is the whole derived
     // corpus — broadcasting it would evaluate the shingle pipeline
     // single-threaded on the driver (and is impossible at 100 TB anyway)
@@ -102,9 +118,7 @@ object Dedup {
   val qDedupNgramJaccardOracle: String =
     s"""WITH $shingledSql,
        |b AS (
-       |  SELECT doc_id, sh,
-       |    list_min(list_transform(sh, x -> md5(x))) AS mn,
-       |    list_max(list_transform(sh, x -> md5(x))) AS mx
+       |  SELECT doc_id, hs, list_min(hs) AS mn, list_max(hs) AS mx
        |  FROM s
        |)
        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $jaccardOutSql AS jaccard
@@ -120,13 +134,10 @@ object Dedup {
     */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val base = shingled(s, dir)
-    val hashed = base.select(col("doc_id"), col("sh"),
-      transform(col("sh"), TextFns.hash28(_)).as("h0s"))
     // native one-pass signature bank (vs 32 array_min(transform(...))
-    // columns = 32 traversals + allocations per row); same constants, so
-    // the oracle SQL below is unchanged
-    val sigs = hashed.select(col("doc_id"),
-      expr(s"minhash_sigs(h0s, $NumPerms)").as("sigs"))
+    // columns = 32 traversals + allocations per row)
+    val sigs = base.select(col("doc_id"),
+      expr(s"minhash_sigs(hs, $NumPerms)").as("sigs"))
     val bandStructs = (0 until NumBands).map { bnd =>
       struct(
         lit(bnd).as("band"),
@@ -143,8 +154,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val verified = cand
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")).hint("shuffle_hash"), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")).hint("shuffle_hash"), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")).hint("shuffle_hash"), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")).hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccardOut.as("jaccard"))
     graft.plans.Fence.filterNoPushdown(verified, col("jaccard"), _ >= JaccardThreshold)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -154,7 +165,7 @@ object Dedup {
     val ms = (0 until NumPerms).map { j =>
       val a = 2L * j + 3L
       val b = 101L * j + 7L
-      s"list_min(list_transform(h0s, hh -> ($a * hh + $b) % $P)) AS m$j"
+      s"list_min(list_transform(hs, hh -> ($a * hh + $b) % $P)) AS m$j"
     }.mkString(",\n    ")
     val bandSelects = (0 until NumBands).map { bnd =>
       val key = (0 until RowsPerBand)
@@ -163,11 +174,10 @@ object Dedup {
       s"SELECT doc_id, $bnd AS band, md5($key) AS bkey FROM m"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $shingledSql,
-       |h AS (SELECT doc_id, sh, list_transform(sh, x -> ${hash28Sql("x")}) AS h0s FROM s),
        |m AS (
        |  SELECT doc_id,
        |    $ms
-       |  FROM h
+       |  FROM s
        |),
        |bands AS (
        |  $bandSelects
@@ -179,8 +189,8 @@ object Dedup {
        |)
        |SELECT doc_a, doc_b, $jaccardOutSql AS jaccard
        |FROM cand
-       |JOIN h x ON x.doc_id = doc_a
-       |JOIN h y ON y.doc_id = doc_b
+       |JOIN s x ON x.doc_id = doc_a
+       |JOIN s y ON y.doc_id = doc_b
        |WHERE $jaccardOutSql >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -229,9 +239,7 @@ object Dedup {
   val qDedupClusterOracle: String =
     s"""WITH RECURSIVE $shingledSql,
        |blk AS (
-       |  SELECT doc_id, sh,
-       |    list_min(list_transform(sh, x -> md5(x))) AS mn,
-       |    list_max(list_transform(sh, x -> md5(x))) AS mx
+       |  SELECT doc_id, hs, list_min(hs) AS mn, list_max(hs) AS mx
        |  FROM s
        |),
        |pr AS (
