@@ -64,6 +64,9 @@ object SparkEntry {
     "q_histogram" -> (Analytics.qHistogram _),
     "q_corr" -> (Analytics.qCorr _),
     "q_catalog_skip_malformed" -> (Catalog.qCatalogSkipMalformed _),
+    "q_argmax_agg" -> (Analytics.qArgmaxAgg _),
+    "q_string_agg" -> (Analytics.qStringAgg _),
+    "q_nullsafe_join" -> (Analytics.qNullsafeJoin _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -116,5 +119,8 @@ object SparkEntry {
     "q_histogram" -> Analytics.qHistogramOracle,
     "q_corr" -> Analytics.qCorrOracle,
     "q_catalog_skip_malformed" -> Catalog.qCatalogSkipMalformedOracle,
+    "q_argmax_agg" -> Analytics.qArgmaxAggOracle,
+    "q_string_agg" -> Analytics.qStringAggOracle,
+    "q_nullsafe_join" -> Analytics.qNullsafeJoinOracle,
   )
 }

@@ -279,6 +279,82 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Argmax aggregation via lexicographic max-of-struct: per nation, the
+    * top-balance customer. max(struct(...)) is fully deterministic under
+    * value ties (custkey disambiguates inside the struct) and folds
+    * associatively — one map-side-combinable aggregate, no window, no
+    * sort beyond presentation.
+    */
+  def qArgmaxAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(max(struct(col("c_acctbal"), col("c_custkey"), col("c_name"))).as("m"))
+      .select(col("nationkey"),
+        col("m.c_acctbal").as("top_acctbal"),
+        col("m.c_custkey").as("top_custkey"),
+        col("m.c_name").as("top_name"))
+      .orderBy(col("nationkey"))
+
+  val qArgmaxAggOracle: String =
+    """SELECT c_nationkey AS nationkey,
+      |  max(struct_pack(ab := c_acctbal, ck := c_custkey, nm := c_name)).ab AS top_acctbal,
+      |  max(struct_pack(ab := c_acctbal, ck := c_custkey, nm := c_name)).ck AS top_custkey,
+      |  max(struct_pack(ab := c_acctbal, ck := c_custkey, nm := c_name)).nm AS top_name
+      |FROM customer
+      |GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Ordered string aggregation: comma-joined sorted nation list per
+    * region. collect_list order is nondeterministic under parallelism,
+    * so the engine sorts the collected array before joining — the only
+    * way a distributed string_agg can be deterministic.
+    */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .groupBy(col("n_regionkey").as("regionkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("regionkey"))
+
+  val qStringAggOracle: String =
+    """SELECT n_regionkey AS regionkey,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  count(*) AS n_nations
+      |FROM nation
+      |GROUP BY regionkey
+      |ORDER BY regionkey""".stripMargin
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): grouped
+    * counts from two tables joined on a derived nullable key, where the
+    * NULL groups match each other. Null-safe equality is hash-joinable
+    * (NULL becomes an ordinary key value) — same single-shuffle plan as
+    * a plain equi-join.
+    */
+  def qNullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val custG = Tables.customer(s, dir)
+      .groupBy(nullif(col("c_nationkey") % 5, lit(2)).as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val suppG = Tables.supplier(s, dir)
+      .groupBy(nullif(col("s_nationkey") % 5, lit(2)).as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    custG.join(suppG, col("ck") <=> col("sk"))
+      .select(col("ck").as("k"), col("n_cust"), col("n_supp"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  val qNullsafeJoinOracle: String =
+    """WITH c AS (
+      |  SELECT nullif(c_nationkey % 5, 2) AS ck, count(*) AS n_cust
+      |  FROM customer GROUP BY ck
+      |), s AS (
+      |  SELECT nullif(s_nationkey % 5, 2) AS sk, count(*) AS n_supp
+      |  FROM supplier GROUP BY sk
+      |)
+      |SELECT c.ck AS k, c.n_cust, s.n_supp
+      |FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+      |ORDER BY k NULLS FIRST""".stripMargin
+
   val qSetOpsOracle: String =
     """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
       |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
