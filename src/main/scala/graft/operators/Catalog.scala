@@ -138,20 +138,26 @@ object Catalog {
     * dedupe. distinct() is a map-side-combined hash aggregate — the
     * shuffle carries unique base paths, not listing rows.
     */
-  def qCatalogDedupBases(s: SparkSession, dir: String): DataFrame = {
+  /** Cut a Zarr child key at the store marker (`loca2.py:185-204`):
+    * everything after `monthly.cent.zarr` / `cent.monthly.zarr` is a
+    * child file inside the store.
+    */
+  def zarrBasePath(fullKey: Column): Column = {
     val marker1 = "monthly.cent.zarr"
     val marker2 = "cent.monthly.zarr"
+    when(locate(marker1, fullKey) > 0,
+      fullKey.substr(lit(1), locate(marker1, fullKey) + lit(marker1.length - 1)))
+      .otherwise(fullKey.substr(lit(1), locate(marker2, fullKey) + lit(marker2.length - 1)))
+  }
+
+  def qCatalogDedupBases(s: SparkSession, dir: String): DataFrame = {
     val stemZarr = concat(docStem,
       pick(col("doc_id") % 2, ".monthly.cent.zarr", ".cent.monthly.zarr"))
     val fullKey = concat(lit(ZarrPrefix), docModel, lit("/"), docScheme, lit("/"),
       stemZarr, pick(col("doc_id") % 3, "/time/0", "/lat/0", "/.zmetadata"))
     Tables.documents(s, dir)
       .select(fullKey.as("full_key"))
-      .select(
-        when(locate(marker1, col("full_key")) > 0,
-          col("full_key").substr(lit(1), locate(marker1, col("full_key")) + lit(marker1.length - 1)))
-          .otherwise(col("full_key").substr(lit(1), locate(marker2, col("full_key")) + lit(marker2.length - 1)))
-          .as("base_path"))
+      .select(zarrBasePath(col("full_key")).as("base_path"))
       .distinct()
       .orderBy(col("base_path"))
   }
@@ -292,6 +298,33 @@ object Catalog {
       |FROM events
       |GROUP BY s3_key
       |ORDER BY s3_key""".stripMargin
+
+  /** `Loca2Datasets.get_downloadable_files` (loca2_sensor.py:34-78) over
+    * a remote-directory listing table: given (model, scenario, memberid,
+    * filename) candidate rows, keep the data files for `variable` —
+    * filename must start `variable.model.scenario.memberid.` and carry a
+    * `LOCA_16thdeg_v<digits>` stamp with the daily (`.cent.nc`) or
+    * monthly (`.monthly.cent.nc` / `.cent.monthly.nc`) suffix, exactly
+    * the reference's `re.match` semantics — and emit the url + s3_key
+    * records the sensor yields. Pure scan-side projection + filter.
+    */
+  def downloadableFiles(listing: DataFrame, variable: String, monthly: Boolean): DataFrame = {
+    val tail =
+      if (monthly) "\\.LOCA_16thdeg_v[0-9]+\\.(monthly\\.cent\\.nc|cent\\.monthly\\.nc)"
+      else "\\.LOCA_16thdeg_v[0-9]+\\.cent\\.nc"
+    val prefix = concat_ws(".",
+      lit(variable), col("model"), col("scenario"), col("memberid"), lit(""))
+    val pathString = concat(lit(UcsdRoot), col("model"), lit("/cent/0p0625deg/"),
+      col("memberid"), lit("/"), col("scenario"), lit("/"), lit(variable), lit("/"))
+    listing
+      .filter(col("filename").startsWith(prefix) && col("filename").rlike(tail))
+      .select(
+        col("model"), col("scenario"), col("memberid"),
+        lit(variable).as("variable"),
+        concat(pathString, col("filename")).as("url"),
+        concat(lit("/"), col("model"), lit("/"), col("scenario"), lit("/"),
+          col("filename")).as("s3_key"))
+  }
 
   /** Malformed-key skipping (`except ... continue`, loca2.py:223): the
     * reference drops keys whose shape can't be parsed rather than
