@@ -79,6 +79,24 @@ object BinaryPipeline {
     media.mapPartitions { it => it.map(decodeStub) }
   }
 
+  /** Resize: re-encode each payload to a bounded-size representation
+    * (every k-th byte so the output is ≤ `maxBytes`), updating the typed
+    * metadata to match — the plumbing contract of an image resize
+    * (payload in → smaller payload + new dimensions out, applied
+    * per-record inside mapPartitions, never on the driver). A real
+    * build swaps the byte-stride for a codec's scale kernel.
+    */
+  def resize(media: Dataset[MediaRecord], maxBytes: Int = 256): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val stride = math.max(1, math.ceil(r.payload.length.toDouble / maxBytes).toInt)
+        val out = r.payload.indices.by(stride).map(r.payload).toArray
+        r.copy(payload = out, n_bytes = out.length.toLong)
+      }
+    }
+  }
+
   /** Frame sampling for video/audio payloads: every `stride`-th byte
     * stands in for every k-th decoded frame; emitted as (media_id,
     * frame_idx, frame_byte) rows. Demonstrates the explode-shaped

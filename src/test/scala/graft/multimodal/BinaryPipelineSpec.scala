@@ -25,6 +25,17 @@ class BinaryPipelineSpec extends SparkSpec {
     }
   }
 
+  test("resize bounds every payload and keeps metadata consistent") {
+    val resized = BinaryPipeline.resize(
+      BinaryPipeline.mediaTable(spark, sf001), maxBytes = 128).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.payload.length <= 128)
+      assert(r.n_bytes == r.payload.length.toLong)
+      assert(r.payload.length > 0)
+    }
+  }
+
   test("frame sampling emits stride-spaced frames for non-image media") {
     val media = BinaryPipeline.mediaTable(spark, sf001)
     val frames = BinaryPipeline.sampleFrames(media, stride = 64)
