@@ -67,6 +67,7 @@ object SparkEntry {
     "q_argmax_agg" -> (Analytics.qArgmaxAgg _),
     "q_string_agg" -> (Analytics.qStringAgg _),
     "q_nullsafe_join" -> (Analytics.qNullsafeJoin _),
+    "q_skew_salted_join" -> (Behavioral.qSkewSaltedJoin _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -122,5 +123,6 @@ object SparkEntry {
     "q_argmax_agg" -> Analytics.qArgmaxAggOracle,
     "q_string_agg" -> Analytics.qStringAggOracle,
     "q_nullsafe_join" -> Analytics.qNullsafeJoinOracle,
+    "q_skew_salted_join" -> Behavioral.qSkewSaltedJoinOracle,
   )
 }

@@ -156,4 +156,32 @@ object Behavioral {
       |FROM orders
       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin
+
+  /** Hot-key salted join, oracle-checked: the salted plan (fact keys
+    * spread over 8 sub-reducers, dimension replicated ×8) must produce
+    * EXACTLY the rows of the plain equi-join — the oracle is the plain
+    * join, so any salting bug that duplicates or drops a row fails the
+    * hash compare. This is the explicit-salt escape hatch for the
+    * pathological key AQE's skew split can't fix (one key > one
+    * reducer's memory).
+    */
+  def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_custkey") < 150)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val fact = Tables.events(s, dir).select(col("user_id"), col("value"))
+    graft.plans.Salt.saltedJoin(fact, dim, "user_id", salts = 8)
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("mktsegment"))
+  }
+
+  val qSkewSaltedJoinOracle: String =
+    """SELECT c_mktsegment AS mktsegment,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE c_custkey < 150
+      |GROUP BY mktsegment
+      |ORDER BY mktsegment""".stripMargin
 }

@@ -27,14 +27,15 @@ object CloudOptimize {
       outPath: String,
       partitionCols: Seq[String],
       sortCols: Seq[String],
-      maxRecordsPerFile: Long = 1000000L): Unit = {
+      maxRecordsPerFile: Long = 1000000L,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
     val sorted =
       if (sortCols.nonEmpty)
         df.repartition(partitionCols.map(col): _*)
           .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       else df
     sorted.write
-      .mode(SaveMode.Overwrite)
+      .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(outPath)

@@ -101,6 +101,30 @@ object EventPipeline {
       .select(col("purchase_id"), col("p_user").as("user_id"), col("error_id"))
   }
 
+  /** Streaming ingestion into the cloud-optimized layout — the
+    * reference's ingest→convert loop (stream a file in, re-encode it
+    * cloud-optimized) as one Structured Streaming job: each micro-batch
+    * lands via CloudOptimize.write, partitioned by event date and
+    * sorted by timestamp within files. foreachBatch because the
+    * partitioned/sorted/sized re-encode is a batch-writer contract;
+    * checkpointing + the file source's exactly-once offsets give the
+    * same run-once guarantee the reference gets from run_key dedup.
+    */
+  def ingestTo(events: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.CloudOptimize.write(
+          batch.toDF(), outPath,
+          partitionCols = Seq("event_date"), sortCols = Seq("ts"),
+          maxRecordsPerFile = 1000000L,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+
   /** Batch-equivalent entry used by tests: stream the events parquet
     * through a file source (raw on-disk schema — ts arrives as a ns Long
     * under nanosAsLong and is normalized to a µs timestamp, mirroring

@@ -55,6 +55,23 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingestion lands the cloud-optimized layout exactly once") {
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = EventPipeline.ingestTo(
+      EventPipeline.streamEventsFrom(spark, sf001), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(out)
+    val source = Tables.events(spark, sf001)
+    assert(landed.count() == source.count())
+    // partitioned by event date: directory-level pruning must engage
+    assert(landed.select("event_date").distinct().count() > 1)
+    val pruned = landed.filter(col("event_date") === "2024-01-02")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [") &&
+      !pruned.contains("PartitionFilters: []"))
+  }
+
   test("stateful sessionization matches the batch window-function answer") {
     import spark.implicits._
     val evs = Tables.events(spark, sf001)
