@@ -68,6 +68,7 @@ object SparkEntry {
     "q_string_agg" -> (Analytics.qStringAgg _),
     "q_nullsafe_join" -> (Analytics.qNullsafeJoin _),
     "q_skew_salted_join" -> (Behavioral.qSkewSaltedJoin _),
+    "q_full_outer" -> (Analytics.qFullOuter _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -124,5 +125,6 @@ object SparkEntry {
     "q_string_agg" -> Analytics.qStringAggOracle,
     "q_nullsafe_join" -> Analytics.qNullsafeJoinOracle,
     "q_skew_salted_join" -> Behavioral.qSkewSaltedJoinOracle,
+    "q_full_outer" -> Analytics.qFullOuterOracle,
   )
 }

@@ -355,6 +355,41 @@ object Analytics {
       |FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
       |ORDER BY k NULLS FIRST""".stripMargin
 
+  /** Full outer join: per-nation customer and supplier counts where
+    * either side may be absent (suppliers span fewer nations than
+    * customers in the synthetic skew). Both inputs pre-aggregate to one
+    * row per key before the join — at scale a full outer join of raw
+    * facts is a memory hazard; of aggregates it's a dictionary merge.
+    */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val custG = Tables.customer(s, dir)
+      .filter(col("c_nationkey") < 20)
+      .groupBy(col("c_nationkey").as("ck")).agg(count(lit(1)).as("n_cust"))
+    val suppG = Tables.supplier(s, dir)
+      .filter(col("s_nationkey") >= 5)
+      .groupBy(col("s_nationkey").as("sk")).agg(count(lit(1)).as("n_supp"))
+    custG.join(suppG, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qFullOuterOracle: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS ck, count(*) AS n_cust
+      |  FROM customer WHERE c_nationkey < 20 GROUP BY ck
+      |), s AS (
+      |  SELECT s_nationkey AS sk, count(*) AS n_supp
+      |  FROM supplier WHERE s_nationkey >= 5 GROUP BY sk
+      |)
+      |SELECT coalesce(ck, sk) AS nationkey,
+      |  coalesce(n_cust, 0) AS n_cust,
+      |  coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON ck = sk
+      |ORDER BY nationkey""".stripMargin
+
   val qSetOpsOracle: String =
     """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
       |s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
