@@ -69,6 +69,7 @@ object SparkEntry {
     "q_nullsafe_join" -> (Analytics.qNullsafeJoin _),
     "q_skew_salted_join" -> (Behavioral.qSkewSaltedJoin _),
     "q_full_outer" -> (Analytics.qFullOuter _),
+    "q_corpus_filter" -> (TextAnalysis.qCorpusFilter _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -126,5 +127,6 @@ object SparkEntry {
     "q_nullsafe_join" -> Analytics.qNullsafeJoinOracle,
     "q_skew_salted_join" -> Behavioral.qSkewSaltedJoinOracle,
     "q_full_outer" -> Analytics.qFullOuterOracle,
+    "q_corpus_filter" -> TextAnalysis.qCorpusFilterOracle,
   )
 }

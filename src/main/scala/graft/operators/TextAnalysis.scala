@@ -127,6 +127,78 @@ object TextAnalysis {
        |FROM sc
        |ORDER BY doc_id""".stripMargin
 
+  /** The composite training-corpus filter — the canonical LLM-data
+    * keep-set in ONE declarative query: keep a document iff it is (a)
+    * its exact-dedup group's keeper (min doc_id per content
+    * fingerprint), (b) predicted English by the stopword-profile
+    * heuristic, and (c) above the quality threshold. One corpus scan
+    * computes tokens/scores; the keeper set is a fingerprint-keyed
+    * aggregate (the only shuffle besides the final semi-join on
+    * doc_id); everything composes lazily so Catalyst prunes the text
+    * column after scoring.
+    */
+  def qCorpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = docs
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), col("text"),
+        size(col("toks")).as("n_tokens"),
+        stopCount("toks", EnStop).as("s_en"),
+        stopCount("toks", EsStop).as("s_es"),
+        stopCount("toks", DeStop).as("s_de"),
+        stopCount("toks", FrStop).as("s_fr"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(1.0) - col("s_en") / col("n_tokens")), 6))
+    val keepers = docs
+      .select(md5(TextFns.normalized(col("text"))).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    scored
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("predicted") === "en" && col("quality_score") >= 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCorpusFilterOracle: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |sc AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    ${stopCountSql(EnStop)} AS s_en,
+       |    ${stopCountSql(EsStop)} AS s_es,
+       |    ${stopCountSql(DeStop)} AS s_de,
+       |    ${stopCountSql(FrStop)} AS s_fr
+       |  FROM t
+       |),
+       |lq AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE
+       |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |      WHEN s_de >= s_fr THEN 'de'
+       |      ELSE 'fr'
+       |    END AS predicted,
+       |    round(least(1.0, n_tokens / 100.0) * (1.0 - s_en / n_tokens), 6) AS quality_score
+       |  FROM sc
+       |),
+       |k AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, doc_id
+       |        FROM documents) f
+       |  GROUP BY fp
+       |)
+       |SELECT lq.doc_id, lq.n_tokens, lq.quality_score
+       |FROM lq JOIN k ON lq.doc_id = k.doc_id
+       |WHERE lq.predicted = 'en' AND lq.quality_score >= 0.3
+       |ORDER BY lq.doc_id""".stripMargin
+
   /** Document fingerprint: md5 over the whitespace-canonicalized text —
     * the content-addressable identity used by exact dedup.
     */
