@@ -70,6 +70,8 @@ object SparkEntry {
     "q_skew_salted_join" -> (Behavioral.qSkewSaltedJoin _),
     "q_full_outer" -> (Analytics.qFullOuter _),
     "q_corpus_filter" -> (TextAnalysis.qCorpusFilter _),
+    "q_window_ntile" -> (Analytics.qWindowNtile _),
+    "q_lead_lag" -> (Analytics.qLeadLag _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -128,5 +130,7 @@ object SparkEntry {
     "q_skew_salted_join" -> Behavioral.qSkewSaltedJoinOracle,
     "q_full_outer" -> Analytics.qFullOuterOracle,
     "q_corpus_filter" -> TextAnalysis.qCorpusFilterOracle,
+    "q_window_ntile" -> Analytics.qWindowNtileOracle,
+    "q_lead_lag" -> Analytics.qLeadLagOracle,
   )
 }

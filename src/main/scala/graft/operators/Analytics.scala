@@ -231,6 +231,65 @@ object Analytics {
       .orderBy(col("kind"), col("nationkey"))
   }
 
+  /** ntile quartiles: assign each order to a price quartile within its
+    * priority class, then profile each quartile. The ntile window sorts
+    * per priority partition (bounded, not global); the follow-up
+    * aggregate is map-side combinable.
+    */
+  def qWindowNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("o_orderpriority").as("priority"), col("quartile"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("priority"), col("quartile"))
+  }
+
+  val qWindowNtileOracle: String =
+    """WITH q AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice, o_orderkey) AS quartile
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority AS priority, quartile,
+      |  count(*) AS n_orders,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM q
+      |GROUP BY priority, quartile
+      |ORDER BY priority, quartile""".stripMargin
+
+  /** lead/lag offsets: per-customer day gaps between consecutive
+    * orders. One shuffle on custkey, per-customer sort — the canonical
+    * "previous row" pattern with explicit NULL rows at sequence edges.
+    */
+  def qLeadLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev_gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("bigint"))
+      .withColumn("next_gap_days",
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate")).cast("bigint"))
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_gap_days"), col("next_gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val qLeadLagOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  date_diff('day',
+      |    CAST(lag(o_orderdate, 1) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS prev_gap_days,
+      |  date_diff('day',
+      |    CAST(o_orderdate AS DATE), CAST(lead(o_orderdate, 1) OVER w AS DATE)) AS next_gap_days
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Fixed-width histogram: floor-division binning of order totals —
     * binned aggregation is the scan-side pattern for distribution
     * profiling at scale (map-side combine into ~tens of buckets; the
