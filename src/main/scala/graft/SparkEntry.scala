@@ -72,6 +72,10 @@ object SparkEntry {
     "q_corpus_filter" -> (TextAnalysis.qCorpusFilter _),
     "q_window_ntile" -> (Analytics.qWindowNtile _),
     "q_lead_lag" -> (Analytics.qLeadLag _),
+    // rows-only (no oracle): sketch outputs are engine-specific;
+    // ScalaTest bounds them against the exact twins they carry
+    "q_sketch_distinct" -> (Sketches.approxDistinctParts(_, _)),
+    "q_sketch_percentile" -> (Sketches.approxPercentiles _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
