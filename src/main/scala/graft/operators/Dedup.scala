@@ -219,16 +219,20 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // convergence via the label-sum: propagation only ever lowers a
+    // node's label, so an unchanged sum ⟺ a fixpoint — one tiny
+    // aggregate per round instead of a join + count. Each round is
+    // localCheckpoint'ed so round k never re-executes rounds 1..k-1.
+    var sum0 = -1L
+    var sum1 = labels.agg(sum(col("cluster"))).head.getLong(0)
+    while (sum1 != sum0) {
       val prop = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.union(prop)
+      labels = labels.union(prop)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).count()
-      labels = next
+      sum0 = sum1
+      sum1 = labels.agg(sum(col("cluster"))).head.getLong(0)
     }
     Tables.documents(s, dir).select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
