@@ -11,8 +11,19 @@ import org.apache.spark.sql.SparkSession
   * multi-second JIT tax that vanished once the JVM was hot), then each
   * query is timed as the min of two runs — steady-state numbers, which
   * is what a resident engine on a cluster actually delivers.
+  *
+  * Methodology (r2): each run is timed against the `noop` sink
+  * (`df.write.format("noop")`), not `.count()`. Counting lets
+  * ColumnPruning drop every computed column from the timed plan (q1's
+  * sums, window columns, vector math would all be pruned away), so the
+  * count-based numbers understated real work. The noop sink fully
+  * evaluates and serializes every output row/column and discards it —
+  * the closest local analog of handing results to a downstream stage.
   */
 object Bench {
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,14 +41,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
     suite.foreach { case (name, fn) => // warm sweep: codegen + JIT + listing
-      try fn(spark, sfDir).count()
+      try exec(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
     }
     val results = suite.map { case (name, fn) =>
       try {
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          exec(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }
         name -> times.min

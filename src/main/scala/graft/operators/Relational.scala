@@ -316,7 +316,7 @@ object Relational {
 
   val qJsonExtractOracle: String =
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  count(*) AS n

@@ -46,51 +46,113 @@ object Similarity {
       VectorFns.dot(col("a.v"), col("b.v")), col("a.nsq"), col("b.nsq")), 4)
 
   /** Public: the Dataset encoder's generated deserializer must be able
-    * to construct it (private members fail Janino compilation).
+    * to construct it (private members fail Janino compilation). One row
+    * of the chunk-replicated corpus: a vector tagged with its own chunk
+    * and one (c_lo, c_hi) chunk-pair task it participates in.
     */
-  case class Vec(vec_id: Long, label: Int, v: Array[Double])
+  case class ChunkVec(vec_id: Long, label: Int, v: Array[Double],
+      chunk: Int, c_lo: Int, c_hi: Int)
 
-  /** Embedding-cosine near-duplicate pairs within a label block,
-    * executed as a typed block-nested-loop: one shuffle groups each
-    * label's vectors, then a tight primitive-double loop scores pairs and
-    * emits only those at the threshold — no per-pair row materialization
-    * (the declarative self-join spent ~90% of its time building 1 KB
-    * joined rows it immediately discarded).
+  /** Per-task vector bound for the near-dup block loop. A task scores at
+    * most 2×this many vectors (one chunk from each side), so task memory
+    * is capped at 2 × EmbedChunkSize × Dims doubles regardless of how hot
+    * a label is. Production would raise this to ~4096 (≈2 MB/side at 64
+    * dims); it is small here so the sf0.01 driver run actually exercises
+    * the multi-chunk path.
+    */
+  val EmbedChunkSize = 64
+
+  /** Embedding-cosine near-duplicate pairs within a label block.
+    *
+    * r1 shape (all vectors of a label in ONE task) was the engine's last
+    * all-pairs structure — a hot label at 100 TB is a single-task OOM. Now
+    * each label is split into bounded chunks (row_number over the label,
+    * so chunk sizes are exact) and every chunk-pair (c_lo ≤ c_hi) becomes
+    * its own task: a vector of chunk c is replicated once per chunk-pair
+    * group it serves, the group runs a tight primitive-double loop over
+    * ≤ 2×EmbedChunkSize vectors (triangle when c_lo == c_hi, full cross
+    * otherwise), and emits only rows at the threshold. Every unordered
+    * pair lands in exactly one group — (min(chunk_a, chunk_b),
+    * max(chunk_a, chunk_b)) — so no dedup pass is needed. Parallelism is
+    * now Σ_labels nchunks·(nchunks+1)/2 tasks instead of one per label;
+    * replication factor per vector is nchunks, the unavoidable cost of
+    * exact within-label all-pairs (the LSH/IVF paths are the sub-quadratic
+    * alternatives).
     *
     * Float parity with the oracle: the while-loop is the same
-    * left-to-right double fold as the unrolled Column chain and DuckDB's
-    * list_sum; sim = dot/(norm_a*norm_b) with norms = sqrt of the
-    * self-fold; the in-loop cut uses a margin (0.3999 < round boundary)
-    * and the exact threshold is applied after Spark's own round(…, 4).
-    * At scale: parallelism = label cardinality; sub-block the loop
-    * (chunk × chunk tasks) when one label exceeds a task's budget.
+    * left-to-right double fold as DuckDB's list_sum; sim =
+    * dot/(norm_a*norm_b) with norms = sqrt of the self-fold; the in-loop
+    * cut uses a margin (0.3999 < round boundary) and the exact threshold
+    * is applied after Spark's own round(…, 4).
     */
-  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+  def qEmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    embedNeardupPairs(s, dir, EmbedChunkSize)
+
+  /** The chunk-replicated corpus: each vector appears once per chunk-pair
+    * task it serves, keyed (label, c_lo, c_hi). Exposed so the spec can
+    * assert the per-task input bound (max group size ≤ 2×chunkSize).
+    */
+  def chunkedCorpus(s: SparkSession, dir: String, chunkSize: Int): DataFrame = {
+    val wRank = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val wLabel = Window.partitionBy(col("label"))
+    // chunk via row_number (exact ≤ chunkSize sizes); nchunks via a second
+    // window on the same partitioning — no extra shuffle beyond the first.
+    val chunked = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("v"))
+      .withColumn("chunk",
+        floor((row_number().over(wRank) - 1) / lit(chunkSize)).cast("int"))
+      .withColumn("nchunks", (max(col("chunk")).over(wLabel) + 1).cast("int"))
+    chunked
+      .select(col("vec_id"), col("label"), col("v"), col("chunk"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("other"))
+      .select(col("vec_id"), col("label"), col("v"), col("chunk"),
+        least(col("chunk"), col("other")).as("c_lo"),
+        greatest(col("chunk"), col("other")).as("c_hi"))
+  }
+
+  def embedNeardupPairs(s: SparkSession, dir: String, chunkSize: Int): DataFrame = {
     import s.implicits._
     val margin = NearDupThreshold - 0.0001
-    val pairs = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("v"))
-      .as[Vec]
-      .groupByKey(_.label)
-      .flatMapGroups { (lbl: Int, it: Iterator[Vec]) =>
+    val pairs = chunkedCorpus(s, dir, chunkSize).as[ChunkVec]
+      .groupByKey(r => (r.label, r.c_lo, r.c_hi))
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[ChunkVec]) =>
+        val (lbl, lo, hi) = key
         val vecs = it.toArray.sortBy(_.vec_id)
         val norms = vecs.map { x =>
           var acc = 0.0; var i = 0
           while (i < x.v.length) { acc += x.v(i) * x.v(i); i += 1 }
           math.sqrt(acc)
         }
-        for {
-          i <- vecs.indices.iterator
-          j <- (i + 1 until vecs.length).iterator
-          dot = {
-            val a = vecs(i).v; val b = vecs(j).v
-            var acc = 0.0; var k = 0
-            while (k < a.length) { acc += a(k) * b(k); k += 1 }
-            acc
+        def score(i: Int, j: Int): Double = {
+          val a = vecs(i).v; val b = vecs(j).v
+          var acc = 0.0; var k = 0
+          while (k < a.length) { acc += a(k) * b(k); k += 1 }
+          acc / (norms(i) * norms(j))
+        }
+        if (lo == hi) {
+          // one chunk against itself: triangle, ids already sorted
+          for {
+            i <- vecs.indices.iterator
+            j <- (i + 1 until vecs.length).iterator
+            sim = score(i, j)
+            if sim >= margin
+          } yield (vecs(i).vec_id, vecs(j).vec_id, lbl, sim)
+        } else {
+          // cross of two distinct chunks; ids sorted so a-index < b-index
+          // within each side, and chunk(lo) ids interleave with chunk(hi)
+          // ids arbitrarily — order the emitted pair by id.
+          val as = vecs.indices.filter(i => vecs(i).chunk == lo)
+          val bs = vecs.indices.filter(i => vecs(i).chunk == hi)
+          for {
+            i <- as.iterator
+            j <- bs.iterator
+            sim = score(i, j)
+            if sim >= margin
+          } yield {
+            val (x, y) = (vecs(i).vec_id, vecs(j).vec_id)
+            (math.min(x, y), math.max(x, y), lbl, sim)
           }
-          sim = dot / (norms(i) * norms(j))
-          if sim >= margin
-        } yield (vecs(i).vec_id, vecs(j).vec_id, lbl, sim)
+        }
       }
       .toDF("vec_id_a", "vec_id_b", "label", "sim_raw")
     pairs

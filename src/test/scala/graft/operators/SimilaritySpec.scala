@@ -37,4 +37,34 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("vec_id_a") < r.getAs[Long]("vec_id_b"))
     }
   }
+
+  test("sub-blocked near-dup equals the single-block result at any chunk size") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id_a"), r.getAs[Long]("vec_id_b"),
+        r.getAs[Int]("label"), r.getAs[Double]("sim"))
+    // chunkSize larger than any label block → exactly the r1 one-task path
+    val single = Similarity.embedNeardupPairs(spark, sf001, 1000000).collect().map(key)
+    // tiny chunks → many chunk-pair tasks per label
+    val blocked = Similarity.embedNeardupPairs(spark, sf001, 4).collect().map(key)
+    assert(single.nonEmpty || blocked.isEmpty)
+    assert(blocked.toSeq == single.toSeq)
+  }
+
+  test("chunk-pair tasks are bounded: no group exceeds 2×chunkSize vectors") {
+    import org.apache.spark.sql.functions._
+    val chunkSize = 4
+    val corpus = Similarity.chunkedCorpus(spark, sf001, chunkSize)
+    val sizes = corpus.groupBy(col("label"), col("c_lo"), col("c_hi")).count()
+    val maxSize = sizes.agg(max(col("count"))).head.getLong(0)
+    assert(maxSize <= 2L * chunkSize,
+      s"a chunk-pair task would materialize $maxSize vectors (> ${2 * chunkSize})")
+    // multi-chunk path is actually exercised at this scale
+    assert(sizes.filter(col("c_lo") =!= col("c_hi")).count() > 0,
+      "no cross-chunk groups — chunking not exercised")
+    // every unordered pair lands in exactly one group: each (vector, task)
+    // replica is unique
+    val dups = corpus.groupBy(col("vec_id"), col("c_lo"), col("c_hi"))
+      .count().filter(col("count") > 1).count()
+    assert(dups == 0, "a vector was replicated twice into the same chunk-pair task")
+  }
 }
