@@ -35,6 +35,7 @@ object SparkEntry {
     "q_catalog_parse" -> (Catalog.qCatalogParse _),
     "q_sensor_cursor" -> (Catalog.qSensorCursor _),
     "q_ingest_dedup" -> (Catalog.qIngestDedup _),
+    "q_run_requests" -> (Catalog.qRunRequests _),
     "q_text_tokens" -> (TextAnalysis.qTextTokens _),
     "q_text_quality" -> (TextAnalysis.qTextQuality _),
     "q_text_langid" -> (TextAnalysis.qTextLangid _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_catalog_parse" -> Catalog.qCatalogParseOracle,
     "q_sensor_cursor" -> Catalog.qSensorCursorOracle,
     "q_ingest_dedup" -> Catalog.qIngestDedupOracle,
+    "q_run_requests" -> Catalog.qRunRequestsOracle,
     "q_text_tokens" -> TextAnalysis.qTextTokensOracle,
     "q_text_quality" -> TextAnalysis.qTextQualityOracle,
     "q_text_langid" -> TextAnalysis.qTextLangidOracle,

@@ -138,17 +138,19 @@ object Catalog {
     * dedupe. distinct() is a map-side-combined hash aggregate — the
     * shuffle carries unique base paths, not listing rows.
     */
-  /** Cut a Zarr child key at the store marker (`loca2.py:185-204`):
+  /** Cut a Zarr child key at the store marker (`loca2.py:190-199`):
     * everything after `monthly.cent.zarr` / `cent.monthly.zarr` is a
-    * child file inside the store.
+    * child file inside the store. The reference uses `rsplit(marker, 1)`
+    * — the LAST marker occurrence — which the greedy `^(.*marker)`
+    * regex reproduces exactly; marker preference order matches the
+    * reference's if/elif. A key with neither marker yields '' (the
+    * reference leaves base_path undefined there — garbage either way)
+    * and is dropped by the downstream validity filter.
     */
-  def zarrBasePath(fullKey: Column): Column = {
-    val marker1 = "monthly.cent.zarr"
-    val marker2 = "cent.monthly.zarr"
-    when(locate(marker1, fullKey) > 0,
-      fullKey.substr(lit(1), locate(marker1, fullKey) + lit(marker1.length - 1)))
-      .otherwise(fullKey.substr(lit(1), locate(marker2, fullKey) + lit(marker2.length - 1)))
-  }
+  def zarrBasePath(fullKey: Column): Column =
+    when(fullKey.contains("monthly.cent.zarr"),
+      regexp_extract(fullKey, "^(.*monthly\\.cent\\.zarr)", 1))
+      .otherwise(regexp_extract(fullKey, "^(.*cent\\.monthly\\.zarr)", 1))
 
   def qCatalogDedupBases(s: SparkSession, dir: String): DataFrame = {
     val stemZarr = concat(docStem,
@@ -326,6 +328,67 @@ object Catalog {
           col("filename")).as("s3_key"))
   }
 
+  /** `run_request` (loca2_sensor.py:105-134) over [[downloadableFiles]]
+    * output: one run record per file with the dedup `run_key` (= the
+    * file's s3_key, first-writer-wins), the asset-config ingest key —
+    * which for MONTHLY runs lives in the `/monthly` key namespace
+    * (`"/monthly" + s3_key`, loca2_sensor.py:123) while the run_key does
+    * NOT take the prefix — and the reference's four tag columns. Pure
+    * projection; the namespace split is a scan-side conditional.
+    */
+  def runRequests(files: DataFrame, monthly: Boolean): DataFrame =
+    files.select(
+      col("s3_key").as("run_key"),
+      col("url"),
+      (if (monthly) concat(lit("/monthly"), col("s3_key")) else col("s3_key"))
+        .as("ingest_key"),
+      col("model"), col("scenario"), col("memberid"), col("variable"))
+
+  /** Driver-gated form of [[runRequests]] + run-key dedup: synthesized
+    * file keys where odd file numbers carry the monthly naming; the
+    * RunRequest's dedup run_key is the raw s3_key (first-writer-wins,
+    * loca2_sensor.py:117) while the asset-config ingest key takes the
+    * `/monthly` namespace prefix for monthly files (loca2_sensor.py:123).
+    * One hash-agg shuffle on the key; the namespace split is a post-agg
+    * projection off the grouped key itself.
+    */
+  def qRunRequests(s: SparkSession, dir: String): DataFrame = {
+    val scheme = pick(col("event_id") % 4, "historical", "ssp245", "ssp370", "ssp585")
+    val fileNo = col("event_id") % 97
+    val fname = concat(lit("file-"), str(fileNo),
+      pick(fileNo % 2, ".cent.nc", ".monthly.cent.nc"))
+    val key = concat(lit("/MODEL-"), str(col("event_id") % 7), lit("/"), scheme,
+      lit("/"), fname)
+    Tables.events(s, dir)
+      .select(key.as("run_key"), col("event_id"))
+      .groupBy(col("run_key"))
+      .agg(min(col("event_id")).as("first_run"), count(lit(1)).as("n_attempts"))
+      .select(col("run_key"),
+        when(col("run_key").endsWith(".monthly.cent.nc"),
+          concat(lit("/monthly"), col("run_key"))).otherwise(col("run_key"))
+          .as("ingest_key"),
+        col("first_run"), col("n_attempts"))
+      .orderBy(col("run_key"))
+  }
+
+  val qRunRequestsOracle: String =
+    """WITH k AS (
+      |  SELECT '/MODEL-' || CAST(event_id % 7 AS VARCHAR) || '/' ||
+      |      (['historical','ssp245','ssp370','ssp585'])[CAST(event_id % 4 AS INT) + 1] ||
+      |      '/file-' || CAST(event_id % 97 AS VARCHAR) ||
+      |      (['.cent.nc','.monthly.cent.nc'])[CAST(event_id % 97 % 2 AS INT) + 1] AS run_key,
+      |    event_id
+      |  FROM events
+      |)
+      |SELECT run_key,
+      |  CASE WHEN run_key LIKE '%.monthly.cent.nc' THEN '/monthly' || run_key
+      |       ELSE run_key END AS ingest_key,
+      |  min(event_id) AS first_run,
+      |  count(*) AS n_attempts
+      |FROM k
+      |GROUP BY run_key
+      |ORDER BY run_key""".stripMargin
+
   /** Malformed-key skipping (`except ... continue`, loca2.py:223): the
     * reference drops keys whose shape can't be parsed rather than
     * failing the catalog build. Synthesized listing where 1-in-5 keys
@@ -381,25 +444,103 @@ object Catalog {
        |FROM ok
        |ORDER BY path""".stripMargin
 
-  /** Queryable-catalog writer — the reference's catalog output contract
-    * (CSV rows + a JSON column spec, loca2.py:206-232) on Spark's
-    * writer: the catalog itself lands as header'd CSV part files
-    * (metadata-width rows, so a single part unless the catalog is huge)
-    * and the machine-readable spec `_spec.json` (column names/types +
-    * row count) is written driver-side — schema is driver metadata, no
-    * collect of data rows.
+  /** Mirrors the reference's `ESMCatalogConfig` (assets/loca2.py:95-112):
+    * `dataFormat` selects zarr vs netcdf handling and the assets format
+    * stamp; `id` names the emitted catalog pair; `bucket` forms the
+    * advertised `catalog_file` URI.
     */
-  def writeCatalog(catalog: DataFrame, outDir: String): Unit = {
-    val spark = catalog.sparkSession
-    val n = catalog.count()
-    catalog.write.mode("overwrite").option("header", "true").csv(s"$outDir/catalog.csv")
-    val cols = catalog.schema.fields
-      .map(f => s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+  final case class EsmCatalogConfig(
+      id: String, description: String, dataFormat: String, bucket: String) {
+    def isZarr: Boolean = dataFormat == "zarr"
+  }
+
+  /** The reference's `loca2_esm_catalog` asset body (loca2.py:176-224)
+    * as one declarative plan over an object-listing DataFrame: zarr keys
+    * collapse to their store base path, keys dedupe (the reference's
+    * `set`), the configured prefix is stripped to form the relative
+    * path, structurally unparseable keys are skipped (its
+    * except-IndexError-continue), and survivors parse into the
+    * 6-column intake-ESM catalog. One scan + one distinct shuffle of
+    * base paths at any listing size.
+    */
+  def esmCatalog(listing: DataFrame, keyCol: String, prefix: String,
+      config: EsmCatalogConfig): DataFrame = {
+    val base = if (config.isZarr) zarrBasePath(col(keyCol)) else col(keyCol)
+    val bases = listing.select(base.as("full_key")).distinct()
+    val relative = when(col("full_key").startsWith(prefix),
+      col("full_key").substr(lit(prefix.length + 1), length(col("full_key"))))
+      .otherwise(col("full_key"))
+    val withRel = bases.select(col("full_key"), relative.as("rel"))
+    // parse_key touches path segments [0], [1], [-1] and dot-parts
+    // [0], [3], [4] — anything narrower raised IndexError in the
+    // reference and was skipped
+    val pathParts = filter(split(col("rel"), "/"), p => p =!= "")
+    val fileParts = split(element_at(pathParts, -1), "\\.")
+    withRel
+      .filter(size(pathParts) >= 2 && size(fileParts) >= 5)
+      .select(parseKey(col("rel"), config.bucket, col("full_key")).as("p"))
+      .select(col("p.variable").as("variable"), col("p.model").as("model"),
+        col("p.scheme").as("scheme"), col("p.experiment_id").as("experiment_id"),
+        col("p.time_range").as("time_range"), col("p.path").as("path"))
+      .orderBy(col("path"))
+  }
+
+  private def escJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** The intake-ESM collection spec the reference uploads beside its CSV
+    * (loca2.py:155-174, 206-232): esmcat_version 0.1.0, id, description,
+    * catalog_file URI, one attribute per catalog column, and an assets
+    * block pointing intake-esm at the `path` column with the zarr/netcdf
+    * format stamp. Field set matches `ESMCatalogModel.model_dump_json()`
+    * for the fields the reference populates.
+    */
+  def esmCollectionSpec(catalog: DataFrame, config: EsmCatalogConfig): String = {
+    val attributes = catalog.schema.fieldNames
+      .map(c => s"""{"column_name":"${escJson(c)}","vocabulary":""}""")
       .mkString("[", ",", "]")
-    val spec = s"""{"columns":$cols,"row_count":$n}"""
-    val path = new org.apache.hadoop.fs.Path(s"$outDir/_spec.json")
+    val format = if (config.isZarr) "zarr" else "netcdf"
+    s"""{"esmcat_version":"0.1.0","id":"${escJson(config.id)}",""" +
+      s""""description":"${escJson(config.description)}",""" +
+      s""""catalog_file":"s3://${escJson(config.bucket)}/${escJson(config.id)}.csv",""" +
+      s""""attributes":$attributes,""" +
+      s""""assets":{"column_name":"path","format":"$format"}}"""
+  }
+
+  /** Queryable-catalog writer — the reference's catalog output contract
+    * (loca2.py:206-232) on Spark's writer: the catalog lands as header'd
+    * CSV part files under `<id>.csv/` (metadata-width rows, so a single
+    * part unless the catalog is huge), the intake-ESM collection spec as
+    * `<id>.json` beside it, plus the engine's own `_spec.json` (column
+    * names/types + row count). The catalog is persisted around
+    * count+write so both read ONE execution of the plan — r1 ran it
+    * twice, and nondeterminism upstream could have made row_count
+    * disagree with the CSV.
+    */
+  def writeCatalog(catalog: DataFrame, outDir: String, config: EsmCatalogConfig): Unit = {
+    val spark = catalog.sparkSession
+    catalog.persist()
+    try {
+      val n = catalog.count()
+      catalog.write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/${config.id}.csv")
+      writeText(spark, s"$outDir/${config.id}.json", esmCollectionSpec(catalog, config))
+      val cols = catalog.schema.fields
+        .map(f => s"""{"name":"${f.name}","type":"${f.dataType.simpleString}"}""")
+        .mkString("[", ",", "]")
+      writeText(spark, s"$outDir/_spec.json", s"""{"columns":$cols,"row_count":$n}""")
+    } finally catalog.unpersist()
+  }
+
+  /** Back-compat entry point: zarr-format spec under the test bucket. */
+  def writeCatalog(catalog: DataFrame, outDir: String): Unit =
+    writeCatalog(catalog, outDir,
+      EsmCatalogConfig("catalog", "graft catalog", "zarr", "test-bucket"))
+
+  private def writeText(spark: SparkSession, pathStr: String, content: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(pathStr)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
-    try out.write(spec.getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 }

@@ -21,6 +21,21 @@ object CloudOptimize {
   /** Rewrite `df` at `outPath` partitioned by `partitionCols`, sorted
     * within partitions by `sortCols`, targeting `maxRecordsPerFile` rows
     * per file (the small-file / giant-file guard).
+    *
+    * Skew: the shuffle is `repartitionByRange(partitionCols ++ sortCols)`
+    * — NOT hash-by-partition-value, which puts ALL of a hot date in one
+    * task (a straggler/OOM by construction at 100 TB). Range partitioning
+    * splits a hot partition value across many tasks at sort-key
+    * boundaries, so it writes as several files, each still internally
+    * sorted (sortWithinPartitions) and size-capped (maxRecordsPerFile);
+    * cross-file sort-key ranges stay disjoint, so row-group min/max
+    * pruning is as good as a single sorted file.
+    *
+    * `numPartitions = None` lets AQE size the range shuffle (splits a hot
+    * range by advisory partition size at real scale); pass an explicit
+    * count to pin the task count — user-specified partition counts are
+    * exempt from AQE coalescing, which at toy scale would merge the whole
+    * write back into one task.
     */
   def write(
       df: DataFrame,
@@ -28,11 +43,14 @@ object CloudOptimize {
       partitionCols: Seq[String],
       sortCols: Seq[String],
       maxRecordsPerFile: Long = 1000000L,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite,
+      numPartitions: Option[Int] = None): Unit = {
+    val rangeCols = (partitionCols ++ sortCols).map(col)
     val sorted =
       if (sortCols.nonEmpty)
-        df.repartition(partitionCols.map(col): _*)
-          .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        numPartitions.fold(df.repartitionByRange(rangeCols: _*))(
+            n => df.repartitionByRange(n, rangeCols: _*))
+          .sortWithinPartitions(rangeCols: _*)
       else df
     sorted.write
       .mode(mode)

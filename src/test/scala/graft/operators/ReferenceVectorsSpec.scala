@@ -116,5 +116,25 @@ class ReferenceVectorsSpec extends SparkSpec {
     val monthly = Catalog.downloadableFiles(listing, "tasmax", monthly = true).collect()
     assert(monthly.length == 3)
     assert(monthly.forall(_.getAs[String]("url").contains("monthly")))
+
+    // run_request key shape (loca2_sensor.py:116-134): the dedup run_key
+    // is the raw s3_key, the ingest config key gets the "/monthly"
+    // namespace prefix for monthly runs and stays raw for daily runs
+    val monthlyReqs = Catalog.runRequests(
+      Catalog.downloadableFiles(listing, "tasmax", monthly = true), monthly = true)
+      .collect()
+    assert(monthlyReqs.length == 3)
+    monthlyReqs.foreach { r =>
+      val runKey = r.getAs[String]("run_key")
+      assert(!runKey.startsWith("/monthly/"))
+      assert(r.getAs[String]("ingest_key") == "/monthly" + runKey)
+      assert(r.getAs[String]("variable") == "tasmax")
+    }
+    val dailyReqs = Catalog.runRequests(
+      Catalog.downloadableFiles(listing, "tasmax", monthly = false), monthly = false)
+      .collect()
+    assert(dailyReqs.length == 3)
+    dailyReqs.foreach(r =>
+      assert(r.getAs[String]("ingest_key") == r.getAs[String]("run_key")))
   }
 }

@@ -44,6 +44,26 @@ class TextDedupSpec extends SparkSpec {
     assert(blocked >= (lsh * 2) / 3, s"blocked=$blocked lsh=$lsh")
   }
 
+  test("connectedComponents labels a long chain in O(log n) doubling rounds") {
+    import spark.implicits._
+    // a 200-link path graph: the r1 one-hop loop needed ~200 rounds here;
+    // pointer doubling must finish within the 64-round safety cap (≈9
+    // rounds for diameter 200), and every node must reach min label 0
+    val n = 200L
+    val fwd = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L), "chain did not converge to min label")
+  }
+
+  test("connectedComponents on an empty edge set returns no labels (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+  }
+
   test("simhash fingerprints are deterministic and near-dups are hamming-close") {
     val fp = Dedup.qDedupSimhash(spark, sf001)
     val m = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -25,4 +25,35 @@ class CloudOptimizeSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("ship_year=")))
   }
+
+  test("a hot partition value spreads over multiple sorted files (no one-task skew)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_skew").toString
+    // 9k rows on one date, 10 on the other: hash-by-partition-value would
+    // write the hot date as ONE task / ONE file
+    val skewed = spark.range(0, 9010)
+      .select(
+        when(col("id") < 9000, "2024-01-01").otherwise("2024-01-02").as("dt"),
+        (col("id") * 7919 % 9010).as("k"))
+    // pin 4 range tasks: at toy scale AQE would coalesce the 9k-row
+    // shuffle to one partition (at real scale it splits by advisory size)
+    CloudOptimize.write(skewed, out, partitionCols = Seq("dt"), sortCols = Seq("k"),
+      numPartitions = Some(4))
+
+    val hotDir = new java.io.File(s"$out/dt=2024-01-01")
+    val files = hotDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1,
+      s"hot partition written as ${files.length} file(s) — still one-task skew")
+    // each file is internally sorted and files cover disjoint key ranges
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f.getAbsolutePath).select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"${f.getName} not sorted by k")
+      (ks.head, ks.last)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, "file key ranges overlap")
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() == 9010)
+  }
 }
