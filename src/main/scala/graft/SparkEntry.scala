@@ -73,10 +73,10 @@ object SparkEntry {
     "q_corpus_filter" -> (TextAnalysis.qCorpusFilter _),
     "q_window_ntile" -> (Analytics.qWindowNtile _),
     "q_lead_lag" -> (Analytics.qLeadLag _),
-    // rows-only (no oracle): sketch outputs are engine-specific;
-    // ScalaTest bounds them against the exact twins they carry
-    "q_sketch_distinct" -> (Sketches.approxDistinctParts(_, _)),
-    "q_sketch_percentile" -> (Sketches.approxPercentiles _),
+    // self-certifying: exact twin + within_bound boolean, oracle asserts
+    // the bound holds (DuckDB recomputes the exact side independently)
+    "q_sketch_distinct" -> (Sketches.qSketchDistinct _),
+    "q_sketch_percentile" -> (Sketches.qSketchPercentile _),
   )
 
   /** DuckDB oracle SQL per query key (same parquet tables, same column
@@ -138,5 +138,7 @@ object SparkEntry {
     "q_corpus_filter" -> TextAnalysis.qCorpusFilterOracle,
     "q_window_ntile" -> Analytics.qWindowNtileOracle,
     "q_lead_lag" -> Analytics.qLeadLagOracle,
+    "q_sketch_distinct" -> Sketches.qSketchDistinctOracle,
+    "q_sketch_percentile" -> Sketches.qSketchPercentileOracle,
   )
 }

@@ -29,12 +29,25 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  /** Mismatched lengths yield NULL (not a silently truncated partial
+    * product) — the same answer the unrolled element_at chain gave,
+    * where element_at past the short array's end nulled the whole sum.
+    */
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else VecDot.compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.expressions.VecDot.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.expressions.VecDot.compute($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -44,6 +57,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 object VecDot {
   /** Left-to-right double fold — the same accumulation order as the
     * unrolled Column chain and DuckDB's list_sum, so oracles stay exact.
+    * Callers guarantee equal lengths (the expression returns NULL for
+    * mismatches before reaching here); min() is only belt-and-braces for
+    * direct library use.
     */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

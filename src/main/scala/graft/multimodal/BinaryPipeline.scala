@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * over batched rows (the Scala analog of mapInPandas — one JVM-side
   * iterator per ~128 MB input split, no driver involvement).
   *
-  * The decode kernels are STUBBED (this container has no image/audio
-  * codecs): `decodeStub` derives deterministic pseudo-features from the
-  * payload bytes so the Spark-side plumbing — schema, encoders, batch
-  * shape, partitioning — is real and testable, and a production build
-  * swaps `decodeStub` for a JNI/codec call without touching the plan.
+  * Decode kernels: the IMAGE branch is REAL — `decodeImage` uses
+  * `javax.imageio` (pure JVM: PNG/BMP/GIF/JPEG codecs ship with the
+  * JDK, no native deps) and returns true pixel dimensions; payloads
+  * ImageIO can't parse fall back to the stub so synthetic corpora still
+  * flow. Audio/video remain STUBBED (`decodeStub` derives deterministic
+  * pseudo-features from payload bytes — the JDK ships no such codecs):
+  * the plumbing — schema, encoders, batch shape, partitioning — is real
+  * and testable, and a production build swaps the stub for a JNI/ffmpeg
+  * call without touching the plan.
   */
 object BinaryPipeline {
 
@@ -50,14 +54,28 @@ object BinaryPipeline {
       .as[MediaRecord]
   }
 
-  /** STUB decode kernel: deterministic pseudo-features from raw bytes.
-    * Replace with a real codec (JNI to libjpeg/ffmpeg or an Arrow-batched
-    * Python worker) in production — the signature is the contract.
-    */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
+  private def payloadChecksum(payload: Array[Byte]): Long = {
     var h = 1125899906842597L // FNV-ish rolling checksum over the payload
     var i = 0
-    while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+    h
+  }
+
+  /** REAL image decode: true pixel dimensions via the JDK's bundled
+    * ImageIO codecs (PNG/BMP/GIF/JPEG). Returns None for bytes no
+    * registered reader understands.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    Option(img).map(i => (i.getWidth, i.getHeight))
+  }
+
+  /** STUB decode kernel (audio/video, and image bytes ImageIO rejects):
+    * deterministic pseudo-features from raw bytes. Replace with a real
+    * codec (JNI to ffmpeg or an Arrow-batched Python worker) in
+    * production — the signature is the contract.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
     val dim = math.max(1, (r.n_bytes % 1024).toInt)
     MediaFeatures(
       media_id = r.media_id,
@@ -66,17 +84,34 @@ object BinaryPipeline {
       width = dim,
       height = math.max(1, dim / 2),
       n_frames = if (r.media_type == "image") 1 else math.max(1, (r.n_bytes / 64).toInt),
-      checksum = h)
+      checksum = payloadChecksum(r.payload))
   }
 
-  /** Distributed feature extraction: mapPartitions so a real decoder can
-    * amortize per-partition init (codec contexts, model weights) across
-    * the batch — the same shape a Pandas-UDF/mapInPandas pipeline has in
-    * PySpark.
+  /** Per-record dispatch: real ImageIO decode for images, stub for the
+    * codec-less media types.
+    */
+  def decode(r: MediaRecord): MediaFeatures =
+    if (r.media_type == "image")
+      decodeImage(r.payload) match {
+        case Some((w, h)) =>
+          MediaFeatures(r.media_id, r.media_type, r.n_bytes,
+            width = w, height = h, n_frames = 1,
+            checksum = payloadChecksum(r.payload))
+        case None => decodeStub(r)
+      }
+    else decodeStub(r)
+
+  /** Distributed feature extraction: mapPartitions so the decoder
+    * amortizes per-partition init across the batch (here: disabling
+    * ImageIO's temp-file cache once per task so decodes stay in-memory)
+    * — the same shape a Pandas-UDF/mapInPandas pipeline has in PySpark.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it => it.map(decodeStub) }
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(decode)
+    }
   }
 
   /** Resize: re-encode each payload to a bounded-size representation

@@ -44,7 +44,8 @@ object CloudOptimize {
       sortCols: Seq[String],
       maxRecordsPerFile: Long = 1000000L,
       mode: SaveMode = SaveMode.Overwrite,
-      numPartitions: Option[Int] = None): Unit = {
+      numPartitions: Option[Int] = None,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
     val rangeCols = (partitionCols ++ sortCols).map(col)
     val sorted =
       if (sortCols.nonEmpty)
@@ -55,6 +56,7 @@ object CloudOptimize {
     sorted.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(extraOptions)
       .partitionBy(partitionCols: _*)
       .parquet(outPath)
   }

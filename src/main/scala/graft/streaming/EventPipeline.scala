@@ -104,11 +104,20 @@ object EventPipeline {
   /** Streaming ingestion into the cloud-optimized layout — the
     * reference's ingest→convert loop (stream a file in, re-encode it
     * cloud-optimized) as one Structured Streaming job: each micro-batch
-    * lands via CloudOptimize.write, partitioned by event date and
-    * sorted by timestamp within files. foreachBatch because the
-    * partitioned/sorted/sized re-encode is a batch-writer contract;
-    * checkpointing + the file source's exactly-once offsets give the
-    * same run-once guarantee the reference gets from run_key dedup.
+    * lands via CloudOptimize.write, partitioned by (ingest_batch,
+    * event_date) and sorted by timestamp within files. foreachBatch
+    * because the partitioned/sorted/sized re-encode is a batch-writer
+    * contract — and foreachBatch alone is only at-least-once (a batch
+    * that fails after its append but before the checkpoint commit is
+    * re-run, duplicating rows). The sink is therefore made IDEMPOTENT on
+    * the batchId: every batch writes under its own `ingest_batch=<id>`
+    * partition with dynamic partition overwrite, so a replay of batch N
+    * replaces exactly batch N's partitions instead of appending them
+    * again. Idempotent sink + the file source's replayable offsets =
+    * end-to-end exactly-once, which is the run_key guarantee the
+    * reference gets from Dagster. Cost: one extra partition level (fold
+    * it away with a periodic compaction job if dir counts matter);
+    * event_date pruning still works — it remains a partition column.
     */
   def ingestTo(events: DataFrame, outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -116,12 +125,15 @@ object EventPipeline {
       .withColumn("event_date", to_date(col("ts")))
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.CloudOptimize.write(
-          batch.toDF(), outPath,
-          partitionCols = Seq("event_date"), sortCols = Seq("ts"),
-          maxRecordsPerFile = 1000000L,
-          mode = org.apache.spark.sql.SaveMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.sources.CloudOptimize.write(
+            batch.toDF().withColumn("ingest_batch", lit(batchId)),
+            outPath,
+            partitionCols = Seq("ingest_batch", "event_date"), sortCols = Seq("ts"),
+            maxRecordsPerFile = 1000000L,
+            mode = org.apache.spark.sql.SaveMode.Overwrite,
+            extraOptions = Map("partitionOverwriteMode" -> "dynamic"))
       }
       .start()
 

@@ -25,6 +25,41 @@ class BinaryPipelineSpec extends SparkSpec {
     }
   }
 
+  test("image branch decodes real pixels end-to-end (PNG and BMP via ImageIO)") {
+    import spark.implicits._
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800) // non-trivial pixel so the file isn't degenerate
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+      baos.toByteArray
+    }
+    val png = encoded("png", 37, 21)
+    val bmp = encoded("bmp", 5, 9)
+    val media = Seq(
+      BinaryPipeline.MediaRecord(1L, "image", png, "test", png.length.toLong),
+      BinaryPipeline.MediaRecord(2L, "image", bmp, "test", bmp.length.toLong),
+      // audio payload stays on the stub path
+      BinaryPipeline.MediaRecord(3L, "audio", png, "test", png.length.toLong)
+    ).toDS()
+    val f = BinaryPipeline.extractFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 37 && f(1L).height == 21 && f(1L).n_frames == 1)
+    assert(f(2L).width == 5 && f(2L).height == 9)
+    // stub dimensions are byte-derived, not pixel-derived
+    assert(f(3L).width == math.max(1, (png.length % 1024)))
+  }
+
+  test("unparseable image bytes fall back to the stub instead of failing") {
+    import spark.implicits._
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val media = Seq(
+      BinaryPipeline.MediaRecord(9L, "image", junk, "test", junk.length.toLong)).toDS()
+    val f = BinaryPipeline.extractFeatures(media).collect().head
+    assert(f.width == junk.length && f.n_frames == 1)
+  }
+
   test("resize bounds every payload and keeps metadata consistent") {
     val resized = BinaryPipeline.resize(
       BinaryPipeline.mediaTable(spark, sf001), maxBytes = 128).collect()

@@ -70,6 +70,25 @@ class EventPipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(pruned.contains("PartitionFilters: [") &&
       !pruned.contains("PartitionFilters: []"))
+
+    // replayed micro-batch (same batchId, the post-append pre-checkpoint
+    // failure case) must overwrite itself, not append duplicates
+    // partition discovery infers the smallest numeric type, so read generically
+    val batchIds = landed.select("ingest_batch").distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue())
+    assert(batchIds.nonEmpty)
+    val replayId = batchIds.min
+    val replayRows = landed.filter(col("ingest_batch") === replayId)
+      .drop("ingest_batch")
+      .localCheckpoint() // materialize: the replay writes over its own source files
+    graft.sources.CloudOptimize.write(
+      replayRows.withColumn("ingest_batch", lit(replayId)),
+      out,
+      partitionCols = Seq("ingest_batch", "event_date"), sortCols = Seq("ts"),
+      mode = org.apache.spark.sql.SaveMode.Overwrite,
+      extraOptions = Map("partitionOverwriteMode" -> "dynamic"))
+    assert(spark.read.parquet(out).count() == source.count(),
+      "batch replay duplicated rows — sink is not idempotent")
   }
 
   test("stateful sessionization matches the batch window-function answer") {
