@@ -42,20 +42,64 @@ object Analytics {
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
-  /** Exact percentiles with linear interpolation (Spark `percentile` ≡
-    * DuckDB `quantile_cont`). Exact percentile is a sort-based aggregate;
-    * at 100 TB swap in approx_percentile (t-digest) — the library keeps
-    * the exact form as the correctness baseline.
+  /** Exact interpolated percentiles (≡ DuckDB `quantile_cont`,
+    * h = (n-1)·p, linear between the two bracketing order statistics)
+    * computed via distributed sort + window, NOT Spark's `percentile`
+    * aggregate: that one is an interpreted ObjectHashAggregate buffering
+    * EVERY value per group — measured 5.6s at sf0.1 (the r1 count()-based
+    * bench had pruned the percentile columns entirely and hid it), and at
+    * 100 TB its per-group state is O(rows), a guaranteed OOM. This form
+    * is one hash shuffle on the group key + an in-partition sort
+    * (row_number), then a codegen'd max(when(rn = target)) agg — state is
+    * O(1) per group and the heavy lifting is Tungsten sort.
     */
-  def qPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        count(lit(1)).as("n_rows"))
+  def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val wSort = Window.partitionBy(col(grp)).orderBy(col(valueCol))
+    // group sizes via a map-side-combined agg + broadcast join — NOT a
+    // count().over(partitionBy) window, whose unbounded frame buffers the
+    // whole partition per task (measured ~1.5s of the 2s runtime)
+    val counts = df.groupBy(col(grp)).agg(count(lit(1)).as("n"))
+    val indexed = df.select(col(grp), col(valueCol))
+      .withColumn("rn", row_number().over(wSort)) // running frame: streams
+      .join(broadcast(counts), grp)
+    // keep only the ≤2 bracketing order statistics per percentile before
+    // aggregating — the agg input is ~2·|ps| rows per group
+    val isTarget = ps.map { case (p, _) =>
+      val lo = floor((col("n") - 1) * p) + 1
+      col("rn") === lo || col("rn") === lo + 1
+    }.reduce(_ || _)
+    val aggCols = ps.flatMap { case (p, name) =>
+      val lo = floor((col("n") - 1) * p) + 1 // 1-based rank of the lower stat
+      Seq(
+        max(when(col("rn") === lo, col(valueCol))).as(s"${name}_lo"),
+        max(when(col("rn") === lo + 1, col(valueCol))).as(s"${name}_hi"))
+    }
+    val agged = indexed.filter(isTarget).groupBy(col(grp))
+      .agg(max(col("n")).as("n"), aggCols: _*)
+    ps.foldLeft(agged) { case (acc, (p, name)) =>
+      val h = (col("n") - 1) * p
+      val frac = h - floor(h)
+      acc.withColumn(name,
+        round(col(s"${name}_lo") +
+          frac * (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) - col(s"${name}_lo")),
+          4))
+    }.select(col(grp) +: ps.map { case (_, name) => col(name) }: _*)
+  }
+
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val price = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50_price", 0.95 -> "p95_price"))
+    val qty = exactPercentiles(li, "l_returnflag", "l_quantity",
+      Seq(0.5 -> "p50_qty"))
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+    // three 3-row frames — the joins broadcast
+    price.join(qty, "l_returnflag").join(counts, "l_returnflag")
+      .select(col("l_returnflag"), col("p50_price"), col("p95_price"),
+        col("p50_qty"), col("n_rows"))
       .orderBy(col("l_returnflag"))
+  }
 
   val qPercentilesOracle: String =
     """SELECT l_returnflag,

@@ -53,27 +53,39 @@ object Sketches {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** HyperLogLog++ distinct counts per group (vs countDistinct's
-    * expand+two-phase shuffle: one pass, fixed 1.5 KB state per group,
+  /** HyperLogLog++ distinct counts per group (fixed ~KB state per group,
     * mergeable across partitions — the only distinct count that works on
-    * a 100 TB key column).
+    * a 100 TB key column) beside the exact twin. Both are computed over
+    * the SAME deduped (group, key) frame: an HLL sketch depends only on
+    * the value SET, not multiplicities, so deduping first changes nothing
+    * for the estimate and turns the exact side into a plain count —
+    * mixing countDistinct with another aggregate in one agg planned an
+    * Expand (per-aggregate row multiplication) + interpreted fallback,
+    * measured 5.1s at sf0.1 vs ~0.6s for this shape.
     */
   def approxDistinctParts(s: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
     Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey"))
+      .distinct()
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        count(lit(1)).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
-  /** t-digest quantiles (percentile_approx) vs the exact sort-based
-    * percentile — bounded memory at any cardinality.
+  /** t-digest quantiles (percentile_approx, bounded memory at any
+    * cardinality) vs the sort-based exact percentile
+    * (Analytics.exactPercentiles — NOT the O(rows)-state `percentile`
+    * aggregate; see that scaladoc).
     */
-  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+    val exact = Analytics.exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "exact_p50"))
+    approx.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("approx_p50"), col("exact_p50"))
       .orderBy(col("l_returnflag"))
+  }
 }
