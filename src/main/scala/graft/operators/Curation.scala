@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Corpus-curation operators — the selection/splitting/cleaning stages of
+  * a training-data pipeline (SURVEY.md §2, table 3). All determinism
+  * comes from md5-prefix hashing (bit-identical on Spark and DuckDB, see
+  * TextFns), so sampling and splits are reproducible, content-addressed
+  * decisions rather than RNG state — the only kind of sampling that is
+  * re-runnable at 100 TB and auditable afterwards.
+  *
+  * Every operator here is a scan-side projection (+ at most one window or
+  * aggregation): no corpus self-joins, no driver-side logic.
+  */
+object Curation {
+
+  private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private def hash28Sql(x: String) = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
+
+  /** Uniform [0, mod) draw keyed on (salt, doc_id) — content-addressed
+    * randomness both engines compute identically.
+    */
+  private def draw(salt: String, mod: Int) =
+    TextFns.hash28(concat(lit(s"$salt:"), col("doc_id").cast("string"))) % mod
+
+  private def drawSql(salt: String, mod: Int) =
+    s"${hash28Sql(s"'$salt:' || CAST(doc_id AS VARCHAR)")} % $mod"
+
+  /** Stratified sampling: per-source keep rates (20% for even-numbered
+    * sources, 5% for odd) applied via the deterministic draw. At 100 TB
+    * this is a pure scan-side filter — no shuffle at all, and re-running
+    * it reproduces the exact same sample.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val rate = when(srcNum % 2 === 0, 2000).otherwise(500) // per 10k
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), draw("sample", 10000).as("u"))
+      .filter(col("u") < rate)
+      .orderBy(col("doc_id"))
+  }
+
+  val qStratifiedSampleOracle: String =
+    s"""SELECT doc_id, source, ${drawSql("sample", 10000)} AS u
+       |FROM documents
+       |WHERE ${drawSql("sample", 10000)} <
+       |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 2000 ELSE 500 END
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic train/val/test split (80/10/10) + per-(source, split)
+    * counts: the draw assigns each document a stable split, so the same
+    * document can never leak across splits between runs. One
+    * map-side-combined aggregation.
+    */
+  def qTrainTestSplit(s: SparkSession, dir: String): DataFrame = {
+    val u = draw("split", 100)
+    Tables.documents(s, dir)
+      .select(col("source"),
+        when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val qTrainTestSplitOracle: String =
+    s"""SELECT source,
+       |  CASE WHEN ${drawSql("split", 100)} < 80 THEN 'train'
+       |       WHEN ${drawSql("split", 100)} < 90 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_docs
+       |FROM documents
+       |GROUP BY source, split
+       |ORDER BY source, split""".stripMargin
+
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace — emitted as a content fingerprint + normalized length
+    * (the canonical form exact dedup and fingerprinting key on).
+    */
+  def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val n0 = lower(trim(col("text")))
+    val n1 = regexp_replace(n0, "[^a-z0-9 ]", "")
+    val n2 = trim(regexp_replace(n1, " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(n2).as("norm_fp"), length(n2).as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextNormalizeOracle: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+      |  length(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** PII redaction: scrub email addresses (synthesized onto every third
+    * document so the operator has real work) with a fixed placeholder;
+    * emits whether anything was redacted plus the redacted-content
+    * fingerprint. Scan-side regexp_replace — codegen'd, zero shuffle.
+    */
+  def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val synth = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"))).otherwise(col("text"))
+    val redacted = regexp_replace(synth, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (synth =!= redacted).as("was_redacted"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qTextRedactOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE text END AS synth
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  synth != regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS was_redacted,
+      |  md5(regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g')) AS redacted_fp
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style rule-based quality filter: token count in range, mean
+    * word length in range, bounded symbol ratio, and a minimum stopword
+    * presence — each rule exposed as a column plus the composite keep
+    * flag. Pure projection (the rules paper's filters are all per-doc
+    * statistics).
+    */
+  def qGopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        size(col("toks")).as("n_tokens"),
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
+          .as("sum_word_len"),
+        size(filter(col("toks"), t => t.isin(stop.map(w => lit(w): Any): _*)))
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_word_len") / col("n_tokens"), 4).as("mean_word_len"),
+        // stripping [a-zA-Z0-9 ] leaves exactly the symbol characters
+        round(length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+          / length(col("text")), 4).as("symbol_ratio"),
+        col("n_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("symbol_ratio"), col("n_stop"),
+        (col("n_tokens").between(5, 1000) &&
+          col("mean_word_len").between(2.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("n_stop") >= 1).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qGopherQualityOracle: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id, text,
+       |    len(toks) AS n_tokens,
+       |    list_sum(list_transform(toks, x -> length(x))) AS sum_word_len,
+       |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+       |  FROM t
+       |), m AS (
+       |  SELECT doc_id, n_tokens,
+       |    round(sum_word_len / n_tokens, 4) AS mean_word_len,
+       |    round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |      / length(text), 4) AS symbol_ratio,
+       |    n_stop
+       |  FROM c
+       |)
+       |SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, n_stop,
+       |  (n_tokens BETWEEN 5 AND 1000 AND mean_word_len BETWEEN 2.0 AND 10.0
+       |    AND symbol_ratio <= 0.1 AND n_stop >= 1) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
+  /** Intra-document n-gram repetition (the "repeated lines/paragraphs"
+    * dedup signal): 1 − distinct-trigrams / total-trigrams. High values
+    * flag template/boilerplate documents even when no cross-document
+    * duplicate exists.
+    */
+  def qNgramRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        (size(col("t")) - 2).as("n_trigrams"),
+        size(TextFns.shingles(col("t"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_trigrams"), 6).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  val qNgramRepetitionOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    len(t) - 2 AS n_trigrams,
+       |    len(list_distinct(list_transform(range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct
+       |  FROM t WHERE len(t) >= 3
+       |)
+       |SELECT doc_id, n_trigrams, n_distinct,
+       |  round(1.0 - n_distinct / n_trigrams, 6) AS rep_ratio
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  /** Token-budget curation: rank documents per source (longest first,
+    * doc_id tiebreak), accumulate token counts, and flag the prefix that
+    * fits a fixed per-source budget — the "take the best N tokens per
+    * domain" selection step. One window (partitioned by source, no global
+    * sort) over scan-side token counts.
+    */
+  val TokenBudget = 2000L
+
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .withColumn("in_budget", col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("cum_tokens"), col("in_budget"))
+      .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+  }
+
+  val qTokenBudgetOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tok
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, n_tok,
+       |  sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+       |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |  sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+       |                   ROWS UNBOUNDED PRECEDING) <= $TokenBudget AS in_budget
+       |FROM t
+       |ORDER BY source, cum_tokens, doc_id""".stripMargin
+}

@@ -195,6 +195,44 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  val ContainmentThreshold = 0.8
+
+  /** Containment near-dup (|A∩B| / |A|): catches a document that is a
+    * subset/quote of a longer one even when symmetric Jaccard is low.
+    * Candidates come from an inverted index on A's MINIMUM shingle hash:
+    * if A ⊆ B then min(A) ∈ B, so recall on true containments is exact.
+    * The index side explodes B's hashed shingles — a linear (not
+    * quadratic) expansion shuffled as (hash, doc) longs; the probe side
+    * carries one (min-hash, doc) row per document. shuffle_hash for the
+    * usual derived-corpus reason.
+    */
+  def qMinhashContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val probe = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      array_min(col("hs")).as("mn"))
+    val index = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      explode(col("hs")).as("h"))
+    val pairs = probe
+      .join(index.hint("shuffle_hash"),
+        col("mn") === col("h") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+          / size(col("hs_a")), 6).as("containment"))
+    graft.plans.Fence.filterNoPushdown(pairs, col("containment"),
+        _ >= ContainmentThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinhashContainmentOracle: String =
+    s"""WITH $shingledSql,
+       |probe AS (SELECT doc_id AS doc_a, hs AS hs_a, list_min(hs) AS mn FROM s),
+       |idx AS (SELECT doc_id AS doc_b, hs AS hs_b, unnest(hs) AS h FROM s)
+       |SELECT doc_a, doc_b,
+       |  round(len(list_intersect(hs_a, hs_b))::DOUBLE / len(hs_a), 6) AS containment
+       |FROM probe JOIN idx ON mn = h AND doc_a != doc_b
+       |WHERE round(len(list_intersect(hs_a, hs_b))::DOUBLE / len(hs_a), 6) >= $ContainmentThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup clusters: connected components over the Jaccard near-dup
     * graph, labeling every document with the minimum doc_id reachable
     * through near-dup edges (its canonical representative — "keep one

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFns
+
+class CurationSpec extends SparkSpec {
+
+  test("stratified sample is deterministic and rate-obeying per source parity") {
+    val a = Curation.qStratifiedSample(spark, sf001).collect()
+    val b = Curation.qStratifiedSample(spark, sf001).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "sample not reproducible")
+    a.foreach { r =>
+      val even = r.getAs[String]("source").drop(3).toInt % 2 == 0
+      val u = r.getAs[Long]("u")
+      assert(u < (if (even) 2000 else 500), s"drawn row violates its keep rate: $r")
+    }
+  }
+
+  test("train/val/test split covers every document exactly once") {
+    val rows = Curation.qTrainTestSplit(spark, sf001).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.sources.Tables.documents(spark, sf001).count())
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("normalization fingerprint is invariant to case and extra whitespace") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello,  World!"), (2L, "hello world"), (3L, "HELLO WORLD "))
+      .toDF("doc_id", "text")
+    val n1 = lower(trim(col("text")))
+    val n2 = trim(regexp_replace(regexp_replace(n1, "[^a-z0-9 ]", ""), " +", " "))
+    val fps = df.select(md5(n2)).collect().map(_.getString(0))
+    assert(fps.distinct.length == 1, "all three forms must normalize identically")
+  }
+
+  test("redaction scrubs every synthesized email and flags exactly those docs") {
+    val rows = Curation.qTextRedact(spark, sf001).collect()
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("doc_id") % 3 == 0
+      assert(r.getAs[Boolean]("was_redacted") == expected, s"flag mismatch: $r")
+    }
+  }
+
+  test("gopher keep flag is the conjunction of its rule columns") {
+    val rows = Curation.qGopherQuality(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = r.getAs[Int]("n_tokens") >= 5 && r.getAs[Int]("n_tokens") <= 1000 &&
+        r.getAs[Double]("mean_word_len") >= 2.0 && r.getAs[Double]("mean_word_len") <= 10.0 &&
+        r.getAs[Double]("symbol_ratio") <= 0.1 && r.getAs[Int]("n_stop") >= 1
+      assert(r.getAs[Boolean]("keep") == expect, s"keep flag inconsistent: $r")
+    }
+  }
+
+  test("n-gram repetition ratio is a proper fraction of repeated trigrams") {
+    val rows = Curation.qNgramRepetition(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_trigrams"))
+      val ratio = r.getAs[Double]("rep_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0, s"rep_ratio out of range: $r")
+    }
+  }
+
+  test("token budget marks a contiguous longest-first prefix per source") {
+    val rows = Curation.qTokenBudget(spark, sf001).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("cum_tokens"), r.getAs[Long]("doc_id")))
+      var running = 0L
+      var inPrefix = true
+      sorted.foreach { r =>
+        running += r.getAs[Long]("n_tok")
+        assert(r.getAs[Long]("cum_tokens") == running, "cumulative sum broken")
+        val in = r.getAs[Boolean]("in_budget")
+        if (!in) inPrefix = false
+        assert(in == (running <= Curation.TokenBudget) && (in || !inPrefix == true),
+          s"budget flag wrong: $r")
+      }
+    }
+  }
+
+  test("containment respects its floor on the real corpus") {
+    Dedup.qMinhashContainment(spark, sf001).collect().foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= Dedup.ContainmentThreshold && c <= 1.0, s"containment bound: $r")
+    }
+  }
+
+  test("containment recall is exact for a planted subset document") {
+    import spark.implicits._
+    // doc 2 is a strict prefix of doc 1: shingles(2) ⊆ shingles(1), so
+    // min(shingles(2)) is in doc 1's index and the 2→1 pair MUST surface
+    // with containment 1.0; doc 3 shares nothing.
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val sub = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    Seq((1L, long, "en", "src0", long.length.toLong),
+        (2L, sub, "en", "src0", sub.length.toLong),
+        (3L, "alpha beta gamma delta epsilon", "en", "src1", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.qMinhashContainment(spark, dir).collect()
+    val m = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      r.getAs[Double]("containment")).toMap
+    assert(m.get((2L, 1L)).contains(1.0), s"planted subset not recovered: ${m.keySet}")
+    assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "disjoint doc must not pair")
+  }
+}
