@@ -245,4 +245,122 @@ object Curation {
        |                   ROWS UNBOUNDED PRECEDING) <= $TokenBudget AS in_budget
        |FROM t
        |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
+  /** Corpus composition report: per-source document/token counts, token
+    * share of the corpus, and the cumulative share in descending-share
+    * order (the "top-k domains hold x% of tokens" concentration curve).
+    * One map-side-combined aggregation; the 1-row corpus total joins
+    * back broadcast (the TF-IDF pattern), and the cumulative window runs
+    * over the post-aggregation frame — dimension-sized (#sources rows),
+    * never the corpus.
+    */
+  def qDomainMix(s: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("tot"))
+    val w = Window.orderBy(col("n_tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("tok_share"))
+      .withColumn("cum_share", round(sum(col("tok_share")).over(w), 6))
+      .orderBy(col("n_tokens").desc, col("source"))
+  }
+
+  val qDomainMixOracle: String =
+    s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+       |a AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY source
+       |),
+       |b AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    round(n_tokens / (SELECT CAST(sum(n_tokens) AS BIGINT) FROM a), 6) AS tok_share
+       |  FROM a
+       |)
+       |SELECT source, n_docs, n_tokens, tok_share,
+       |  round(sum(tok_share) OVER (ORDER BY n_tokens DESC, source
+       |                             ROWS UNBOUNDED PRECEDING), 6) AS cum_share
+       |FROM b
+       |ORDER BY n_tokens DESC, source""".stripMargin
+
+  /** Robust length-outlier flags: per-source exact median and MAD
+    * (median absolute deviation), flagging documents beyond 3 MADs —
+    * the robust alternative to mean/stddev that a heavy-tailed web
+    * corpus needs. Two grouped aggregations over source (median, then
+    * median of deviations) with the dimension-sized stats frames
+    * broadcast back — the corpus is scanned, never shuffled.
+    */
+  def qLengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val med = docs.groupBy(col("source")).agg(median(col("n_chars")).as("med"))
+    val mad = docs.join(broadcast(med), Seq("source"))
+      .groupBy(col("source"))
+      .agg(median(abs(col("n_chars") - col("med"))).as("mad"))
+    docs.join(broadcast(med), Seq("source")).join(broadcast(mad), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("med"), col("mad"),
+        (abs(col("n_chars") - col("med")) > lit(3.0) * col("mad")).as("is_outlier"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLengthOutliersOracle: String =
+    """WITH m AS (SELECT source, median(n_chars) AS med FROM documents GROUP BY source),
+      |d AS (
+      |  SELECT dd.source, median(abs(dd.n_chars - m.med)) AS mad
+      |  FROM documents dd JOIN m USING (source) GROUP BY dd.source
+      |)
+      |SELECT dd.doc_id, dd.source, dd.n_chars, m.med, d.mad,
+      |  abs(dd.n_chars - m.med) > 3.0 * d.mad AS is_outlier
+      |FROM documents dd JOIN m USING (source) JOIN d USING (source)
+      |ORDER BY dd.doc_id""".stripMargin
+
+  /** Fixed-weight logistic quality score (the shape of a fastText/logreg
+    * quality classifier with the training externalized): z is a linear
+    * function of log-length, stopword ratio, and symbol ratio; the score
+    * is its sigmoid. Pure scan-side arithmetic — scoring 100 TB is
+    * exactly one pass, no shuffle but the presentation sort.
+    */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (size(filter(col("toks"), t => t.isin(stop.map(w => lit(w): Any): _*)))
+          / size(col("toks")).cast("double")).as("stop_ratio"),
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+          / length(col("text")).cast("double")).as("symbol_ratio"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(-1.0) + lit(0.6) * log(lit(1.0) + col("n_tokens"))
+          + lit(2.0) * col("stop_ratio") - lit(4.0) * col("symbol_ratio")).as("z"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("z"), 4).as("z"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
+        (col("z") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQualityScoreOracle: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+       |      / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |      / CAST(length(text) AS DOUBLE) AS symbol_ratio
+       |  FROM t
+       |),
+       |z AS (
+       |  SELECT doc_id, n_tokens,
+       |    -1.0 + 0.6 * ln(1.0 + n_tokens) + 2.0 * stop_ratio - 4.0 * symbol_ratio AS z
+       |  FROM f
+       |)
+       |SELECT doc_id, n_tokens, round(z, 4) AS z,
+       |  round(1.0 / (1.0 + exp(-z)), 4) AS score,
+       |  z > 0 AS keep
+       |FROM z
+       |ORDER BY doc_id""".stripMargin
 }

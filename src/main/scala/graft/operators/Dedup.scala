@@ -316,7 +316,10 @@ object Dedup {
     labels
   }
 
-  val qDedupClusterOracle: String =
+  /** Shared recursive-CTE prefix labeling every document with its
+    * min-reachable cluster representative (`cl(doc_id, cluster)`).
+    */
+  private val clusterCteSql: String =
     s"""WITH RECURSIVE $shingledSql,
        |blk AS (
        |  SELECT doc_id, hs, list_min(hs) AS mn, list_max(hs) AS mx
@@ -332,11 +335,39 @@ object Dedup {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT ed.b, reach.r FROM ed JOIN reach ON ed.a = reach.id
-       |)
-       |SELECT id AS doc_id, min(r) AS cluster
-       |FROM reach
-       |GROUP BY id
+       |),
+       |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
+  val qDedupClusterOracle: String =
+    s"""$clusterCteSql
+       |SELECT doc_id, cluster
+       |FROM cl
        |ORDER BY doc_id""".stripMargin
+
+  /** Soft dedup (RefinedWeb-style): instead of dropping near-duplicates,
+    * down-weight every member of a cluster by 1/|cluster| so the cluster
+    * contributes one document's worth of mass to training. Reuses the
+    * cluster labels; sizes come from a grouped count joined back on the
+    * cluster key (partial-aggregated, skew-safe — a pathological
+    * all-duplicates corpus is one hot cluster key in an agg, not a
+    * buffered window partition).
+    */
+  def qSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupCluster(s, dir).select(col("doc_id"), col("cluster"))
+    val sizes = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
+    clusters.join(sizes, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("n_cluster"),
+        round(lit(1.0) / col("n_cluster"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qSoftDedupOracle: String =
+    s"""$clusterCteSql,
+       |sz AS (SELECT cluster, count(*) AS n_cluster FROM cl GROUP BY cluster)
+       |SELECT cl.doc_id, cl.cluster, sz.n_cluster,
+       |  round(1.0 / sz.n_cluster, 6) AS weight
+       |FROM cl JOIN sz USING (cluster)
+       |ORDER BY cl.doc_id""".stripMargin
 
   /** SimHash: 60-bit fingerprint from per-bit ±1 votes over the distinct
     * token set. Explode + one grouped aggregation (60 conditional sums) —

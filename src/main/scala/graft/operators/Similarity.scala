@@ -321,4 +321,28 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Per-label centroid, emitted FLAT as (label, pos, n_vecs, cx) rows —
+    * 1-based dimension index. The scalable shape for averaging vectors:
+    * posexplode → map-side-combined (label, pos) partial sums, so the
+    * shuffle carries labels×dims aggregate cells, never vectors, and no
+    * task materializes a label's vector set (contrast with collecting
+    * arrays to the driver or a collect_list agg). Centroids feed the IVF
+    * index build and drift monitoring.
+    */
+  def qEmbedCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(VectorFns.asDouble(col("embedding"))))
+      .select(col("label"), (col("pos") + 1).as("pos"), col("col").as("x"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("x")), 4).as("cx"))
+      .orderBy(col("label"), col("pos"))
+
+  val qEmbedCentroidsOracle: String =
+    s"""WITH e AS (SELECT label, $vSql AS v FROM embeddings),
+       |x AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e)
+       |SELECT label, pos, count(*) AS n_vecs, round(avg(x), 4) AS cx
+       |FROM x
+       |GROUP BY label, pos
+       |ORDER BY label, pos""".stripMargin
 }

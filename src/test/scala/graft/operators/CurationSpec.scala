@@ -83,6 +83,61 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("soft-dedup weights sum to the number of clusters") {
+    val rows = Dedup.qSoftDedup(spark, sf001).collect()
+    val total = rows.map(_.getAs[Double]("weight")).sum
+    val nClusters = rows.map(_.getAs[Long]("cluster")).distinct.length
+    assert(math.abs(total - nClusters) < 1e-3,
+      s"weights should sum to one per cluster: $total vs $nClusters")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") * r.getAs[Long]("n_cluster") - 1.0) < 1e-4)
+    }
+  }
+
+  test("centroids average the right number of vectors per dimension") {
+    val rows = Similarity.qEmbedCentroids(spark, sf001).collect()
+    val byLabel = rows.groupBy(_.getAs[Int]("label"))
+    byLabel.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to 64),
+        "each label must emit all 64 dimension rows")
+      assert(rs.map(_.getAs[Long]("n_vecs")).distinct.length == 1,
+        "every dimension of a label averages the same vector count")
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("cx")) <= 1.0))
+    }
+    val total = byLabel.map { case (_, rs) => rs.head.getAs[Long]("n_vecs") }.sum
+    assert(total == graft.sources.Tables.embeddings(spark, sf001).count())
+  }
+
+  test("domain mix shares sum to 1 and the concentration curve is monotone") {
+    val rows = Curation.qDomainMix(spark, sf001).collect()
+    val shareSum = rows.map(_.getAs[Double]("tok_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares must total 1: $shareSum")
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a }, "cum_share not monotone")
+    assert(math.abs(cums.last - 1.0) < 1e-3)
+  }
+
+  test("length outliers flag exactly the beyond-3-MAD documents") {
+    val rows = Curation.qLengthOutliers(spark, sf001).collect()
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Long]("n_chars") - r.getAs[Double]("med"))
+      assert(r.getAs[Boolean]("is_outlier") == (dev > 3.0 * r.getAs[Double]("mad")), s"$r")
+    }
+    // sanity: the robust stats must not flag the bulk of any source
+    val frac = rows.count(_.getAs[Boolean]("is_outlier")).toDouble / rows.length
+    assert(frac < 0.25, s"MAD rule flagged $frac of the corpus")
+  }
+
+  test("quality score is a proper sigmoid of its linear score") {
+    val rows = Curation.qQualityScore(spark, sf001).collect()
+    rows.foreach { r =>
+      val score = r.getAs[Double]("score")
+      assert(score > 0.0 && score < 1.0)
+      assert(r.getAs[Boolean]("keep") == score > 0.5 ||
+        math.abs(score - 0.5) < 1e-3, s"keep must track sigmoid(z)>0.5: $r")
+    }
+  }
+
   test("containment respects its floor on the real corpus") {
     Dedup.qMinhashContainment(spark, sf001).collect().foreach { r =>
       val c = r.getAs[Double]("containment")
