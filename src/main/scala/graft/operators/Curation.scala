@@ -246,6 +246,54 @@ object Curation {
        |FROM t
        |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
+  /** Benchmark decontamination: evaluation (val/test) documents that are
+    * near-duplicates of a training document — the leakage a train/eval
+    * split must be scrubbed of before the eval numbers mean anything.
+    * Composes the deterministic split assignment with the shared Jaccard
+    * near-dup edge set ([[Dedup.jaccardPairs]]): edges are oriented both
+    * ways, split labels join on doc_id (one shuffle each), and only the
+    * train→eval crossings survive. At 100 TB the candidate edges are the
+    * sliver the blocked dedup already computes — no new pair generation.
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val u = draw("split", 100)
+    val splits = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
+    val pairs = Dedup.jaccardPairs(s, dir)
+    val oriented = pairs
+      .select(col("doc_a").as("l"), col("doc_b").as("r"), col("jaccard"))
+      .union(pairs.select(col("doc_b").as("l"), col("doc_a").as("r"), col("jaccard")))
+    oriented
+      .join(splits.select(col("doc_id").as("l"), col("split").as("split_l")), Seq("l"))
+      .join(splits.select(col("doc_id").as("r"), col("split").as("split_r")), Seq("r"))
+      .filter(col("split_l") === "train" && col("split_r") =!= "train")
+      .select(col("r").as("eval_doc"), col("split_r").as("eval_split"),
+        col("l").as("train_doc"), col("jaccard"))
+      .orderBy(col("eval_doc"), col("train_doc"))
+  }
+
+  val qDecontaminateOracle: String =
+    s"""WITH ${Dedup.jaccardPairsCte},
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${drawSql("split", 100)} < 80 THEN 'train'
+       |         WHEN ${drawSql("split", 100)} < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |),
+       |bi AS (
+       |  SELECT doc_a AS l, doc_b AS r, jaccard FROM pj
+       |  UNION ALL
+       |  SELECT doc_b AS l, doc_a AS r, jaccard FROM pj
+       |)
+       |SELECT bi.r AS eval_doc, sr.split AS eval_split, bi.l AS train_doc, bi.jaccard
+       |FROM bi
+       |JOIN sp sl ON sl.doc_id = bi.l
+       |JOIN sp sr ON sr.doc_id = bi.r
+       |WHERE sl.split = 'train' AND sr.split != 'train'
+       |ORDER BY eval_doc, train_doc""".stripMargin
+
   /** Corpus composition report: per-source document/token counts, token
     * share of the corpus, and the cumulative share in descending-share
     * order (the "top-k domains hold x% of tokens" concentration curve).

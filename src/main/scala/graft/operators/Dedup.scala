@@ -97,10 +97,10 @@ object Dedup {
     jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** (doc_a, doc_b, jaccard) near-dup pairs above [[JaccardThreshold]],
-    * unordered — shared edge set for the pair query and the cluster
-    * operator.
+    * unordered — shared edge set for the pair query, the cluster
+    * operator, and the decontamination check in [[Curation]].
     */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val blocked = shingled(s, dir)
       .withColumn("mn", array_min(col("hs")))
       .withColumn("mx", array_max(col("hs")))
@@ -114,6 +114,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jaccardOut.as("jaccard"))
     graft.plans.Fence.filterNoPushdown(pairs, col("jaccard"), _ >= JaccardThreshold)
   }
+
+  /** Oracle CTE producing `pj(doc_a, doc_b, jaccard)` — the SQL twin of
+    * [[jaccardPairs]], shared with the decontamination oracle.
+    */
+  private[operators] val jaccardPairsCte: String =
+    s"""$shingledSql,
+       |jb AS (
+       |  SELECT doc_id, hs, list_min(hs) AS mn, list_max(hs) AS mx
+       |  FROM s
+       |),
+       |pj AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $jaccardOutSql AS jaccard
+       |  FROM jb x JOIN jb y ON x.mn = y.mn AND x.mx = y.mx AND x.doc_id < y.doc_id
+       |  WHERE $jaccardOutSql >= $JaccardThreshold
+       |)""".stripMargin
 
   val qDedupNgramJaccardOracle: String =
     s"""WITH $shingledSql,

@@ -300,12 +300,15 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
-  val qAnnLshOracle: String = {
-    val bucket = (0 until Planes).map { j =>
+  private def lshBucketSql: String =
+    (0 until Planes).map { j =>
       val proj =
         s"list_sum(list_transform(range(1, ${Dims + 1}), i -> v[i] * CAST((((i-1)*7 + ${j * 13}) % 11) - 5 AS DOUBLE)))"
       s"CASE WHEN $proj > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
+
+  val qAnnLshOracle: String = {
+    val bucket = lshBucketSql
     s"""WITH $preparedSql,
        |bk AS (SELECT vec_id, v, nsq, $bucket AS bucket FROM n),
        |q AS (SELECT * FROM bk WHERE vec_id < 10),
@@ -320,6 +323,67 @@ object Similarity {
        |  FROM p) t
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** ANN quality self-certification: recall@3 of the LSH path against
+    * the brute-force ground truth, per query. The pattern that makes an
+    * approximate index trustworthy in production — the exact baseline
+    * runs on a sampled query set (tiny, broadcast) while the approximate
+    * path serves the corpus, and the measured recall is a first-class,
+    * oracle-checked result rather than a claim.
+    */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = qAnnTopk(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = qAnnLsh(s, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        round(col("n_hit") / col("n_true"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val qAnnRecallOracle: String = {
+    val bucket = lshBucketSql
+    s"""WITH $preparedSql,
+       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |bp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)), 4) AS sim
+       |  FROM q JOIN n c ON c.vec_id != q.vec_id
+       |),
+       |bt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM bp) t
+       |  WHERE rank <= 3
+       |),
+       |bk AS (SELECT vec_id, v, nsq, $bucket AS bucket FROM n),
+       |qb AS (SELECT * FROM bk WHERE vec_id < 10),
+       |lp AS (
+       |  SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotSql("qb.v", "c.v")} / (sqrt(qb.nsq) * sqrt(c.nsq)), 4) AS sim
+       |  FROM qb JOIN bk c ON c.bucket = qb.bucket AND c.vec_id != qb.vec_id
+       |),
+       |lt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |    FROM lp) t
+       |  WHERE rank <= 3
+       |)
+       |SELECT bt.query_id, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN lt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN lt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(count(*) AS DOUBLE), 4) AS recall
+       |FROM bt
+       |LEFT JOIN lt ON lt.query_id = bt.query_id AND lt.neighbor_id = bt.neighbor_id
+       |GROUP BY bt.query_id
+       |ORDER BY bt.query_id""".stripMargin
   }
 
   /** Per-label centroid, emitted FLAT as (label, pos, n_vecs, cx) rows —

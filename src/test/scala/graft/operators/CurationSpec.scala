@@ -138,6 +138,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("decontamination returns exactly the split-straddling near-dup edges") {
+    val rows = Curation.qDecontaminate(spark, sf001).collect()
+    // recompute each doc's split with the same content-addressed draw
+    val splits = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        (graft.functions.TextFns.hash28(
+          concat(lit("split:"), col("doc_id").cast("string"))) % 100).as("u"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 80) "train" else if (r.getLong(1) < 90) "val" else "test"))
+      .toMap
+    rows.foreach { r =>
+      assert(splits(r.getAs[Long]("train_doc")) == "train")
+      assert(splits(r.getAs[Long]("eval_doc")) == r.getAs[String]("eval_split"))
+      assert(r.getAs[String]("eval_split") != "train")
+      assert(r.getAs[Double]("jaccard") >= Dedup.JaccardThreshold)
+    }
+    // completeness: every near-dup edge with a train side and a non-train
+    // side must be reported
+    val expected = Dedup.qDedupNgramJaccard(spark, sf001).collect().flatMap { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      Seq((a, b), (b, a)).collect {
+        case (t, e) if splits(t) == "train" && splits(e) != "train" => (e, t)
+      }
+    }.toSet
+    assert(rows.map(r => (r.getAs[Long]("eval_doc"), r.getAs[Long]("train_doc"))).toSet
+      == expected)
+  }
+
   test("containment respects its floor on the real corpus") {
     Dedup.qMinhashContainment(spark, sf001).collect().foreach { r =>
       val c = r.getAs[Double]("containment")

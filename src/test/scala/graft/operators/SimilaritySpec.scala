@@ -67,4 +67,25 @@ class SimilaritySpec extends SparkSpec {
       .count().filter(col("count") > 1).count()
     assert(dups == 0, "a vector was replicated twice into the same chunk-pair task")
   }
+
+  test("ANN recall matches a manual comparison of the brute and LSH top-3") {
+    val brute = Similarity.qAnnTopk(spark, sf001).collect()
+      .filter(_.getAs[Int]("rank") <= 3)
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val lsh = Similarity.qAnnLsh(spark, sf001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val rows = Similarity.qAnnRecall(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSet == brute.keySet)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val expectHit = (brute(q) & lsh.getOrElse(q, Set.empty)).size
+      assert(r.getAs[Long]("n_true") == 3L)
+      assert(r.getAs[Long]("n_hit") == expectHit, s"hit count mismatch for query $q")
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - expectHit / 3.0) < 1e-3)
+    }
+  }
 }
