@@ -216,20 +216,24 @@ object Dedup {
     * subset/quote of a longer one even when symmetric Jaccard is low.
     * Candidates come from an inverted index on A's MINIMUM shingle hash:
     * if A ⊆ B then min(A) ∈ B, so recall on true containments is exact.
-    * The index side explodes B's hashed shingles — a linear (not
-    * quadratic) expansion shuffled as (hash, doc) longs; the probe side
-    * carries one (min-hash, doc) row per document. shuffle_hash for the
+    * The index side explodes B's hashed shingles as bare (hash, doc_b)
+    * longs — 16 bytes/row through the shuffle; B's shingle SET re-joins
+    * by id only for the surviving candidates (the minhash trick — never
+    * carry sets through an explode). shuffle_hash everywhere for the
     * usual derived-corpus reason.
     */
   def qMinhashContainment(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
     val probe = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
       array_min(col("hs")).as("mn"))
-    val index = sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
-      explode(col("hs")).as("h"))
-    val pairs = probe
+    val index = sh.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
+    val cands = probe
       .join(index.hint("shuffle_hash"),
         col("mn") === col("h") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("hs_a"), col("doc_b"))
+    val pairs = cands
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
           / size(col("hs_a")), 6).as("containment"))
