@@ -370,24 +370,36 @@ object Curation {
     * is its sigmoid. Pure scan-side arithmetic — scoring 100 TB is
     * exactly one pass, no shuffle but the presentation sort.
     */
-  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        (size(filter(col("toks"), t => t.isin(stop.map(w => lit(w): Any): _*)))
-          / size(col("toks")).cast("double")).as("stop_ratio"),
-        (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
-          / length(col("text")).cast("double")).as("symbol_ratio"))
-      .select(col("doc_id"), col("n_tokens"),
-        (lit(-1.0) + lit(0.6) * log(lit(1.0) + col("n_tokens"))
-          + lit(2.0) * col("stop_ratio") - lit(4.0) * col("symbol_ratio")).as("z"))
+  def qQualityScore(s: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_tokens"),
         round(col("z"), 4).as("z"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4).as("score"),
-        (col("z") > 0).as("keep"))
+        round(col("score"), 4).as("score"),
+        col("keep"))
       .orderBy(col("doc_id"))
+
+  /** Appends the quality columns (n_tokens, z, score, keep) scan-side —
+    * the SINGLE definition of the classifier, executed unchanged by the
+    * batch query above and by [[graft.streaming.CorpusStream]]: in this
+    * engine batch/streaming parity is a shared projection, not a port.
+    */
+  def withQuality(df: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    df
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => t.isin(stop.map(w => lit(w): Any): _*)))
+          / col("n_tokens").cast("double"))
+      .withColumn("symbol_ratio",
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+          / length(col("text")).cast("double"))
+      .withColumn("z",
+        lit(-1.0) + lit(0.6) * log(lit(1.0) + col("n_tokens"))
+          + lit(2.0) * col("stop_ratio") - lit(4.0) * col("symbol_ratio"))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      .withColumn("keep", col("z") > 0)
+      .drop("toks", "stop_ratio", "symbol_ratio")
   }
 
   val qQualityScoreOracle: String =

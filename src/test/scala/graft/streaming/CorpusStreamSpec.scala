@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Curation
+import graft.sources.Tables
+
+class CorpusStreamSpec extends SparkSpec {
+
+  test("streamed curation equals the batch quality filter") {
+    val q = CorpusStream.curated(CorpusStream.streamDocumentsFrom(spark, sf001))
+      .writeStream.format("memory").queryName("curated_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, quality_score FROM curated_test ORDER BY doc_id").collect()
+      val batch = Curation.qQualityScore(spark, sf001)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("score"))
+        .collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty)
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.getLong(0) == b.getLong(0))
+        assert(math.abs(s.getDouble(1) - b.getDouble(1)) < 1e-9)
+      }
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps one arrival per fingerprint within the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    Seq(
+      (1L, "same exact text content here", "en", "src0", 28L),
+      (2L, "same exact text content here", "en", "src0", 28L), // dup of 1
+      (3L, "a different document entirely", "en", "src1", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // testdata ships documents.parquet as a single file; this temp write
+    // makes it a directory, so stream its part files directly
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(s"$dir/documents.parquet")
+      .withColumn("ingest_ts", timestamp_micros(col("doc_id") * 1000000L))
+    val q = CorpusStream.dedupedStream(stream)
+      .writeStream.format("memory").queryName("dedup_doc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, fingerprint FROM dedup_doc_test").collect()
+      assert(rows.length == 2, s"expected dup suppressed, got ${rows.length} rows")
+      assert(rows.map(_.getString(1)).distinct.length == 2)
+    } finally q.stop()
+  }
+
+  test("curated stream is stateless: the plan carries no stateful operators") {
+    val curatedDf = CorpusStream.curated(CorpusStream.streamDocumentsFrom(spark, sf001))
+    val q = curatedDf.writeStream.format("memory").queryName("curated_plan_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val plan = q.lastProgress.toString
+      assert(!plan.contains("stateOperators\" : [ {"),
+        "quality curation must not register state stores")
+    } finally q.stop()
+  }
+}
