@@ -335,6 +335,42 @@ object Dedup {
     labels
   }
 
+  /** Incremental (cross-corpus) exact dedup: treat doc_ids past a fixed
+    * cutover as an arriving crawl batch and admit only documents whose
+    * normalized-text fingerprint does not already exist in the
+    * established corpus — dedup against 100 TB without rescanning it as
+    * pairs. One left-anti shuffle join on the fingerprint (both sides
+    * map-side-distinct first), which at scale is a join against the
+    * corpus's persisted fingerprint table, not the corpus.
+    */
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(TextFns.normalized(col("text"))).as("fingerprint"))
+    val cut = lit(IncrementalCutover)
+    val existing = fp.filter(col("doc_id") < cut)
+      .select(col("fingerprint")).distinct()
+    fp.filter(col("doc_id") >= cut)
+      .join(existing.hint("shuffle_hash"), Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** New-batch boundary for [[qIncrementalDedup]] — sized so every SF
+    * splits into an established corpus and an arriving batch.
+    */
+  val IncrementalCutover = 300L
+
+  val qIncrementalDedupOracle: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+       |  FROM documents
+       |)
+       |SELECT doc_id, fingerprint
+       |FROM fp
+       |WHERE doc_id >= $IncrementalCutover
+       |  AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id < $IncrementalCutover)
+       |ORDER BY doc_id""".stripMargin
+
   /** Shared recursive-CTE prefix labeling every document with its
     * min-reachable cluster representative (`cl(doc_id, cluster)`).
     */

@@ -64,6 +64,21 @@ class TextDedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).collect().isEmpty)
   }
 
+  test("incremental dedup admits exactly the batch docs with unseen fingerprints") {
+    import spark.implicits._
+    val fps = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), md5(TextFns.normalized(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val existing = fps.filter(_._1 < Dedup.IncrementalCutover).map(_._2).toSet
+    val expected = fps.filter { case (id, fp) =>
+      id >= Dedup.IncrementalCutover && !existing.contains(fp)
+    }.map(_._1).toSet
+    val admitted = Dedup.qIncrementalDedup(spark, sf001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(admitted == expected)
+    assert(admitted.forall(_ >= Dedup.IncrementalCutover))
+  }
+
   test("simhash fingerprints are deterministic and near-dups are hamming-close") {
     val fp = Dedup.qDedupSimhash(spark, sf001)
     val m = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
