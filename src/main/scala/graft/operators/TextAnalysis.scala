@@ -265,4 +265,55 @@ object TextAnalysis {
       |  FROM sc) t
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  /** Bigram language-model scoring: train the LM on the corpus itself
+    * (bigram/unigram conditional MLE) and score every document by its
+    * mean log-probability — the perplexity-style fluency signal quality
+    * pipelines use beside rule filters. Two grouped counts build the
+    * model; scoring joins each document's bigrams to the model on the
+    * bigram key. Both model sides are derived from the corpus, so the
+    * joins carry `shuffle_hash` (the §5 cliff: never let Catalyst
+    * broadcast-build a derived corpus on the driver). At 100 TB the
+    * model tables persist bucketed by their key and scoring is one
+    * co-located join per batch.
+    */
+  def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 2), i =>
+          struct(
+            concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)).as("bigram"),
+            element_at(col("toks"), i + 1).as("w1")))).as("b"))
+      .select(col("doc_id"), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
+    val bigramCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val unigramCounts = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg
+      .join(bigramCounts.hint("shuffle_hash"), Seq("bigram"))
+      .join(unigramCounts.hint("shuffle_hash"), Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c2") / col("c1").cast("double"))), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qBigramLmOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents
+      |),
+      |bg AS (
+      |  SELECT doc_id, t.toks[i] || ' ' || t.toks[i+1] AS bigram, t.toks[i] AS w1
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2
+      |),
+      |bc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+      |uc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+      |SELECT bg.doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln(bc.c2 / CAST(uc.c1 AS DOUBLE))), 4) AS avg_logp
+      |FROM bg JOIN bc USING (bigram) JOIN uc USING (w1)
+      |GROUP BY bg.doc_id
+      |ORDER BY bg.doc_id""".stripMargin
 }

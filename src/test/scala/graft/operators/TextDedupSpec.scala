@@ -79,6 +79,23 @@ class TextDedupSpec extends SparkSpec {
     assert(admitted.forall(_ >= Dedup.IncrementalCutover))
   }
 
+  test("bigram LM scores the common continuation above the rare one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    // "the cat" appears 9x, "the dog" once: p(cat|the)=0.9, p(dog|the)=0.1
+    val docs = (1L to 9L).map(i => (i, "the cat", "en", "src0", 7L)) :+
+      ((10L, "the dog", "en", "src0", 7L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.qBigramLm(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"))).toMap
+    assert(rows.values.forall(_._1 == 1L))
+    assert(math.abs(rows(1L)._2 - math.log(0.9)) < 1e-4)
+    assert(math.abs(rows(10L)._2 - math.log(0.1)) < 1e-4)
+    assert(rows(1L)._2 > rows(10L)._2)
+  }
+
   test("simhash fingerprints are deterministic and near-dups are hamming-close") {
     val fp = Dedup.qDedupSimhash(spark, sf001)
     val m = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
