@@ -39,8 +39,45 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("corpus self-joins are shuffle joins, not broadcasts") {
-    Seq("q_dedup_ngram_jaccard", "q_dedup_minhash").foreach { q =>
+    Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_containment",
+        "q_bigram_lm", "q_incremental_dedup").foreach { q =>
       assert(plans(q).contains("ShuffledHashJoin"), s"$q lost its shuffle_hash hint")
     }
+  }
+
+  test("derived-corpus sides never broadcast in the dedup/LM family") {
+    // a BroadcastExchange whose subtree computes shingles/bigrams means
+    // Catalyst is building a derived corpus on the driver — the r1 cliff
+    Seq("q_dedup_containment", "q_bigram_lm", "q_soft_dedup").foreach { q =>
+      plans(q).split("BroadcastExchange").drop(1).foreach { b =>
+        assert(!b.contains("documents.parquet"),
+          s"$q broadcasts a subtree that reads the corpus")
+      }
+    }
+  }
+
+  test("robust-stats frames broadcast back onto the corpus scan") {
+    // med/mad are #sources-row aggregates; the corpus side must stay
+    // un-shuffled (no exchange between its scan and the final joins)
+    val p = plans("q_length_outliers")
+    assert(p.contains("BroadcastHashJoin"), "stats frames must broadcast")
+  }
+
+  test("scan-side curation operators plan no joins or aggregations") {
+    // pure projections: one scan, zero exchanges beyond the final sort
+    Seq("q_text_normalize", "q_text_redact", "q_quality_score",
+        "q_stratified_sample").foreach { q =>
+      val p = plans(q)
+      assert(!p.contains("Join"), s"$q plans a join")
+      assert(!p.contains("HashAggregate"), s"$q plans an aggregation")
+    }
+  }
+
+  test("centroid averaging partial-aggregates before its single shuffle") {
+    val p = plans("q_embed_centroids")
+    assert(p.contains("partial_count") || p.contains("partial_avg"),
+      "centroid agg lost its map-side combine")
+    assert(!p.contains("CollectList") && !p.contains("collect_list"),
+      "centroids must aggregate cells, not collect vectors")
   }
 }
