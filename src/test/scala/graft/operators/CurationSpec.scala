@@ -166,6 +166,48 @@ class CurationSpec extends SparkSpec {
       == expected)
   }
 
+  test("curation and dedup operators survive an empty corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "stratified_sample" -> (Curation.qStratifiedSample _),
+      "train_test_split" -> (Curation.qTrainTestSplit _),
+      "domain_mix" -> (Curation.qDomainMix _),
+      "length_outliers" -> (Curation.qLengthOutliers _),
+      "quality_score" -> (Curation.qQualityScore _),
+      "token_budget" -> (Curation.qTokenBudget _),
+      "decontaminate" -> (Curation.qDecontaminate _),
+      "gopher_quality" -> (Curation.qGopherQuality _),
+      "ngram_repetition" -> (Curation.qNgramRepetition _),
+      "bigram_lm" -> (TextAnalysis.qBigramLm _),
+      "containment" -> (Dedup.qMinhashContainment _),
+      "incremental_dedup" -> (Dedup.qIncrementalDedup _),
+      "soft_dedup" -> (Dedup.qSoftDedup _))
+    ops.foreach { case (name, fn) =>
+      val n = try fn(spark, dir).count()
+      catch { case e: Throwable => fail(s"$name threw on empty corpus: $e") }
+      assert(n == 0L, s"$name returned $n rows from an empty corpus")
+    }
+  }
+
+  test("single-token documents fall out of the n-gram family, not into errors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    Seq((1L, "word", "en", "src0", 4L), (2L, "two words", "en", "src0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // trigram shingles need >=3 tokens: nothing qualifies, nothing throws
+    assert(Dedup.qMinhashContainment(spark, dir).count() == 0L)
+    assert(Curation.qNgramRepetition(spark, dir).count() == 0L)
+    // bigrams need >=2 tokens: only doc 2 scores
+    val lm = TextAnalysis.qBigramLm(spark, dir).collect()
+    assert(lm.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+  }
+
   test("containment respects its floor on the real corpus") {
     Dedup.qMinhashContainment(spark, sf001).collect().foreach { r =>
       val c = r.getAs[Double]("containment")
