@@ -335,6 +335,48 @@ object Dedup {
     labels
   }
 
+  /** Boilerplate density (the flat-text analog of CCNet line-dedup):
+    * a shingle occurring in ≥ [[BoilerplateDocs]] distinct documents is
+    * boilerplate (template headers, navigation, legal footers); each
+    * document is scored by the fraction of its shingles that are
+    * boilerplate. Corpus-wide doc-frequency is one map-side-combined
+    * count over exploded (hash, doc) longs; the per-doc score joins the
+    * exploded shingles to that frequency table on the hash
+    * (shuffle_hash — both sides derived). High-ratio docs are dropped or
+    * trimmed before training.
+    */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(s, dir)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val docFreq = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+    ex.join(docFreq.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= BoilerplateDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler") / col("n_shingles").cast("double"), 6).as("boiler_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Doc-frequency floor for boilerplate shingles. The shingle sets are
+    * distinct per document, so the count per hash IS its doc frequency.
+    */
+  val BoilerplateDocs = 3L
+
+  val qBoilerplateOracle: String =
+    s"""WITH $shingledSql,
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM s),
+       |dfq AS (SELECT h, count(*) AS n_docs FROM ex GROUP BY h)
+       |SELECT ex.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN dfq.n_docs >= $BoilerplateDocs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_boiler,
+       |  round(CAST(sum(CASE WHEN dfq.n_docs >= $BoilerplateDocs THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+       |FROM ex JOIN dfq USING (h)
+       |GROUP BY ex.doc_id
+       |ORDER BY ex.doc_id""".stripMargin
+
   /** Incremental (cross-corpus) exact dedup: treat doc_ids past a fixed
     * cutover as an arriving crawl batch and admit only documents whose
     * normalized-text fingerprint does not already exist in the

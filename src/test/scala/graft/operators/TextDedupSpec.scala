@@ -96,6 +96,30 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(1L)._2 > rows(10L)._2)
   }
 
+  test("boilerplate ratio isolates the shared template from unique content") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    val template = "copyright acme corp all rights reserved"
+    // 3 docs share the template (its shingles hit the >=3 doc floor);
+    // their unique tails and doc 4 stay below it
+    val docs = Seq(
+      (1L, s"$template alpha beta gamma delta", "en", "src0", 40L),
+      (2L, s"$template epsilon zeta eta theta", "en", "src0", 40L),
+      (3L, s"$template iota kappa lambda mu", "en", "src0", 40L),
+      (4L, "nu xi omicron pi rho sigma tau", "en", "src1", 30L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.qBoilerplate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_boiler"), r.getAs[Double]("boiler_ratio"))).toMap
+    // the template alone yields 4 trigram shingles present in all 3 docs
+    Seq(1L, 2L, 3L).foreach { id =>
+      // 10 tokens -> 8 trigrams; the 4 template-internal ones are shared
+      assert(rows(id) == ((4L, 0.5)), s"doc $id: ${rows(id)}")
+    }
+    assert(rows(4L) == ((0L, 0.0)), "unique doc must carry no boilerplate")
+  }
+
   test("simhash fingerprints are deterministic and near-dups are hamming-close") {
     val fp = Dedup.qDedupSimhash(spark, sf001)
     val m = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
