@@ -44,6 +44,14 @@ object TextFns {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** DuckDB SQL twins of the primitives above, spliced into the oracle
+    * strings. ONE definition per contract: these are parity-critical —
+    * a drifted copy in an operator file is a silent oracle divergence.
+    */
+  val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  def hash28Sql(x: String): String = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
+  def hash60Sql(x: String): String = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
   /** MinHash value j over a pre-hashed shingle array: min((a_j*h+b_j) mod p). */
   def minhash(h28s: Column, j: Int): Column = {
     val a = 2L * j + 3L

@@ -62,13 +62,19 @@ object BinaryPipeline {
   }
 
   /** REAL image decode: true pixel dimensions via the JDK's bundled
-    * ImageIO codecs (PNG/BMP/GIF/JPEG). Returns None for bytes no
-    * registered reader understands.
+    * ImageIO codecs (PNG/BMP/GIF/JPEG). Returns None both for bytes no
+    * registered reader understands AND for recognized-but-corrupt
+    * payloads (a truncated PNG makes ImageIO.read THROW, not return
+    * null — and a dirty web corpus is full of those; one bad record
+    * must degrade to the stub, not fail the job).
     */
-  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    Option(img).map(i => (i.getWidth, i.getHeight))
-  }
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      Option(img).map(i => (i.getWidth, i.getHeight))
+    } catch {
+      case _: java.io.IOException | _: RuntimeException => None
+    }
 
   /** STUB decode kernel (audio/video, and image bytes ImageIO rejects):
     * deterministic pseudo-features from raw bytes. Replace with a real

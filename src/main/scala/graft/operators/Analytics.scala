@@ -55,12 +55,16 @@ object Analytics {
     */
   def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
       ps: Seq[(Double, String)]): DataFrame = {
+    // percentile semantics ignore nulls (quantile_cont / percentile both
+    // do); unfiltered, nulls would inflate n AND sort first under
+    // row_number, silently shifting every order statistic
+    val nonNull = df.filter(col(valueCol).isNotNull)
     val wSort = Window.partitionBy(col(grp)).orderBy(col(valueCol))
     // group sizes via a map-side-combined agg + broadcast join — NOT a
     // count().over(partitionBy) window, whose unbounded frame buffers the
     // whole partition per task (measured ~1.5s of the 2s runtime)
-    val counts = df.groupBy(col(grp)).agg(count(lit(1)).as("n"))
-    val indexed = df.select(col(grp), col(valueCol))
+    val counts = nonNull.groupBy(col(grp)).agg(count(lit(1)).as("n"))
+    val indexed = nonNull.select(col(grp), col(valueCol))
       .withColumn("rn", row_number().over(wSort)) // running frame: streams
       .join(broadcast(counts), grp)
     // keep only the ≤2 bracketing order statistics per percentile before

@@ -19,8 +19,11 @@ import graft.sources.Tables
   */
 object Curation {
 
-  private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-  private def hash28Sql(x: String) = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
+  private val toksSql = TextFns.toksSql
+  private def hash28Sql(x: String) = TextFns.hash28Sql(x)
+
+  /** Stopword set shared by the Gopher rules and the quality classifier. */
+  private val StopWords = Seq("the", "a", "of", "and", "to")
 
   /** Uniform [0, mod) draw keyed on (salt, doc_id) — content-addressed
     * randomness both engines compute identically.
@@ -135,14 +138,13 @@ object Curation {
     * statistics).
     */
   def qGopherQuality(s: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to")
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("text"),
         size(col("toks")).as("n_tokens"),
         aggregate(transform(col("toks"), t => length(t)), lit(0), (a, x) => a + x)
           .as("sum_word_len"),
-        size(filter(col("toks"), t => t.isin(stop.map(w => lit(w): Any): _*)))
+        size(filter(col("toks"), t => t.isin(StopWords.map(w => lit(w): Any): _*)))
           .as("n_stop"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_word_len") / col("n_tokens"), 4).as("mean_word_len"),
@@ -260,7 +262,10 @@ object Curation {
     val splits = Tables.documents(s, dir)
       .select(col("doc_id"),
         when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
-    val pairs = Dedup.jaccardPairs(s, dir)
+    // checkpoint: the two-way orientation below references the pair
+    // frame twice — unmaterialized, the blocked self-join and Jaccard
+    // verification would execute twice
+    val pairs = Dedup.jaccardPairs(s, dir).localCheckpoint()
     val oriented = pairs
       .select(col("doc_a").as("l"), col("doc_b").as("r"), col("jaccard"))
       .union(pairs.select(col("doc_b").as("l"), col("doc_a").as("r"), col("jaccard")))
@@ -384,12 +389,11 @@ object Curation {
     * engine batch/streaming parity is a shared projection, not a port.
     */
   def withQuality(df: DataFrame): DataFrame = {
-    val stop = Seq("the", "a", "of", "and", "to")
     df
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_ratio",
-        size(filter(col("toks"), t => t.isin(stop.map(w => lit(w): Any): _*)))
+        size(filter(col("toks"), t => t.isin(StopWords.map(w => lit(w): Any): _*)))
           / col("n_tokens").cast("double"))
       .withColumn("symbol_ratio",
         length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))

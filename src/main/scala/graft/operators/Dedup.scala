@@ -30,11 +30,11 @@ object Dedup {
   val RowsPerBand = 4
   val JaccardThreshold = 0.5
 
-  private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val toksSql = TextFns.toksSql
   private val shinglesSql =
     "list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
-  private def hash28Sql(x: String) = s"('0x' || substr(md5($x), 1, 7))::BIGINT"
-  private def hash60Sql(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+  private def hash28Sql(x: String) = TextFns.hash28Sql(x)
+  private def hash60Sql(x: String) = TextFns.hash60Sql(x)
 
   /** documents → (doc_id, hs) distinct 28-bit-hashed 3-shingle sets.
     * Everything downstream (blocking, LSH, Jaccard verification) works

@@ -94,14 +94,20 @@ object Similarity {
     */
   def chunkedCorpus(s: SparkSession, dir: String, chunkSize: Int): DataFrame = {
     val wRank = Window.partitionBy(col("label")).orderBy(col("vec_id"))
-    val wLabel = Window.partitionBy(col("label"))
-    // chunk via row_number (exact ≤ chunkSize sizes); nchunks via a second
-    // window on the same partitioning — no extra shuffle beyond the first.
+    // chunk via row_number — its running frame SORTS the label partition
+    // (Tungsten sort, spills gracefully) and streams, so a hot label
+    // costs a disk sort, not a memory buffer. nchunks comes from a
+    // map-side-combined per-label count broadcast back: the r2 first cut
+    // used max(chunk) over an UNBOUNDED label window, which buffers the
+    // hot label's full vector payload in one task's window array —
+    // exactly the structure this operator exists to avoid.
+    val counts = Tables.embeddings(s, dir).groupBy(col("label"))
+      .agg(ceil(count(lit(1)) / lit(chunkSize)).cast("int").as("nchunks"))
     val chunked = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), VectorFns.asDouble(col("embedding")).as("v"))
       .withColumn("chunk",
         floor((row_number().over(wRank) - 1) / lit(chunkSize)).cast("int"))
-      .withColumn("nchunks", (max(col("chunk")).over(wLabel) + 1).cast("int"))
+      .join(broadcast(counts), Seq("label"))
     chunked
       .select(col("vec_id"), col("label"), col("v"), col("chunk"),
         explode(sequence(lit(0), col("nchunks") - 1)).as("other"))

@@ -25,7 +25,7 @@ object TextAnalysis {
   private def stopCountSql(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
-  private val toksSql = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+  private val toksSql = TextFns.toksSql
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / single digits / single punctuation marks).
@@ -278,6 +278,9 @@ object TextAnalysis {
     * co-located join per batch.
     */
   def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+    // materialized once: the model counts AND the scoring join all read
+    // this frame — without the checkpoint the tokenize+explode (the
+    // dominant stage) executes three times
     val bg = Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -288,6 +291,7 @@ object TextAnalysis {
               element_at(col("toks"), i + 2)).as("bigram"),
             element_at(col("toks"), i + 1).as("w1")))).as("b"))
       .select(col("doc_id"), col("b.bigram").as("bigram"), col("b.w1").as("w1"))
+      .localCheckpoint()
     val bigramCounts = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
     val unigramCounts = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     bg

@@ -47,12 +47,18 @@ object CloudOptimize {
       numPartitions: Option[Int] = None,
       extraOptions: Map[String, String] = Map.empty): Unit = {
     val rangeCols = (partitionCols ++ sortCols).map(col)
-    val sorted =
-      if (sortCols.nonEmpty)
+    // the range repartition applies whenever there is a key to range on —
+    // sort-less writes with partition columns still need the skew spread
+    // and still honor a pinned task count (previously the sortCols-empty
+    // branch silently skipped both)
+    val ranged =
+      if (rangeCols.nonEmpty)
         numPartitions.fold(df.repartitionByRange(rangeCols: _*))(
-            n => df.repartitionByRange(n, rangeCols: _*))
-          .sortWithinPartitions(rangeCols: _*)
+          n => df.repartitionByRange(n, rangeCols: _*))
       else df
+    val sorted =
+      if (sortCols.nonEmpty) ranged.sortWithinPartitions(rangeCols: _*)
+      else ranged
     sorted.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)

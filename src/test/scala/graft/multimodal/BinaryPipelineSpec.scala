@@ -60,6 +60,22 @@ class BinaryPipelineSpec extends SparkSpec {
     assert(f.width == junk.length && f.n_frames == 1)
   }
 
+  test("recognized-but-corrupt image bytes fall back instead of killing the job") {
+    import spark.implicits._
+    // valid PNG signature + truncated body: ImageIO selects the PNG
+    // reader and THROWS (doesn't return null) — the dirty-corpus case
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val truncated = baos.toByteArray.take(24)
+    assert(BinaryPipeline.decodeImage(truncated).isEmpty)
+    val media = Seq(BinaryPipeline.MediaRecord(
+      10L, "image", truncated, "test", truncated.length.toLong)).toDS()
+    val f = BinaryPipeline.extractFeatures(media).collect().head
+    assert(f.width == math.max(1, truncated.length % 1024), "stub path expected")
+  }
+
   test("resize bounds every payload and keeps metadata consistent") {
     val resized = BinaryPipeline.resize(
       BinaryPipeline.mediaTable(spark, sf001), maxBytes = 128).collect()
