@@ -335,6 +335,61 @@ object Dedup {
     labels
   }
 
+  /** MinHash accuracy certification: for every verified near-dup pair,
+    * the signature-estimated Jaccard (fraction of agreeing components
+    * among [[NumPerms]] permutations) beside the exact value, with the
+    * binomial 3σ bound as a per-pair `within_3sd` verdict — the sketch
+    * ships its measured error, the same self-certification contract as
+    * `q_ann_recall` and the HLL/t-digest rows. Signatures join by id
+    * (one row per doc), so certification adds two hash joins over the
+    * pair sliver, nothing corpus-quadratic.
+    */
+  def qMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val sigs = shingled(s, dir).select(col("doc_id"),
+      expr(s"minhash_sigs(hs, $NumPerms)").as("sigs"))
+    val pairs = jaccardPairs(s, dir).localCheckpoint()
+    val matches = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _)
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sigs").as("sa"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sigs").as("sb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(matches / lit(NumPerms.toDouble), 4).as("jaccard_est"))
+      .withColumn("abs_err", round(abs(col("jaccard") - col("jaccard_est")), 4))
+      .withColumn("within_3sd",
+        col("abs_err") <= lit(3.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard"))
+          / lit(NumPerms.toDouble)) + lit(1e-9))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qMinhashEstOracle: String = {
+    val ms = (0 until NumPerms).map { j =>
+      val a = 2L * j + 3L
+      val b = 101L * j + 7L
+      s"list_min(list_transform(hs, hh -> ($a * hh + $b) % $P))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH $jaccardPairsCte,
+       |sig AS (SELECT doc_id, $ms AS sigs FROM s),
+       |est AS (
+       |  SELECT pj.doc_a, pj.doc_b, pj.jaccard,
+       |    round(list_sum(list_transform(range(1, $NumPerms + 1),
+       |      i -> CASE WHEN a.sigs[i] = b.sigs[i] THEN 1 ELSE 0 END))
+       |      / CAST($NumPerms AS DOUBLE), 4) AS jaccard_est
+       |  FROM pj
+       |  JOIN sig a ON a.doc_id = pj.doc_a
+       |  JOIN sig b ON b.doc_id = pj.doc_b
+       |)
+       |SELECT doc_a, doc_b, jaccard, jaccard_est,
+       |  round(abs(jaccard - jaccard_est), 4) AS abs_err,
+       |  round(abs(jaccard - jaccard_est), 4)
+       |    <= 3.0 * sqrt(jaccard * (1.0 - jaccard) / $NumPerms) + 1e-9 AS within_3sd
+       |FROM est
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Boilerplate density (the flat-text analog of CCNet line-dedup):
     * a shingle occurring in ≥ [[BoilerplateDocs]] distinct documents is
     * boilerplate (template headers, navigation, legal footers); each

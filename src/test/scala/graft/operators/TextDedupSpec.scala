@@ -96,6 +96,19 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(1L)._2 > rows(10L)._2)
   }
 
+  test("minhash estimates track exact jaccard within the binomial bound") {
+    val rows = Dedup.qMinhashEst(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("jaccard_est")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Double]("abs_err") ==
+        math.rint(math.abs(r.getAs[Double]("jaccard") - est) * 1e4) / 1e4)
+    }
+    val within = rows.count(_.getAs[Boolean]("within_3sd")).toDouble / rows.length
+    assert(within >= 0.9, s"only $within of pairs inside 3 sigma")
+  }
+
   test("boilerplate ratio isolates the shared template from unique content") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
