@@ -59,25 +59,38 @@ object Analytics {
     // do); unfiltered, nulls would inflate n AND sort first under
     // row_number, silently shifting every order statistic
     val nonNull = df.filter(col(valueCol).isNotNull)
+    // rank DISTINCT-VALUE CELLS, not rows: the first cut ranked rows with
+    // row_number over partitionBy(grp), which funnels a whole group's
+    // rows through one task's sort — with 3 groups over 100 TB that is 3
+    // tasks doing the corpus. The (grp, value)→count aggregation is
+    // map-side combined, so the shuffle and the per-group sort scale
+    // with the value domain, not the row count; a cell's rank span
+    // [hi_rank−c+1, hi_rank] reproduces row semantics exactly.
+    // (Worst case — all values distinct — degrades to the old shape.)
+    val cells = nonNull.groupBy(col(grp), col(valueCol)).agg(count(lit(1)).as("c"))
     val wSort = Window.partitionBy(col(grp)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // group sizes via a map-side-combined agg + broadcast join — NOT a
     // count().over(partitionBy) window, whose unbounded frame buffers the
     // whole partition per task (measured ~1.5s of the 2s runtime)
-    val counts = nonNull.groupBy(col(grp)).agg(count(lit(1)).as("n"))
-    val indexed = nonNull.select(col(grp), col(valueCol))
-      .withColumn("rn", row_number().over(wSort)) // running frame: streams
+    val counts = cells.groupBy(col(grp)).agg(sum(col("c")).as("n"))
+    val indexed = cells
+      .withColumn("hi_rank", sum(col("c")).over(wSort)) // running frame: streams
+      .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
       .join(broadcast(counts), grp)
-    // keep only the ≤2 bracketing order statistics per percentile before
-    // aggregating — the agg input is ~2·|ps| rows per group
+    def holds(rank: org.apache.spark.sql.Column) =
+      rank >= col("lo_rank") && rank <= col("hi_rank")
+    // keep only the ≤2 cells holding bracketing order statistics per
+    // percentile before aggregating — the agg input is ~2·|ps| cells/group
     val isTarget = ps.map { case (p, _) =>
       val lo = floor((col("n") - 1) * p) + 1
-      col("rn") === lo || col("rn") === lo + 1
+      holds(lo) || holds(lo + 1)
     }.reduce(_ || _)
     val aggCols = ps.flatMap { case (p, name) =>
       val lo = floor((col("n") - 1) * p) + 1 // 1-based rank of the lower stat
       Seq(
-        max(when(col("rn") === lo, col(valueCol))).as(s"${name}_lo"),
-        max(when(col("rn") === lo + 1, col(valueCol))).as(s"${name}_hi"))
+        max(when(holds(lo), col(valueCol))).as(s"${name}_lo"),
+        max(when(holds(lo + 1), col(valueCol))).as(s"${name}_hi"))
     }
     val agged = indexed.filter(isTarget).groupBy(col(grp))
       .agg(max(col("n")).as("n"), aggCols: _*)
