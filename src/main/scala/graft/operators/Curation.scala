@@ -60,11 +60,18 @@ object Curation {
     * document can never leak across splits between runs. One
     * map-side-combined aggregation.
     */
-  def qTrainTestSplit(s: SparkSession, dir: String): DataFrame = {
+  /** The content-addressed 80/10/10 split assignment — ONE definition
+    * shared by the split report, decontamination, and the end-to-end
+    * [[graft.CuratePipeline]].
+    */
+  def splitCol: org.apache.spark.sql.Column = {
     val u = draw("split", 100)
+    when(u < 80, "train").when(u < 90, "val").otherwise("test")
+  }
+
+  def qTrainTestSplit(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
-      .select(col("source"),
-        when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
+      .select(col("source"), splitCol.as("split"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("source"), col("split"))
@@ -258,10 +265,8 @@ object Curation {
     * sliver the blocked dedup already computes — no new pair generation.
     */
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val u = draw("split", 100)
     val splits = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        when(u < 80, "train").when(u < 90, "val").otherwise("test").as("split"))
+      .select(col("doc_id"), splitCol.as("split"))
     // checkpoint: the two-way orientation below references the pair
     // frame twice — unmaterialized, the blocked self-join and Jaccard
     // verification would execute twice
