@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -265,6 +266,49 @@ object TextAnalysis {
       |  FROM sc) t
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
+
+  /** Vocabulary coverage curve — the tokenizer-sizing analytic: the top
+    * [[VocabTopK]] words by corpus frequency with each word's token
+    * share and the running cumulative share ("a 50-word vocab covers x%
+    * of all tokens"). Word counts are one map-side-combined aggregation;
+    * the top-k is TakeOrdered (a per-partition heap + driver merge of k
+    * rows — never a global sort), and the cumulative window runs over
+    * the k-row result with the 1-row corpus total broadcast.
+    */
+  val VocabTopK = 50
+
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val top = counts.orderBy(col("n").desc, col("word")).limit(VocabTopK)
+    val w = Window.orderBy(col("n").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("word"))))
+      .select(col("rank"), col("word"), col("n"),
+        round(col("n") / col("tot"), 6).as("share"),
+        round(sum(col("n") / col("tot")).over(w), 6).as("cum_share"))
+      .orderBy(col("rank"))
+  }
+
+  val qVocabCoverageOracle: String =
+    s"""WITH w AS (
+       |  SELECT unnest($toksSql) AS word FROM documents
+       |),
+       |c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+       |top AS (
+       |  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
+       |  FROM c ORDER BY n DESC, word LIMIT $VocabTopK
+       |)
+       |SELECT rank, word, n,
+       |  round(n / t.tot, 6) AS share,
+       |  round(sum(n / t.tot) OVER (ORDER BY n DESC, word
+       |                             ROWS UNBOUNDED PRECEDING), 6) AS cum_share
+       |FROM top CROSS JOIN t
+       |ORDER BY rank""".stripMargin
 
   /** Bigram language-model scoring: train the LM on the corpus itself
     * (bigram/unigram conditional MLE) and score every document by its

@@ -96,6 +96,21 @@ class TextDedupSpec extends SparkSpec {
     assert(rows(1L)._2 > rows(10L)._2)
   }
 
+  test("vocab coverage is a monotone curve with decreasing word shares") {
+    val rows = TextAnalysis.qVocabCoverage(spark, sf001).collect()
+    // the synthetic vocab (31 words) is smaller than k=50: full coverage
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.VocabTopK)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-3,
+      "a vocab covering every word must reach cum_share 1")
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b },
+      "shares must be non-increasing in rank")
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+    assert(cums.last <= 1.0 + 1e-9 && cums.last > shares.head)
+  }
+
   test("minhash estimates track exact jaccard within the binomial bound") {
     val rows = Dedup.qMinhashEst(spark, sf001).collect()
     assert(rows.nonEmpty)
