@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Cloud-optimized re-encoding — the Spark analog of the reference's
   * netCDF→Zarr conversion (assets/loca2.py:61-103): take a dataset in an
@@ -47,18 +47,27 @@ object CloudOptimize {
       numPartitions: Option[Int] = None,
       extraOptions: Map[String, String] = Map.empty): Unit = {
     val rangeCols = (partitionCols ++ sortCols).map(col)
-    // the range repartition applies whenever there is a key to range on —
-    // sort-less writes with partition columns still need the skew spread
-    // and still honor a pinned task count (previously the sortCols-empty
-    // branch silently skipped both)
-    val ranged =
-      if (rangeCols.nonEmpty)
-        numPartitions.fold(df.repartitionByRange(rangeCols: _*))(
-          n => df.repartitionByRange(n, rangeCols: _*))
-      else df
+    // three shapes, all skew-spreading (the first cut silently skipped
+    // repartitioning for sort-less writes, reintroducing one-task skew):
+    // - sort keys present: range over (partition ++ sort) keys — a hot
+    //   partition value splits at sort-key boundaries into several
+    //   internally-sorted, disjoint-range files;
+    // - partition-only: range can't split a single hot VALUE (no key
+    //   inside it), so spread with a deterministic content-hash salt —
+    //   directory layout is untouched (partitionBy reads the column),
+    //   files just aren't sorted (there was no sort contract anyway);
+    // - neither: leave upstream partitioning alone.
     val sorted =
-      if (sortCols.nonEmpty) ranged.sortWithinPartitions(rangeCols: _*)
-      else ranged
+      if (sortCols.nonEmpty)
+        numPartitions.fold(df.repartitionByRange(rangeCols: _*))(
+            n => df.repartitionByRange(n, rangeCols: _*))
+          .sortWithinPartitions(rangeCols: _*)
+      else if (partitionCols.nonEmpty) {
+        val salt = pmod(hash(df.columns.map(col): _*), lit(64))
+        val keys = partitionCols.map(col) :+ salt
+        numPartitions.fold(df.repartition(keys: _*))(
+          n => df.repartition(n, keys: _*))
+      } else df
     sorted.write
       .mode(mode)
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -56,4 +56,24 @@ class CloudOptimizeSpec extends SparkSpec {
     }
     assert(spark.read.parquet(out).count() == 9010)
   }
+
+  test("sort-less writes salt-spread a hot partition value across tasks") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_sortless").toString
+    // one hot partition value, NO sort columns: the write must still
+    // spread it (the first cut silently skipped the repartition when
+    // sortCols was empty, reintroducing one-task skew)
+    val skewed = spark.range(0, 4010)
+      .select(
+        when(col("id") < 4000, "2024-01-01").otherwise("2024-01-02").as("dt"),
+        col("id").as("k"))
+    CloudOptimize.write(skewed, out, partitionCols = Seq("dt"), sortCols = Nil,
+      numPartitions = Some(4))
+    val hotDir = new java.io.File(s"$out/dt=2024-01-01")
+    val files = hotDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    // the content-hash salt spreads the hot value over the pinned tasks
+    assert(files.length > 1,
+      s"hot value written as ${files.length} file(s) — sort-less skew remains")
+    assert(spark.read.parquet(out).count() == 4010)
+  }
 }
