@@ -42,7 +42,9 @@ object CuratePipeline {
     CloudOptimize.write(curated, s"$outDir/corpus",
       partitionCols = Seq("split"), sortCols = Seq("doc_id"))
     Interchange.writeJsonl(curated, s"$outDir/jsonl", partitionCols = Seq("split"))
-    val written = spark.read.parquet(s"$outDir/corpus")
+    // explicit schema: an all-filtered (empty) corpus writes no data
+    // files, and schema inference on the bare directory would throw
+    val written = spark.read.schema(curated.schema).parquet(s"$outDir/corpus")
     val bySplit = written.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Summary(docs.count(), bySplit.values.sum, bySplit)

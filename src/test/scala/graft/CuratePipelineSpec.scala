@@ -36,4 +36,15 @@ class CuratePipelineSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.exists(_.startsWith("split=")))
   }
+
+  test("the pipeline handles an empty corpus without erroring") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe_empty_out").toString
+    val s = CuratePipeline.run(spark, dir, out)
+    assert(s.nInput == 0L && s.nWritten == 0L && s.bySplit.isEmpty)
+  }
 }
