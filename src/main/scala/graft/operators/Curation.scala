@@ -22,8 +22,19 @@ object Curation {
   private val toksSql = TextFns.toksSql
   private def hash28Sql(x: String) = TextFns.hash28Sql(x)
 
-  /** Stopword set shared by the Gopher rules and the quality classifier. */
+  /** Stopword set shared by the Gopher rules and the quality classifier.
+    * Spliced into the oracle SQL below (never hand-copied) so the two
+    * engines cannot silently drift.
+    */
   private val StopWords = Seq("the", "a", "of", "and", "to")
+  private val stopListSql = StopWords.map(w => s"'$w'").mkString(", ")
+
+  /** Email-matching regex shared by [[qTextRedact]], its oracle, and the
+    * production scrub in [[graft.CuratePipeline]] — one definition, no
+    * drifted copies. The pattern is POSIX-basic on purpose: identical
+    * semantics under Spark's Java regex and DuckDB's RE2.
+    */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+"
 
   /** Uniform [0, mod) draw keyed on (salt, doc_id) — content-addressed
     * randomness both engines compute identically.
@@ -116,7 +127,7 @@ object Curation {
     val synth = when(col("doc_id") % 3 === 0,
       concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
         lit("@example.com"))).otherwise(col("text"))
-    val redacted = regexp_replace(synth, "[a-z0-9._]+@[a-z0-9.]+", "<EMAIL>")
+    val redacted = regexp_replace(synth, EmailRe, "<EMAIL>")
     Tables.documents(s, dir)
       .select(col("doc_id"),
         (synth =!= redacted).as("was_redacted"),
@@ -125,18 +136,18 @@ object Curation {
   }
 
   val qTextRedactOracle: String =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    CASE WHEN doc_id % 3 = 0
-      |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-      |         ELSE text END AS synth
-      |  FROM documents
-      |)
-      |SELECT doc_id,
-      |  synth != regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS was_redacted,
-      |  md5(regexp_replace(synth, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g')) AS redacted_fp
-      |FROM t
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE text END AS synth
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  synth != regexp_replace(synth, '$EmailRe', '<EMAIL>', 'g') AS was_redacted,
+       |  md5(regexp_replace(synth, '$EmailRe', '<EMAIL>', 'g')) AS redacted_fp
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
 
   /** Gopher-style rule-based quality filter: token count in range, mean
     * word length in range, bounded symbol ratio, and a minimum stopword
@@ -174,7 +185,7 @@ object Curation {
        |  SELECT doc_id, text,
        |    len(toks) AS n_tokens,
        |    list_sum(list_transform(toks, x -> length(x))) AS sum_word_len,
-       |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+       |    len(list_filter(toks, x -> x IN ($stopListSql))) AS n_stop
        |  FROM t
        |), m AS (
        |  SELECT doc_id, n_tokens,
@@ -248,8 +259,8 @@ object Curation {
        |  FROM documents
        |)
        |SELECT doc_id, source, n_tok,
-       |  sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
-       |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |  CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
        |  sum(n_tok) OVER (PARTITION BY source ORDER BY n_tok DESC, doc_id
        |                   ROWS UNBOUNDED PRECEDING) <= $TokenBudget AS in_budget
        |FROM t
@@ -416,7 +427,7 @@ object Curation {
        |f AS (
        |  SELECT doc_id,
        |    len(toks) AS n_tokens,
-       |    len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to')))
+       |    len(list_filter(toks, x -> x IN ($stopListSql)))
        |      / CAST(len(toks) AS DOUBLE) AS stop_ratio,
        |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
        |      / CAST(length(text) AS DOUBLE) AS symbol_ratio

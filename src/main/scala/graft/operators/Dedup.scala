@@ -215,7 +215,12 @@ object Dedup {
   /** Containment near-dup (|A∩B| / |A|): catches a document that is a
     * subset/quote of a longer one even when symmetric Jaccard is low.
     * Candidates come from an inverted index on A's MINIMUM shingle hash:
-    * if A ⊆ B then min(A) ∈ B, so recall on true containments is exact.
+    * if A ⊆ B then min(A) ∈ B, so recall is exact for FULL containment
+    * (true subsets). Pairs with partial containment in [threshold, 1)
+    * are found best-effort — they are missed iff A's single minimum
+    * shingle happens to be absent from B (blocking on several of A's
+    * smallest hashes would tighten recall at proportional index cost).
+    * The oracle shares the same blocking scheme, so parity holds exactly.
     * The index side explodes B's hashed shingles as bare (hash, doc_b)
     * longs — 16 bytes/row through the shuffle; B's shingle SET re-joins
     * by id only for the surviving candidates (the minhash trick — never
