@@ -519,4 +519,103 @@ object Analytics {
       |UNION ALL
       |SELECT kind, nationkey FROM b
       |ORDER BY kind, nationkey""".stripMargin
+
+  /** Unpivot (wide → long): melt three lineitem measures into
+    * (metric, val) rows, then profile each metric. The melt is a
+    * scan-side generator (Spark's Expand node — each input row fans out
+    * to 3, no shuffle), and the follow-up aggregate combines map-side,
+    * so the shuffle carries 3 partial rows per task regardless of fact
+    * size. The oracle mirrors with an explicit UNION ALL — identical
+    * semantics to the relational unpivot.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("val")), 2).as("sum_val"),
+        round(avg(col("val")), 6).as("avg_val"))
+      .orderBy(col("metric"))
+
+  val qUnpivotOracle: String =
+    """WITH u AS (
+      |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+      |)
+      |SELECT metric, count(*) AS n,
+      |  round(sum(val), 2) AS sum_val,
+      |  round(avg(val), 6) AS avg_val
+      |FROM u GROUP BY metric
+      |ORDER BY metric""".stripMargin
+
+  /** Deterministic mode: the most frequent order priority per market
+    * segment, ties broken lexicographically (smallest priority wins) —
+    * the reproducible form of a distributed mode, vs. built-in `mode()`
+    * whose tie choice is engine-/partition-order-dependent. Fact join
+    * broadcasts the customer side's two columns; the candidate frame
+    * after the first aggregate is dimension-sized (segments × priorities
+    * ≈ 25 rows), so the rank window is over a trivial frame.
+    */
+  def qModeAgg(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("modal_priority"),
+        col("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qModeAggOracle: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment, o_orderpriority
+      |), r AS (
+      |  SELECT c_mktsegment, o_orderpriority, n,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY n DESC, o_orderpriority) AS rk
+      |  FROM c
+      |)
+      |SELECT c_mktsegment, o_orderpriority AS modal_priority, n
+      |FROM r WHERE rk = 1
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Relative-standing windows: percent_rank and cume_dist of each
+    * customer's balance within its market segment. The ordering key
+    * includes c_custkey, so ranks are total and both engines compute
+    * identical (rank−1)/(n−1) and rank/n ratios — exact small-integer
+    * divisions that round(6) cannot disagree on. Partitioned by segment:
+    * only 5 partitions, so at 100 TB this exact form is a known skew
+    * hazard — the scale path for global standing is a two-pass
+    * rank-from-counts (per-segment histogram + broadcast CDF), which
+    * q_histogram/q_length_outliers demonstrate.
+    */
+  def qPercentRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  val qPercentRankOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
 }

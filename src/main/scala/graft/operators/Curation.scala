@@ -443,4 +443,55 @@ object Curation {
        |  z > 0 AS keep
        |FROM z
        |ORDER BY doc_id""".stripMargin
+
+  /** Per-source document caps ("domain caps"): keep at most N documents
+    * per source, best-quality first — the guard against any one domain
+    * flooding the mix (the complement of [[qTokenBudget]]'s token-count
+    * form). One window partitioned by source over the scan-side quality
+    * score; ranking on round(z, 6) with a doc_id tiebreak so the order is
+    * deterministic on both engines (raw-double ordering across engines is
+    * a latent tie hazard; rounding + total tiebreak is not). At 100 TB:
+    * one shuffle on source — a hot source is the known skew case, handled
+    * the same way as CloudOptimize's writes (salt the partial rank, then
+    * re-rank the per-salt survivors — bounded at salts × cap rows).
+    */
+  val SourceCap = 25
+
+  def qSourceCaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(round(col("z"), 6).desc, col("doc_id"))
+    withQuality(Tables.documents(s, dir))
+      .withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("cap_rank"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("source"), col("cap_rank"))
+  }
+
+  val qSourceCapsOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> x IN ($stopListSql)))
+       |      / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |      / CAST(length(text) AS DOUBLE) AS symbol_ratio
+       |  FROM t
+       |),
+       |z AS (
+       |  SELECT doc_id, source,
+       |    -1.0 + 0.6 * ln(1.0 + n_tokens) + 2.0 * stop_ratio - 4.0 * symbol_ratio AS z
+       |  FROM f
+       |),
+       |r AS (
+       |  SELECT doc_id, source, z,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY round(z, 6) DESC, doc_id) AS cap_rank
+       |  FROM z
+       |)
+       |SELECT doc_id, source, cap_rank,
+       |  round(1.0 / (1.0 + exp(-z)), 4) AS score
+       |FROM r WHERE cap_rank <= $SourceCap
+       |ORDER BY source, cap_rank""".stripMargin
 }

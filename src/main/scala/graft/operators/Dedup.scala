@@ -595,4 +595,41 @@ object Dedup {
        |FROM v
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * trigram hashes that no EARLIER document (smaller doc_id — the
+    * arrival order) already contains. Low novelty marks recombinations
+    * of existing text (template spam, scraped aggregates) that no
+    * pairwise near-dup test flags, because no single pair is similar.
+    * Shape: the inverted index's first-seen table is one hash-grouped
+    * min (map-side combined), joined back to the bare (hash, doc_id)
+    * explosion — both shuffles carry 16-byte long pairs, never shingle
+    * sets (the MinHash rule). At 100 TB the first-seen table is the
+    * persisted incremental-dedup companion: admitting a new batch
+    * re-scores novelty against it without touching the corpus.
+    */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val first = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles").cast("double"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qNgramNoveltyOracle: String =
+    s"""WITH $shingledSql,
+       |x AS (SELECT doc_id, unnest(hs) AS h FROM s),
+       |f AS (SELECT h, min(doc_id) AS first_doc FROM x GROUP BY h)
+       |SELECT x.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  round(sum(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+       |FROM x JOIN f USING (h)
+       |GROUP BY x.doc_id
+       |ORDER BY x.doc_id""".stripMargin
 }

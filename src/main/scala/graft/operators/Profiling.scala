@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.sources.Tables
+
+/** Data-profiling operators (SURVEY.md §2): the audit pass a pipeline
+  * runs before trusting 100 TB of input — column statistics, per-document
+  * character-class composition, and token-distribution entropy. Everything
+  * is one scan plus map-side-combined aggregation; nothing here joins or
+  * shuffles raw rows.
+  */
+object Profiling {
+
+  /** One-pass column profile of the lineitem measures: row/null counts,
+    * min/max, mean and sample-stddev per column. All 15 aggregates run in
+    * a SINGLE scan + aggregate (the one-row result is then exploded to a
+    * row per column — a constant-size reshape). At 100 TB this is the
+    * cheapest possible full-table audit: one pass, a 15-cell aggregation
+    * state, no shuffle beyond the per-task partial rows.
+    */
+  def qSummaryStats(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def statsStruct(c: String): Column = struct(
+      lit(c).as("col_name"),
+      sum(col(c).isNull.cast("long")).as("n_null"),
+      min(col(c)).as("vmin"),
+      max(col(c)).as("vmax"),
+      round(avg(col(c)), 4).as("vmean"),
+      round(stddev_samp(col(c)), 4).as("vstd"))
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n_rows"), cols.map(c => statsStruct(c).as(c)): _*)
+      .select(col("n_rows"), explode(array(cols.map(col): _*)).as("st"))
+      .select(col("st.col_name").as("col_name"), col("n_rows"),
+        col("st.n_null").as("n_null"), col("st.vmin").as("vmin"),
+        col("st.vmax").as("vmax"), col("st.vmean").as("vmean"),
+        col("st.vstd").as("vstd"))
+      .orderBy(col("col_name"))
+  }
+
+  val qSummaryStatsOracle: String = {
+    val one = Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  min($c) AS vmin, max($c) AS vmax,
+         |  round(avg($c), 4) AS vmean, round(stddev_samp($c), 4) AS vstd
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$one\nORDER BY col_name"
+  }
+
+  /** Per-document character-class composition: digit / uppercase /
+    * whitespace / symbol ratios — the cheap structural signals (tables,
+    * code, shouting, garbage encodings) that complement the token-level
+    * quality rules. Counting by class = length minus length after
+    * deleting the class; pure codegen'd projection, zero shuffle.
+    */
+  def qCharClasses(s: SparkSession, dir: String): DataFrame = {
+    def classRatio(pattern: String): Column =
+      round((length(col("text")) - length(regexp_replace(col("text"), pattern, "")))
+        / length(col("text")).cast("double"), 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        classRatio("[0-9]").as("digit_ratio"),
+        classRatio("[A-Z]").as("upper_ratio"),
+        classRatio("\\s").as("space_ratio"),
+        classRatio("[^a-zA-Z0-9\\s]").as("symbol_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qCharClassesOracle: String = {
+    def r(pat: String, alias: String) =
+      s"round((length(text) - length(regexp_replace(text, '$pat', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS $alias"
+    s"""SELECT doc_id, length(text) AS n_chars,
+       |  ${r("[0-9]", "digit_ratio")},
+       |  ${r("[A-Z]", "upper_ratio")},
+       |  ${r("\\s", "space_ratio")},
+       |  ${r("[^a-zA-Z0-9\\s]", "symbol_ratio")}
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-document unigram entropy (natural log): H = ln(N) − Σ n·ln(n)/N
+    * over token counts — near zero for one-word spam, high for diverse
+    * text; with n_distinct it is the type/token profile tokenizer sizing
+    * starts from. Shape: explode → (doc_id, word) counts → per-doc
+    * aggregate of the count rows. Both aggregations combine map-side, so
+    * the shuffles carry (doc, word, n) partials then (doc, Σ) cells —
+    * never token rows. The identity form avoids a second pass for N
+    * (Σ n·ln n needs no per-word probabilities).
+    */
+  def qWordEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n") * log(col("n"))).as("sn"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens")) - col("sn") / col("n_tokens"), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  val qWordEntropyOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(${TextFns.toksSql}) AS word FROM documents
+       |), c AS (
+       |  SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word
+       |), a AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |    count(*) AS n_distinct, sum(n * ln(n)) AS sn
+       |  FROM c GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  round(ln(n_tokens) - sn / n_tokens, 4) AS entropy
+       |FROM a
+       |ORDER BY doc_id""".stripMargin
+}

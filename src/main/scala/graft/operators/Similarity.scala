@@ -244,29 +244,47 @@ object Similarity {
     */
   val NumCentroids = 8
 
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF cell assignment shared by [[qAnnIvf]] and [[qSemdedup]]:
+    * centroids are deterministically the first `NumCentroids` vectors,
+    * broadcast; each vector joins its nearest centroid. Argmax via
+    * max_by, not a window rank: the crossJoin expands each vector ×
+    * NumCentroids, and max_by collapses it map-side in the same task —
+    * a window would shuffle AND sort the expanded rows. Ordering matches
+    * the oracle's (csim DESC, cent_id ASC) via the (csim, -cent_id)
+    * struct.
+    */
+  private def cellAssigned(s: SparkSession, dir: String): DataFrame = {
     val e = prepared(s, dir)
     val cents = e.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nsq").as("cnsq"))
-    def assign(df: DataFrame): DataFrame = {
-      val csim = VectorFns.cosineWithNorms(
-        VectorFns.dot(col("v"), col("cv")), col("nsq"), col("cnsq"))
-      // argmax via max_by, not a window rank: the crossJoin expands each
-      // vector × NumCentroids, and max_by collapses it map-side in the
-      // same task — a window would shuffle AND sort the expanded rows.
-      // Ordering matches the oracle's (csim DESC, cent_id ASC) via the
-      // (csim, -cent_id) struct.
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim", csim)
-        .groupBy(col("vec_id"))
-        .agg(
-          first(col("label")).as("label"),
-          first(col("v")).as("v"),
-          first(col("nsq")).as("nsq"),
-          max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cell"))
-        .select(col("vec_id"), col("label"), col("v"), col("nsq"), col("cell"))
-    }
-    val cells = assign(e)
+    val csim = VectorFns.cosineWithNorms(
+      VectorFns.dot(col("v"), col("cv")), col("nsq"), col("cnsq"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("csim", csim)
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("label")).as("label"),
+        first(col("v")).as("v"),
+        first(col("nsq")).as("nsq"),
+        max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cell"))
+      .select(col("vec_id"), col("label"), col("v"), col("nsq"), col("cell"))
+  }
+
+  /** The matching oracle CTE chain ending in `cells(vec_id, v, nsq, cell)`. */
+  private val cellsSql =
+    s"""c AS (SELECT vec_id AS cent_id, v AS cv, nsq AS cnsq FROM n WHERE vec_id < $NumCentroids),
+       |a AS (
+       |  SELECT n.vec_id, n.v, n.nsq, c.cent_id,
+       |    row_number() OVER (
+       |      PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.v", "c.cv")} / (sqrt(n.nsq) * sqrt(c.cnsq)) DESC, c.cent_id
+       |    ) AS rk
+       |  FROM n CROSS JOIN c
+       |),
+       |cells AS (SELECT vec_id, v, nsq, cent_id AS cell FROM a WHERE rk = 1)""".stripMargin
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val cells = cellAssigned(s, dir)
     val q = cells.filter(col("vec_id") < 10)
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).as("a").join(cells.as("b"),
@@ -283,16 +301,7 @@ object Similarity {
 
   val qAnnIvfOracle: String =
     s"""WITH $preparedSql,
-       |c AS (SELECT vec_id AS cent_id, v AS cv, nsq AS cnsq FROM n WHERE vec_id < $NumCentroids),
-       |a AS (
-       |  SELECT n.vec_id, n.v, n.nsq, c.cent_id,
-       |    row_number() OVER (
-       |      PARTITION BY n.vec_id
-       |      ORDER BY ${dotSql("n.v", "c.cv")} / (sqrt(n.nsq) * sqrt(c.cnsq)) DESC, c.cent_id
-       |    ) AS rk
-       |  FROM n CROSS JOIN c
-       |),
-       |cells AS (SELECT vec_id, v, nsq, cent_id AS cell FROM a WHERE rk = 1),
+       |$cellsSql,
        |q AS (SELECT * FROM cells WHERE vec_id < 10),
        |p AS (
        |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
@@ -415,4 +424,46 @@ object Similarity {
        |FROM x
        |GROUP BY label, pos
        |ORDER BY label, pos""".stripMargin
+
+  /** Semantic dedup (SemDeDup shape): drop every vector that has an
+    * EARLIER (smaller vec_id) neighbor above the cosine threshold within
+    * its IVF cell; report each dropped vector with its keeper (the
+    * smallest such neighbor). The index bounds the candidate set: pairs
+    * are generated per cell, never across the corpus, and in production
+    * the centroid count k is sized so cells stay ~constant (k ∝ n /
+    * target_cell_size) — within-cell pairing cost is cells × bound², the
+    * same bounded-block argument as the LSH/chunked paths (a hot cell
+    * routes through the q_embed_neardup chunk×chunk sub-blocking).
+    * shuffle_hash on the self-join: the cell frame is derived, so a
+    * broadcast would build it on the driver (the r1 cliff).
+    */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val cells = cellAssigned(s, dir)
+    val pairs = cells.as("a")
+      .join(cells.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
+        col("a.vec_id").as("keeper"), simCol.as("sim"))
+    graft.plans.Fence.filterNoPushdown(pairs, col("sim"), _ >= NearDupThreshold)
+      .groupBy(col("vec_id"))
+      .agg(min(col("cell")).as("cell"),
+        min(col("keeper")).as("kept_by"),
+        min_by(col("sim"), col("keeper")).as("sim_kept"))
+      .select(col("vec_id"), col("cell"), col("kept_by"), col("sim_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qSemdedupOracle: String =
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |p AS (
+       |  SELECT y.vec_id AS vec_id, y.cell AS cell, x.vec_id AS keeper,
+       |    round(${dotSql("x.v", "y.v")} / (sqrt(x.nsq) * sqrt(y.nsq)), 4) AS sim
+       |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |)
+       |SELECT vec_id, min(cell) AS cell, min(keeper) AS kept_by,
+       |  min_by(sim, keeper) AS sim_kept
+       |FROM p WHERE sim >= $NearDupThreshold
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Time-series operators over the events table (SURVEY.md §2, table 2):
+  * value-range window frames, gap-filling/densification, and ordered
+  * sequence-pattern matching. All three partition by user_id — the engine
+  * never plans a global sort over event rows, and per-user work is bounded
+  * by per-user activity.
+  *
+  * Timestamp discipline (shared with sessionize): Spark compares
+  * microseconds via `unix_micros` and DuckDB via `epoch_us`, so the two
+  * engines window over identical integers.
+  */
+object Temporal {
+
+  /** Trailing one-hour RANGE frame per user: for every event, the count
+    * and value-sum of that user's events in the preceding hour (the
+    * "activity in the last N minutes" feature). A RANGE frame over epoch
+    * micros — Spark sorts each user partition once and slides the frame;
+    * no self-join, no explode. The same shape at 100 TB is one shuffle on
+    * user_id and a per-user streaming sort — the frame never materializes
+    * more than the sliding hour.
+    */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("us"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  val qRangeFrameOracle: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+      |  count(*) OVER w AS n_1h,
+      |  round(sum(value) OVER w, 2) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
+  /** Hourly gap-fill (densification): each sampled user's hourly activity
+    * with missing hours materialized as explicit zero rows — the step
+    * every downstream time-series model needs before windowing. The hour
+    * spine is generated per user from that user's own [min, max] hour via
+    * `sequence` + explode (scan-side generator, no driver loop, no global
+    * calendar table), then left-joined against the hourly aggregate.
+    * Both the aggregate and the spine shuffle on user_id only; spine size
+    * is users × their own span, independent of event count.
+    */
+  val GapfillUsers = 20
+
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(s, dir)
+      .filter(col("user_id") < GapfillUsers)
+      .groupBy(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+    val spine = hours
+      .groupBy(col("user_id"))
+      .agg(min(col("hour_epoch")).as("h0"), max(col("hour_epoch")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hour_epoch"))
+    spine.join(hours, Seq("user_id", "hour_epoch"), "left")
+      .select(col("user_id"), col("hour_epoch"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sv"), lit(0.0)).as("sum_value"),
+        col("n").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("hour_epoch"))
+  }
+
+  val qGapfillOracle: String =
+    s"""WITH h AS (
+       |  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       |    count(*) AS n, round(sum(value), 2) AS sv
+       |  FROM events WHERE user_id < $GapfillUsers
+       |  GROUP BY 1, 2
+       |),
+       |sp AS (
+       |  SELECT user_id, unnest(generate_series(min(hour_epoch), max(hour_epoch), 3600)) AS hour_epoch
+       |  FROM h GROUP BY user_id
+       |)
+       |SELECT sp.user_id, sp.hour_epoch,
+       |  coalesce(h.n, 0) AS n_events,
+       |  coalesce(h.sv, 0.0) AS sum_value,
+       |  h.n IS NULL AS is_gap
+       |FROM sp LEFT JOIN h ON h.user_id = sp.user_id AND h.hour_epoch = sp.hour_epoch
+       |ORDER BY sp.user_id, sp.hour_epoch""".stripMargin
+
+  /** Ordered sequence-pattern match (MATCH_RECOGNIZE-lite): per user,
+    * count the CONSECUTIVE view→click→purchase runs in the event stream
+    * (tie-broken by event_id — a total order both engines share). Two lag
+    * offsets + one grouped aggregate: unlike a collect-the-sequence
+    * approach this never materializes a user's history, so a 100 TB
+    * stream costs one user_id shuffle and a streaming per-user sort.
+    * Contrast with q_funnel, which matches the NON-consecutive (any gaps)
+    * form via chained min-aggregates.
+    */
+  def qSequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .withColumn("hit",
+        (col("p2") === "view" && col("p1") === "click" &&
+          col("event_type") === "purchase").cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("hit")).as("n_matches"))
+      .withColumn("has_seq", col("n_matches") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val qSequenceMatchOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |), g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(event_type, 2) OVER w = 'view'
+      |          AND lag(event_type, 1) OVER w = 'click'
+      |          AND event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(hit) AS BIGINT) AS n_matches,
+      |  sum(hit) > 0 AS has_seq
+      |FROM g GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+}
