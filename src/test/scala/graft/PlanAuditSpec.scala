@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("corpus self-joins are shuffle joins, not broadcasts") {
     Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_dedup_containment",
-        "q_bigram_lm", "q_incremental_dedup").foreach { q =>
+        "q_bigram_lm", "q_incremental_dedup", "q_ngram_novelty",
+        "q_semdedup").foreach { q =>
       assert(plans(q).contains("ShuffledHashJoin"), s"$q lost its shuffle_hash hint")
     }
   }
@@ -66,7 +67,7 @@ class PlanAuditSpec extends SparkSpec {
   test("scan-side curation operators plan no joins or aggregations") {
     // pure projections: one scan, zero exchanges beyond the final sort
     Seq("q_text_normalize", "q_text_redact", "q_quality_score",
-        "q_stratified_sample").foreach { q =>
+        "q_stratified_sample", "q_char_classes").foreach { q =>
       val p = plans(q)
       assert(!p.contains("Join"), s"$q plans a join")
       assert(!p.contains("HashAggregate"), s"$q plans an aggregation")
