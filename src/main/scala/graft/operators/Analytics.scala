@@ -618,4 +618,30 @@ object Analytics {
       |FROM customer
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      |  count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM %s
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS — two independent one-dimension marginals
+    * ((l_returnflag), (l_linestatus)) in ONE pass, a shape neither ROLLUP
+    * nor CUBE expresses. Exercises the engine's SQL entry path
+    * (`spark.sql` over a registered view); the plan is a single scan +
+    * Expand (each row feeds both sets) + map-side-combined aggregate, so
+    * k grouping sets cost one scan, not k. The `grouping()` markers
+    * disambiguate the NULL produced by set-collapse from a NULL value —
+    * part of the result contract, cast to INT on both engines.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(groupingSetsSql.format("lineitem_gs"))
+  }
+
+  val qGroupingSetsOracle: String = groupingSetsSql.format("lineitem")
 }

@@ -466,4 +466,31 @@ object Similarity {
        |FROM p WHERE sim >= $NearDupThreshold
        |GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
+
+  /** One Lloyd (k-means) refinement step: re-average each IVF cell into
+    * its updated centroid, emitted flat as (cell, pos, n_vecs, cx) rows.
+    * Composition of the two scalable primitives: cell assignment
+    * (broadcast centroids + map-side argmax) and vector averaging
+    * (posexplode → (cell, pos) partial sums — the shuffle carries
+    * cells×dims aggregate cells, never vectors). Iterating this step to
+    * convergence is exactly distributed k-means, each round one scan +
+    * one dimension-sized shuffle; the flat output is itself the next
+    * round's broadcast centroid table.
+    */
+  def qKmeansStep(s: SparkSession, dir: String): DataFrame =
+    cellAssigned(s, dir)
+      .select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), (col("pos") + 1).as("pos"), col("col").as("x"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("x")), 4).as("cx"))
+      .orderBy(col("cell"), col("pos"))
+
+  val qKmeansStepOracle: String =
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |x AS (SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM cells)
+       |SELECT cell, pos, count(*) AS n_vecs, round(avg(x), 4) AS cx
+       |FROM x
+       |GROUP BY cell, pos
+       |ORDER BY cell, pos""".stripMargin
 }

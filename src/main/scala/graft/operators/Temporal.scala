@@ -135,4 +135,92 @@ object Temporal {
       |  sum(hit) > 0 AS has_seq
       |FROM g GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** First-order Markov transition matrix over the event-type stream:
+    * P(next | current) estimated by MLE over per-user consecutive pairs.
+    * One lag window per user (the sequence-match shape) then a grouped
+    * count; the normalizing window runs over the POST-aggregation frame —
+    * types × types ≈ 25 rows — so the corpus-sized data is touched by
+    * exactly one shuffle-free lag pass plus one map-side-combined count.
+    */
+  def qMarkovChain(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wFrom = Window.partitionBy(col("from_type"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wFrom), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val qMarkovChainOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |), g AS (
+      |  SELECT user_id, event_type AS to_type,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type
+      |  FROM o
+      |), c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM g WHERE from_type IS NOT NULL
+      |  GROUP BY from_type, to_type
+      |)
+      |SELECT from_type, to_type, n,
+      |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+      |FROM c
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** Time-bounded anti-join (conversion-failure analysis): per user, the
+    * count of view events with NO purchase by the same user within the
+    * following hour. The anti side is an equi-join on user_id with the
+    * time window as a residual condition — one shuffle each side, no
+    * interval explosion; the unconverted counts re-join the per-user
+    * totals (both dimension-sized). The NOT-EXISTS-with-range shape that
+    * a retention pipeline runs at full fact scale.
+    */
+  def qUnconvertedViews(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"))
+    val unconverted = views
+      .join(purchases,
+        col("user_id") === col("p_user") && col("p_us") > col("us") &&
+          col("p_us") <= col("us") + 3600L * 1000000L,
+        "left_anti")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_unconverted"))
+    views.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+      .join(unconverted, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_views"),
+        coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"))
+      .withColumn("unconverted_ratio",
+        round(col("n_unconverted") / col("n_views").cast("double"), 6))
+      .orderBy(col("user_id"))
+  }
+
+  val qUnconvertedViewsOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT v.user_id, count(*) AS n_views,
+      |  CAST(sum(CASE WHEN NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |      AND p.us > v.us AND p.us <= v.us + 3600000000
+      |  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_unconverted,
+      |  round(sum(CASE WHEN NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |      AND p.us > v.us AND p.us <= v.us + 3600000000
+      |  ) THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS unconverted_ratio
+      |FROM v
+      |GROUP BY v.user_id
+      |ORDER BY v.user_id""".stripMargin
 }
