@@ -644,4 +644,45 @@ object Analytics {
   }
 
   val qGroupingSetsOracle: String = groupingSetsSql.format("lineitem")
+
+  /** 2-D skyline (Pareto frontier): parts not dominated on (cheaper
+    * price, larger size) — a part survives iff no STRICTLY cheaper part
+    * has size ≥ its own. One sort, no self-join: order by price in exact
+    * integer cents and take the running max size over a RANGE frame
+    * ending 1 cent before the current row (the frame's value bound is
+    * what makes "strictly cheaper" exact under price ties — a ROWS frame
+    * would leak peers). Money as integer cents is also the cross-engine
+    * ordering guarantee: no double last-bit can reorder the frame. The
+    * window is global (this is the one operator class that is inherently
+    * a total order): the 100 TB form is range-partitioned sort +
+    * per-partition prefix max + a broadcast of the partition maxima
+    * prefix — same two-pass trick as the histogram CDF.
+    */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .withColumn("best_cheaper", max(col("p_size")).over(w))
+      .filter(col("best_cheaper").isNull || col("p_size") > col("best_cheaper"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val qSkylineOracle: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_retailprice, p_size,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      |  FROM part
+      |), w AS (
+      |  SELECT p_partkey, p_retailprice, p_size,
+      |    max(p_size) OVER (ORDER BY cents
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+      |  FROM p
+      |)
+      |SELECT p_partkey, p_retailprice, p_size
+      |FROM w
+      |WHERE best_cheaper IS NULL OR p_size > best_cheaper
+      |ORDER BY p_partkey""".stripMargin
 }

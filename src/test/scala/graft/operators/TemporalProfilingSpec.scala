@@ -163,4 +163,47 @@ class TemporalProfilingSpec extends SparkSpec {
         s"kept pair under threshold: $r")
     }
   }
+
+  test("unioned shard sketches give the same estimate as one direct sketch") {
+    // HLL mergeability is exact: union-of-shard-sketches must EQUAL the
+    // sketch built in a single pass over the same keys, not just
+    // approximate it — this is what licenses pre-aggregated sketch tables
+    val merged = Sketches.qSketchMerge(spark, sf001).collect()
+    assert(merged.nonEmpty)
+    merged.foreach(r => assert(r.getAs[Boolean]("within_bound"), s"out of bound: $r"))
+    val direct = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12))).as("est"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("est")).toMap
+    val viaUnion = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("est")).toMap
+    assert(viaUnion == direct, s"merge must be lossless: $viaUnion vs $direct")
+  }
+
+  test("pagerank step conserves damped rank mass") {
+    val rows = Graph.qPagerankIter(spark, sf001).collect()
+    val mass = rows.map(r => r.getAs[Double]("rank") - (1.0 - Graph.Damping)).sum
+    val nSources = Tables.orders(spark, sf001)
+      .join(Tables.lineitem(spark, sf001), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey")).distinct().count()
+    // every source customer distributes exactly 1.0 of damped mass
+    assert(math.abs(mass - Graph.Damping * nSources) < 1e-2,
+      s"mass $mass != ${Graph.Damping} * $nSources")
+  }
+
+  test("skyline matches the brute-force dominance check") {
+    val parts = Tables.part(spark, sf001)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expect = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, pr2, sz2) => pr2 < pr && sz2 >= sz }
+    }.map(_._1).toSet
+    val got = Analytics.qSkyline(spark, sf001).collect()
+      .map(_.getAs[Long]("p_partkey")).toSet
+    assert(got == expect, s"skyline mismatch: extra=${got -- expect} missing=${expect -- got}")
+  }
 }
