@@ -69,12 +69,102 @@ object BinaryPipeline {
     * must degrade to the stub, not fail the job).
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    decodeImageBuffered(payload).map(i => (i.getWidth, i.getHeight))
+
+  /** The pixel-level decode behind [[decodeImage]], exposed for kernels
+    * that need the raster (perceptual hashing, thumbnailing) and not just
+    * the dimensions. Same corrupt-payload contract: None, never throw.
+    */
+  def decodeImageBuffered(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      Option(img).map(i => (i.getWidth, i.getHeight))
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     } catch {
       case _: java.io.IOException | _: RuntimeException => None
     }
+
+  /** 64-bit perceptual average-hash: bilinear-downscale to 8×8,
+    * luminance per cell, bit i set iff cell i is brighter than the mean.
+    * Invariant under rescaling and mild noise/re-encoding — the image
+    * analog of SimHash, and the key image dedup clusters on (two
+    * re-encodes of one photo agree within a few bits; unrelated images
+    * differ in ~32). Pure JVM (AWT ships with the JDK), deterministic.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val lum = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val rgb = small.getRGB(x, y)
+        lum(y * 8 + x) = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val mean = lum.sum / 64.0
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (lum(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** (media_id, ahash) for every decodable image payload — the
+    * fingerprint table image dedup runs on. mapPartitions so ImageIO's
+    * cache toggle amortizes per task; undecodable payloads are dropped
+    * here (they have no pixels to hash — exact byte-level dedup still
+    * sees them via the checksum).
+    */
+  def imageHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (r.media_type == "image")
+          decodeImageBuffered(r.payload).map(img => (r.media_id, aHash64(img)))
+        else None
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs by hamming distance over [[aHash64]]
+    * fingerprints: split the 64-bit hash into 8 bands of 8 bits; images
+    * agreeing on ≥1 band are candidates (EXACT recall for hamming < 8 —
+    * pigeonhole over the bands), verified with bit_count(xor). The band
+    * join shuffles (band, chunk, id) triples only — the same layout as
+    * [[graft.operators.Dedup.simhashPairs]], applied to a multimodal
+    * column; at 100 TB the fingerprint table is metadata-width and the
+    * payloads never move.
+    */
+  def nearDupImages(media: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame = {
+    val bands = 8
+    val bits = 8
+    val fp = imageHashes(media)
+    val bandStructs = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col("ahash"), bnd * bits).bitwiseAND((1L << bits) - 1).as("chunk"))
+    }
+    val banded = fp
+      .select(col("media_id"), col("ahash"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    banded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .dropDuplicates("media_a", "media_b")
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("media_a"), col("media_b"))
+  }
 
   /** STUB decode kernel (audio/video, and image bytes ImageIO rejects):
     * deterministic pseudo-features from raw bytes. Replace with a real

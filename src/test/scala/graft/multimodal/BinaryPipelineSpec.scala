@@ -101,4 +101,52 @@ class BinaryPipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("count") == (f.n_bytes + 63) / 64)
     }
   }
+
+  /** Deterministic gradient test image; `seed` varies the pattern. */
+  private def patternImage(w: Int, h: Int, seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255 / w + seed * 37) % 256
+      val g = (y * 255 / h + seed * 91) % 256
+      val b = ((x + y) * 255 / (w + h) + seed * 13) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("perceptual hash survives rescaling; unrelated images stay far") {
+    val base = BinaryPipeline.aHash64(patternImage(64, 48, seed = 1))
+    // same scene re-rendered at double resolution (a re-encode/resize)
+    val scaled = BinaryPipeline.aHash64(patternImage(128, 96, seed = 1))
+    val other = BinaryPipeline.aHash64(patternImage(64, 48, seed = 5))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(base, scaled) <= 7, s"rescale moved ${ham(base, scaled)} bits")
+    assert(ham(base, other) > 7, s"unrelated images only ${ham(base, other)} bits apart")
+  }
+
+  test("image near-dup pairing finds the rescaled copy and not the stranger") {
+    import spark.implicits._
+    def rec(id: Long, img: java.awt.image.BufferedImage) = {
+      val p = pngBytes(img)
+      BinaryPipeline.MediaRecord(id, "image", p, "test", p.length.toLong)
+    }
+    val media = Seq(
+      rec(1L, patternImage(64, 48, seed = 1)),
+      rec(2L, patternImage(128, 96, seed = 1)), // rescaled near-dup of 1
+      rec(3L, patternImage(64, 48, seed = 5)), // unrelated
+      BinaryPipeline.MediaRecord(4L, "image", // undecodable: dropped from hashing
+        "junk".getBytes("UTF-8"), "test", 4L)
+    ).toDS()
+    assert(BinaryPipeline.imageHashes(media).count() == 3, "junk must drop out")
+    val pairs = BinaryPipeline.nearDupImages(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the rescaled pair, got $pairs")
+  }
 }
