@@ -146,6 +146,11 @@ object BinaryPipeline {
   def nearDupImages(media: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame = {
     val bands = 8
     val bits = 8
+    // the pigeonhole guarantee is bands-relative: d < bands forces some
+    // band to agree. A silent maxHamming >= bands would drop pairs that
+    // differ by exactly 1 bit in every band — fail loudly instead.
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be in [0, ${bands - 1}] for exact recall with $bands bands, got $maxHamming")
     val fp = imageHashes(media)
     val bandStructs = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),

@@ -54,65 +54,85 @@ object Analytics {
     * O(1) per group and the heavy lifting is Tungsten sort.
     */
   def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
-      ps: Seq[(Double, String)]): DataFrame = {
-    // percentile semantics ignore nulls (quantile_cont / percentile both
-    // do); unfiltered, nulls would inflate n AND sort first under
-    // row_number, silently shifting every order statistic
-    val nonNull = df.filter(col(valueCol).isNotNull)
-    // rank DISTINCT-VALUE CELLS, not rows: the first cut ranked rows with
-    // row_number over partitionBy(grp), which funnels a whole group's
-    // rows through one task's sort — with 3 groups over 100 TB that is 3
-    // tasks doing the corpus. The (grp, value)→count aggregation is
-    // map-side combined, so the shuffle and the per-group sort scale
-    // with the value domain, not the row count; a cell's rank span
+      ps: Seq[(Double, String)]): DataFrame =
+    exactPercentilesMulti(df, grp, Seq(valueCol -> ps))
+
+  /** Multi-metric form (r4): percentiles of SEVERAL value columns in ONE
+    * scan. The metrics melt scan-side (unpivot = Expand, no shuffle) into
+    * (grp, metric, v) rows, so k metrics cost one table pass instead of
+    * k — the per-metric cell shuffles were already disjoint, but the
+    * fact-table scans were not.
+    */
+  def exactPercentilesMulti(df: DataFrame, grp: String,
+      specs: Seq[(String, Seq[(Double, String)])]): DataFrame = {
+    // melt to a common double type; percentile semantics ignore nulls
+    // (quantile_cont / percentile both do) — unfiltered, nulls would
+    // inflate n AND sort first, silently shifting every order statistic
+    val melted = df.unpivot(
+        Array(col(grp)),
+        specs.map { case (c, _) => col(c).cast("double").as(c) }.toArray,
+        "metric", "v")
+      .filter(col("v").isNotNull)
+    // rank DISTINCT-VALUE CELLS, not rows: ranking rows with row_number
+    // over partitionBy(grp) funnels a whole group's rows through one
+    // task's sort — with 3 groups over 100 TB that is 3 tasks doing the
+    // corpus. The (grp, metric, value)→count aggregation is map-side
+    // combined, so the shuffle and the per-group sort scale with the
+    // value domain, not the row count; a cell's rank span
     // [hi_rank−c+1, hi_rank] reproduces row semantics exactly.
-    // (Worst case — all values distinct — degrades to the old shape.)
-    val cells = nonNull.groupBy(col(grp), col(valueCol)).agg(count(lit(1)).as("c"))
-    val wSort = Window.partitionBy(col(grp)).orderBy(col(valueCol))
+    // (Worst case — all values distinct — degrades to a row-rank shape.)
+    val cells = melted.groupBy(col(grp), col("metric"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val wSort = Window.partitionBy(col(grp), col("metric")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // group sizes via a map-side-combined agg + broadcast join — NOT a
     // count().over(partitionBy) window, whose unbounded frame buffers the
     // whole partition per task (measured ~1.5s of the 2s runtime)
-    val counts = cells.groupBy(col(grp)).agg(sum(col("c")).as("n"))
+    val counts = cells.groupBy(col(grp), col("metric")).agg(sum(col("c")).as("n"))
     val indexed = cells
       .withColumn("hi_rank", sum(col("c")).over(wSort)) // running frame: streams
       .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
-      .join(broadcast(counts), grp)
+      .join(broadcast(counts), Seq(grp, "metric"))
     def holds(rank: org.apache.spark.sql.Column) =
       rank >= col("lo_rank") && rank <= col("hi_rank")
+    val targets = specs.flatMap { case (m, ps) => ps.map { case (p, name) => (m, p, name) } }
     // keep only the ≤2 cells holding bracketing order statistics per
-    // percentile before aggregating — the agg input is ~2·|ps| cells/group
-    val isTarget = ps.map { case (p, _) =>
+    // (metric, percentile) before aggregating — the agg input is
+    // ~2·|targets| cells per group
+    val isTarget = targets.map { case (m, p, _) =>
       val lo = floor((col("n") - 1) * p) + 1
-      holds(lo) || holds(lo + 1)
+      col("metric") === m && (holds(lo) || holds(lo + 1))
     }.reduce(_ || _)
-    val aggCols = ps.flatMap { case (p, name) =>
+    val aggCols = targets.flatMap { case (m, p, name) =>
       val lo = floor((col("n") - 1) * p) + 1 // 1-based rank of the lower stat
       Seq(
-        max(when(holds(lo), col(valueCol))).as(s"${name}_lo"),
-        max(when(holds(lo + 1), col(valueCol))).as(s"${name}_hi"))
+        max(when(col("metric") === m && holds(lo), col("v"))).as(s"${name}_lo"),
+        max(when(col("metric") === m && holds(lo + 1), col("v"))).as(s"${name}_hi"))
+    } ++ specs.map { case (m, _) =>
+      max(when(col("metric") === m, col("n"))).as(s"__n_$m")
     }
     val agged = indexed.filter(isTarget).groupBy(col(grp))
-      .agg(max(col("n")).as("n"), aggCols: _*)
-    ps.foldLeft(agged) { case (acc, (p, name)) =>
-      val h = (col("n") - 1) * p
+      .agg(aggCols.head, aggCols.tail: _*)
+    targets.foldLeft(agged) { case (acc, (m, p, name)) =>
+      val h = (col(s"__n_$m") - 1) * p
       val frac = h - floor(h)
       acc.withColumn(name,
         round(col(s"${name}_lo") +
           frac * (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) - col(s"${name}_lo")),
           4))
-    }.select(col(grp) +: ps.map { case (_, name) => col(name) }: _*)
+    }.select(col(grp) +: targets.map { case (_, _, name) => col(name) }: _*)
   }
 
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val price = exactPercentiles(li, "l_returnflag", "l_extendedprice",
-      Seq(0.5 -> "p50_price", 0.95 -> "p95_price"))
-    val qty = exactPercentiles(li, "l_returnflag", "l_quantity",
-      Seq(0.5 -> "p50_qty"))
+    // both metrics in one exactPercentilesMulti call — one lineitem scan
+    // feeds both cell families (r4; was two separate calls = two scans)
+    val pcts = exactPercentilesMulti(li, "l_returnflag", Seq(
+      "l_extendedprice" -> Seq(0.5 -> "p50_price", 0.95 -> "p95_price"),
+      "l_quantity" -> Seq(0.5 -> "p50_qty")))
     val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
-    // three 3-row frames — the joins broadcast
-    price.join(qty, "l_returnflag").join(counts, "l_returnflag")
+    // two 3-row frames — the join broadcasts
+    pcts.join(counts, "l_returnflag")
       .select(col("l_returnflag"), col("p50_price"), col("p95_price"),
         col("p50_qty"), col("n_rows"))
       .orderBy(col("l_returnflag"))
@@ -591,23 +611,52 @@ object Analytics {
       |FROM r WHERE rk = 1
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** Relative-standing windows: percent_rank and cume_dist of each
-    * customer's balance within its market segment. The ordering key
-    * includes c_custkey, so ranks are total and both engines compute
-    * identical (rank−1)/(n−1) and rank/n ratios — exact small-integer
-    * divisions that round(6) cannot disagree on. Partitioned by segment:
-    * only 5 partitions, so at 100 TB this exact form is a known skew
-    * hazard — the scale path for global standing is a two-pass
-    * rank-from-counts (per-segment histogram + broadcast CDF), which
-    * q_histogram/q_length_outliers demonstrate.
+  /** Relative-standing: percent_rank and cume_dist of each customer's
+    * balance within its market segment. The ordering key includes
+    * c_custkey, so ranks are total and both engines compute identical
+    * (rank−1)/(n−1) and rank/n ratios — exact integer divisions that
+    * round(6) cannot disagree on.
+    *
+    * Rank-from-counts shape (r4 — replaces the 5-partition window sort,
+    * which at 100 TB funnels 20 TB through one task): the same cells
+    * trick as exactPercentiles.
+    *   1. cells = per-(segment, balance) counts — map-side combined; the
+    *      frame scales with the value domain, not the row count.
+    *   2. lo_rank per cell via a running sum over the CELLS frame
+    *      (partitioned by segment, but over aggregate cells — the skew
+    *      cap is the per-segment value domain).
+    *   3. each row's total rank = its cell's lo_rank + its row_number
+    *      within the cell (custkey tiebreak) − 1. The within-cell window
+    *      partitions on the fine-grained (segment, balance) pair — no
+    *      hot partition possible.
+    *   4. per-segment n broadcast back; pct_rank = (rank−1)/(n−1),
+    *      cume = rank/n — with a total ordering these equal Spark's
+    *      percent_rank()/cume_dist() by definition, and the operands are
+    *      the same exact integers, so the double divisions agree bitwise.
     */
   def qPercentRank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, dir)
+    val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+    val cells = cust.groupBy(col("c_mktsegment"), col("c_acctbal"))
+      .agg(count(lit(1)).as("c"))
+    val wCells = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val indexed = cells
+      .withColumn("lo_rank", sum(col("c")).over(wCells) - col("c") + 1)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("lo_rank"))
+    val counts = cust.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val wTie = Window.partitionBy(col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+    cust
+      .withColumn("tie_rn", row_number().over(wTie))
+      .join(indexed, Seq("c_mktsegment", "c_acctbal"))
+      .join(broadcast(counts), Seq("c_mktsegment"))
+      .withColumn("rnk", col("lo_rank") + col("tie_rn") - 1)
+      .withColumn("pct_rank",
+        round((col("rnk") - 1).cast("double") / (col("n") - 1).cast("double"), 6))
+      .withColumn("cume", round(col("rnk").cast("double") / col("n").cast("double"), 6))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        col("pct_rank"), col("cume"))
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
 
@@ -645,26 +694,49 @@ object Analytics {
 
   val qGroupingSetsOracle: String = groupingSetsSql.format("lineitem")
 
+  /** Width of a skyline price bucket in integer cents ($10). The bucket
+    * count is price_domain / width — dimension-sized, independent of row
+    * count — so the prefix-max frame stays tiny at any corpus scale.
+    */
+  val SkylineBucketCents = 1000L
+
   /** 2-D skyline (Pareto frontier): parts not dominated on (cheaper
     * price, larger size) — a part survives iff no STRICTLY cheaper part
-    * has size ≥ its own. One sort, no self-join: order by price in exact
-    * integer cents and take the running max size over a RANGE frame
-    * ending 1 cent before the current row (the frame's value bound is
-    * what makes "strictly cheaper" exact under price ties — a ROWS frame
-    * would leak peers). Money as integer cents is also the cross-engine
-    * ordering guarantee: no double last-bit can reorder the frame. The
-    * window is global (this is the one operator class that is inherently
-    * a total order): the 100 TB form is range-partitioned sort +
-    * per-partition prefix max + a broadcast of the partition maxima
-    * prefix — same two-pass trick as the histogram CDF.
+    * has size ≥ its own. Money as integer cents is the cross-engine
+    * ordering guarantee: no double last-bit can reorder a frame.
+    *
+    * Scale shape (r4 — replaces the r3 single-partition global window,
+    * which funneled every row through one task's sort): the two-pass CDF
+    * trick over fixed-width price buckets.
+    *   pass 1: per-bucket max size — map-side-combined aggregate whose
+    *     frame is the bucket domain, then an EXCLUSIVE prefix max over
+    *     that dimension-sized frame (the only orderBy-without-partitionBy
+    *     window left runs over ~domain/width aggregate rows, never raw
+    *     rows). Every row of a strictly earlier bucket is strictly
+    *     cheaper by construction (cents' < b·W ≤ cents).
+    *   pass 2: within-bucket strictly-cheaper running max — a
+    *     bucket-PARTITIONED window with a RANGE frame ending 1 cent
+    *     before the current row (the value bound is what keeps "strictly
+    *     cheaper" exact under price ties; a ROWS frame would leak peers).
+    * best_cheaper = greatest(prefix, in_bucket) — greatest skips NULLs,
+    * so the open ends of both frames compose correctly.
     */
   def qSkyline(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("cents"))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    Tables.part(s, dir)
+    val parts = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
         round(col("p_retailprice") * 100).cast("long").as("cents"))
-      .withColumn("best_cheaper", max(col("p_size")).over(w))
+      .withColumn("bucket", floor(col("cents") / SkylineBucketCents).cast("long"))
+    val bmax = parts.groupBy(col("bucket")).agg(max(col("p_size")).as("bsize"))
+    val wPrefix = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bmax
+      .withColumn("prev_max", max(col("bsize")).over(wPrefix))
+      .select(col("bucket"), col("prev_max"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(prefix), "bucket")
+      .withColumn("in_bucket", max(col("p_size")).over(wIn))
+      .withColumn("best_cheaper", greatest(col("prev_max"), col("in_bucket")))
       .filter(col("best_cheaper").isNull || col("p_size") > col("best_cheaper"))
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
       .orderBy(col("p_partkey"))

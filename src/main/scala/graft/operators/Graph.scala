@@ -19,19 +19,21 @@ object Graph {
     * graph (distinct (c_custkey, l_suppkey) pairs from orders⋈lineitem):
     * rank(s) = 0.15 + 0.85 · Σ_{c→s} 1/outdeg(c), from uniform initial
     * customer mass. Shape: the edge list is built with one distinct
-    * (hash agg, map-side combined), out-degrees are one grouped count
-    * joined back on the source key, and the scatter is one sum per
+    * (hash agg, map-side combined) and MATERIALIZED (localCheckpoint) —
+    * it feeds both the out-degree aggregate and the scatter join, and
+    * without materialization the fact⋈fact derivation runs twice (the
+    * r3 verdict's slowest-query finding); out-degrees are one grouped
+    * count joined back on the source key, and the scatter is one sum per
     * target — every shuffle carries bare (key, double) pairs. Full
-    * PageRank iterates exactly this plan with the rank frame fed back
-    * (localCheckpoint per round, like Dedup.connectedComponents);
-    * one audited step keeps the oracle exact instead of
-    * convergence-approximate.
+    * PageRank is [[pagerank]]; one audited step keeps the oracle exact
+    * instead of convergence-approximate.
     */
   def qPagerankIter(s: SparkSession, dir: String): DataFrame = {
     val edges = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
       .distinct()
+      .localCheckpoint()
     val outdeg = edges.groupBy(col("c")).agg(count(lit(1)).as("outdeg"))
     edges.join(outdeg, Seq("c"))
       .groupBy(col("su").as("s_suppkey"))
@@ -39,6 +41,51 @@ object Graph {
         round(lit(1.0 - Damping) + lit(Damping) * sum(lit(1.0) / col("outdeg")), 6)
           .as("rank"))
       .orderBy(col("s_suppkey"))
+  }
+
+  /** Full PageRank: `iters` power-iterations over an (src, dst) edge
+    * list, returning (id, rank) for every endpoint. Per-node damping
+    * form rank = (1−d) + d·Σ_{u→v} rank(u)/outdeg(u) from uniform
+    * initial mass 1.0 — [[qPagerankIter]] is exactly the first round of
+    * this loop restricted to targets.
+    *
+    * Loop discipline (same as [[Dedup.connectedComponents]]): the edge
+    * list and the degree-annotated scatter frame are materialized ONCE
+    * before the loop (never re-derived per round), each round is one
+    * scatter join + one (key, double) grouped sum + one left join back
+    * to the node frame, and every round's rank frame is
+    * `localCheckpoint`ed so round k never re-executes rounds 1..k−1 and
+    * the plan stays constant-size at any iteration count. Nothing but
+    * bare (key, double) pairs ever shuffles; nodes with no in-edges
+    * settle at (1−d). On a closed graph (every node has an out-edge)
+    * total rank mass is conserved at n — the spec asserts it.
+    */
+  def pagerank(edgesIn: DataFrame, iters: Int, damping: Double = Damping): DataFrame = {
+    require(iters >= 1 && iters <= 1000, s"iters must be in [1, 1000], got $iters")
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // degree-annotated scatter frame: built once, reused every round
+    val scatter = edges.join(outdeg, Seq("src")).localCheckpoint()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contrib = scatter
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      ranks = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
   }
 
   val qPagerankIterOracle: String =

@@ -58,9 +58,13 @@ object Profiling {
     * deleting the class; pure codegen'd projection, zero shuffle.
     */
   def qCharClasses(s: SparkSession, dir: String): DataFrame = {
+    // empty documents: 0/0 is NaN in Spark but version-dependent in
+    // DuckDB (NULL vs IEEE nan) — guard to NULL on both engines so an
+    // empty doc can never break oracle parity
     def classRatio(pattern: String): Column =
-      round((length(col("text")) - length(regexp_replace(col("text"), pattern, "")))
-        / length(col("text")).cast("double"), 4)
+      when(length(col("text")) > 0,
+        round((length(col("text")) - length(regexp_replace(col("text"), pattern, "")))
+          / length(col("text")).cast("double"), 4))
     Tables.documents(s, dir)
       .select(col("doc_id"), length(col("text")).as("n_chars"),
         classRatio("[0-9]").as("digit_ratio"),
@@ -72,7 +76,7 @@ object Profiling {
 
   val qCharClassesOracle: String = {
     def r(pat: String, alias: String) =
-      s"round((length(text) - length(regexp_replace(text, '$pat', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS $alias"
+      s"CASE WHEN length(text) > 0 THEN round((length(text) - length(regexp_replace(text, '$pat', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) END AS $alias"
     s"""SELECT doc_id, length(text) AS n_chars,
        |  ${r("[0-9]", "digit_ratio")},
        |  ${r("[A-Z]", "upper_ratio")},

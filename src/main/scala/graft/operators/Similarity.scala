@@ -45,6 +45,21 @@ object Similarity {
     VectorFns.cosineWithNorms(
       VectorFns.dot(col("a.v"), col("b.v")), col("a.nsq"), col("b.nsq")), 4)
 
+  /** Hash-stable mean of a double column under distributed aggregation:
+    * sum the values as DECIMAL(38,12) (exact, order-independent — the same
+    * discipline as the money sums, SURVEY §6), cast the one exact sum to
+    * double, divide by the count, round once. round(avg(double), 4) is NOT
+    * stable: partial-aggregation order varies run to run, so a mean sitting
+    * at a …5e-5 boundary flips the 4th decimal nondeterministically (the
+    * r3 q_kmeans_step flake).
+    */
+  private def stableMean4(x: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+    round(sum(x.cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double") / n, 4)
+
+  /** DuckDB twin of [[stableMean4]] — identical cast/round sequence. */
+  private def stableMean4Sql(x: String, n: String) =
+    s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / $n, 4)"
+
   /** Public: the Dataset encoder's generated deserializer must be able
     * to construct it (private members fail Janino compilation). One row
     * of the chunk-replicated corpus: a vector tagged with its own chunk
@@ -414,13 +429,13 @@ object Similarity {
       .select(col("label"), posexplode(VectorFns.asDouble(col("embedding"))))
       .select(col("label"), (col("pos") + 1).as("pos"), col("col").as("x"))
       .groupBy(col("label"), col("pos"))
-      .agg(count(lit(1)).as("n_vecs"), round(avg(col("x")), 4).as("cx"))
+      .agg(count(lit(1)).as("n_vecs"), stableMean4(col("x"), count(lit(1))).as("cx"))
       .orderBy(col("label"), col("pos"))
 
   val qEmbedCentroidsOracle: String =
     s"""WITH e AS (SELECT label, $vSql AS v FROM embeddings),
        |x AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e)
-       |SELECT label, pos, count(*) AS n_vecs, round(avg(x), 4) AS cx
+       |SELECT label, pos, count(*) AS n_vecs, ${stableMean4Sql("x", "count(*)")} AS cx
        |FROM x
        |GROUP BY label, pos
        |ORDER BY label, pos""".stripMargin
@@ -482,14 +497,63 @@ object Similarity {
       .select(col("cell"), posexplode(col("v")))
       .select(col("cell"), (col("pos") + 1).as("pos"), col("col").as("x"))
       .groupBy(col("cell"), col("pos"))
-      .agg(count(lit(1)).as("n_vecs"), round(avg(col("x")), 4).as("cx"))
+      .agg(count(lit(1)).as("n_vecs"), stableMean4(col("x"), count(lit(1))).as("cx"))
       .orderBy(col("cell"), col("pos"))
+
+  /** Full distributed k-means: `iters` Lloyd rounds seeded exactly like
+    * [[qKmeansStep]] (the first k vectors), returning the final flat
+    * (cell, pos, n_vecs, cx) centroid table. Each round composes the two
+    * audited primitives — broadcast-centroid argmax assignment and
+    * posexplode partial-sum averaging — so per round the corpus is
+    * scanned once and the only shuffle carries cells×dims aggregate
+    * cells, never vectors. Loop discipline (same as
+    * [[Dedup.connectedComponents]] / [[Graph.pagerank]]): the prepared
+    * corpus is materialized once; each round's flat centroid frame is
+    * `localCheckpoint`ed (it is dimension-sized — k×dims rows) and
+    * reassembled into the next round's broadcast centroid vectors with a
+    * dimension-sized collect_list, so plan size is constant in `iters`.
+    * A cell that loses all members simply drops out (standard Lloyd);
+    * means use the same hash-stable DECIMAL sum ÷ count as the oracle-
+    * gated step.
+    */
+  def kmeans(s: SparkSession, dir: String, k: Int = NumCentroids, iters: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1 && iters <= 1000, s"iters must be in [1, 1000], got $iters")
+    val e = prepared(s, dir)
+      .select(col("vec_id"), col("v"), col("nsq"))
+      .localCheckpoint()
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nsq").as("cnsq"))
+    var flat: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val csim = VectorFns.cosineWithNorms(
+        VectorFns.dot(col("v"), col("cv")), col("nsq"), col("cnsq"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("csim", csim)
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"),
+          max_by(col("cent_id"), struct(col("csim"), (-col("cent_id")).as("nc"))).as("cell"))
+      flat = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .select(col("cell"), (col("pos") + 1).as("pos"), col("col").as("x"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n_vecs"), stableMean4(col("x"), count(lit(1))).as("cx"))
+        .localCheckpoint()
+      cents = flat.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+        .select(col("cell").as("cent_id"), expr("transform(pc, t -> t.cx)").as("cv"))
+        .withColumn("cnsq", VectorFns.normSq(col("cv")))
+      i += 1
+    }
+    flat.orderBy(col("cell"), col("pos"))
+  }
 
   val qKmeansStepOracle: String =
     s"""WITH $preparedSql,
        |$cellsSql,
        |x AS (SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM cells)
-       |SELECT cell, pos, count(*) AS n_vecs, round(avg(x), 4) AS cx
+       |SELECT cell, pos, count(*) AS n_vecs, ${stableMean4Sql("x", "count(*)")} AS cx
        |FROM x
        |GROUP BY cell, pos
        |ORDER BY cell, pos""".stripMargin

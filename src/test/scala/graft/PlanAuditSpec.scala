@@ -74,6 +74,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("unpartitioned windows only ever run over dimension-sized aggregates") {
+    // Window with no partitionSpec funnels its whole input through ONE
+    // task (Spark logs "Moving all data to a single partition"). That is
+    // a scale-killer over raw rows, but fine over a frame that is itself
+    // a grouped aggregate (buckets / sources / top-k words — dimension-
+    // sized by construction). Assert the invariant for every query: any
+    // partitionless logical Window must have an Aggregate below it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, sf001).queryExecution.optimizedPlan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+            s"$name plans a single-partition Window over raw (non-aggregated) rows")
+        case _ =>
+      }
+    }
+  }
+
   test("centroid averaging partial-aggregates before its single shuffle") {
     val p = plans("q_embed_centroids")
     assert(p.contains("partial_count") || p.contains("partial_avg"),

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("pagerank conserves total rank mass on a closed graph") {
+    // 4-cycle plus a chord: every node has an out-edge, so each round
+    // redistributes ALL mass — Σ rank must stay n after every iteration
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    Seq(1, 3, 7).foreach { iters =>
+      val ranks = Graph.pagerank(edges, iters)
+      assert(ranks.count() == 4)
+      val mass = ranks.agg(sum(col("rank"))).head.getDouble(0)
+      assert(math.abs(mass - 4.0) < 1e-9, s"mass $mass after $iters iters")
+    }
+  }
+
+  test("pagerank on a uniform cycle is the fixpoint: every rank stays 1.0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val ranks = Graph.pagerank(edges, 5).collect()
+    ranks.foreach(r => assert(math.abs(r.getAs[Double]("rank") - 1.0) < 1e-12))
+  }
+
+  test("pagerank matches the hand-iterated recurrence on a star graph") {
+    // a,b,c → hub; hub → a. Sources keep only teleport mass after round 1;
+    // iterate the recurrence by hand and compare after 3 rounds.
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst")
+    var hub = 1.0; var a = 1.0; var bc = 1.0
+    (1 to 3).foreach { _ =>
+      val hubNew = 0.15 + 0.85 * (a + 2 * bc)
+      val aNew = 0.15 + 0.85 * hub
+      hub = hubNew; a = aNew; bc = 0.15
+    }
+    val got = Graph.pagerank(edges, 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(got(0L) - hub) < 1e-9)
+    assert(math.abs(got(1L) - a) < 1e-9)
+    assert(math.abs(got(2L) - bc) < 1e-9)
+    assert(math.abs(got(3L) - bc) < 1e-9)
+  }
+
+  test("the audited single step equals pagerank(iters = 1) on the purchase graph") {
+    val step = Graph.qPagerankIter(spark, sf001).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Double]("rank")).toMap
+    val edges = graft.sources.Tables.orders(spark, sf001)
+      .join(graft.sources.Tables.lineitem(spark, sf001),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val full = Graph.pagerank(edges, 1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rank")).toMap
+    assert(step.nonEmpty)
+    step.foreach { case (k, v) =>
+      assert(math.abs(full(k) - v) < 5e-7, s"supplier $k: step=$v full=${full(k)}")
+    }
+  }
+}

@@ -88,4 +88,30 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(recall - expectHit / 3.0) < 1e-3)
     }
   }
+
+  private def flatKey(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("cell"), r.getAs[Int]("pos")) ->
+      (r.getAs[Long]("n_vecs"), r.getAs[Double]("cx"))
+
+  test("kmeans(iters = 1) reproduces the audited Lloyd step exactly") {
+    val step = Similarity.qKmeansStep(spark, sf001).collect().map(flatKey).toMap
+    val loop = Similarity.kmeans(spark, sf001, Similarity.NumCentroids, 1)
+      .collect().map(flatKey).toMap
+    assert(step.nonEmpty && loop == step)
+  }
+
+  test("kmeans assignments cover the whole corpus every iteration") {
+    import org.apache.spark.sql.functions._
+    val n = graft.sources.Tables.embeddings(spark, sf001).count()
+    Seq(1, 3).foreach { iters =>
+      val flat = Similarity.kmeans(spark, sf001, Similarity.NumCentroids, iters)
+      // each dimension's n_vecs across cells sums to the corpus size —
+      // no vector is lost or double-assigned in any round
+      val perPos = flat.groupBy(col("pos")).agg(sum(col("n_vecs")).as("tot"))
+        .select(col("tot")).distinct().collect()
+      assert(perPos.length == 1 && perPos.head.getLong(0) == n,
+        s"iteration $iters lost vectors")
+      assert(flat.select(col("cell")).distinct().count() <= Similarity.NumCentroids)
+    }
+  }
 }
