@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * Decode kernels: the IMAGE branch is REAL — `decodeImage` uses
   * `javax.imageio` (pure JVM: PNG/BMP/GIF/JPEG codecs ship with the
-  * JDK, no native deps) and returns true pixel dimensions; payloads
-  * ImageIO can't parse fall back to the stub so synthetic corpora still
-  * flow. Audio/video remain STUBBED (`decodeStub` derives deterministic
-  * pseudo-features from payload bytes — the JDK ships no such codecs):
-  * the plumbing — schema, encoders, batch shape, partitioning — is real
-  * and testable, and a production build swaps the stub for a JNI/ffmpeg
-  * call without touching the plan.
+  * JDK, no native deps) and returns true pixel dimensions — and so is
+  * the AUDIO branch — `decodeAudio` parses WAV/AIFF/AU headers via
+  * `javax.sound.sampled` (also JDK-bundled) into sample rate / channels
+  * / frame count. Payloads neither stack can parse fall back to the
+  * stub so synthetic corpora still flow. Video remains STUBBED
+  * (`decodeStub` derives deterministic pseudo-features from payload
+  * bytes — the JDK ships no video codec): the plumbing — schema,
+  * encoders, batch shape, partitioning — is real and testable, and a
+  * production build swaps the stub for a JNI/ffmpeg call without
+  * touching the plan.
   */
 object BinaryPipeline {
 
@@ -171,9 +174,9 @@ object BinaryPipeline {
       .orderBy(col("media_a"), col("media_b"))
   }
 
-  /** STUB decode kernel (audio/video, and image bytes ImageIO rejects):
-    * deterministic pseudo-features from raw bytes. Replace with a real
-    * codec (JNI to ffmpeg or an Arrow-batched Python worker) in
+  /** STUB decode kernel (video, plus image/audio bytes the JDK stacks
+    * reject): deterministic pseudo-features from raw bytes. Replace with
+    * a real codec (JNI to ffmpeg or an Arrow-batched Python worker) in
     * production — the signature is the contract.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
@@ -188,11 +191,43 @@ object BinaryPipeline {
       checksum = payloadChecksum(r.payload))
   }
 
-  /** Per-record dispatch: real ImageIO decode for images, stub for the
-    * codec-less media types.
+  /** Decoded audio header: sample rate in Hz, channel count, and PCM
+    * frame count (−1 when the container doesn't declare a length).
     */
-  def decode(r: MediaRecord): MediaFeatures =
-    if (r.media_type == "image")
+  case class AudioInfo(sampleRateHz: Int, channels: Int, frames: Long) {
+    /** Duration in seconds, when the frame count is known. */
+    def seconds: Option[Double] =
+      if (frames >= 0 && sampleRateHz > 0) Some(frames.toDouble / sampleRateHz) else None
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` parsers for WAV/AIFF/AU
+    * ship with the JDK — the same no-native-deps trick that made the
+    * image branch real via ImageIO. Returns the format header (rate,
+    * channels, frames) without materializing samples; None for bytes no
+    * registered provider understands and for recognized-but-corrupt
+    * payloads (same degrade-don't-fail contract as [[decodeImage]]).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[AudioInfo] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        Some(AudioInfo(f.getSampleRate.toInt, f.getChannels, in.getFrameLength))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** Per-record dispatch: real ImageIO decode for images, real
+    * javax.sound.sampled header decode for audio (WAV/AIFF/AU), stub for
+    * video (the JDK ships no video codec). Audio maps into the shared
+    * feature schema as width = sample rate (Hz), height = channels,
+    * n_frames = PCM frame count.
+    */
+  def decode(r: MediaRecord): MediaFeatures = r.media_type match {
+    case "image" =>
       decodeImage(r.payload) match {
         case Some((w, h)) =>
           MediaFeatures(r.media_id, r.media_type, r.n_bytes,
@@ -200,7 +235,17 @@ object BinaryPipeline {
             checksum = payloadChecksum(r.payload))
         case None => decodeStub(r)
       }
-    else decodeStub(r)
+    case "audio" =>
+      decodeAudio(r.payload) match {
+        case Some(a) =>
+          MediaFeatures(r.media_id, r.media_type, r.n_bytes,
+            width = a.sampleRateHz, height = a.channels,
+            n_frames = math.max(0, math.min(a.frames, Int.MaxValue)).toInt,
+            checksum = payloadChecksum(r.payload))
+        case None => decodeStub(r)
+      }
+    case _ => decodeStub(r)
+  }
 
   /** Distributed feature extraction: mapPartitions so the decoder
     * amortizes per-partition init across the batch (here: disabling

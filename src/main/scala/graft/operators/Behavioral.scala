@@ -184,4 +184,48 @@ object Behavioral {
       |WHERE c_custkey < 150
       |GROUP BY mktsegment
       |ORDER BY mktsegment""".stripMargin
+
+  /** Heavy-hitter share threshold in basis points (80 = 0.8%). Integer
+    * basis points keep the cut EXACT on both engines: `n·10000 ≥ tot·bp`
+    * is pure int64 arithmetic — no double threshold a last bit could
+    * flip.
+    */
+  val HeavyHitterBp = 80
+
+  /** Heavy hitters (iceberg query): per event_type, the users holding
+    * more than [[HeavyHitterBp]] basis points of that type's events —
+    * the frequent-items question every skew audit and abuse filter asks.
+    * Shape: one map-side-combined (type, user) count whose shuffle
+    * carries partial cells; per-type totals are a second dimension-sized
+    * aggregate broadcast back; the threshold filter drops the long tail
+    * BEFORE presentation. At 100 TB the exact form is this same plan (the
+    * candidate set after map-side combine is users×types cells); the
+    * sketch alternative (space-saving / Datasketches frequent-items) only
+    * becomes necessary when the CELL count itself is memory-hostile —
+    * q_sketch_merge demonstrates that architecture.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+    counts.join(broadcast(totals), "event_type")
+      .filter(col("n") * 10000 >= col("tot") * HeavyHitterBp)
+      .select(col("event_type"), col("user_id"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("share"))
+      .orderBy(col("event_type"), col("user_id"))
+  }
+
+  val qHeavyHittersOracle: String =
+    s"""WITH c AS (
+       |  SELECT event_type, user_id, count(*) AS n
+       |  FROM events GROUP BY event_type, user_id
+       |), t AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY event_type
+       |)
+       |SELECT c.event_type, c.user_id, c.n,
+       |  round(c.n / CAST(t.tot AS DOUBLE), 6) AS share
+       |FROM c JOIN t ON c.event_type = t.event_type
+       |WHERE c.n * 10000 >= t.tot * $HeavyHitterBp
+       |ORDER BY c.event_type, c.user_id""".stripMargin
 }

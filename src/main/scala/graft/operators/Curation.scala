@@ -494,4 +494,85 @@ object Curation {
        |  round(1.0 / (1.0 + exp(-z)), 4) AS score
        |FROM r WHERE cap_rank <= $SourceCap
        |ORDER BY source, cap_rank""".stripMargin
+
+  /** Exactly-k per-source sample size. */
+  val FixedSampleK = 5
+
+  /** Fixed-size sampling: EXACTLY min(k, n) documents per source, chosen
+    * by the content-addressed draw (so the sample is bit-reproducible,
+    * like every sampling op here) — the "give me 10k examples per domain
+    * for eval" request, which rate-based [[qStratifiedSample]] can't
+    * answer. Scale shape: rank-from-counts, NOT a per-source row sort —
+    * the draw lives in [0, 10000), so the (source, u) cell frame is
+    * dimension-bounded (≤10k cells/source) no matter how many rows a hot
+    * source has; a cell's base rank comes from a running sum over cells,
+    * the within-cell tiebreak is a window over the fine-grained
+    * (source, u) pair, and a row survives iff its total rank ≤ k. The
+    * oracle is the plain row_number form — the scale-safe plan must
+    * reproduce it exactly.
+    */
+  def qFixedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), draw("fixed", 10000).as("u"))
+    val cells = d.groupBy(col("source"), col("u")).agg(count(lit(1)).as("c"))
+    val wCells = Window.partitionBy(col("source")).orderBy(col("u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val indexed = cells
+      .withColumn("lo_rank", sum(col("c")).over(wCells) - col("c") + 1)
+      .select(col("source"), col("u"), col("lo_rank"))
+    val wTie = Window.partitionBy(col("source"), col("u")).orderBy(col("doc_id"))
+    d.withColumn("tie_rn", row_number().over(wTie))
+      .join(indexed, Seq("source", "u"))
+      .filter(col("lo_rank") + col("tie_rn") - 1 <= FixedSampleK)
+      .select(col("doc_id"), col("source"), col("u"))
+      .orderBy(col("source"), col("u"), col("doc_id"))
+  }
+
+  val qFixedSampleOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ${drawSql("fixed", 10000)} AS u FROM documents
+       |), r AS (
+       |  SELECT doc_id, source, u,
+       |    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk
+       |  FROM d
+       |)
+       |SELECT doc_id, source, u FROM r WHERE rk <= $FixedSampleK
+       |ORDER BY source, u, doc_id""".stripMargin
+
+  /** Winsorization: clamp per-document length into its source's exact
+    * [p05, p95] band — the feature-preprocessing step that tames outliers
+    * without dropping rows (complement of [[qLengthOutliers]], which
+    * flags instead of clamps). The percentile frames come from the
+    * distributed-exact engine (Analytics.exactPercentilesMulti — cells,
+    * never per-group row sorts) and are dimension-sized, so they
+    * BROADCAST back onto the scan: the corpus is never shuffled, the
+    * clamp is a scan-side greatest/least projection.
+    */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("double").as("n_chars"))
+    val bounds = Analytics.exactPercentilesMulti(d, "source",
+      Seq("n_chars" -> Seq(0.05 -> "lo", 0.95 -> "hi")))
+    d.join(broadcast(bounds), "source")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(greatest(col("lo"), least(col("hi"), col("n_chars"))), 4).as("clamped"),
+        (col("n_chars") < col("lo") || col("n_chars") > col("hi")).as("was_clamped"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qWinsorizeOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS n_chars FROM documents
+      |), b AS (
+      |  SELECT source,
+      |    round(quantile_cont(n_chars, 0.05), 4) AS lo,
+      |    round(quantile_cont(n_chars, 0.95), 4) AS hi
+      |  FROM d GROUP BY source
+      |)
+      |SELECT doc_id, d.source, n_chars,
+      |  round(greatest(lo, least(hi, n_chars)), 4) AS clamped,
+      |  (n_chars < lo OR n_chars > hi) AS was_clamped
+      |FROM d JOIN b ON d.source = b.source
+      |ORDER BY doc_id""".stripMargin
 }

@@ -122,4 +122,38 @@ object Profiling {
        |  round(ln(n_tokens) - sn / n_tokens, 4) AS entropy
        |FROM a
        |ORDER BY doc_id""".stripMargin
+
+  /** Per-source length/token percentile profile — the multi-metric form
+    * of the distributed-exact percentile engine: p50/p90 characters and
+    * p50 tokens per source from ONE corpus scan (the metrics melt
+    * scan-side into (source, metric, value) cells; see
+    * Analytics.exactPercentilesMulti). The corpus-profiling report every
+    * curation run opens with, and the oracle gate for the multi-metric
+    * engine itself.
+    */
+  def qDocPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"),
+        length(col("text")).cast("double").as("n_chars"),
+        size(TextFns.tokens(col("text"))).cast("double").as("n_tokens"))
+    Analytics.exactPercentilesMulti(d, "source", Seq(
+        "n_chars" -> Seq(0.5 -> "p50_chars", 0.9 -> "p90_chars"),
+        "n_tokens" -> Seq(0.5 -> "p50_tokens")))
+      .orderBy(col("source"))
+  }
+
+  val qDocPercentilesOracle: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(len(${TextFns.toksSql}) AS DOUBLE) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT source,
+       |  round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       |  round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       |  round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens
+       |FROM d
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 }

@@ -223,4 +223,47 @@ object Temporal {
       |FROM v
       |GROUP BY v.user_id
       |ORDER BY v.user_id""".stripMargin
+
+  /** SCD type-2 dimension build from an event log: compress each user's
+    * event stream into versioned validity intervals — one row per
+    * event_type CHANGE, carrying [valid_from, valid_to) in epoch micros
+    * (valid_to NULL on the current version). The temporal-table
+    * construction every warehouse needs before an as-of join can serve
+    * point-in-time lookups. Shape: one shuffle on user_id feeding two
+    * stacked windows (lag to detect changes, row_number + lead over the
+    * change rows to version and close intervals) — per-user bounded,
+    * never a global sort, and the change rows are a sliver of the log.
+    */
+  def qScd2Build(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val qScd2BuildOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |      AS prev_type
+      |  FROM events
+      |), c AS (
+      |  SELECT * FROM e WHERE prev_type IS NULL OR prev_type != event_type
+      |)
+      |SELECT user_id,
+      |  row_number() OVER w AS version,
+      |  event_type,
+      |  us AS valid_from_us,
+      |  lead(us) OVER w AS valid_to_us
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, version""".stripMargin
 }

@@ -76,6 +76,42 @@ class BinaryPipelineSpec extends SparkSpec {
     assert(f.width == math.max(1, truncated.length % 1024), "stub path expected")
   }
 
+  test("audio branch decodes real WAV/AIFF headers end-to-end") {
+    import spark.implicits._
+    def encoded(fileType: javax.sound.sampled.AudioFileFormat.Type,
+        rateHz: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      var i = 0
+      while (i < nFrames) { // audible-ish ramp so the payload isn't all zeros
+        pcm(i * fmt.getFrameSize) = (i % 251).toByte
+        i += 1
+      }
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream, fileType, baos)
+      baos.toByteArray
+    }
+    val wav = encoded(javax.sound.sampled.AudioFileFormat.Type.WAVE, 8000f, 1, 4000)
+    val aiff = encoded(javax.sound.sampled.AudioFileFormat.Type.AIFF, 44100f, 2, 441)
+    assert(BinaryPipeline.decodeAudio(wav).contains(
+      BinaryPipeline.AudioInfo(8000, 1, 4000L)))
+    assert(BinaryPipeline.decodeAudio(wav).flatMap(_.seconds).exists(s =>
+      math.abs(s - 0.5) < 1e-9))
+    val media = Seq(
+      BinaryPipeline.MediaRecord(20L, "audio", wav, "test", wav.length.toLong),
+      BinaryPipeline.MediaRecord(21L, "audio", aiff, "test", aiff.length.toLong),
+      // truncated WAV: recognized container, corrupt body → stub, not a crash
+      BinaryPipeline.MediaRecord(22L, "audio", wav.take(16), "test", 16L)
+    ).toDS()
+    val f = BinaryPipeline.extractFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(20L).width == 8000 && f(20L).height == 1 && f(20L).n_frames == 4000)
+    assert(f(21L).width == 44100 && f(21L).height == 2 && f(21L).n_frames == 441)
+    assert(f(22L).width == 16, "stub path expected for the truncated container")
+  }
+
   test("resize bounds every payload and keeps metadata consistent") {
     val resized = BinaryPipeline.resize(
       BinaryPipeline.mediaTable(spark, sf001), maxBytes = 128).collect()
