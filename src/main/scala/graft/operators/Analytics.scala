@@ -742,6 +742,78 @@ object Analytics {
       .orderBy(col("p_partkey"))
   }
 
+  /** Width of a global-decile price bucket in integer cents. */
+  val DecileBucketCents = 5000L
+
+  /** GLOBAL decile assignment without a global sort — the scale form of
+    * ntile() with no partition key, which Spark would otherwise run on a
+    * single task ([[qWindowNtile]] is the partitioned exact form; this is
+    * the one you need when the ranking is corpus-wide). Rank-from-counts
+    * over fixed-width price buckets, then Spark's exact ntile remainder
+    * rule applied arithmetically:
+    *   1. per-bucket counts (map-side combined) → exclusive prefix sum
+    *      over the dimension-sized bucket frame = each bucket's rank
+    *      offset; broadcast back.
+    *   2. within-bucket row_number (bucket-partitioned, bounded) + offset
+    *      = the exact global rank of every row under
+    *      ORDER BY cents, o_orderkey — no single-partition window ever
+    *      sees raw rows.
+    *   3. ntile semantics from rank and n: the first n%k groups take
+    *      ceil(n/k) rows, the rest floor(n/k) —
+    *      decile = (rank−1) div big + 1 inside the big groups,
+    *      r + (rank−1−r·big) div small after them. Integer arithmetic,
+    *      bit-identical to the oracle's native ntile(10).
+    * The final profile per decile is a 10-row aggregate.
+    */
+  def qGlobalDeciles(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val rows = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("bucket", floor(col("cents") / DecileBucketCents).cast("long"))
+    val bcounts = rows.groupBy(col("bucket")).agg(count(lit(1)).as("bc"))
+    val wPrefix = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bcounts
+      .withColumn("offset", coalesce(sum(col("bc")).over(wPrefix), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val total = rows.agg(count(lit(1)).as("n"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("cents"), col("o_orderkey"))
+    val ranked = rows
+      .join(broadcast(offsets), "bucket")
+      .withColumn("rnk", col("offset") + row_number().over(wIn))
+      .crossJoin(broadcast(total))
+      // `div` keeps everything in exact int64 — `/` on longs is double
+      // division in Spark, a floor() away from an off-by-one at 2^53
+      .withColumn("big", expr(s"(n + ${k - 1}) div $k"))
+      .withColumn("small", expr(s"n div $k"))
+      .withColumn("rmod", col("n") % k)
+    ranked
+      .withColumn("decile",
+        when(col("rnk") <= col("rmod") * col("big"),
+          expr("(rnk - 1) div big") + 1)
+        .otherwise(col("rmod") + expr("(rnk - 1 - rmod * big) div small") + 1))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+      .orderBy(col("decile"))
+  }
+
+  val qGlobalDecilesOracle: String =
+    """WITH r AS (
+      |  SELECT o_totalprice,
+      |    ntile(10) OVER (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+      |                    o_orderkey) AS decile
+      |  FROM orders
+      |)
+      |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM r
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val qSkylineOracle: String =
     """WITH p AS (
       |  SELECT p_partkey, p_retailprice, p_size,

@@ -80,6 +80,14 @@ object Curation {
     when(u < 80, "train").when(u < 90, "val").otherwise("test")
   }
 
+  /** SQL twin of [[splitCol]] — spliced into every oracle that needs the
+    * split (here, decontamination, n-gram eval overlap), never copied.
+    */
+  val splitCaseSql: String =
+    s"""CASE WHEN ${drawSql("split", 100)} < 80 THEN 'train'
+       |       WHEN ${drawSql("split", 100)} < 90 THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+
   def qTrainTestSplit(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(col("source"), splitCol.as("split"))
@@ -90,9 +98,7 @@ object Curation {
 
   val qTrainTestSplitOracle: String =
     s"""SELECT source,
-       |  CASE WHEN ${drawSql("split", 100)} < 80 THEN 'train'
-       |       WHEN ${drawSql("split", 100)} < 90 THEN 'val'
-       |       ELSE 'test' END AS split,
+       |  $splitCaseSql AS split,
        |  count(*) AS n_docs
        |FROM documents
        |GROUP BY source, split
@@ -297,10 +303,7 @@ object Curation {
   val qDecontaminateOracle: String =
     s"""WITH ${Dedup.jaccardPairsCte},
        |sp AS (
-       |  SELECT doc_id,
-       |    CASE WHEN ${drawSql("split", 100)} < 80 THEN 'train'
-       |         WHEN ${drawSql("split", 100)} < 90 THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT doc_id, $splitCaseSql AS split
        |  FROM documents
        |),
        |bi AS (

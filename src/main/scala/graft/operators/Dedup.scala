@@ -632,4 +632,96 @@ object Dedup {
        |FROM x JOIN f USING (h)
        |GROUP BY x.doc_id
        |ORDER BY x.doc_id""".stripMargin
+
+  /** Exact n-gram collision decontamination — the industry-standard
+    * complement to [[graft.operators.Curation.qDecontaminate]]'s
+    * near-dup form: an eval (val/test) document is contaminated if it
+    * shares ANY exact hashed 3-shingle with ANY train document, however
+    * dissimilar the documents are overall (the "eval question quoted
+    * inside a long train page" case near-dup misses). Reports per
+    * contaminated eval doc: distinct colliding shingles, distinct train
+    * docs hit, and the smallest offender. Shape: the train side is an
+    * inverted (hash, doc_id) index of bare longs, the eval side probes
+    * it with one hash join, both aggregates combine map-side — at 100 TB
+    * the train index is the persisted table, and screening a new eval
+    * set costs one join on the eval set's size.
+    */
+  def qEvalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tagged = shingled(s, dir)
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), Curation.splitCol.as("split")), Seq("doc_id"))
+    val trainIdx = tagged.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), explode(col("hs")).as("h"))
+    val evalProbe = tagged.filter(col("split") =!= "train")
+      .select(col("doc_id").as("eval_doc"), col("split").as("eval_split"),
+        explode(col("hs")).as("h"))
+    evalProbe.join(trainIdx.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("eval_doc"), col("eval_split"))
+      .agg(countDistinct(col("h")).as("n_shared"),
+        countDistinct(col("train_doc")).as("n_train_docs"),
+        min(col("train_doc")).as("first_train"))
+      .orderBy(col("eval_doc"))
+  }
+
+  val qEvalOverlapOracle: String =
+    s"""WITH $shingledSql,
+       |sp AS (SELECT doc_id, ${Curation.splitCaseSql} AS split FROM documents),
+       |tr AS (
+       |  SELECT s.doc_id AS train_doc, unnest(hs) AS h
+       |  FROM s JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'
+       |),
+       |ev AS (
+       |  SELECT s.doc_id AS eval_doc, sp.split AS eval_split, unnest(hs) AS h
+       |  FROM s JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split != 'train'
+       |)
+       |SELECT eval_doc, eval_split,
+       |  count(DISTINCT ev.h) AS n_shared,
+       |  count(DISTINCT train_doc) AS n_train_docs,
+       |  min(train_doc) AS first_train
+       |FROM ev JOIN tr ON ev.h = tr.h
+       |GROUP BY eval_doc, eval_split
+       |ORDER BY eval_doc""".stripMargin
+
+  /** Max edit distance for a fuzzy title match. */
+  val FuzzyMaxEdits = 2
+
+  /** Edit-distance (fuzzy) near-dup over the normalized 6-token title:
+    * pairs whose openings differ by ≤ [[FuzzyMaxEdits]] single-character
+    * edits — the "same article, retyped headline" catcher that set-based
+    * similarity misses (a one-character typo changes every shingle it
+    * touches, but moves levenshtein by 1). Candidates block on the FIRST
+    * token: exact recall for pairs agreeing on their first word;
+    * edits inside the first token are missed best-effort (tighter
+    * recall = block on several leading tokens' hashes at proportional
+    * index cost — the same documented trade as containment blocking).
+    * levenshtein is integer-exact on both engines, so the oracle gate is
+    * a hash compare, not a tolerance. The block join shuffles
+    * (first_token, doc_id, title) only; per-block pairing is bounded by
+    * block size, the usual AQE-skew-handled shape.
+    */
+  def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 6)
+      .select(col("doc_id"), element_at(col("t"), 1).as("k"),
+        array_join(slice(col("t"), 1, 6), " ").as("title"))
+    t.as("a").join(t.as("b").hint("shuffle_hash"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.title"), col("b.title")).cast("long").as("edits"))
+      .filter(col("edits") <= FuzzyMaxEdits)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupFuzzyOracle: String =
+    s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |t AS (
+       |  SELECT doc_id, t[1] AS k, array_to_string(t[1:6], ' ') AS title
+       |  FROM t0 WHERE len(t) >= 6
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  levenshtein(a.title, b.title) AS edits
+       |FROM t a JOIN t b ON a.k = b.k AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.title, b.title) <= $FuzzyMaxEdits
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -88,6 +88,60 @@ object Graph {
     ranks
   }
 
+  /** Triangle count over the nation co-trade graph (an undirected edge
+    * links two nations when any order ships a supplier's part of one to
+    * a customer of the other). The classic clustering-coefficient
+    * numerator, computed the scalable way: edges are canonicalized
+    * a < b and MATERIALIZED once (the fact⋈fact derivation must not run
+    * three times), then triangles enumerate as the ordered 2-path join
+    * e(a,b)⋈e(b,c) closed by e(a,c) — the a<b<c ordering counts each
+    * triangle exactly once and caps the join fan-out at the out-degree
+    * of the middle node. At 100 TB the edge frame is the persisted
+    * artifact; the joins shuffle bare (node, node) pairs.
+    */
+  def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("nc") =!= col("ns"))
+      .select(least(col("nc"), col("ns")).as("a"), greatest(col("nc"), col("ns")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodes.crossJoin(edges).crossJoin(tri)
+  }
+
+  val qTriangleCountOracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+      |    greatest(c_nationkey, s_nationkey) AS b
+      |  FROM orders
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey != s_nationkey
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM
+      |    (SELECT DISTINCT id FROM
+      |      (SELECT a AS id FROM e UNION ALL SELECT b FROM e) u) v) AS n_nodes,
+      |  (SELECT count(*) FROM e) AS n_edges,
+      |  (SELECT count(*) FROM e ab
+      |     JOIN e bc ON ab.b = bc.a
+      |     JOIN e ac ON ac.a = ab.a AND ac.b = bc.b) AS n_triangles""".stripMargin
+
   val qPagerankIterOracle: String =
     s"""WITH e AS (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS su

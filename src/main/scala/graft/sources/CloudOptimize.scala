@@ -45,7 +45,8 @@ object CloudOptimize {
       maxRecordsPerFile: Long = 1000000L,
       mode: SaveMode = SaveMode.Overwrite,
       numPartitions: Option[Int] = None,
-      extraOptions: Map[String, String] = Map.empty): Unit = {
+      extraOptions: Map[String, String] = Map.empty,
+      format: String = "parquet"): Unit = {
     val rangeCols = (partitionCols ++ sortCols).map(col)
     // three shapes, all skew-spreading (the first cut silently skipped
     // repartitioning for sort-less writes, reintroducing one-task skew):
@@ -73,7 +74,11 @@ object CloudOptimize {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .options(extraOptions)
       .partitionBy(partitionCols: _*)
-      .parquet(outPath)
+      // parquet is the default layout; ORC is the drop-in alternative for
+      // stacks standardized on it — both are Spark-native columnar formats
+      // with identical pruning/statistics contracts here
+      .format(format)
+      .save(outPath)
   }
 
   /** Bucketed table write: pre-shuffles data into `numBuckets` by

@@ -26,6 +26,23 @@ class CloudOptimizeSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("ship_year=")))
   }
 
+  test("ORC re-encode round-trips with the same partition layout and pruning") {
+    val out = Files.createTempDirectory("graft_orc").toString
+    val li = Tables.lineitem(spark, sf001)
+      .withColumn("ship_year", year(col("l_shipdate")))
+    CloudOptimize.write(li, out,
+      partitionCols = Seq("ship_year"), sortCols = Seq("l_orderkey"),
+      format = "orc")
+    val back = spark.read.orc(out)
+    assert(back.count() == li.count())
+    val plan = back.filter(col("ship_year") === 1997)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc"), plan)
+    assert(!plan.contains("PartitionFilters: []"), plan)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("ship_year=")))
+  }
+
   test("a hot partition value spreads over multiple sorted files (no one-task skew)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_skew").toString
