@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Hash-stable numeric aggregates shared across operators — ONE
+  * definition each, with a DuckDB SQL twin spliced (never copied) into
+  * the oracles.
+  *
+  * Why: `round(sum(double), k)` / `round(avg(double), k)` are NOT stable
+  * under distributed aggregation — partial-sum accumulation order varies
+  * run to run (and differs from DuckDB's), so an aggregate sitting at a
+  * `…5·10^-(k+1)` rounding boundary flips its k-th decimal
+  * nondeterministically (the r3 q_kmeans_step flake). The fix: sum the
+  * values as DECIMAL(38,12) — the cast of each IEEE double is exact and
+  * per-row, the decimal sum is associative-exact in ANY order — then
+  * cast the one exact sum back to double and round once. Bit-identical
+  * across runs and engines by construction.
+  *
+  * Not coverable this way: second-moment aggregates (stddev/corr/covar)
+  * have no exact decimal form; they rely on the round-gap argument
+  * (values far from rounding boundaries at the chosen precision).
+  * Window aggregates over an ORDER BY frame are sequential in frame
+  * order on both engines and need no stabilization.
+  */
+object NumFns {
+
+  private val D = DecimalType(38, 12)
+
+  /** Order-independent `round(sum(x), digits)` over a double column. */
+  def stableSum(x: Column, digits: Int): Column =
+    round(sum(x.cast(D)).cast("double"), digits)
+
+  def stableSumSql(x: String, digits: Int): String =
+    s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE), $digits)"
+
+  /** Order-independent `round(avg(x), digits)`: exact decimal sum ÷ n. */
+  def stableMean(x: Column, n: Column, digits: Int): Column =
+    round(sum(x.cast(D)).cast("double") / n, digits)
+
+  def stableMeanSql(x: String, n: String, digits: Int): String =
+    s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / $n, $digits)"
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.NumFns
 import graft.sources.Tables
 
 /** Second-tier analytic operators (SURVEY.md §2): multi-level rollups,
@@ -23,8 +24,8 @@ object Analytics {
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        NumFns.stableSum(col("l_quantity"), 2).as("sum_qty"),
+        NumFns.stableSum(col("l_extendedprice"), 2).as("sum_price"),
         count(lit(1)).as("n_rows"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
@@ -33,10 +34,10 @@ object Analytics {
       .orderBy(col("returnflag"), col("linestatus"))
 
   val qRollupAggOracle: String =
-    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  ${NumFns.stableSumSql("l_quantity", 2)} AS sum_qty,
+      |  ${NumFns.stableSumSql("l_extendedprice", 2)} AS sum_price,
       |  count(*) AS n_rows
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -232,8 +233,12 @@ object Analytics {
     */
   def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
+    // UNROUNDED exact mean (decimal sum ÷ count, both deterministic) —
+    // the avg feeds a comparison, so order-dependent last bits would
+    // flip rows in and out of the result, not just wiggle a decimal
     val custAvg = ord.groupBy(col("o_custkey").as("ck"))
-      .agg(avg(col("o_totalprice")).as("avg_price"))
+      .agg((sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double") / count(lit(1))).as("avg_price"))
     ord.join(custAvg, col("o_custkey") === col("ck"))
       .filter(col("o_totalprice") > col("avg_price") * 2.0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -244,7 +249,8 @@ object Analytics {
   val qScalarSubqueryOracle: String =
     """SELECT o_orderkey, o_custkey, o_totalprice, round(avg_price, 2) AS cust_avg
       |FROM orders
-      |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
+      |JOIN (SELECT o_custkey AS ck,
+      |        CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS avg_price
       |      FROM orders GROUP BY o_custkey) ca
       |  ON o_custkey = ck
       |WHERE o_totalprice > avg_price * 2.0
@@ -383,13 +389,13 @@ object Analytics {
       .groupBy(floor(col("o_totalprice") / 50000.0).cast("bigint").as("bucket"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        NumFns.stableSum(col("o_totalprice"), 2).as("sum_price"))
       .orderBy(col("bucket"))
 
   val qHistogramOracle: String =
-    """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+    s"""SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS sum_price
+      |  ${NumFns.stableSumSql("o_totalprice", 2)} AS sum_price
       |FROM orders
       |GROUP BY bucket
       |ORDER BY bucket""".stripMargin
@@ -556,19 +562,19 @@ object Analytics {
         "metric", "val")
       .groupBy(col("metric"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("val")), 2).as("sum_val"),
-        round(avg(col("val")), 6).as("avg_val"))
+        NumFns.stableSum(col("val"), 2).as("sum_val"),
+        NumFns.stableMean(col("val"), count(lit(1)), 6).as("avg_val"))
       .orderBy(col("metric"))
 
   val qUnpivotOracle: String =
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
       |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
       |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
       |)
       |SELECT metric, count(*) AS n,
-      |  round(sum(val), 2) AS sum_val,
-      |  round(avg(val), 6) AS avg_val
+      |  ${NumFns.stableSumSql("val", 2)} AS sum_val,
+      |  ${NumFns.stableMeanSql("val", "count(*)", 6)} AS avg_val
       |FROM u GROUP BY metric
       |ORDER BY metric""".stripMargin
 
@@ -668,12 +674,15 @@ object Analytics {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  // the decimal-stable sum rides in the SHARED SQL string — Spark and
+  // DuckDB execute the identical text, so the aggregate is
+  // order-independent on both engines
   private val groupingSetsSql =
-    """SELECT l_returnflag, l_linestatus,
+    s"""SELECT l_returnflag, l_linestatus,
       |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
       |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
       |  count(*) AS n,
-      |  round(sum(l_quantity), 2) AS sum_qty
+      |  ${NumFns.stableSumSql("l_quantity", 2)} AS sum_qty
       |FROM %s
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NumFns
 import graft.sources.Tables
 
 /** Behavioral / event-sequence analytics (SURVEY.md §2): funnel analysis,
@@ -140,7 +141,7 @@ object Behavioral {
     Tables.orders(s, dir)
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       .agg(
-        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        NumFns.stableSum(col("o_totalprice"), 2).as("sum_price"),
         count(lit(1)).as("n_orders"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -149,9 +150,9 @@ object Behavioral {
       .orderBy(col("priority"), col("status"))
 
   val qCubeAggOracle: String =
-    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+    s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
       |  COALESCE(o_orderstatus, 'ALL') AS status,
-      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  ${NumFns.stableSumSql("o_totalprice", 2)} AS sum_price,
       |  count(*) AS n_orders
       |FROM orders
       |GROUP BY CUBE(o_orderpriority, o_orderstatus)
@@ -172,14 +173,14 @@ object Behavioral {
     val fact = Tables.events(s, dir).select(col("user_id"), col("value"))
     graft.plans.Salt.saltedJoin(fact, dim, "user_id", salts = 8)
       .groupBy(col("c_mktsegment").as("mktsegment"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), NumFns.stableSum(col("value"), 2).as("sum_value"))
       .orderBy(col("mktsegment"))
   }
 
   val qSkewSaltedJoinOracle: String =
-    """SELECT c_mktsegment AS mktsegment,
+    s"""SELECT c_mktsegment AS mktsegment,
       |  count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value
+      |  ${NumFns.stableSumSql("value", 2)} AS sum_value
       |FROM events JOIN customer ON user_id = c_custkey
       |WHERE c_custkey < 150
       |GROUP BY mktsegment

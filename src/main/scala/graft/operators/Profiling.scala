@@ -28,7 +28,9 @@ object Profiling {
       sum(col(c).isNull.cast("long")).as("n_null"),
       min(col(c)).as("vmin"),
       max(col(c)).as("vmax"),
-      round(avg(col(c)), 4).as("vmean"),
+      // decimal-stable mean; stddev has no exact decimal form and relies
+      // on the round-gap argument (see NumFns)
+      graft.functions.NumFns.stableMean(col(c), count(lit(1)), 4).as("vmean"),
       round(stddev_samp(col(c)), 4).as("vstd"))
     Tables.lineitem(s, dir)
       .agg(count(lit(1)).as("n_rows"), cols.map(c => statsStruct(c).as(c)): _*)
@@ -45,7 +47,8 @@ object Profiling {
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
          |  min($c) AS vmin, max($c) AS vmax,
-         |  round(avg($c), 4) AS vmean, round(stddev_samp($c), 4) AS vstd
+         |  ${graft.functions.NumFns.stableMeanSql(c, "count(*)", 4)} AS vmean,
+         |  round(stddev_samp($c), 4) AS vstd
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"$one\nORDER BY col_name"

@@ -4,12 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.NumFns
 import graft.sources.Tables
 
 /** Core relational/analytic operators (SURVEY.md §2, table 2).
   *
   * Float discipline shared with every oracle in this repo: aggregate sums
-  * of doubles are rounded (`round(sum(x), 2)`) on BOTH engines so the
+  * and means of doubles go through NumFns.stableSum/stableMean (exact
+  * DECIMAL accumulation, rounded once) on BOTH engines, so the
   * order-dependent last bits of floating-point accumulation can never flip
   * a comparison; raw (unaggregated) doubles pass through untouched; every
   * query ends in a deterministic total ORDER BY mirrored by the oracle.
@@ -33,23 +35,23 @@ object Relational {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(revenue), 2).as("sum_disc_price"),
-        round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        NumFns.stableSum(col("l_quantity"), 2).as("sum_qty"),
+        NumFns.stableSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        NumFns.stableSum(revenue, 2).as("sum_disc_price"),
+        NumFns.stableSum(revenue * (lit(1.0) + col("l_tax")), 2).as("sum_charge"),
+        NumFns.stableMean(col("l_quantity"), count(lit(1)), 6).as("avg_qty"),
+        NumFns.stableMean(col("l_discount"), count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val q1Oracle: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-      |  round(avg(l_quantity), 6) AS avg_qty,
-      |  round(avg(l_discount), 6) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${NumFns.stableSumSql("l_quantity", 2)} AS sum_qty,
+      |  ${NumFns.stableSumSql("l_extendedprice", 2)} AS sum_base_price,
+      |  ${NumFns.stableSumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS sum_disc_price,
+      |  ${NumFns.stableSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 2)} AS sum_charge,
+      |  ${NumFns.stableMeanSql("l_quantity", "count(*)", 6)} AS avg_qty,
+      |  ${NumFns.stableMeanSql("l_discount", "count(*)", 6)} AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -68,7 +70,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(revenue), 2).as("revenue"))
+      .agg(NumFns.stableSum(revenue, 2).as("revenue"))
       .select(
         col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
@@ -79,10 +81,10 @@ object Relational {
   }
 
   val q3Oracle: String =
-    """SELECT l_orderkey,
+    s"""SELECT l_orderkey,
       |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |  o_orderpriority,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |  ${NumFns.stableSumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -114,13 +116,13 @@ object Relational {
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(revenue), 2).as("revenue"))
+      .agg(NumFns.stableSum(revenue, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Oracle: String =
-    """SELECT n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    s"""SELECT n_name,
+      |  ${NumFns.stableSumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -249,15 +251,15 @@ object Relational {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        round(sum(col("value")), 2).as("sum_value"))
+        NumFns.stableSum(col("value"), 2).as("sum_value"))
       .orderBy(col("hour_epoch"), col("event_type"))
 
   val qEventsHourlyOracle: String =
-    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       |  event_type,
       |  count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users,
-      |  round(sum(value), 2) AS sum_value
+      |  ${NumFns.stableSumSql("value", 2)} AS sum_value
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY hour_epoch, event_type""".stripMargin

@@ -45,20 +45,15 @@ object Similarity {
     VectorFns.cosineWithNorms(
       VectorFns.dot(col("a.v"), col("b.v")), col("a.nsq"), col("b.nsq")), 4)
 
-  /** Hash-stable mean of a double column under distributed aggregation:
-    * sum the values as DECIMAL(38,12) (exact, order-independent — the same
-    * discipline as the money sums, SURVEY §6), cast the one exact sum to
-    * double, divide by the count, round once. round(avg(double), 4) is NOT
-    * stable: partial-aggregation order varies run to run, so a mean sitting
-    * at a …5e-5 boundary flips the 4th decimal nondeterministically (the
-    * r3 q_kmeans_step flake).
+  /** Hash-stable mean — see [[graft.functions.NumFns]] (the r3
+    * q_kmeans_step flake: round(avg(double),4) is accumulation-order
+    * dependent; the decimal sum is not).
     */
   private def stableMean4(x: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
-    round(sum(x.cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double") / n, 4)
+    graft.functions.NumFns.stableMean(x, n, 4)
 
-  /** DuckDB twin of [[stableMean4]] — identical cast/round sequence. */
   private def stableMean4Sql(x: String, n: String) =
-    s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / $n, 4)"
+    graft.functions.NumFns.stableMeanSql(x, n, 4)
 
   /** Public: the Dataset encoder's generated deserializer must be able
     * to construct it (private members fail Janino compilation). One row

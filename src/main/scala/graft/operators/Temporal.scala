@@ -63,7 +63,7 @@ object Temporal {
       .filter(col("user_id") < GapfillUsers)
       .groupBy(col("user_id"),
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .agg(count(lit(1)).as("n"), graft.functions.NumFns.stableSum(col("value"), 2).as("sv"))
     val spine = hours
       .groupBy(col("user_id"))
       .agg(min(col("hour_epoch")).as("h0"), max(col("hour_epoch")).as("h1"))
@@ -80,7 +80,7 @@ object Temporal {
   val qGapfillOracle: String =
     s"""WITH h AS (
        |  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-       |    count(*) AS n, round(sum(value), 2) AS sv
+       |    count(*) AS n, ${graft.functions.NumFns.stableSumSql("value", 2)} AS sv
        |  FROM events WHERE user_id < $GapfillUsers
        |  GROUP BY 1, 2
        |),

@@ -343,13 +343,14 @@ object TextAnalysis {
       .join(unigramCounts.hint("shuffle_hash"), Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("c2") / col("c1").cast("double"))), 4).as("avg_logp"))
+        graft.functions.NumFns.stableMean(
+          log(col("c2") / col("c1").cast("double")), count(lit(1)), 4).as("avg_logp"))
       .orderBy(col("doc_id"))
   }
 
   val qBigramLmOracle: String =
-    """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       |  FROM documents
       |),
       |bg AS (
@@ -360,7 +361,7 @@ object TextAnalysis {
       |bc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
       |uc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
       |SELECT bg.doc_id, count(*) AS n_bigrams,
-      |  round(avg(ln(bc.c2 / CAST(uc.c1 AS DOUBLE))), 4) AS avg_logp
+      |  ${graft.functions.NumFns.stableMeanSql("ln(bc.c2 / CAST(uc.c1 AS DOUBLE))", "count(*)", 4)} AS avg_logp
       |FROM bg JOIN bc USING (bigram) JOIN uc USING (w1)
       |GROUP BY bg.doc_id
       |ORDER BY bg.doc_id""".stripMargin
