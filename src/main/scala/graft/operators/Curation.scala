@@ -578,4 +578,55 @@ object Curation {
       |  (n_chars < lo OR n_chars > hi) AS was_clamped
       |FROM d JOIN b ON d.source = b.source
       |ORDER BY doc_id""".stripMargin
+
+  /** Temperature-reweighted domain mixing (the DoReMi / multilingual-
+    * sampling shape, T = 2 i.e. share^(1/2)): per-source sampling weights
+    * ∝ √(natural token share), renormalized — upweights tail domains,
+    * damps head domains, the standard fix for a corpus where two sources
+    * would otherwise dominate training. Float discipline: natural shares
+    * are exact-int divisions; the √share weight is quantized to integer
+    * NANO-UNITS (round(√·10⁹) — sqrt is IEEE-correctly-rounded on both
+    * engines, so the quantized weights are bit-identical), and the
+    * renormalization denominator is an INTEGER sum of those units —
+    * order-independent, no double accumulation anywhere. The whole query
+    * is one corpus scan + two dimension-sized aggregates (sources ≪
+    * rows); the boost ratio is a division of exact int64 products.
+    */
+  def qDomainTemperature(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir)
+      .select(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = a.agg(sum(col("n_tokens")).as("tot"))
+    val b = a.crossJoin(broadcast(tot))
+      .withColumn("wq", round(sqrt(col("n_tokens") / col("tot")) * 1e9, 0).cast("long"))
+    val wtot = b.agg(sum(col("wq")).as("wtot"))
+    b.crossJoin(broadcast(wtot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("nat_share"),
+        round(col("wq") / col("wtot"), 6).as("temp_share"),
+        round((col("wq") * col("tot")) / (col("wtot") * col("n_tokens")).cast("double"), 4)
+          .as("boost"))
+      .orderBy(col("n_tokens").desc, col("source"))
+  }
+
+  val qDomainTemperatureOracle: String =
+    s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+       |a AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY source
+       |),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM a),
+       |b AS (
+       |  SELECT a.*, tot.tot,
+       |    CAST(round(sqrt(a.n_tokens / tot.tot) * 1e9) AS BIGINT) AS wq
+       |  FROM a CROSS JOIN tot
+       |),
+       |wt AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM b)
+       |SELECT source, n_docs, n_tokens,
+       |  round(n_tokens / tot, 6) AS nat_share,
+       |  round(wq / wtot, 6) AS temp_share,
+       |  round((wq * tot) / CAST(wtot * n_tokens AS DOUBLE), 4) AS boost
+       |FROM b CROSS JOIN wt
+       |ORDER BY n_tokens DESC, source""".stripMargin
 }

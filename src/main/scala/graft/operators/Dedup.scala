@@ -724,4 +724,61 @@ object Dedup {
        |FROM t a JOIN t b ON a.k = b.k AND a.doc_id < b.doc_id
        |WHERE levenshtein(a.title, b.title) <= $FuzzyMaxEdits
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Tokens per synthetic segment for [[qLineDedup]] (the corpus has no
+    * newlines, so "lines" are fixed token windows — same role as CCNet's
+    * newline-split paragraphs).
+    */
+  val SegmentTokens = 10
+
+  /** Corpus-wide line-level dedup (the CCNet/RefinedWeb paragraph-dedup
+    * shape): split every document into [[SegmentTokens]]-token segments,
+    * keep only the FIRST occurrence of each segment across the whole
+    * corpus (ordered by (doc_id, position)), and report per document how
+    * much of it survives — the sub-document dedup that removes repeated
+    * headers/footers/navigation exact-dedup can't see (it only drops
+    * whole-identical documents). First-writer-wins is a single min-
+    * aggregate over an integer position key; segments travel as 60-bit
+    * md5 hashes, so the corpus-wide shuffle carries (hash, pos_key)
+    * longs, never segment text. At 100 TB: one scan-side explode, one
+    * hash-partitioned agg, one hash join back — the same bounded shape
+    * as the shingle indexes, and the keeper table is persistable for
+    * incremental admission (new batches join against it like
+    * q_incremental_dedup).
+    */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("t")) - 1) / SegmentTokens).cast("int")),
+        i => concat_ws(" ", slice(col("t"), i * SegmentTokens + 1, lit(SegmentTokens))))))
+      .select(col("doc_id"), col("pos").as("seg_no"),
+        TextFns.hash60(col("col")).as("h"))
+      .withColumn("pos_key", col("doc_id") * 100000L + col("seg_no"))
+      .localCheckpoint()
+    val keepers = segs.groupBy(col("h")).agg(min(col("pos_key")).as("keeper_key"))
+    segs.join(keepers, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("pos_key") === col("keeper_key"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac", round(col("n_kept").cast("double") / col("n_segs"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val qLineDedupOracle: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |segs AS (
+       |  SELECT doc_id, i AS seg_no,
+       |    ${hash60Sql(s"array_to_string(t[i * $SegmentTokens + 1 : i * $SegmentTokens + $SegmentTokens], ' ')")} AS h,
+       |    doc_id * 100000 + i AS pos_key
+       |  FROM t, unnest(range(0, (len(t) - 1) // $SegmentTokens + 1)) AS u(i)
+       |),
+       |k AS (SELECT h, min(pos_key) AS keeper_key FROM segs GROUP BY h)
+       |SELECT s.doc_id, count(*) AS n_segs,
+       |  CAST(sum(CASE WHEN s.pos_key = k.keeper_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  round(CAST(sum(CASE WHEN s.pos_key = k.keeper_key THEN 1 ELSE 0 END) AS BIGINT)
+       |    / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+       |FROM segs s JOIN k USING (h)
+       |GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
 }

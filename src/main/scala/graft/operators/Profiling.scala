@@ -159,4 +159,89 @@ object Profiling {
        |FROM d
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** Per-source distribution drift: the exact two-sample Kolmogorov-
+    * Smirnov statistic between each source's document-length distribution
+    * and the whole corpus — the drift monitor that catches a source whose
+    * scrape changed shape (truncation bug, new template) before it
+    * poisons the mix. Exactness discipline: D = max|CDF_s − CDF_corpus|
+    * is evaluated with INTEGER cross-multiplication (|c_s·N − c_g·n_s|
+    * over the common value spine), so the max and its argmax value are
+    * order-independent on both engines; only the one reported ratio is a
+    * rounded double. Shape: two grouped aggregates over (value) and
+    * (source, value) — both map-side combined — then windows over the
+    * sources×values spine (dimension-sized, ~|sources|·|distinct lengths|
+    * cells, never corpus rows). At 100 TB the corpus is scanned once and
+    * everything downstream is aggregate-sized; with int128-free engines
+    * the cross-product bound (n_s·N < 2⁶³) is kept by bucketing lengths.
+    */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    // (source, value) cells and the global value cells — both tiny
+    val sc = docs.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("ca"))
+    val g = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cg"))
+    val na = docs.groupBy(col("source")).agg(count(lit(1)).as("n_a"))
+    val tot = docs.agg(count(lit(1)).as("n_g"))
+    // spine: every source × every observed value, with per-cell counts
+    val spine = g.crossJoin(na.select(col("source")))
+      .join(sc, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("ca"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = spine
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_g", sum(col("cg")).over(w))
+      .join(broadcast(na), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", abs(col("cum_a") * col("n_g") - col("cum_g") * col("n_a")))
+      .localCheckpoint()
+    val m = x.groupBy(col("source"))
+      .agg(max(col("n_a")).as("n_docs"), max(col("diff")).as("ks_num"),
+        max(col("n_g")).as("n_g"))
+    // argmax value = smallest length achieving the max diff (join-back,
+    // deterministic under ties on both engines)
+    m.as("m").join(x.select(col("source"), col("n_chars"), col("diff")).as("x"),
+        col("m.source") === col("x.source") && col("m.ks_num") === col("x.diff"))
+      .groupBy(col("m.source").as("source"))
+      .agg(max(col("m.n_docs")).as("n_docs"),
+        round(max(col("m.ks_num"))
+          / (max(col("m.n_docs")) * max(col("m.n_g"))).cast("double"), 6).as("ks_stat"),
+        min(col("x.n_chars")).as("at_value"))
+      .orderBy(col("source"))
+  }
+
+  val qKsDriftOracle: String =
+    """WITH d AS (SELECT source, n_chars FROM documents),
+      |sc AS (SELECT source, n_chars, count(*) AS ca FROM d GROUP BY source, n_chars),
+      |g AS (SELECT n_chars, count(*) AS cg FROM d GROUP BY n_chars),
+      |na AS (SELECT source, count(*) AS n_a FROM d GROUP BY source),
+      |tot AS (SELECT count(*) AS n_g FROM d),
+      |spine AS (
+      |  SELECT na.source, g.n_chars, g.cg, coalesce(sc.ca, 0) AS ca
+      |  FROM g CROSS JOIN na
+      |  LEFT JOIN sc ON sc.source = na.source AND sc.n_chars = g.n_chars
+      |),
+      |c AS (
+      |  SELECT source, n_chars,
+      |    sum(ca) OVER w AS cum_a,
+      |    sum(cg) OVER w AS cum_g
+      |  FROM spine
+      |  WINDOW w AS (PARTITION BY source ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+      |),
+      |x AS (
+      |  SELECT c.source, c.n_chars,
+      |    abs(c.cum_a * tot.n_g - c.cum_g * na.n_a) AS diff, na.n_a, tot.n_g
+      |  FROM c JOIN na ON na.source = c.source CROSS JOIN tot
+      |),
+      |m AS (
+      |  SELECT source, max(n_a) AS n_docs, max(diff) AS ks_num, max(n_g) AS n_g
+      |  FROM x GROUP BY source
+      |)
+      |SELECT m.source, max(m.n_docs) AS n_docs,
+      |  round(max(m.ks_num) / CAST(max(m.n_docs) * max(m.n_g) AS DOUBLE), 6) AS ks_stat,
+      |  min(x.n_chars) AS at_value
+      |FROM m JOIN x ON x.source = m.source AND x.diff = m.ks_num
+      |GROUP BY m.source
+      |ORDER BY m.source""".stripMargin
 }

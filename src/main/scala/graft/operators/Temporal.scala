@@ -266,4 +266,101 @@ object Temporal {
       |FROM c
       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  /** Gaps-and-islands: collapse each user's distinct active DAYS into
+    * maximal runs of consecutive days — the classic streak detection
+    * (login streaks, uptime runs, SLA windows). The standard day−rank
+    * trick: within a user, consecutive days share (epoch_day − row_number)
+    * so one grouped aggregate per (user, grp) yields island bounds —
+    * no self-join, no recursive walk. Shape at 100 TB: the distinct
+    * (user, day) frame is a tiny projection of the log (one map-side-
+    * combined distinct), then one user-partitioned window + one grouped
+    * agg — per-user bounded, never a global sort. Days travel as epoch
+    * integers so both engines subtract exactly.
+    */
+  def qGapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    Tables.events(s, dir)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .distinct()
+      .withColumn("grp", col("d") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("d")).as("start_day"), max(col("d")).as("end_day"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("start_day"), col("end_day"), col("n_days"))
+      .orderBy(col("user_id"), col("start_day"))
+  }
+
+  val qGapsIslandsOracle: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, (ts::DATE - DATE '1970-01-01') AS d FROM events
+      |), g AS (
+      |  SELECT user_id, d,
+      |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |  FROM d
+      |)
+      |SELECT user_id, min(d) AS start_day, max(d) AS end_day, count(*) AS n_days
+      |FROM g
+      |GROUP BY user_id, grp
+      |ORDER BY user_id, start_day""".stripMargin
+
+  /** Rolling z-score anomaly flags: an event whose value deviates more
+    * than 3σ from the mean of that user's previous [[AnomalyMinPrev]]..10
+    * events — the self-calibrating outlier monitor every metrics pipeline
+    * runs (no fixed thresholds, adapts per user). One user-partitioned
+    * sliding ROWS frame carrying three aggregates (n, Σx, Σx²); mean and
+    * variance come from the sufficient statistics, so the frame never
+    * re-materializes. Float discipline: the frame sums are DECIMAL(38,12)
+    * (order-exact — DuckDB may evaluate sliding frames via segment trees,
+    * a different summation order than Spark's sequential slide; decimal
+    * sums are associative-exact so both engines produce the identical
+    * scalar), and the downstream mean/σ/compare arithmetic is then
+    * identical IEEE ops on identical inputs. At 100 TB this is one
+    * shuffle on user_id and a bounded sliding frame — state is O(10)
+    * per user regardless of history length.
+    */
+  val AnomalyMinPrev = 5
+
+  def qAnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(-10, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("n_prev", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("value").cast(D)).over(w).cast("double"))
+      .withColumn("s2", sum((col("value") * col("value")).cast(D)).over(w).cast("double"))
+      .filter(col("n_prev") >= AnomalyMinPrev)
+      .withColumn("mean_prev", col("s1") / col("n_prev"))
+      .withColumn("std_prev",
+        sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n_prev"))
+          / (col("n_prev") - 1), lit(0.0))))
+      .filter(abs(col("value") - col("mean_prev")) > lit(3.0) * col("std_prev"))
+      .select(col("event_id"), col("user_id"), col("us"), col("value"),
+        col("n_prev"), round(col("mean_prev"), 4).as("mean_prev"),
+        round(col("std_prev"), 4).as("std_prev"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  val qAnomalyZscoreOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+       |    count(*) OVER w AS n_prev,
+       |    CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE) AS s2
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       |               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+       |), z AS (
+       |  SELECT event_id, user_id, us, value, n_prev,
+       |    s1 / n_prev AS mean_prev,
+       |    sqrt(greatest((s2 - s1 * s1 / n_prev) / (n_prev - 1), 0.0)) AS std_prev
+       |  FROM b WHERE n_prev >= $AnomalyMinPrev
+       |)
+       |SELECT event_id, user_id, us, value, n_prev,
+       |  round(mean_prev, 4) AS mean_prev, round(std_prev, 4) AS std_prev
+       |FROM z
+       |WHERE abs(value - mean_prev) > 3.0 * std_prev
+       |ORDER BY user_id, us, event_id""".stripMargin
 }

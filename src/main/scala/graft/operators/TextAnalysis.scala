@@ -365,4 +365,100 @@ object TextAnalysis {
       |FROM bg JOIN bc USING (bigram) JOIN uc USING (w1)
       |GROUP BY bg.doc_id
       |ORDER BY bg.doc_id""".stripMargin
+
+  /** Top candidate merges for one BPE training step: corpus-wide counts
+    * of adjacent CHARACTER pairs, the argmax of which is the next merge
+    * rule. Scale trick (the one real BPE trainers use): pair counting
+    * runs over the distinct-word VOCABULARY weighted by word frequency,
+    * not over the corpus — the corpus is scanned once for the word-count
+    * aggregate (map-side combined), and the character-level explode
+    * touches only |vocab| rows. At 100 TB the corpus pass is unchanged
+    * and the pair stage stays dimension-sized. Integer-exact on both
+    * engines; ties broken by pair text.
+    */
+  val BpeTopPairs = 20
+
+  def qBpePairCount(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+    vocab
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(BpeTopPairs)
+  }
+
+  val qBpePairCountOracle: String =
+    s"""WITH w AS (SELECT unnest($toksSql) AS w FROM documents),
+       |v AS (SELECT w, count(*) AS n FROM w GROUP BY w HAVING len(w) >= 2),
+       |p AS (
+       |  SELECT w[i : i + 1] AS pair, n
+       |  FROM v, unnest(range(1, len(w))) AS u(i)
+       |)
+       |SELECT pair, CAST(sum(n) AS BIGINT) AS freq
+       |FROM p GROUP BY pair
+       |ORDER BY freq DESC, pair
+       |LIMIT $BpeTopPairs""".stripMargin
+
+  /** Token co-occurrence PMI (pointwise mutual information): for every
+    * pair of words appearing in the same document, ln(N·c_ab/(c_a·c_b))
+    * — the association statistic under word-embedding objectives and
+    * collocation mining. Counts are document-level (distinct tokens per
+    * doc), so all three inputs are integer-exact; ln runs once per pair
+    * on identical rationals (same parity basis as q_word_entropy). The
+    * pair generator is a doc_id-keyed self-join of the per-doc distinct
+    * token list — shuffles carry (doc_id, word), and per-doc pair cost
+    * is bounded by distinct-tokens² (a production corpus caps this by
+    * restricting to the top-K vocabulary before pairing; the synthetic
+    * vocab is already dimension-sized). Derived self-join side is
+    * shuffle_hash, never broadcast (the §5 driver-build cliff).
+    */
+  val PmiMinPairCount = 5
+
+  def qTokenPmi(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokenSet(col("text"))).as("w"))
+      .localCheckpoint()
+    val nDocs = tok.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = tok.as("a")
+      .join(tok.as("b").hint("shuffle_hash"),
+        col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+      .groupBy(col("a.w").as("w_a"), col("b.w").as("w_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinPairCount)
+    pairs
+      .join(cw.select(col("w").as("w_a"), col("c").as("c_a")).hint("shuffle_hash"), Seq("w_a"))
+      .join(cw.select(col("w").as("w_b"), col("c").as("c_b")).hint("shuffle_hash"), Seq("w_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("w_a"), col("w_b"), col("c_a"), col("c_b"), col("c_ab"),
+        round(log(col("c_ab") * col("n_docs") / (col("c_a") * col("c_b"))
+          .cast("double")), 6).as("pmi"))
+      .orderBy(col("w_a"), col("w_b"))
+  }
+
+  val qTokenPmiOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct($toksSql)) AS w FROM documents
+       |),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+       |cw AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |p AS (
+       |  SELECT a.w AS w_a, b.w AS w_b, count(*) AS c_ab
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.w < b.w
+       |  GROUP BY a.w, b.w
+       |  HAVING count(*) >= $PmiMinPairCount
+       |)
+       |SELECT p.w_a, p.w_b, ca.c AS c_a, cb.c AS c_b, p.c_ab,
+       |  round(ln(p.c_ab * nd.n_docs / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi
+       |FROM p
+       |JOIN cw ca ON ca.w = p.w_a
+       |JOIN cw cb ON cb.w = p.w_b
+       |CROSS JOIN nd
+       |ORDER BY w_a, w_b""".stripMargin
 }
