@@ -39,7 +39,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args: restrict to the named queries (micro-bench iteration)
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = if (args.nonEmpty) all.filter(q => args.contains(q._1)) else all
     suite.foreach { case (name, fn) => // warm sweep: codegen + JIT + listing
       try exec(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
