@@ -15,23 +15,35 @@ import graft.sources.Tables
 object Analytics {
 
   /** ROLLUP aggregation: per-(flag,status), per-flag subtotal, and grand
-    * total in one pass — Spark expands grouping sets map-side, so the
-    * shuffle carries one partial row per (set × group), not extra scans.
-    * NULL subtotal markers are coalesced to 'ALL' on both engines (the
-    * data itself is null-free).
+    * total. Two-phase: the corpus first aggregates to its LEAF groups
+    * (the only pass that touches scan rows — plain hash agg, no Expand),
+    * and ROLLUP's grouping-set Expand then runs over the 6-row leaf
+    * frame, re-summing partials. Valid because the DECIMAL partial sums
+    * are associative-exact (bit-identical to the single-phase form by
+    * construction); Spark's native rollup expands BEFORE the partial
+    * aggregate, tripling every scan row through the decimal adders —
+    * measured 2× slower at sf0.1. NULL subtotal markers are coalesced to
+    * 'ALL' on both engines (the data itself is null-free).
     */
-  def qRollupAgg(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  def qRollupAgg(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val leaves = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(D)).as("s_qty"),
+        sum(col("l_extendedprice").cast(D)).as("s_price"),
+        count(lit(1)).as("n"))
+    leaves
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        NumFns.stableSum(col("l_quantity"), 2).as("sum_qty"),
-        NumFns.stableSum(col("l_extendedprice"), 2).as("sum_price"),
-        count(lit(1)).as("n_rows"))
+        round(sum(col("s_qty")).cast("double"), 2).as("sum_qty"),
+        round(sum(col("s_price")).cast("double"), 2).as("sum_price"),
+        sum(col("n")).as("n_rows"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("sum_price"), col("n_rows"))
       .orderBy(col("returnflag"), col("linestatus"))
+  }
 
   val qRollupAggOracle: String =
     s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -65,7 +77,18 @@ object Analytics {
     * fact-table scans were not.
     */
   def exactPercentilesMulti(df: DataFrame, grp: String,
-      specs: Seq[(String, Seq[(Double, String)])]): DataFrame = {
+      specs: Seq[(String, Seq[(Double, String)])]): DataFrame =
+    exactPercentilesMulti(df, grp, specs, None)
+
+  /** As above, optionally also emitting the group's non-null row count
+    * for one metric as `countAs = Some(metric -> alias)` — the count is
+    * already an engine byproduct (every cell carries its group size), so
+    * callers needing (percentiles, n) per group avoid a second scan of
+    * the input.
+    */
+  def exactPercentilesMulti(df: DataFrame, grp: String,
+      specs: Seq[(String, Seq[(Double, String)])],
+      countAs: Option[(String, String)]): DataFrame = {
     // melt to a common double type; percentile semantics ignore nulls
     // (quantile_cont / percentile both do) — unfiltered, nulls would
     // inflate n AND sort first, silently shifting every order statistic
@@ -121,19 +144,19 @@ object Analytics {
         round(col(s"${name}_lo") +
           frac * (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) - col(s"${name}_lo")),
           4))
-    }.select(col(grp) +: targets.map { case (_, _, name) => col(name) }: _*)
+    }.select(col(grp) +: (targets.map { case (_, _, name) => col(name) } ++
+      countAs.map { case (m, alias) => col(s"__n_$m").as(alias) }): _*)
   }
 
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    // both metrics in one exactPercentilesMulti call — one lineitem scan
-    // feeds both cell families (r4; was two separate calls = two scans)
-    val pcts = exactPercentilesMulti(li, "l_returnflag", Seq(
-      "l_extendedprice" -> Seq(0.5 -> "p50_price", 0.95 -> "p95_price"),
-      "l_quantity" -> Seq(0.5 -> "p50_qty")))
-    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
-    // two 3-row frames — the join broadcasts
-    pcts.join(counts, "l_returnflag")
+    // both metrics AND the group row count from one exactPercentilesMulti
+    // call — one lineitem scan total (r4; was two calls = two scans, then
+    // one call + a separate count scan)
+    exactPercentilesMulti(li, "l_returnflag", Seq(
+        "l_extendedprice" -> Seq(0.5 -> "p50_price", 0.95 -> "p95_price"),
+        "l_quantity" -> Seq(0.5 -> "p50_qty")),
+      countAs = Some("l_quantity" -> "n_rows"))
       .select(col("l_returnflag"), col("p50_price"), col("p95_price"),
         col("p50_qty"), col("n_rows"))
       .orderBy(col("l_returnflag"))

@@ -153,4 +153,77 @@ object Graph {
        |FROM e JOIN d USING (c)
        |GROUP BY e.su
        |ORDER BY s_suppkey""".stripMargin
+
+  /** BFS shortest-hop levels from nation 0 over the undirected nation
+    * co-trade graph (same canonical edge list as [[qTriangleCount]]):
+    * frontier expansion to a fixpoint — level k+1 = neighbors of the
+    * level-k frontier not yet visited. The iterate-until-empty QUERY
+    * form of the loop discipline ([[Dedup.connectedComponents]] /
+    * [[pagerank]]): symmetric edges materialized once, each round one
+    * frontier⋈edges join + one anti-join against the visited set, both
+    * frames `localCheckpoint`ed so round k never replays rounds 1..k−1;
+    * the only driver scalar is the per-round emptiness test (the
+    * documented convergence-scalar exception). Unreachable nodes are
+    * absent from the output (consistent with the recursive-CTE oracle).
+    * At 100 TB frontier/visited are bare (id, level) longs; rounds =
+    * graph diameter, each one hash join on id.
+    */
+  val BfsSource = 0L
+  val BfsMaxRounds = 64
+
+  def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("nc") =!= col("ns"))
+      .select(least(col("nc"), col("ns")).as("a"), greatest(col("nc"), col("ns")).as("b"))
+      .distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint()
+    var frontier = sym.sparkSession.range(1)
+      .select(lit(BfsSource).as("id"), lit(0L).as("level"))
+      .localCheckpoint()
+    var visited = frontier
+    var round = 0
+    var done = false
+    while (!done && round < BfsMaxRounds) {
+      val nxt = frontier.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(round + 1L).as("level"))
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else {
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+        round += 1
+      }
+    }
+    visited.orderBy(col("id"))
+  }
+
+  val qBfsLevelsOracle: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS src,
+       |    greatest(c_nationkey, s_nationkey) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey != s_nationkey
+       |), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |walk(id, lvl) AS (
+       |  SELECT CAST($BfsSource AS BIGINT) AS id, CAST(0 AS BIGINT) AS lvl
+       |  UNION
+       |  SELECT CAST(sym.dst AS BIGINT), w.lvl + 1
+       |  FROM walk w JOIN sym ON sym.src = w.id WHERE w.lvl < $BfsMaxRounds
+       |)
+       |SELECT id, min(lvl) AS level FROM walk GROUP BY id ORDER BY id""".stripMargin
 }

@@ -244,4 +244,44 @@ object Profiling {
       |FROM m JOIN x ON x.source = m.source AND x.diff = m.ks_num
       |GROUP BY m.source
       |ORDER BY m.source""".stripMargin
+
+  /** Mutual information between two categorical columns (source ×
+    * lang): MI = Σ (c_xy/N)·ln(N·c_xy/(c_x·c_y)) — the dependence
+    * audit that catches a leaking pipeline (language concentrated in
+    * one source, split correlated with label) before training bakes it
+    * in. Every per-cell term is computed from exact integer counts
+    * (identical IEEE ops on both engines — the q_word_entropy parity
+    * basis), and the cell-term SUM is decimal-stable (NumFns), so the
+    * one reported scalar is bit-stable. One corpus scan → three
+    * map-side-combined counts; everything after is dimension-sized
+    * (|source|×|lang| cells).
+    */
+  def qMutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"), col("lang"))
+    val xy = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cxy"))
+    val cx = d.groupBy(col("source")).agg(count(lit(1)).as("cx"))
+    val cy = d.groupBy(col("lang")).agg(count(lit(1)).as("cy"))
+    val n = d.agg(count(lit(1)).as("n"))
+    xy.join(broadcast(cx), Seq("source"))
+      .join(broadcast(cy), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .select((col("cxy") / col("n")
+        * log(col("cxy") * col("n") / (col("cx") * col("cy")).cast("double"))).as("term"))
+      .agg(count(lit(1)).as("n_cells"),
+        graft.functions.NumFns.stableSum(col("term"), 6).as("mi_nats"))
+  }
+
+  val qMutualInfoOracle: String =
+    s"""WITH d AS (SELECT source, lang FROM documents),
+       |xy AS (SELECT source, lang, count(*) AS cxy FROM d GROUP BY source, lang),
+       |cx AS (SELECT source, count(*) AS cx FROM d GROUP BY source),
+       |cy AS (SELECT lang, count(*) AS cy FROM d GROUP BY lang),
+       |n AS (SELECT count(*) AS n FROM d),
+       |t AS (
+       |  SELECT xy.cxy / n.n * ln(xy.cxy * n.n / CAST(cx.cx * cy.cy AS DOUBLE)) AS term
+       |  FROM xy JOIN cx USING (source) JOIN cy USING (lang) CROSS JOIN n
+       |)
+       |SELECT count(*) AS n_cells,
+       |  ${graft.functions.NumFns.stableSumSql("term", 6)} AS mi_nats
+       |FROM t""".stripMargin
 }

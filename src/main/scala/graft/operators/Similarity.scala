@@ -552,4 +552,49 @@ object Similarity {
        |FROM x
        |GROUP BY cell, pos
        |ORDER BY cell, pos""".stripMargin
+
+  /** Class-balanced re-weighting (the effective-number-of-samples form,
+    * Cui et al. 2019, β = 1/2): per label, effective n = (1−βⁿ)/(1−β)
+    * and the training weight ∝ 1/effective-n, renormalized to sum to the
+    * class count. β = 1/2 is chosen deliberately: 2⁻ⁿ is a power of two,
+    * so every effective-n is a dyadic rational computed EXACTLY in
+    * binary floating point via integer bit-shift (no `pow`, whose last-
+    * ulp behavior differs across libm implementations); n ≥ 63 saturates
+    * to exactly 2 on both engines. The renormalization denominator is an
+    * integer sum of nano-unit quantized weights (same discipline as the
+    * temperature mix). One grouped count + one dimension-sized frame:
+    * the corpus is scanned once, never shuffled.
+    */
+  def qClassBalance(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.embeddings(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val eff = counts.withColumn("eff_n",
+      when(col("n_vecs") >= 63, lit(2.0))
+        .otherwise(lit(2.0) * (lit(1.0) - lit(1.0) /
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(n_vecs AS INT)) AS DOUBLE)"))))
+      .withColumn("wq", round(lit(1e9) / col("eff_n"), 0).cast("long"))
+    val wtot = eff.agg(sum(col("wq")).as("wtot"), sum(col("n_vecs")).as("n_total"))
+    eff.crossJoin(broadcast(wtot))
+      .select(col("label"), col("n_vecs"), round(col("eff_n"), 6).as("eff_n"),
+        round(col("wq") * col("n_total") / col("wtot").cast("double"), 6).as("weight"))
+      .orderBy(col("label"))
+  }
+
+  val qClassBalanceOracle: String =
+    """WITH c AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label),
+      |e AS (
+      |  SELECT label, n_vecs,
+      |    CASE WHEN n_vecs >= 63 THEN 2.0
+      |         ELSE 2.0 * (1.0 - 1.0 / CAST(1::BIGINT << CAST(n_vecs AS INT) AS DOUBLE))
+      |    END AS eff_n
+      |  FROM c
+      |),
+      |q AS (SELECT label, n_vecs, eff_n,
+      |        CAST(round(1e9 / eff_n) AS BIGINT) AS wq FROM e),
+      |w AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot,
+      |        CAST(sum(n_vecs) AS BIGINT) AS n_total FROM q)
+      |SELECT label, n_vecs, round(eff_n, 6) AS eff_n,
+      |  round(wq * n_total / CAST(wtot AS DOUBLE), 6) AS weight
+      |FROM q CROSS JOIN w
+      |ORDER BY label""".stripMargin
 }

@@ -363,4 +363,71 @@ object Temporal {
        |FROM z
        |WHERE abs(value - mean_prev) > 3.0 * std_prev
        |ORDER BY user_id, us, event_id""".stripMargin
+
+  /** Last-observation-carried-forward (LOCF) imputation: annotate every
+    * event with the value of that user's most recent PURCHASE as of that
+    * moment — the point-in-time feature ("last basket size") a training
+    * pipeline joins onto every interaction, and the standard fill for
+    * sparsely-observed signals. `last(..., ignoreNulls)` over a running
+    * user window: one shuffle on user_id, one per-user ordered pass,
+    * O(1) carry state — never a self-join, never an as-of re-sort per
+    * feature. Events before the user's first purchase stay NULL (both
+    * engines agree on the missing prefix).
+    */
+  def qLocfImpute(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .withColumn("last_purchase_value",
+        round(last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w), 2))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  val qLocfImputeOracle: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value,
+      |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS UNBOUNDED PRECEDING), 2) AS last_purchase_value
+      |FROM events
+      |ORDER BY user_id, us, event_id""".stripMargin
+
+  /** Daily burst detection: days where a user's event count exceeds
+    * [[BurstFactor]]× their own median daily activity — the self-
+    * calibrating rate monitor (scraper gone hot, bot takeover, incident
+    * spike) that needs no global threshold. Integer day counts, exact
+    * per-user median (a half-integer at worst — exact in binary), and an
+    * integer-vs-exact-double compare: no accumulation anywhere, so the
+    * flag set is bit-stable on both engines. Shape at 100 TB: one
+    * map-side-combined (user, day) count, one dimension-sized median
+    * frame joined back — the log is scanned once and never re-shuffled.
+    */
+  val BurstFactor = 2L
+
+  def qBurstDetect(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / (86400L * 1000000L)).as("day_epoch"))
+      .groupBy(col("user_id"), col("day_epoch"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = days.groupBy(col("user_id")).agg(median(col("n_events")).as("med"))
+    days.join(broadcast(med), Seq("user_id"))
+      .filter(col("n_events") > lit(BurstFactor) * col("med"))
+      .select(col("user_id"), col("day_epoch"), col("n_events"),
+        round(col("med"), 1).as("median_daily"))
+      .orderBy(col("user_id"), col("day_epoch"))
+  }
+
+  val qBurstDetectOracle: String =
+    s"""WITH h AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_epoch, count(*) AS n_events
+       |  FROM events GROUP BY user_id, day_epoch
+       |),
+       |m AS (SELECT user_id, median(n_events) AS med FROM h GROUP BY user_id)
+       |SELECT user_id, day_epoch, n_events, round(med, 1) AS median_daily
+       |FROM h JOIN m USING (user_id)
+       |WHERE n_events > $BurstFactor * med
+       |ORDER BY user_id, day_epoch""".stripMargin
 }

@@ -119,6 +119,80 @@ class Round4BatchSpec extends SparkSpec {
       s"KS mismatch for $src: got ${rows.head.getAs[Double]("ks_stat")}, brute $brute")
   }
 
+  test("LOCF carries the most recent purchase value, never a future one") {
+    val rows = Temporal.qLocfImpute(spark, sf001).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+      var expect: Option[Double] = None
+      ordered.foreach { r =>
+        if (r.getAs[String]("event_type") == "purchase")
+          expect = Some(r.getAs[Double]("value"))
+        val got = Option(r.getAs[java.lang.Double]("last_purchase_value")).map(_.toDouble)
+        assert(got == expect.map(v => math.rint(v * 100) / 100),
+          s"LOCF mismatch at ${r.getAs[Long]("event_id")}: got $got expected $expect")
+      }
+    }
+  }
+
+  test("burst days exceed the factor and quiet users flag nothing") {
+    val bursts = Temporal.qBurstDetect(spark, sf001).collect()
+    assert(bursts.nonEmpty, "synthetic data must contain at least one burst")
+    bursts.foreach { r =>
+      assert(r.getAs[Long]("n_events") > Temporal.BurstFactor * r.getAs[Double]("median_daily"),
+        s"flagged day must exceed the threshold: $r")
+    }
+  }
+
+  test("BFS levels are a valid shortest-hop labeling") {
+    val rows = Graph.qBfsLevels(spark, sf001).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("level")).toMap
+    assert(rows(Graph.BfsSource) == 0L)
+    assert(rows.values.forall(_ >= 0L))
+    // triangle inequality over every edge: levels of neighbors differ by <= 1
+    val e = Tables.orders(spark, sf001)
+      .join(Tables.lineitem(spark, sf001), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, sf001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf001), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").cast("long").as("a"), col("s_nationkey").cast("long").as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    e.foreach { case (a, b) =>
+      (rows.get(a), rows.get(b)) match {
+        case (Some(la), Some(lb)) =>
+          assert(math.abs(la - lb) <= 1, s"edge ($a,$b) violates BFS: $la vs $lb")
+        case _ => fail(s"edge endpoint missing from BFS output: ($a,$b)")
+      }
+    }
+  }
+
+  test("class-balance weights are exact dyadics and renormalize to the class count") {
+    val rows = Similarity.qClassBalance(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      val eff = r.getAs[Double]("eff_n")
+      val expect = if (n >= 63) 2.0 else 2.0 * (1.0 - 1.0 / (1L << n).toDouble)
+      assert(math.abs(eff - expect) < 1e-6, s"effective n mismatch: $r")
+      assert(eff >= 1.0 && eff <= 2.0)
+    }
+    // renormalization: weights sum to the corpus vector count (mean weight ~ 1/vector)
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    val expected = rows.map(_.getAs[Long]("n_vecs")).sum.toDouble
+    assert(math.abs(wsum - expected) < 1e-2, s"weights must renormalize: $wsum vs $expected")
+  }
+
+  test("mutual information is non-negative and bounded by marginal entropy") {
+    val row = Profiling.qMutualInfo(spark, sf001).collect().head
+    val mi = row.getAs[Double]("mi_nats")
+    assert(mi >= -1e-9, s"MI must be non-negative: $mi")
+    // H(lang) upper-bounds MI(source, lang)
+    val langs = Tables.documents(spark, sf001).groupBy(col("lang")).count()
+      .collect().map(_.getAs[Long]("count"))
+    val n = langs.sum.toDouble
+    val hLang = langs.map { c => -(c / n) * math.log(c / n) }.sum
+    assert(mi <= hLang + 1e-9, s"MI $mi must not exceed H(lang) $hLang")
+  }
+
   test("temperature reweighting flattens the mix and renormalizes to 1") {
     val rows = Curation.qDomainTemperature(spark, sf001).collect()
     assert(rows.length >= 2)
