@@ -788,4 +788,44 @@ object Dedup {
        |FROM segs s JOIN k USING (h)
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
+
+  /** Opening tokens hashed for [[qDedupPrefix]]. */
+  val PrefixTokens = 10
+
+  /** Shared-opening near-dup pairs: documents whose FIRST
+    * [[PrefixTokens]] tokens are identical — the prefix-blocking dedup
+    * that catches templated openings, mirrored articles with edited
+    * bodies, and truncated re-crawls (same page cut at different
+    * lengths), where set similarity decays with the edit but the opening
+    * stays exact. Each doc projects to one 60-bit opening hash on the
+    * scan side; candidates join on the (hash, id) inverted index — bare
+    * longs, linear index size, exact recall for any pair sharing the
+    * full opening window, and the hash doubles as the blocking key for
+    * a downstream verification stage (q_dedup_fuzzy runs levenshtein
+    * inside exactly these blocks).
+    */
+  def qDedupPrefix(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= PrefixTokens)
+      .select(col("doc_id"),
+        TextFns.hash60(concat_ws(" ", slice(col("t"), 1, PrefixTokens))).as("head_h"))
+      .localCheckpoint()
+    t.as("a").join(t.as("b").hint("shuffle_hash"),
+        col("a.head_h") === col("b.head_h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.head_h").as("head_h"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val qDedupPrefixOracle: String =
+    s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    ${hash60Sql(s"array_to_string(t[1 : $PrefixTokens], ' ')")} AS head_h
+       |  FROM t0 WHERE len(t) >= $PrefixTokens
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.head_h AS head_h
+       |FROM t a JOIN t b ON a.head_h = b.head_h AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

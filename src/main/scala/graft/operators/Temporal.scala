@@ -430,4 +430,48 @@ object Temporal {
        |FROM h JOIN m USING (user_id)
        |WHERE n_events > $BurstFactor * med
        |ORDER BY user_id, day_epoch""".stripMargin
+
+  /** Freshness-decayed engagement: per user, Σ value·2^−age_days (age
+    * relative to the corpus's newest day) — the recency weighting a
+    * sampling pipeline uses to favor fresh data without dropping history
+    * (half-life = 1 day here; generalize by scaling age). Exactness: the
+    * decay base is 2, so every weight is a power of two and value·2^−age
+    * is an EXACT IEEE scaling (exponent shift — no pow, no rounding);
+    * the per-user sum is decimal-stable. Ages ≥ 63 contribute exactly 0
+    * on both engines (shift saturation guard). One scan + one broadcast
+    * 1-row max + one map-side-combined grouped sum.
+    */
+  def qFreshnessDecay(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / (86400L * 1000000L)).as("day"), col("value"))
+    val maxDay = e.agg(max(col("day")).as("max_day"))
+    e.crossJoin(broadcast(maxDay))
+      .withColumn("age", (col("max_day") - col("day")).cast("int"))
+      .withColumn("decayed",
+        when(col("age") >= 63, lit(0.0)).otherwise(col("value") /
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(age AS INT)) AS DOUBLE)")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.NumFns.stableSum(col("decayed"), 6).as("decayed_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  val qFreshnessDecayOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events
+       |),
+       |m AS (SELECT max(day) AS max_day FROM e),
+       |d AS (
+       |  SELECT user_id,
+       |    CASE WHEN (max_day - day) >= 63 THEN 0.0
+       |         ELSE value / CAST(1::BIGINT << CAST(max_day - day AS INT) AS DOUBLE)
+       |    END AS decayed
+       |  FROM e CROSS JOIN m
+       |)
+       |SELECT user_id, count(*) AS n_events,
+       |  ${graft.functions.NumFns.stableSumSql("decayed", 6)} AS decayed_sum
+       |FROM d
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
 }

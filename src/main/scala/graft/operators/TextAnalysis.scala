@@ -461,4 +461,56 @@ object TextAnalysis {
        |JOIN cw cb ON cb.w = p.w_b
        |CROSS JOIN nd
        |ORDER BY w_a, w_b""".stripMargin
+
+  /** Pairwise source vocabulary overlap: Jaccard of the distinct word
+    * sets of every source pair — the redundancy audit that shows which
+    * domains contribute NOVEL vocabulary to the mix and which are
+    * lexical re-skins of each other (inputs to dedup budgets and mix
+    * design). Integer-exact: |A∩B| comes from a word-keyed self-join of
+    * the (source, word) distinct frame, |A∪B| = |A|+|B|−|A∩B| from the
+    * per-source sizes. The (source, word) frame is dimension-sized
+    * (sources × vocab); a production corpus first applies a document-
+    * frequency cut so universal stopwords don't fan out to all O(S²)
+    * pairs per word — the same top-K bounding as the PMI pair stage.
+    * Derived self-join sides are shuffle_hash, never broadcast.
+    */
+  def qSourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFns.tokenSet(col("text"))).as("w"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = v.as("a")
+      .join(v.as("b").hint("shuffle_hash"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("nv").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("nv").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val qSourceVocabOverlapOracle: String =
+    s"""WITH v0 AS (
+       |  SELECT source, unnest(list_distinct($toksSql)) AS w FROM documents
+       |),
+       |v AS (SELECT DISTINCT source, w FROM v0),
+       |sz AS (SELECT source, count(*) AS nv FROM v GROUP BY source),
+       |i AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+       |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |)
+       |SELECT i.source_a, i.source_b, sa.nv AS n_a, sb.nv AS n_b, i.n_common,
+       |  round(i.n_common / CAST(sa.nv + sb.nv - i.n_common AS DOUBLE), 6) AS jaccard
+       |FROM i
+       |JOIN sz sa ON sa.source = i.source_a
+       |JOIN sz sb ON sb.source = i.source_b
+       |ORDER BY source_a, source_b""".stripMargin
 }

@@ -137,6 +137,51 @@ object EventPipeline {
       }
       .start()
 
+  case class ValueEvent(user_id: Long, event_id: Long, us: Long, value: Double)
+  case class AnomalyFlag(user_id: Long, event_id: Long, us: Long, value: Double,
+      n_prev: Long, mean_prev: Double, std_prev: Double)
+  case class WindowState(values: List[Double])
+
+  val AnomalyWindow = 10
+  val AnomalyMinPrev = 5
+
+  /** Streaming rolling z-score anomaly monitor — the unbounded mirror of
+    * the batch `q_anomaly_zscore`: flag an event deviating more than 3σ
+    * from the mean of the SAME user's previous [[AnomalyMinPrev]]..
+    * [[AnomalyWindow]] events. flatMapGroupsWithState keeps one bounded
+    * deque (≤ [[AnomalyWindow]] doubles) per user — O(10) state per key
+    * regardless of stream length, no watermark needed because the state
+    * never grows with time. Events within a micro-batch fold in
+    * (us, event_id) order, matching the batch window's frame order, so
+    * a single-batch replay of a file reproduces the batch flags.
+    */
+  def anomalies(events: Dataset[ValueEvent]): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WindowState, AnomalyFlag](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[WindowState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+          var vals = state.getOption.map(_.values).getOrElse(Nil)
+          val out = Seq.newBuilder[AnomalyFlag]
+          sorted.foreach { e =>
+            val n = vals.length
+            if (n >= AnomalyMinPrev) {
+              val s1 = vals.sum
+              val s2 = vals.map(x => x * x).sum
+              val mean = s1 / n
+              val std = math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1), 0.0))
+              if (math.abs(e.value - mean) > 3.0 * std)
+                out += AnomalyFlag(uid, e.event_id, e.us, e.value, n, mean, std)
+            }
+            vals = (vals :+ e.value).takeRight(AnomalyWindow)
+          }
+          state.update(WindowState(vals))
+          out.result().iterator
+      }
+  }
+
   /** Batch-equivalent entry used by tests: stream the events parquet
     * through a file source (raw on-disk schema — ts arrives as a ns Long
     * under nanosAsLong and is normalized to a µs timestamp, mirroring

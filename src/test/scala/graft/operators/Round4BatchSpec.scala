@@ -193,6 +193,62 @@ class Round4BatchSpec extends SparkSpec {
     assert(mi <= hLang + 1e-9, s"MI $mi must not exceed H(lang) $hLang")
   }
 
+  test("prefix pairs share their exact opening — recall and no false positives") {
+    import graft.functions.TextFns
+    val pairs = Dedup.qDedupPrefix(spark, sf001).collect()
+    assert(pairs.nonEmpty)
+    val openings = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(TextFns.tokens(col("text")), 1, Dedup.PrefixTokens)).as("o"),
+        size(TextFns.tokens(col("text"))).as("n"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("o"), r.getAs[Int]("n")))
+      .toMap
+    val pairSet = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(a < b, "pairs must be canonical")
+      assert(openings(a)._1 == openings(b)._1, s"pair ($a,$b) must share its opening")
+    }
+    // exact recall: every qualifying same-opening pair is found
+    val expected = openings.toSeq.filter(_._2._2 >= Dedup.PrefixTokens)
+      .groupBy(_._2._1).values.filter(_.length > 1)
+      .flatMap(_.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    assert(pairSet == expected, s"recall mismatch: missing=${expected -- pairSet}")
+  }
+
+  test("freshness decay: newest-day events carry full weight, weights halve per day") {
+    val rows = Temporal.qFreshnessDecay(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // recompute one user brute-force
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value")).collect()
+    val maxDay = ev.map(r => r.getAs[Long]("us") / 86400000000L).max
+    val uid = rows.head.getAs[Long]("user_id")
+    val mine = ev.filter(_.getAs[Long]("user_id") == uid)
+    val expect = mine.map { r =>
+      val age = (maxDay - r.getAs[Long]("us") / 86400000000L).toInt
+      if (age >= 63) 0.0 else r.getAs[Double]("value") / (1L << age).toDouble
+    }.sum
+    assert(math.abs(rows.head.getAs[Double]("decayed_sum") - expect) < 1e-4,
+      s"decay mismatch for $uid")
+  }
+
+  test("vocab overlap is a valid Jaccard and detects the shared word-soup vocabulary") {
+    val rows = TextAnalysis.qSourceVocabOverlap(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, c) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_common"))
+      assert(c <= math.min(na, nb))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - c.toDouble / (na + nb - c)) < 1e-5)
+    }
+    // sources draw from one shared vocabulary, so overlap must be high
+    assert(rows.map(_.getAs[Double]("jaccard")).max > 0.5)
+  }
+
   test("temperature reweighting flattens the mix and renormalizes to 1") {
     val rows = Curation.qDomainTemperature(spark, sf001).collect()
     assert(rows.length >= 2)

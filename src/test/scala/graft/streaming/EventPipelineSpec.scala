@@ -55,6 +55,27 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly monitor reproduces the batch z-score flags") {
+    import spark.implicits._
+    val stream = EventPipeline.streamEventsFrom(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .as[EventPipeline.ValueEvent]
+    val q = EventPipeline.anomalies(stream)
+      .writeStream.format("memory").queryName("anomaly_test")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT event_id FROM anomaly_test")
+        .collect().map(_.getLong(0)).toSet
+      val batch = graft.operators.Temporal.qAnomalyZscore(spark, sf001)
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(batch.nonEmpty, "batch mirror must flag something at sf0.001")
+      assert(streamed == batch,
+        s"flag sets must agree: stream-batch=${streamed -- batch} batch-stream=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("streaming ingestion lands the cloud-optimized layout exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
