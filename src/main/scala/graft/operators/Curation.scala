@@ -629,4 +629,86 @@ object Curation {
        |  round((wq * tot) / CAST(wtot * n_tokens AS DOUBLE), 4) AS boost
        |FROM b CROSS JOIN wt
        |ORDER BY n_tokens DESC, source""".stripMargin
+
+  /** Cross-source quantile normalization: replace each document's length
+    * by the GLOBAL length at the same within-source percentile — the
+    * rank-preserving alignment that puts every source's distribution on
+    * one scale (batch-effect correction; comparable length features
+    * across differently-truncated scrapes). Percentiles are exact
+    * integer rationals ((r−1)/(n−1), deterministic (value, doc_id) sort);
+    * the global map interpolates between bracketing order statistics
+    * looked up in the distinct-value CELL frame (rank-span containment
+    * join against the broadcast dimension-sized cells — same engine as
+    * exactPercentiles, never a row sort over the corpus). Per-source
+    * rank windows are source-bounded; at 100 TB ranks come from the
+    * cells form and the lookup join is range-bucketed.
+    */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+    val nsrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val tot = d.agg(count(lit(1)).as("n_all"))
+    val wr = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val cells = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("hi_rank", sum(col("c")).over(
+        Window.orderBy(col("n_chars")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
+      .select(col("n_chars").as("gv"), col("lo_rank"), col("hi_rank"))
+    val ranked = d.withColumn("r", row_number().over(wr))
+      .join(broadcast(nsrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", when(col("n_src") > 1,
+        (col("r") - 1) / (col("n_src") - 1).cast("double")).otherwise(lit(0.0)))
+      .withColumn("h", lit(1.0) + (col("n_all") - 1) * col("p"))
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("frac", col("h") - col("lo"))
+    ranked
+      .join(broadcast(cells.select(col("gv").as("v_lo"), col("lo_rank"), col("hi_rank"))),
+        col("lo").between(col("lo_rank"), col("hi_rank")))
+      .drop("lo_rank", "hi_rank")
+      .join(broadcast(cells.select(col("gv").as("v_hi"), col("lo_rank"), col("hi_rank"))),
+        (col("lo") + 1).between(col("lo_rank"), col("hi_rank")), "left")
+      .select(col("doc_id"), col("source"), col("n_chars"), round(col("p"), 6).as("src_pct"),
+        round(col("v_lo") + col("frac") *
+          (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")), 4).as("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qQuantileNormOracle: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |ns AS (SELECT source, count(*) AS n_src FROM d GROUP BY source),
+      |tot AS (SELECT count(*) AS n_all FROM d),
+      |cells AS (
+      |  SELECT n_chars AS gv, count(*) AS c,
+      |    sum(count(*)) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS hi_rank
+      |  FROM d GROUP BY n_chars
+      |),
+      |cl AS (SELECT gv, hi_rank - c + 1 AS lo_rank, hi_rank FROM cells),
+      |r AS (
+      |  SELECT d.doc_id, d.source, d.n_chars,
+      |    row_number() OVER (PARTITION BY d.source ORDER BY d.n_chars, d.doc_id) AS r,
+      |    ns.n_src, tot.n_all
+      |  FROM d JOIN ns USING (source) CROSS JOIN tot
+      |),
+      |x AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN n_src > 1 THEN (r - 1) / CAST(n_src - 1 AS DOUBLE) ELSE 0.0 END AS p,
+      |    n_all
+      |  FROM r
+      |),
+      |y AS (
+      |  SELECT doc_id, source, n_chars, p,
+      |    1.0 + (n_all - 1) * p AS h
+      |  FROM x
+      |),
+      |z AS (
+      |  SELECT doc_id, source, n_chars, p,
+      |    CAST(floor(h) AS BIGINT) AS lo, h - CAST(floor(h) AS BIGINT) AS frac
+      |  FROM y
+      |)
+      |SELECT z.doc_id, z.source, z.n_chars, round(z.p, 6) AS src_pct,
+      |  round(a.gv + z.frac * (coalesce(b.gv, a.gv) - a.gv), 4) AS norm_chars
+      |FROM z
+      |JOIN cl a ON z.lo BETWEEN a.lo_rank AND a.hi_rank
+      |LEFT JOIN cl b ON (z.lo + 1) BETWEEN b.lo_rank AND b.hi_rank
+      |ORDER BY z.doc_id""".stripMargin
 }

@@ -284,4 +284,118 @@ object Profiling {
        |SELECT count(*) AS n_cells,
        |  ${graft.functions.NumFns.stableSumSql("term", 6)} AS mi_nats
        |FROM t""".stripMargin
+
+  /** Spearman rank correlation between document length and token count,
+    * per source — the monotone-association profile that survives the
+    * heavy tails Pearson chokes on (and, compared across sources, a
+    * tokenizer-behavior drift signal). Exactness: tied values take the
+    * AVERAGE rank (rank + (ties−1)/2 — a half-integer, exact in binary),
+    * every Σr, Σr², Σr·r term is a decimal-stable sum of exactly-
+    * representable quarter-integers, and the closed-form correlation is
+    * then identical IEEE arithmetic on identical scalars. Shape: ranks
+    * come from per-source sort windows (per-source bounded; the cells
+    * rank-from-counts form from exactPercentiles is the 100 TB swap-in),
+    * then one map-side-combined grouped sum per source.
+    */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("double").as("va"),
+        size(TextFns.tokens(col("text"))).cast("double").as("vb"))
+    def avgRank(v: String): Column =
+      rank().over(Window.partitionBy(col("source")).orderBy(col(v))) +
+        (count(lit(1)).over(Window.partitionBy(col("source"), col(v))) - 1) / lit(2.0)
+    val ranked = d
+      .withColumn("ra", avgRank("va"))
+      .withColumn("rb", avgRank("vb"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra").cast(D)).as("sa"), sum(col("rb").cast(D)).as("sb"),
+        sum((col("ra") * col("ra")).cast(D)).as("saa"),
+        sum((col("rb") * col("rb")).cast(D)).as("sbb"),
+        sum((col("ra") * col("rb")).cast(D)).as("sab"))
+      .select(col("source"), col("n"),
+        round(((col("n") * col("sab") - col("sa") * col("sb")) /
+          (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")) *
+           sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+          .cast("double"), 6).as("spearman"))
+      .orderBy(col("source"))
+  }
+
+  val qSpearmanOracle: String =
+    s"""WITH d AS (
+       |  SELECT source, CAST(n_chars AS DOUBLE) AS va,
+       |    CAST(len(${TextFns.toksSql}) AS DOUBLE) AS vb
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT source,
+       |    rank() OVER (PARTITION BY source ORDER BY va)
+       |      + (count(*) OVER (PARTITION BY source, va) - 1) / 2.0 AS ra,
+       |    rank() OVER (PARTITION BY source ORDER BY vb)
+       |      + (count(*) OVER (PARTITION BY source, vb) - 1) / 2.0 AS rb
+       |  FROM d
+       |),
+       |a AS (
+       |  SELECT source, count(*) AS n,
+       |    sum(CAST(ra AS DECIMAL(38,12))) AS sa,
+       |    sum(CAST(rb AS DECIMAL(38,12))) AS sb,
+       |    sum(CAST(ra * ra AS DECIMAL(38,12))) AS saa,
+       |    sum(CAST(rb * rb AS DECIMAL(38,12))) AS sbb,
+       |    sum(CAST(ra * rb AS DECIMAL(38,12))) AS sab
+       |  FROM r GROUP BY source
+       |)
+       |SELECT source, n,
+       |  round(CAST((n * sab - sa * sb) /
+       |    (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) *
+       |     sqrt(CAST(n * sbb - sb * sb AS DOUBLE))) AS DOUBLE), 6) AS spearman
+       |FROM a
+       |ORDER BY source""".stripMargin
+
+  /** Gini concentration of token mass across documents, per source — is
+    * a source's token budget spread evenly or dominated by a few huge
+    * documents? (Feeds sampling and per-source cap decisions.) The
+    * sorted-cumulative form G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over
+    * ascending xᵢ is INTEGER-exact until the final two divisions: ranks
+    * are a deterministic (value, doc_id) sort, Σ(i·xᵢ) and Σxᵢ are
+    * int64 sums. Per-source sort windows (bounded per source; at 100 TB
+    * the same rank-from-counts cells replace the row sort).
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("x"))
+    val w = Window.partitionBy(col("source")).orderBy(col("x"), col("doc_id"))
+    d.withColumn("i", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("n_tokens"),
+        sum(col("i") * col("x")).as("s1"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(lit(2.0) * col("s1") / (col("n_docs") * col("n_tokens")).cast("double")
+          - (col("n_docs") + 1) / col("n_docs").cast("double"), 6).as("gini"))
+      .orderBy(col("source"))
+  }
+
+  val qGiniOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(len(${TextFns.toksSql}) AS BIGINT) AS x
+       |  FROM documents
+       |),
+       |r AS (
+       |  SELECT source, x,
+       |    row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i
+       |  FROM d
+       |),
+       |a AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(x) AS BIGINT) AS n_tokens,
+       |    CAST(sum(i * x) AS BIGINT) AS s1
+       |  FROM r GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  round(2.0 * s1 / CAST(n_docs * n_tokens AS DOUBLE)
+       |    - (n_docs + 1) / CAST(n_docs AS DOUBLE), 6) AS gini
+       |FROM a
+       |ORDER BY source""".stripMargin
 }

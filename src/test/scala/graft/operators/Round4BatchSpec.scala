@@ -249,6 +249,82 @@ class Round4BatchSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("jaccard")).max > 0.5)
   }
 
+  test("Spearman matches a brute-force rank correlation and lives in [-1, 1]") {
+    val rows = Profiling.qSpearman(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("spearman")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9, s"out of range: $r")
+    }
+    // brute force one source
+    val src = rows.head.getAs[String]("source")
+    val d = Tables.documents(spark, sf001)
+      .filter(col("source") === src)
+      .select(col("n_chars").cast("double"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val ranks = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val avg = (i + 1 + j).toDouble / 2 // mean of ranks i+1..j
+        (i until j).foreach(k => ranks(sorted(k)._2) = avg)
+        i = j
+      }
+      ranks
+    }
+    val ra = avgRanks(d.map(_._1))
+    val rb = avgRanks(d.map(_._2))
+    val n = d.length.toDouble
+    val (sa, sb) = (ra.sum, rb.sum)
+    val sab = ra.zip(rb).map { case (a, b) => a * b }.sum
+    val saa = ra.map(a => a * a).sum
+    val sbb = rb.map(b => b * b).sum
+    val brute = (n * sab - sa * sb) /
+      (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    assert(math.abs(rows.head.getAs[Double]("spearman") - brute) < 1e-4,
+      s"Spearman mismatch for $src")
+  }
+
+  test("Gini is 0 for uniform mass and matches brute force on real data") {
+    import spark.implicits._
+    val rows = Profiling.qGini(spark, sf001).collect()
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 - 1e-9 && g < 1.0, s"Gini out of range: $r")
+    }
+    // brute force one source
+    val src = rows.head.getAs[String]("source")
+    val xs = Tables.documents(spark, sf001).filter(col("source") === src)
+      .select(size(graft.functions.TextFns.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = xs.length
+    val s1 = xs.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val brute = 2.0 * s1 / (n.toDouble * xs.sum) - (n + 1).toDouble / n
+    assert(math.abs(rows.head.getAs[Double]("gini") - brute) < 1e-6)
+  }
+
+  test("quantile normalization preserves within-source order and hits global extremes") {
+    val rows = Curation.qQuantileNorm(spark, sf001).collect()
+    val global = Tables.documents(spark, sf001).select(col("n_chars"))
+      .collect().map(_.getLong(0))
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      // monotone: normalized values follow the source's own length order
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("norm_chars") <= b.getAs[Double]("norm_chars") + 1e-9)
+        case _ =>
+      }
+      // the source's min/max map to the global min/max
+      assert(ordered.head.getAs[Double]("norm_chars") == global.min.toDouble)
+      assert(ordered.last.getAs[Double]("norm_chars") == global.max.toDouble)
+    }
+  }
+
   test("temperature reweighting flattens the mix and renormalizes to 1") {
     val rows = Curation.qDomainTemperature(spark, sf001).collect()
     assert(rows.length >= 2)
