@@ -673,6 +673,70 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget for [[qMixAllocate]]. */
+  val MixBudgetTokens = 50000L
+
+  /** Sampling-plan materialization: split a fixed token budget across
+    * sources proportionally to the temperature weights ([[
+    * qDomainTemperature]]'s √share nano-units) using LARGEST-REMAINDER
+    * apportionment — the integer allocation every mix plan needs before
+    * a sampler can run (quotas must be integers and must sum EXACTLY to
+    * the budget; naive rounding drifts by up to |sources|/2 tokens).
+    * Fully integer-exact: base = ⌊B·w⌋ by int64 division, remainders
+    * ranked (remainder desc, source) and the deficit distributed one
+    * unit each — bit-stable on both engines, Σalloc ≡ B by
+    * construction. Dimension-sized end to end after the one corpus scan.
+    */
+  def qMixAllocate(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.documents(s, dir)
+      .select(col("source"), size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+    val tot = a.agg(sum(col("n_tokens")).as("tot"))
+    val b = a.crossJoin(broadcast(tot))
+      .withColumn("wq", round(sqrt(col("n_tokens") / col("tot")) * 1e9, 0).cast("long"))
+    val wtot = b.agg(sum(col("wq")).as("wtot"))
+    val c = b.crossJoin(broadcast(wtot))
+      .withColumn("num", lit(MixBudgetTokens) * col("wq"))
+      .withColumn("base", expr("num DIV wtot"))
+      .withColumn("rem", col("num") - col("base") * col("wtot"))
+    val baseTot = c.agg(sum(col("base")).as("base_tot"))
+    val wRank = Window.orderBy(col("rem").desc, col("source"))
+    c.crossJoin(broadcast(baseTot))
+      .withColumn("extra",
+        when(row_number().over(wRank) <= lit(MixBudgetTokens) - col("base_tot"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("n_tokens"),
+        round(col("num") / col("wtot").cast("double"), 4).as("exact_quota"),
+        (col("base") + col("extra")).as("alloc_tokens"))
+      .orderBy(col("n_tokens").desc, col("source"))
+  }
+
+  val qMixAllocateOracle: String =
+    s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+       |a AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM a),
+       |b AS (
+       |  SELECT a.*, tot.tot,
+       |    CAST(round(sqrt(a.n_tokens / tot.tot) * 1e9) AS BIGINT) AS wq
+       |  FROM a CROSS JOIN tot
+       |),
+       |wt AS (SELECT CAST(sum(wq) AS BIGINT) AS wtot FROM b),
+       |c AS (
+       |  SELECT b.*, wt.wtot,
+       |    $MixBudgetTokens * b.wq AS num,
+       |    ($MixBudgetTokens * b.wq) // wt.wtot AS base,
+       |    $MixBudgetTokens * b.wq - (($MixBudgetTokens * b.wq) // wt.wtot) * wt.wtot AS rem
+       |  FROM b CROSS JOIN wt
+       |),
+       |bt AS (SELECT CAST(sum(base) AS BIGINT) AS base_tot FROM c)
+       |SELECT source, n_tokens,
+       |  round(num / CAST(wtot AS DOUBLE), 4) AS exact_quota,
+       |  CAST(base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+       |    <= $MixBudgetTokens - bt.base_tot THEN 1 ELSE 0 END) AS BIGINT) AS alloc_tokens
+       |FROM c CROSS JOIN bt
+       |ORDER BY n_tokens DESC, source""".stripMargin
+
   val qQuantileNormOracle: String =
     """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
       |ns AS (SELECT source, count(*) AS n_src FROM d GROUP BY source),

@@ -526,6 +526,32 @@ object Dedup {
        |FROM cl JOIN sz USING (cluster)
        |ORDER BY cl.doc_id""".stripMargin
 
+  /** Duplicate-cluster size distribution: how many near-dup clusters of
+    * each size the corpus contains, and how many documents they bind —
+    * the one-page dedup report (the size histogram is what tells you
+    * whether duplication is a few giant template families or a long
+    * tail of pairs, and what a dedup pass will actually delete).
+    * Composition over the audited cluster engine: cluster labels →
+    * dimension-sized per-cluster counts → size histogram; everything
+    * after the label join is aggregate-sized.
+    */
+  def qDupClusterStats(s: SparkSession, dir: String): DataFrame =
+    qDedupCluster(s, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  val qDupClusterStatsOracle: String =
+    s"""$clusterCteSql,
+       |sz AS (SELECT cluster, count(*) AS cluster_size FROM cl GROUP BY cluster)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+       |FROM sz
+       |GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   /** SimHash: 60-bit fingerprint from per-bit ±1 votes over the distinct
     * token set. Explode + one grouped aggregation (60 conditional sums) —
     * a single shuffle keyed by doc_id, then a pure projection folds the
@@ -788,6 +814,42 @@ object Dedup {
        |FROM segs s JOIN k USING (h)
        |GROUP BY s.doc_id
        |ORDER BY s.doc_id""".stripMargin
+
+  /** The transformation form of [[qLineDedup]]: returns the corpus with
+    * every non-first-occurrence segment REMOVED and each document
+    * re-assembled from its surviving segments in order — what a curation
+    * run actually writes out (qLineDedup is the audit view of the same
+    * pass). Input needs (doc_id, text). The reassembly is a per-document
+    * sorted collect — bounded by document length, never a corpus-wide
+    * sort; the keeper resolution is the same (hash → min position-key)
+    * aggregate, so the corpus-wide shuffle still carries bare longs plus
+    * the segment text needed to rebuild (payload moves once, join-local).
+    * A document whose every segment appeared earlier elsewhere collapses
+    * to the empty string (count it, then drop it — that is the dedup).
+    */
+  def dedupSegments(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("t")) - 1) / SegmentTokens).cast("int")),
+        i => concat_ws(" ", slice(col("t"), i * SegmentTokens + 1, lit(SegmentTokens))))))
+      .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg"))
+      .withColumn("h", TextFns.hash60(col("seg")))
+      .withColumn("pos_key", col("doc_id") * 100000L + col("seg_no"))
+      .localCheckpoint()
+    val keepers = segs.groupBy(col("h")).agg(min(col("pos_key")).as("keeper_key"))
+    val kept = segs.join(keepers, Seq("h"))
+      .filter(col("pos_key") === col("keeper_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(collect_list(struct(seg_no, seg))), t -> t.seg)"))
+          .as("text_deduped"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 
   /** Opening tokens hashed for [[qDedupPrefix]]. */
   val PrefixTokens = 10

@@ -325,6 +325,48 @@ class Round4BatchSpec extends SparkSpec {
     }
   }
 
+  test("segment dedup reconstruction removes later copies and keeps first occurrences") {
+    import spark.implicits._
+    val w20a = (1 to 20).map(i => s"a$i").mkString(" ") // 2 segments
+    val tailC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, w20a),                                          // original
+      (2L, w20a),                                          // exact copy -> empty
+      (3L, w20a.split(" ").take(10).mkString(" ") + " " + tailC) // shared head, new tail
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text_deduped"), r.getAs[Long]("n_kept"))).toMap
+    assert(out(1L)._1 == w20a && out(1L)._2 == 2L, s"doc 1 must survive intact: ${out(1L)}")
+    assert(out(2L)._1 == "" && out(2L)._2 == 0L, s"exact copy must collapse: ${out(2L)}")
+    assert(out(3L)._1 == tailC && out(3L)._2 == 1L,
+      s"shared head must drop, novel tail must survive: ${out(3L)}")
+  }
+
+  test("cluster stats conserve documents and clusters") {
+    val stats = Dedup.qDupClusterStats(spark, sf001).collect()
+    val labels = Dedup.qDedupCluster(spark, sf001).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == labels.length,
+      "every document must be in exactly one cluster")
+    assert(stats.map(_.getAs[Long]("n_clusters")).sum ==
+      labels.map(_.getAs[Long]("cluster")).distinct.length)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+    }
+  }
+
+  test("mix allocation sums exactly to the budget and follows the quotas") {
+    val rows = Curation.qMixAllocate(spark, sf001).collect()
+    assert(rows.length >= 2)
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum == Curation.MixBudgetTokens,
+      "largest-remainder apportionment must hit the budget exactly")
+    rows.foreach { r =>
+      val diff = r.getAs[Long]("alloc_tokens") - r.getAs[Double]("exact_quota")
+      assert(math.abs(diff) < 1.0, s"allocation must be within one unit of quota: $r")
+    }
+  }
+
   test("temperature reweighting flattens the mix and renormalizes to 1") {
     val rows = Curation.qDomainTemperature(spark, sf001).collect()
     assert(rows.length >= 2)
