@@ -318,6 +318,129 @@ object Curation {
        |WHERE sl.split = 'train' AND sr.split != 'train'
        |ORDER BY eval_doc, train_doc""".stripMargin
 
+  /** Bloom-filter bit width (2^14) and probe count. 63 usable bits per
+    * int64 word — NOT 64: DuckDB's `<<` raises on `1 << 63`, so the
+    * shared contract stays within arithmetic both engines accept.
+    */
+  val BloomBits = 16384L
+  val BloomWordBits = 63L
+  val BloomHashes = 3
+
+  private def bloomPos(fp: org.apache.spark.sql.Column, j: Int) =
+    TextFns.hash28(concat(lit(s"bloom$j:"), fp.cast("string"))) % BloomBits
+  private def bloomPosSql(fp: String, j: Int): String =
+    s"${hash28Sql(s"'bloom$j:' || CAST($fp AS VARCHAR)")} % $BloomBits"
+
+  /** Bloom-prefiltered decontamination — the scan-side form of "drop
+    * training documents whose content appears in an eval split". The
+    * eval fingerprint SET is folded into a [[BloomBits]]-bit Bloom filter
+    * stored as ≤ BloomBits/63 (word, bits) rows: CONSTANT-bounded
+    * regardless of eval size, so it broadcasts safely where the raw eval
+    * fingerprint table (corpus-scale) never could. Every train document
+    * probes its [[BloomHashes]] bit positions against the broadcast
+    * words; only Bloom-positive docs reach the exact fingerprint
+    * confirm join — at 100 TB the bloom absorbs ~100% of the corpus
+    * scan-side and the expensive shuffle join sees only the survivors.
+    *
+    * The contamination key here is the [[Dedup.PrefixTokens]]-token
+    * opening hash (the q_dedup_prefix blocking key — templated openings
+    * and truncated re-crawls DO cross splits where whole-text duplicates
+    * don't); any content key (exact fp, shingle, n-gram) slots into the
+    * same bloom→confirm shape.
+    *
+    * Unlike an engine-native bloom sketch, the filter here is built from
+    * md5-prefix hashes, so DuckDB reproduces the SAME bit array —
+    * bloom_flagged (false positives included) is bit-identical across
+    * engines and the gate is an exact hash match, not a tolerance claim.
+    */
+  def qBloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    // slim (id, source, fp, split) projection, referenced by the eval
+    // set, the train probes, and the exact confirm — materialized once
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextFns.tokens(col("text")).as("t"), splitCol.as("split"))
+      .filter(size(col("t")) >= Dedup.PrefixTokens)
+      .select(col("doc_id"), col("source"), col("split"),
+        TextFns.hash60(
+          concat_ws(" ", slice(col("t"), 1, Dedup.PrefixTokens))).as("fp"))
+      .localCheckpoint()
+    val evalFps = docs.filter(col("split") =!= "train")
+      .select(col("fp")).distinct().localCheckpoint()
+    val posCols = (0 until BloomHashes).map(j => bloomPos(col("fp"), j))
+    val bloom = evalFps
+      .select(explode(array(posCols: _*)).as("pos"))
+      .select(expr(s"pos div $BloomWordBits").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val perDoc = docs.filter(col("split") === "train")
+      .select(col("doc_id"), col("source"), col("fp"),
+        explode(array(posCols: _*)).as("pos"))
+      .withColumn("word", expr(s"pos div $BloomWordBits"))
+      .withColumn("mask",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomWordBits AS INT))"))
+      // constant-bounded broadcast: ≤ BloomBits/63 rows by construction
+      .join(broadcast(bloom), Seq("word"), "left")
+      .withColumn("hit",
+        when(col("bits").isNotNull &&
+          (col("bits").bitwiseAND(col("mask")) =!= lit(0L)), 1).otherwise(0))
+      .groupBy(col("doc_id"), col("source"), col("fp"))
+      .agg((min(col("hit")) === 1).as("bloom_hit"))
+    perDoc
+      .join(evalFps.withColumn("in_eval", lit(1)).hint("shuffle_hash"),
+        Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("bloom_flagged"),
+        sum(when(col("in_eval").isNotNull, 1L).otherwise(0L)).as("exact_hits"))
+      .withColumn("false_pos", col("bloom_flagged") - col("exact_hits"))
+      .orderBy(col("source"))
+  }
+
+  // def, not val: interpolates a cross-object constant; a val would
+  // freeze whatever value the object-init cycle saw (see Dedup.PrefixTokens)
+  def qBloomDecontaminateOracle: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, source, $toksSql AS t, $splitCaseSql AS split
+       |  FROM documents
+       |),
+       |d AS (
+       |  SELECT doc_id, source, split,
+       |    ${TextFns.hash60Sql(s"array_to_string(t[1 : ${Dedup.PrefixTokens}], ' ')")} AS fp
+       |  FROM t0 WHERE len(t) >= ${Dedup.PrefixTokens}
+       |),
+       |ef AS (SELECT DISTINCT fp FROM d WHERE split != 'train'),
+       |ep AS (
+       |  SELECT ${bloomPosSql("fp", 0)} AS pos FROM ef
+       |  UNION ALL SELECT ${bloomPosSql("fp", 1)} FROM ef
+       |  UNION ALL SELECT ${bloomPosSql("fp", 2)} FROM ef
+       |),
+       |bloom AS (
+       |  SELECT pos // $BloomWordBits AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomWordBits AS INTEGER)) AS bits
+       |  FROM ep GROUP BY word
+       |),
+       |tp AS (
+       |  SELECT doc_id, source, fp, ${bloomPosSql("fp", 0)} AS pos FROM d WHERE split = 'train'
+       |  UNION ALL SELECT doc_id, source, fp, ${bloomPosSql("fp", 1)} FROM d WHERE split = 'train'
+       |  UNION ALL SELECT doc_id, source, fp, ${bloomPosSql("fp", 2)} FROM d WHERE split = 'train'
+       |),
+       |h AS (
+       |  SELECT doc_id, source, fp,
+       |    min(CASE WHEN b.bits IS NOT NULL
+       |          AND (b.bits & (CAST(1 AS BIGINT) << CAST(tp.pos % $BloomWordBits AS INTEGER))) <> 0
+       |        THEN 1 ELSE 0 END) AS allhit
+       |  FROM tp LEFT JOIN bloom b ON b.word = tp.pos // $BloomWordBits
+       |  GROUP BY doc_id, source, fp
+       |)
+       |SELECT source, count(*) AS n_train,
+       |  CAST(sum(CASE WHEN allhit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bloom_flagged,
+       |  CAST(sum(CASE WHEN ef2.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+       |  CAST(sum(CASE WHEN allhit = 1 THEN 1 ELSE 0 END)
+       |     - sum(CASE WHEN ef2.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+       |FROM h LEFT JOIN ef ef2 USING (fp)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Corpus composition report: per-source document/token counts, token
     * share of the corpus, and the cumulative share in descending-share
     * order (the "top-k domains hold x% of tokens" concentration curve).

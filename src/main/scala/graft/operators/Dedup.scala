@@ -25,6 +25,16 @@ import graft.sources.Tables
 object Dedup {
 
   private val P = TextFns.MinHashPrime
+
+  /** Opening tokens hashed for [[qDedupPrefix]] (and the
+    * q_bloom_decontaminate contamination key). Declared FIRST in this
+    * object: `Dedup.scala:694` touches `Curation` during init, and
+    * Curation's oracle strings interpolate this constant back — a
+    * forward-declared val would still be 0 when that cycle re-enters
+    * (the exact bug that shipped a `t[1:0]` slice into an oracle).
+    */
+  val PrefixTokens = 10
+
   val NumPerms = 32
   val NumBands = 8
   val RowsPerBand = 4
@@ -850,9 +860,6 @@ object Dedup {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
-
-  /** Opening tokens hashed for [[qDedupPrefix]]. */
-  val PrefixTokens = 10
 
   /** Shared-opening near-dup pairs: documents whose FIRST
     * [[PrefixTokens]] tokens are identical — the prefix-blocking dedup
