@@ -229,4 +229,130 @@ object Behavioral {
        |FROM c JOIN t ON c.event_type = t.event_type
        |WHERE c.n * 10000 >= t.tot * $HeavyHitterBp
        |ORDER BY c.event_type, c.user_id""".stripMargin
+
+  /** Per-user activity bitmap: day-of-month presence packed into ONE
+    * int64 via `bit_or(1 << (day-1))` — the roaring-bitmap idea at its
+    * minimum viable size (the event log spans one calendar month, so 31
+    * bits suffice; a multi-month corpus keys by (user, month) and ORs
+    * month bitmaps together). Distinct-active-days becomes `bit_count`,
+    * first active day is pure bit arithmetic on the lowest set bit
+    * (`x ^ (x-1)` smears through it; popcount − 1 is its index), last
+    * active day is floor(log2) — exact for any 31-bit bitmap since
+    * log2(2^k)=k is IEEE-exact and non-powers sit ≥ 6e-10 from an
+    * integer, far above double error. At 100 TB this is the cheapest
+    * possible distinct-days aggregate: per-user state is a single long,
+    * map-side combined, and bitmaps from different shards/days/months
+    * merge by OR — mergeable like the HLL rollup ([[Sketches.qSketchMerge]])
+    * but EXACT whenever the domain packs into machine words.
+    */
+  def qActivityBitmap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("shiftleft(CAST(1 AS BIGINT), dayofmonth(ts) - 1)").as("mask"))
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(mask)").as("bitmap"))
+      .select(col("user_id"), col("bitmap"),
+        expr("CAST(bit_count(bitmap) AS BIGINT)").as("n_active"),
+        expr("CAST(bit_count(bitmap ^ (bitmap - 1)) AS BIGINT)").as("first_day"),
+        expr("CAST(floor(log2(CAST(bitmap AS DOUBLE))) AS BIGINT) + 1").as("last_day"))
+      .orderBy(col("user_id"))
+
+  val qActivityBitmapOracle: String =
+    """WITH m AS (
+      |  SELECT user_id, (CAST(1 AS BIGINT) << CAST(day(ts) - 1 AS INTEGER)) AS mask
+      |  FROM events
+      |), b AS (
+      |  SELECT user_id, bit_or(mask) AS bitmap FROM m GROUP BY user_id
+      |)
+      |SELECT user_id, bitmap,
+      |  CAST(bit_count(bitmap) AS BIGINT) AS n_active,
+      |  CAST(bit_count(xor(bitmap, bitmap - 1)) AS BIGINT) AS first_day,
+      |  CAST(floor(log2(CAST(bitmap AS DOUBLE))) AS BIGINT) + 1 AS last_day
+      |FROM b ORDER BY user_id""".stripMargin
+
+  /** Attribution lookback window: 7 days, in microseconds. */
+  val AttribWindowUs: Long = 7L * 86400L * 1000000L
+
+  /** Linear multi-touch attribution: each purchase's value is split
+    * EQUALLY across the user's page views in the preceding 7 days, and
+    * credit is aggregated per pseudo-channel (the view's `props.k mod 4`
+    * — the events table has no channel column, so the JSON payload
+    * stands in). The canonical marketing-analytics shape: a per-user
+    * interval join (purchase × prior views), a per-purchase touch count,
+    * then per-row credit = value / n_touches rolled up by channel.
+    * Float discipline: the division is one IEEE op (identical on both
+    * engines); per-row credits are then summed as DECIMAL(38,12) via
+    * [[NumFns.stableSum]] so accumulation order can't move the hash.
+    * Scale shape: both sides of the interval join shuffle once on
+    * user_id (shuffle_hash — the view side is derived, never broadcast);
+    * per-user pair fan-out is bounded by the window; everything after is
+    * dimension-sized (purchases, then 4 channels). Purchases with NO
+    * prior view are reported in the 'unattributed' channel so total
+    * credited value is conserved — the invariant the spec checks.
+    */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"), col("props"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"),
+        concat(lit("ch"),
+          get_json_object(col("props"), "$.k").cast("long") % 4).as("channel"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"), col("value"))
+    val touched = purchases
+      .join(views.hint("shuffle_hash"),
+        col("user_id") === col("v_user")
+          && col("v_us") < col("p_us")
+          && col("v_us") >= col("p_us") - lit(AttribWindowUs),
+        "left")
+      .groupBy(col("purchase_id"), col("value"))
+      .agg(count(col("v_us")).as("n_touch"))
+    val credits = purchases
+      .join(views.hint("shuffle_hash"),
+        col("user_id") === col("v_user")
+          && col("v_us") < col("p_us")
+          && col("v_us") >= col("p_us") - lit(AttribWindowUs))
+      .join(touched.hint("shuffle_hash").select(col("purchase_id"), col("n_touch")),
+        "purchase_id")
+      .select(col("channel"), (col("value") / col("n_touch")).as("credit"))
+    val unattributed = touched.filter(col("n_touch") === 0)
+      .select(lit("unattributed").as("channel"), col("value").as("credit"))
+    credits.unionByName(unattributed)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        NumFns.stableSum(col("credit"), 4).as("attributed"))
+      .orderBy(col("channel"))
+  }
+
+  val qAttributionOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us, value, props
+       |  FROM events
+       |), v AS (
+       |  SELECT user_id AS v_user, us AS v_us,
+       |    'ch' || CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) % 4 AS VARCHAR) AS channel
+       |  FROM e WHERE event_type = 'view'
+       |), p AS (
+       |  SELECT user_id, event_id AS purchase_id, us AS p_us, value
+       |  FROM e WHERE event_type = 'purchase'
+       |), t AS (
+       |  SELECT purchase_id, p.value, count(v_us) AS n_touch
+       |  FROM p LEFT JOIN v ON user_id = v_user
+       |    AND v_us < p_us AND v_us >= p_us - $AttribWindowUs
+       |  GROUP BY purchase_id, p.value
+       |), c AS (
+       |  SELECT channel, p.value / t.n_touch AS credit
+       |  FROM p JOIN v ON user_id = v_user
+       |    AND v_us < p_us AND v_us >= p_us - $AttribWindowUs
+       |  JOIN t ON p.purchase_id = t.purchase_id
+       |  UNION ALL
+       |  SELECT 'unattributed' AS channel, value AS credit
+       |  FROM t WHERE n_touch = 0
+       |)
+       |SELECT channel, count(*) AS n_touches,
+       |  ${NumFns.stableSumSql("credit", 4)} AS attributed
+       |FROM c GROUP BY channel
+       |ORDER BY channel""".stripMargin
 }

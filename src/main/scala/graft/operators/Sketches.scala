@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
 import graft.sources.Tables
 
 /** Approximate sketch operators — the 100 TB versions of exact
@@ -125,4 +126,83 @@ object Sketches {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  /** Count-min sketch shape: [[CmsDepth]] independent md5-derived hash
+    * rows × [[CmsWidth]] integer cells — 3×1024 counters total,
+    * REGARDLESS of vocabulary size. Positions reuse the same salted-md5
+    * trick as the Bloom filter (Curation.bloomPos), so the sketch is
+    * bit-identical on both engines and the gate hash-matches the
+    * OVERCOUNTS too, not just the exact counts.
+    */
+  val CmsDepth = 3
+  val CmsWidth = 1024L
+  val CmsTopK = 20
+
+  private def cmsPos(word: org.apache.spark.sql.Column, j: Int) =
+    TextFns.hash28(concat(lit(s"cms$j:"), word)) % CmsWidth
+  private def cmsPosSql(w: String, j: Int): String =
+    s"${TextFns.hash28Sql(s"'cms$j:' || $w")} % $CmsWidth"
+
+  /** Count-min sketch over the corpus token stream, certified against
+    * the exact top-[[CmsTopK]] word counts. The sketch is built straight
+    * from the exploded token stream — no vocabulary aggregate on the
+    * build path, which is the point at 100 TB: map-side combine reduces
+    * every partition to ≤ depth×width cells before the one
+    * constant-bounded shuffle, so sketch cost is independent of how many
+    * distinct words exist (the exact (word, n) table here exists only to
+    * certify; a production probe would broadcast the 3K-cell sketch and
+    * never build it). CMS guarantees est ≥ true with bounded overcount —
+    * both engines compute identical cells, so `overcount` itself is
+    * oracle-gated. Top-k selection is per-partition top-k + merge
+    * (TakeOrderedAndProject), never a global sort.
+    */
+  def qSketchCms(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+    val rows = (0 until CmsDepth).map(j =>
+      struct(lit(j).as("sj"), cmsPos(col("word"), j).as("spos")))
+    val sketch = toks
+      .select(explode(array(rows: _*)).as("c"))
+      .groupBy(col("c.sj").as("sj"), col("c.spos").as("spos"))
+      .agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy(col("word")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("word")).limit(CmsTopK)
+    val probes = top.select(col("word"), col("exact_n"),
+      explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("pj"), cmsPos(col("word"), j).as("ppos"))): _*)).as("p"))
+    probes
+      .join(broadcast(sketch),
+        col("p.pj") === col("sj") && col("p.ppos") === col("spos"))
+      .groupBy(col("word"), col("exact_n"))
+      .agg(min(col("cell")).as("cms_est"))
+      .select(col("word"), col("exact_n"), col("cms_est"),
+        (col("cms_est") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("word"))
+  }
+
+  val qSketchCmsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${TextFns.toksSql}) AS word FROM documents
+       |),
+       |cells AS (
+       |  SELECT sj, spos, count(*) AS cell FROM (
+       |    SELECT 0 AS sj, ${cmsPosSql("word", 0)} AS spos FROM toks
+       |    UNION ALL SELECT 1, ${cmsPosSql("word", 1)} FROM toks
+       |    UNION ALL SELECT 2, ${cmsPosSql("word", 2)} FROM toks
+       |  ) GROUP BY sj, spos
+       |),
+       |top AS (
+       |  SELECT word, count(*) AS exact_n FROM toks GROUP BY word
+       |  ORDER BY exact_n DESC, word LIMIT $CmsTopK
+       |),
+       |probes AS (
+       |  SELECT word, exact_n, 0 AS pj, ${cmsPosSql("word", 0)} AS ppos FROM top
+       |  UNION ALL SELECT word, exact_n, 1, ${cmsPosSql("word", 1)} FROM top
+       |  UNION ALL SELECT word, exact_n, 2, ${cmsPosSql("word", 2)} FROM top
+       |)
+       |SELECT word, exact_n, min(cell) AS cms_est,
+       |  min(cell) - exact_n AS overcount
+       |FROM probes JOIN cells ON pj = sj AND ppos = spos
+       |GROUP BY word, exact_n
+       |ORDER BY exact_n DESC, word""".stripMargin
 }
