@@ -398,4 +398,66 @@ object Profiling {
        |    - (n_docs + 1) / CAST(n_docs AS DOUBLE), 6) AS gini
        |FROM a
        |ORDER BY source""".stripMargin
+
+  /** Per-document type-token ratio (lexical diversity): distinct words ÷
+    * total words, plus Guiraud's root-TTR (types ÷ √tokens, the
+    * length-corrected form) — the repetition/diversity signal quality
+    * filters read next to [[graft.operators.Curation]]'s n-gram
+    * repetition rules (a spam doc repeating 10 words has TTR ≈ 0.01; a
+    * natural doc sits far higher). One chain of two doc-keyed aggregates
+    * — (doc, word) cells then per-doc rollup — both map-side combined,
+    * shuffling the SAME key so AQE reuses the exchange; ratios are
+    * exact-integer divisions evaluated once per doc.
+    */
+  def qTtr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens").cast("double"), 4).as("ttr"),
+        round(col("n_types") / sqrt(col("n_tokens").cast("double")), 4).as("guiraud"))
+      .orderBy(col("doc_id"))
+
+  val qTtrOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${TextFns.toksSql}) AS word FROM documents
+       |),
+       |c AS (SELECT doc_id, word, count(*) AS c FROM toks GROUP BY doc_id, word)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       |  round(count(*) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+       |  round(count(*) / sqrt(CAST(sum(c) AS DOUBLE)), 4) AS guiraud
+       |FROM c GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source hapax legomena share: the fraction of a source's
+    * vocabulary that appears exactly ONCE in that source — high hapax
+    * share flags OCR garbage / random-string pollution (every typo is a
+    * new hapax), low share flags templated text (the same words cycle
+    * forever); natural prose sits near 0.4-0.6. Same two-aggregate chain
+    * as [[qTtr]] keyed by source, all counts exact integers.
+    */
+  def qHapax(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_hapax"),
+        round(col("n_hapax") / col("n_types").cast("double"), 4).as("hapax_share"))
+      .orderBy(col("source"))
+
+  val qHapaxOracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(${TextFns.toksSql}) AS word FROM documents
+       |),
+       |c AS (SELECT source, word, count(*) AS c FROM toks GROUP BY source, word)
+       |SELECT source, count(*) AS n_types,
+       |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+       |    AS hapax_share
+       |FROM c GROUP BY source
+       |ORDER BY source""".stripMargin
 }

@@ -513,4 +513,81 @@ object TextAnalysis {
        |JOIN sz sa ON sa.source = i.source_a
        |JOIN sz sb ON sb.source = i.source_b
        |ORDER BY source_a, source_b""".stripMargin
+
+  /** Zipf's-law fit over the corpus rank-frequency curve: least-squares
+    * slope/intercept/R² of ln(freq) against ln(rank) — the one-number
+    * "does this corpus look like natural language?" health check (a
+    * natural corpus fits slope ≈ −1; templated or machine-generated text
+    * bends the curve and tanks R²). Shape: one map-side-combined word
+    * count, a rank window over the VOCABULARY frame (dimension-sized —
+    * an aggregate, per the plan-audit invariant), then the five moment
+    * sums in one pass, each term cast to DECIMAL(38,12) per-row (exact)
+    * so the sums are order-independent ([[graft.functions.NumFns]]
+    * discipline); the closed form is evaluated once on the driver-sized
+    * 1-row result. Cross-engine ln differs by ≤1 ulp → moment sums agree
+    * to ~1e-13, far inside the round-at-4 gap.
+    */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val counts = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val m = ranked.agg(
+      count(lit(1)).as("k"),
+      sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+      sum((col("x") * col("x")).cast(D)).as("sxx"),
+      sum((col("y") * col("y")).cast(D)).as("syy"),
+      sum((col("x") * col("y")).cast(D)).as("sxy"))
+    m.select(
+        col("k").as("n_types"),
+        round(((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")), 4)
+          .as("slope"),
+        round(((col("sy").cast("double") -
+          ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double")) / col("k")), 4).as("intercept"),
+        round((
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("k") * col("sxx") - col("sx") * col("sx")).cast("double") *
+           (col("k") * col("syy") - col("sy") * col("sy")).cast("double"))), 4)
+          .as("r2"))
+  }
+
+  val qZipfFitOracle: String =
+    s"""WITH w AS (
+       |  SELECT unnest($toksSql) AS word FROM documents
+       |),
+       |c AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+       |r AS (
+       |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, word) AS DOUBLE)) AS x,
+       |    ln(CAST(n AS DOUBLE)) AS y
+       |  FROM c
+       |),
+       |m AS (
+       |  SELECT count(*) AS k,
+       |    sum(CAST(x AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+       |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+       |    sum(CAST(y * y AS DECIMAL(38,12))) AS syy,
+       |    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+       |  FROM r
+       |)
+       |SELECT k AS n_types,
+       |  round(CAST(k * sxy - sx * sy AS DOUBLE)
+       |    / CAST(k * sxx - sx * sx AS DOUBLE), 4) AS slope,
+       |  round((CAST(sy AS DOUBLE)
+       |    - CAST(k * sxy - sx * sy AS DOUBLE)
+       |      / CAST(k * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / k, 4)
+       |    AS intercept,
+       |  round(CAST(k * sxy - sx * sy AS DOUBLE) * CAST(k * sxy - sx * sy AS DOUBLE)
+       |    / (CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE)), 4)
+       |    AS r2
+       |FROM m""".stripMargin
 }
