@@ -597,4 +597,157 @@ object Similarity {
       |  round(wq * n_total / CAST(wtot AS DOUBLE), 6) AS weight
       |FROM q CROSS JOIN w
       |ORDER BY label""".stripMargin
+
+  /** int8 scalar quantization of the embedding column — the memory move
+    * that makes a 100 TB ANN index fit (4 bytes → 1 byte per dim,
+    * dequantize on probe). Per-dimension affine codes: step =
+    * (max−min)/255, code = round((x−min)/step) ∈ [0,255]. The per-dim
+    * (min, max) frame is DIMS rows — an aggregate over posexploded
+    * elements, map-side combined, broadcast back onto the scan — so the
+    * corpus shuffles nothing. Certification is two-sided and exact:
+    * `codes_sum` (an integer, order-independent) pins the exact code
+    * values cross-engine, and `within_bound` asserts every element's
+    * reconstruction error ≤ step/2 — the round-to-nearest guarantee,
+    * which both engines must reproduce bit-identically since every op in
+    * the chain is deterministic IEEE arithmetic on identical inputs.
+    * A constant dimension (step = 0) would code to 0 with zero error on
+    * both engines by the same guard.
+    */
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(VectorFns.asDouble(col("embedding"))))
+      .select(col("vec_id"), col("pos"), col("col").as("x"))
+    val stats = el.groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .withColumn("step", (col("hi") - col("lo")) / lit(255.0))
+    el.join(broadcast(stats), "pos")
+      .withColumn("code",
+        when(col("step") > 0,
+          round((col("x") - col("lo")) / col("step"), 0).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("err",
+        when(col("step") > 0,
+          abs(col("x") - (col("lo") + col("code") * col("step"))))
+          .otherwise(lit(0.0)))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("code")).as("codes_sum"),
+        (max(col("err") - col("step") / 2) <= lit(0.0)).as("within_bound"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbedQuantizeOracle: String =
+    s"""WITH el AS (
+       |  SELECT vec_id, i AS pos, v[i] AS x
+       |  FROM (SELECT vec_id, $vSql AS v FROM embeddings),
+       |    unnest(range(1, $Dims + 1)) AS a(i)
+       |),
+       |st AS (
+       |  SELECT pos, min(x) AS lo, max(x) AS hi,
+       |    (max(x) - min(x)) / 255.0 AS step
+       |  FROM el GROUP BY pos
+       |),
+       |q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN step > 0 THEN CAST(round((x - lo) / step) AS BIGINT)
+       |         ELSE 0 END AS code,
+       |    CASE WHEN step > 0
+       |         THEN abs(x - (lo + CAST(round((x - lo) / step) AS BIGINT) * step))
+       |         ELSE 0.0 END AS err,
+       |    step
+       |  FROM el JOIN st USING (pos)
+       |)
+       |SELECT vec_id, count(*) AS n_dims,
+       |  CAST(sum(code) AS BIGINT) AS codes_sum,
+       |  max(err - step / 2) <= 0.0 AS within_bound
+       |FROM q GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
+  /** One PCA power-iteration step: v₁ ∝ C·v₀ over the exact covariance
+    * C = S/n − μμᵀ, with the flat uniform seed v₀ = 1/√dims — the
+    * dimensionality-reduction primitive (top principal component,
+    * whitening, drift detection between corpus snapshots). The 100 TB
+    * shape is the whole point: the corpus contributes ONLY through the
+    * moment sums Σxᵢ (dims cells) and Σxᵢxⱼ (dims² cells), each
+    * accumulated map-side as exact DECIMAL(38,12) partials — one scan,
+    * one dims²-bounded shuffle, never a vector through the exchange.
+    * Everything after (covariance assembly, the matrix-vector product,
+    * Rayleigh quotient λ = v₀ᵀCv₀-scaled, normalization) runs on
+    * dimension-sized frames. Iterating multiplies plan size, not data
+    * cost: each further step is another dims² broadcast join, corpus
+    * untouched. All cross-cell sums are decimal-stable; per-cell doubles
+    * are identical IEEE expressions on both engines.
+    */
+  def qPcaPowerIter(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val e = Tables.embeddings(s, dir)
+      .select(VectorFns.asDouble(col("embedding")).as("v"))
+    val ei = e.select(col("v"), posexplode(col("v")))
+      .select(col("v"), col("pos").as("i"), col("col").as("xi"))
+    val pairs = ei.select(col("i"), col("xi"), posexplode(col("v")))
+      .select(col("i"), col("xi"), col("pos").as("j"), col("col").as("xj"))
+    val sij = pairs.groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj")).cast(D)).as("sij"))
+    val su = ei.groupBy(col("i")).agg(sum(col("xi").cast(D)).as("su"))
+    val cnt = e.agg(count(lit(1)).as("n"))
+    val cov = sij
+      .join(broadcast(su.select(col("i").as("ri"), col("su").as("su_i"))),
+        col("i") === col("ri"))
+      .join(broadcast(su.select(col("i").as("rj"), col("su").as("su_j"))),
+        col("j") === col("rj"))
+      .crossJoin(broadcast(cnt))
+      .select(col("i"), col("j"),
+        (col("sij").cast("double") / col("n")
+          - (col("su_i").cast("double") / col("n"))
+            * (col("su_j").cast("double") / col("n"))).as("cij"))
+    val seed = 1.0 / math.sqrt(Dims.toDouble)
+    val v1 = cov.groupBy(col("i"))
+      .agg(sum((col("cij") * lit(seed)).cast(D)).cast("double").as("v1raw"))
+    val sc = v1.agg(
+      sum((col("v1raw") * col("v1raw")).cast(D)).cast("double").as("nsq"),
+      sum((col("v1raw") * lit(seed)).cast(D)).cast("double").as("lambda"))
+    v1.crossJoin(broadcast(sc))
+      .select((col("i") + 1).as("pos"),
+        round(col("v1raw") / sqrt(col("nsq")), 6).as("comp"),
+        round(col("lambda"), 6).as("lambda"))
+      .orderBy(col("pos"))
+  }
+
+  val qPcaPowerIterOracle: String = {
+    val seedSql = s"(1.0 / sqrt(CAST($Dims AS DOUBLE)))"
+    s"""WITH e AS (SELECT $vSql AS v FROM embeddings),
+       |idx AS (SELECT unnest(range(1, $Dims + 1)) AS i),
+       |p AS (
+       |  SELECT a.i AS i, b.i AS j, v[a.i] AS xi, v[b.i] AS xj
+       |  FROM e, idx a, idx b
+       |),
+       |sij AS (
+       |  SELECT i, j, sum(CAST(xi * xj AS DECIMAL(38,12))) AS sij
+       |  FROM p GROUP BY i, j
+       |),
+       |su AS (
+       |  SELECT a.i AS i, sum(CAST(v[a.i] AS DECIMAL(38,12))) AS su
+       |  FROM e, idx a GROUP BY a.i
+       |),
+       |n AS (SELECT count(*) AS n FROM e),
+       |c AS (
+       |  SELECT s.i, s.j,
+       |    CAST(s.sij AS DOUBLE) / n.n
+       |      - (CAST(a.su AS DOUBLE) / n.n) * (CAST(b.su AS DOUBLE) / n.n) AS cij
+       |  FROM sij s JOIN su a ON s.i = a.i JOIN su b ON s.j = b.i CROSS JOIN n
+       |),
+       |v1 AS (
+       |  SELECT i, CAST(sum(CAST(cij * $seedSql AS DECIMAL(38,12))) AS DOUBLE) AS v1raw
+       |  FROM c GROUP BY i
+       |),
+       |sc AS (
+       |  SELECT CAST(sum(CAST(v1raw * v1raw AS DECIMAL(38,12))) AS DOUBLE) AS nsq,
+       |    CAST(sum(CAST(v1raw * $seedSql AS DECIMAL(38,12))) AS DOUBLE) AS lambda
+       |  FROM v1
+       |)
+       |SELECT i AS pos, round(v1raw / sqrt(nsq), 6) AS comp,
+       |  round(lambda, 6) AS lambda
+       |FROM v1 CROSS JOIN sc
+       |ORDER BY pos""".stripMargin
+  }
 }
