@@ -137,8 +137,9 @@ object BinaryPipeline {
     }.toDF("media_id", "ahash")
   }
 
-  /** Near-duplicate image pairs by hamming distance over [[aHash64]]
-    * fingerprints: split the 64-bit hash into 8 bands of 8 bits; images
+  /** Banded hamming near-dup join over a 64-bit fingerprint table
+    * (media_id, ahash) — the engine behind [[nearDupImages]] and
+    * [[nearDupAudio]]: split the hash into 8 bands of 8 bits; records
     * agreeing on ≥1 band are candidates (EXACT recall for hamming < 8 —
     * pigeonhole over the bands), verified with bit_count(xor). The band
     * join shuffles (band, chunk, id) triples only — the same layout as
@@ -146,7 +147,7 @@ object BinaryPipeline {
     * column; at 100 TB the fingerprint table is metadata-width and the
     * payloads never move.
     */
-  def nearDupImages(media: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame = {
+  private def bandedNearDup(fp: DataFrame, maxHamming: Int): DataFrame = {
     val bands = 8
     val bits = 8
     // the pigeonhole guarantee is bands-relative: d < bands forces some
@@ -154,7 +155,6 @@ object BinaryPipeline {
     // differ by exactly 1 bit in every band — fail loudly instead.
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be in [0, ${bands - 1}] for exact recall with $bands bands, got $maxHamming")
-    val fp = imageHashes(media)
     val bandStructs = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         shiftright(col("ahash"), bnd * bits).bitwiseAND((1L << bits) - 1).as("chunk"))
@@ -173,6 +173,13 @@ object BinaryPipeline {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  /** Near-duplicate image pairs by hamming distance over [[aHash64]]
+    * fingerprints — see [[bandedNearDup]] for the join shape and the
+    * exact-recall guarantee.
+    */
+  def nearDupImages(media: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame =
+    bandedNearDup(imageHashes(media), maxHamming)
 
   /** STUB decode kernel (video, plus image/audio bytes the JDK stacks
     * reject): deterministic pseudo-features from raw bytes. Replace with
@@ -219,6 +226,103 @@ object BinaryPipeline {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException | _: RuntimeException => None
     }
+
+  /** REAL sample-level audio decode: the payload's full PCM stream
+    * converted to normalized mono doubles in [−1, 1]. The JDK's
+    * format-conversion providers transcode whatever the container holds
+    * (8/16-bit, any endianness, N channels) to 16-bit signed
+    * little-endian at the native rate; channels are averaged. Same
+    * degrade-don't-fail contract as [[decodeAudio]]: None for
+    * unparseable or empty payloads, never a throw.
+    */
+  def decodePcmMono(payload: Array[Byte]): Option[Array[Double]] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val ch = raw.getFormat.getChannels
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          raw.getFormat.getSampleRate, 16, ch, ch * 2,
+          raw.getFormat.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2 / ch
+        if (n == 0) None
+        else {
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var sum = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              sum += ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort / 32768.0
+              c += 1
+            }
+            out(i) = sum / ch
+            i += 1
+          }
+          Some(out)
+        }
+      } finally raw.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException | _: RuntimeException => None
+    }
+
+  /** 64-bit audio energy-envelope hash over real decoded PCM — the audio
+    * analog of [[aHash64]]: the sample stream splits into 64 equal time
+    * segments, each segment's mean energy (Σx²/n) is compared to the
+    * whole clip's mean segment energy, bit i set iff segment i is louder.
+    * Invariant under uniform gain (scaling every sample by g scales every
+    * energy by g², both sides of each comparison alike) and robust to
+    * re-encoding; unrelated clips differ in ~32 bits. Deterministic pure
+    * JVM arithmetic.
+    */
+  def audioHash64(samples: Array[Double]): Long = {
+    val segs = 64
+    val energies = new Array[Double](segs)
+    val n = samples.length
+    var k = 0
+    while (k < segs) {
+      val lo = (n.toLong * k / segs).toInt
+      val hi = (n.toLong * (k + 1) / segs).toInt
+      var e = 0.0
+      var i = lo
+      while (i < hi) { e += samples(i) * samples(i); i += 1 }
+      energies(k) = if (hi > lo) e / (hi - lo) else 0.0
+      k += 1
+    }
+    val mean = energies.sum / segs
+    var h = 0L
+    var i = 0
+    while (i < segs) { if (energies(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** (media_id, ahash) for every decodable audio payload — the
+    * fingerprint table audio dedup runs on; the audio twin of
+    * [[imageHashes]]. Undecodable payloads drop here (no samples to
+    * hash; byte-exact dedup still sees them via the checksum).
+    */
+  def audioHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type == "audio")
+          decodePcmMono(r.payload).map(p => (r.media_id, audioHash64(p)))
+        else None
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate audio pairs (re-encodes, gain-adjusted copies) by
+    * hamming distance over [[audioHash64]] fingerprints — see
+    * [[bandedNearDup]] for the join shape and exact-recall guarantee.
+    */
+  def nearDupAudio(media: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame =
+    bandedNearDup(audioHashes(media), maxHamming)
 
   /** Per-record dispatch: real ImageIO decode for images, real
     * javax.sound.sampled header decode for audio (WAV/AIFF/AU), stub for

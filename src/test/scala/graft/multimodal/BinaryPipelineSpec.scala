@@ -185,4 +185,62 @@ class BinaryPipelineSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
     assert(pairs == Set((1L, 2L)), s"expected only the rescaled pair, got $pairs")
   }
+
+  /** A WAV clip whose loudness envelope is controlled by `seed`: 64
+    * beats, beat b is a full-scale sine burst iff bit (b mod 63) of a
+    * seed-derived LCG draw is set, near-silence otherwise. `gain` scales
+    * every sample (a re-encode at different volume).
+    */
+  private def envelopeWav(seed: Long, gain: Double, nFrames: Int = 8192): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var rng = seed * 6364136223846793005L + 1442695040888963407L
+    val beatOn = Array.fill(64) {
+      rng = rng * 6364136223846793005L + 1442695040888963407L
+      (rng >>> 60) % 2 == 0
+    }
+    var i = 0
+    while (i < nFrames) {
+      val beat = i * 64 / nFrames
+      val amp = if (beatOn(beat)) 0.8 * gain else 0.01 * gain
+      val s = (math.sin(i * 2 * math.Pi * 440 / 8000) * amp * 32767).toInt
+        .max(-32768).min(32767)
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("audio energy hash survives gain change; different envelopes stay far") {
+    def hashOf(bytes: Array[Byte]): Long =
+      BinaryPipeline.audioHash64(BinaryPipeline.decodePcmMono(bytes).get)
+    val base = hashOf(envelopeWav(seed = 1, gain = 1.0))
+    val quiet = hashOf(envelopeWav(seed = 1, gain = 0.25)) // same clip, -12 dB
+    val other = hashOf(envelopeWav(seed = 9, gain = 1.0)) // different envelope
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(base, quiet) <= 7, s"gain change moved ${ham(base, quiet)} bits")
+    assert(ham(base, other) > 7, s"unrelated clips only ${ham(base, other)} bits apart")
+  }
+
+  test("audio near-dup pairing finds the gain-adjusted copy and not the stranger") {
+    import spark.implicits._
+    def rec(id: Long, bytes: Array[Byte]) =
+      BinaryPipeline.MediaRecord(id, "audio", bytes, "test", bytes.length.toLong)
+    val media = Seq(
+      rec(1L, envelopeWav(seed = 1, gain = 1.0)),
+      rec(2L, envelopeWav(seed = 1, gain = 0.25)), // same clip, quieter
+      rec(3L, envelopeWav(seed = 9, gain = 1.0)), // unrelated clip
+      rec(4L, Array[Byte](1, 2, 3, 4)) // undecodable: dropped from hashing
+    ).toDS()
+    assert(BinaryPipeline.audioHashes(media).count() == 3, "junk must drop out")
+    val pairs = BinaryPipeline.nearDupAudio(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the gain-adjusted pair, got $pairs")
+  }
 }
