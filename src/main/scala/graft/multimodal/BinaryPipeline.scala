@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   * JDK, no native deps) and returns true pixel dimensions — and so is
   * the AUDIO branch — `decodeAudio` parses WAV/AIFF/AU headers via
   * `javax.sound.sampled` (also JDK-bundled) into sample rate / channels
-  * / frame count. Payloads neither stack can parse fall back to the
-  * stub so synthetic corpora still flow. Video remains STUBBED
-  * (`decodeStub` derives deterministic pseudo-features from payload
-  * bytes — the JDK ships no video codec): the plumbing — schema,
-  * encoders, batch shape, partitioning — is real and testable, and a
-  * production build swaps the stub for a JNI/ffmpeg call without
-  * touching the plan.
+  * / frame count. The VIDEO branch is real for Motion-JPEG AVI —
+  * `demuxMjpeg` walks the RIFF chunk tree and hands each embedded JPEG
+  * frame to ImageIO (`decodeVideo` / `videoHash64` / `nearDupVideo`) —
+  * because MJPEG is the one video format that is pure container framing
+  * around a codec the JDK bundles. Payloads none of the three stacks
+  * can parse (H.264 etc. — no JVM codec) fall back to `decodeStub`, so
+  * synthetic corpora still flow: the plumbing — schema, encoders, batch
+  * shape, partitioning — is identical either way, and a production
+  * build swaps the stub for a JNI/ffmpeg call without touching the
+  * plan.
   */
 object BinaryPipeline {
 
@@ -324,11 +327,132 @@ object BinaryPipeline {
   def nearDupAudio(media: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame =
     bandedNearDup(audioHashes(media), maxHamming)
 
+  /** Decoded video container info: frame dimensions from the first
+    * decodable frame, and the number of embedded frames.
+    */
+  case class VideoInfo(width: Int, height: Int, nFrames: Int)
+
+  /** REAL video demux for Motion-JPEG AVI — the one video format a bare
+    * JVM can fully decode with zero native deps, because MJPEG is just
+    * RIFF container framing around per-frame JPEG payloads ImageIO
+    * already understands. Walks the RIFF chunk tree (`RIFF`/`AVI ` →
+    * `LIST movi`), collecting video stream chunks (fourcc `##dc`/`##db`)
+    * that open with a JPEG SOI marker, in stream order. Returns Nil for
+    * anything that is not a well-formed MJPEG AVI — same
+    * degrade-don't-fail contract as [[decodeImage]]: the stub path picks
+    * the record up, the job never dies on a dirty payload.
+    */
+  def demuxMjpeg(payload: Array[Byte]): Seq[Array[Byte]] = {
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        return Nil
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+        var off = start
+        var ok = true
+        while (ok && off + 8 <= end) {
+          val id = fourcc(off)
+          val sz = u32(off + 4)
+          val dataOff = off + 8L
+          val dataEnd = dataOff + sz
+          if (id == "LIST" && sz >= 4 && dataOff + 4 <= end) {
+            // a LIST truncated by the buffer still yields its intact children
+            walk(dataOff.toInt + 4, math.min(dataEnd, end.toLong).toInt,
+              inMovi || fourcc(dataOff.toInt) == "movi")
+            ok = dataEnd <= end
+          } else if (dataEnd > end) {
+            ok = false // truncated data chunk: stop, keep what parsed
+          } else if (inMovi && sz >= 2 && (id.endsWith("dc") || id.endsWith("db")) &&
+            (payload(dataOff.toInt) & 0xff) == 0xff &&
+            (payload(dataOff.toInt + 1) & 0xff) == 0xd8) {
+            frames += java.util.Arrays.copyOfRange(payload, dataOff.toInt, dataEnd.toInt)
+          }
+          off = (dataEnd + (sz & 1L)).toInt // chunks pad to even offsets
+        }
+      }
+      walk(12, math.min(payload.length.toLong, 8L + u32(4)).toInt, inMovi = false)
+      frames.toSeq
+    } catch {
+      case _: RuntimeException => Nil
+    }
+  }
+
+  /** REAL video decode: dimensions of the first decodable frame + the
+    * container's frame count, via [[demuxMjpeg]] + ImageIO. None when
+    * the payload isn't MJPEG-AVI or no frame decodes.
+    */
+  def decodeVideo(payload: Array[Byte]): Option[VideoInfo] = {
+    val fs = demuxMjpeg(payload)
+    fs.view.flatMap(decodeImageBuffered(_)).headOption
+      .map(img => VideoInfo(img.getWidth, img.getHeight, fs.length))
+  }
+
+  /** 64-bit video fingerprint: per-bit MAJORITY vote across the frames'
+    * perceptual [[aHash64]]es — SimHash lifted to the frame axis.
+    * Re-encoding every frame at a different JPEG quality (or rescaling
+    * the clip) moves individual frame hashes by a few bits but rarely
+    * flips a bit's cross-frame majority, so near-dup videos land within
+    * a small hamming distance while unrelated clips differ in ~32 bits.
+    * Ties round down (strict majority) so the hash is deterministic.
+    */
+  def videoHash64(frames: Seq[java.awt.image.BufferedImage]): Long = {
+    val hs = frames.map(aHash64)
+    var h = 0L
+    var bit = 0
+    while (bit < 64) {
+      var ones = 0
+      hs.foreach(x => if (((x >>> bit) & 1L) == 1L) ones += 1)
+      if (2 * ones > hs.length) h |= 1L << bit
+      bit += 1
+    }
+    h
+  }
+
+  /** (media_id, ahash) for every demuxable video payload — the
+    * fingerprint table video dedup runs on; the video twin of
+    * [[imageHashes]]. At most `maxFrames` frames are decoded per record
+    * (evenly strided through the clip) so hashing cost is bounded no
+    * matter how long the video is; payloads that aren't MJPEG-AVI drop
+    * here (byte-exact dedup still sees them via the checksum).
+    */
+  def videoHashes(media: Dataset[MediaRecord], maxFrames: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (r.media_type != "video") None
+        else {
+          val raw = demuxMjpeg(r.payload)
+          if (raw.isEmpty) None
+          else {
+            val stride = math.max(1, raw.length / maxFrames)
+            val imgs = raw.indices.by(stride)
+              .flatMap(i => decodeImageBuffered(raw(i)))
+            if (imgs.isEmpty) None else Some((r.media_id, videoHash64(imgs)))
+          }
+        }
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate video pairs (per-frame re-encodes, rescaled copies)
+    * by hamming distance over [[videoHash64]] fingerprints — see
+    * [[bandedNearDup]] for the join shape and exact-recall guarantee.
+    */
+  def nearDupVideo(media: Dataset[MediaRecord], maxHamming: Int = 7): DataFrame =
+    bandedNearDup(videoHashes(media), maxHamming)
+
   /** Per-record dispatch: real ImageIO decode for images, real
-    * javax.sound.sampled header decode for audio (WAV/AIFF/AU), stub for
-    * video (the JDK ships no video codec). Audio maps into the shared
-    * feature schema as width = sample rate (Hz), height = channels,
-    * n_frames = PCM frame count.
+    * javax.sound.sampled header decode for audio (WAV/AIFF/AU), real
+    * MJPEG-AVI demux for video (other codecs fall to the stub — the JDK
+    * ships no general video codec). Audio maps into the shared feature
+    * schema as width = sample rate (Hz), height = channels, n_frames =
+    * PCM frame count.
     */
   def decode(r: MediaRecord): MediaFeatures = r.media_type match {
     case "image" =>
@@ -345,6 +469,14 @@ object BinaryPipeline {
           MediaFeatures(r.media_id, r.media_type, r.n_bytes,
             width = a.sampleRateHz, height = a.channels,
             n_frames = math.max(0, math.min(a.frames, Int.MaxValue)).toInt,
+            checksum = payloadChecksum(r.payload))
+        case None => decodeStub(r)
+      }
+    case "video" =>
+      decodeVideo(r.payload) match {
+        case Some(v) =>
+          MediaFeatures(r.media_id, r.media_type, r.n_bytes,
+            width = v.width, height = v.height, n_frames = v.nFrames,
             checksum = payloadChecksum(r.payload))
         case None => decodeStub(r)
       }

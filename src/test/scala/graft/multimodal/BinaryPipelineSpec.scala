@@ -243,4 +243,82 @@ class BinaryPipelineSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
     assert(pairs == Set((1L, 2L)), s"expected only the gain-adjusted pair, got $pairs")
   }
+
+  /** Minimal Motion-JPEG AVI: RIFF(AVI ) wrapping a LIST(movi) of
+    * `00dc` chunks, one JPEG-encoded frame each, even-padded — the
+    * container shape `demuxMjpeg` parses.
+    */
+  private def mjpegAvi(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    def jpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", baos), "no jpg writer")
+      baos.toByteArray
+    }
+    def le32(n: Int): Array[Byte] =
+      Array((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    frames.map(jpeg).foreach { c =>
+      movi.write("00dc".getBytes("US-ASCII"))
+      movi.write(le32(c.length))
+      movi.write(c)
+      if (c.length % 2 == 1) movi.write(0)
+    }
+    val list = movi.toByteArray
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("AVI ".getBytes("US-ASCII"))
+    body.write("LIST".getBytes("US-ASCII"))
+    body.write(le32(list.length))
+    body.write(list)
+    val payload = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(payload.length))
+    out.write(payload)
+    out.toByteArray
+  }
+
+  test("video branch demuxes a real MJPEG AVI end-to-end") {
+    import spark.implicits._
+    val avi = mjpegAvi((0 until 6).map(i => patternImage(48, 32, seed = i)))
+    val media = Seq(
+      BinaryPipeline.MediaRecord(1L, "video", avi, "test", avi.length.toLong),
+      BinaryPipeline.MediaRecord(2L, "video", // not a video container: stub path
+        "not an avi at all".getBytes("UTF-8"), "test", 17L)
+    ).toDS()
+    assert(BinaryPipeline.demuxMjpeg(avi).length == 6)
+    val f = BinaryPipeline.extractFeatures(media).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 48 && f(1L).height == 32 && f(1L).n_frames == 6,
+      s"real decode expected, got ${f(1L)}")
+    assert(f(2L).width == 17 && f(2L).n_frames == (17 / 64).max(1), "stub fallback")
+  }
+
+  test("truncated AVI keeps parsed frames and never throws") {
+    val avi = mjpegAvi((0 until 4).map(i => patternImage(32, 24, seed = i)))
+    // cut mid-way through the last chunk: parser must stop cleanly
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 10)
+    val frames = BinaryPipeline.demuxMjpeg(cut)
+    assert(frames.length == 3, s"expected the 3 intact frames, got ${frames.length}")
+    assert(BinaryPipeline.demuxMjpeg("RIFF".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("video near-dup pairing finds the rescaled clip and not the stranger") {
+    import spark.implicits._
+    def clip(sz: Int, seedBase: Int): Array[Byte] =
+      mjpegAvi((0 until 8).map(i => patternImage(sz, sz * 3 / 4, seed = seedBase + i)))
+    def rec(id: Long, bytes: Array[Byte]) =
+      BinaryPipeline.MediaRecord(id, "video", bytes, "test", bytes.length.toLong)
+    val media = Seq(
+      rec(1L, clip(64, seedBase = 1)),
+      rec(2L, clip(128, seedBase = 1)), // same scenes, rescaled + re-encoded
+      rec(3L, clip(64, seedBase = 40)), // unrelated clip
+      rec(4L, Array[Byte](9, 9, 9)) // undecodable: dropped from hashing
+    ).toDS()
+    assert(BinaryPipeline.videoHashes(media).count() == 3, "junk must drop out")
+    val pairs = BinaryPipeline.nearDupVideo(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the rescaled pair, got $pairs")
+  }
 }
