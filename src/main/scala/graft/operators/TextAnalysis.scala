@@ -590,4 +590,77 @@ object TextAnalysis {
        |    / (CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE)), 4)
        |    AS r2
        |FROM m""".stripMargin
+
+  /** Skip-gram context radius and the floor that keeps the pair table
+    * reportable (the engine computes all pairs; only pairs this frequent
+    * reach the output — the same contract as [[PmiMinPairCount]]).
+    */
+  val SkipWindow = 4
+  val WindowPmiMin = 5
+
+  /** Positional co-occurrence PMI — the word2vec/SGNS training
+    * statistic, distinct from [[qTokenPmi]]'s document-level
+    * co-occurrence: a pair counts once per OCCURRENCE where `b` follows
+    * `a` within [[SkipWindow]] tokens (ordered, so "new york" and
+    * "york new" are different cells, exactly as directional skip-gram
+    * contexts are). PMI = ln(c_ab·T / (cl_a·cr_b)) over pair-event
+    * totals: cl/cr are each word's left/right-slot occurrence counts
+    * and T the total pair count, so the four numbers form a proper
+    * joint/marginal system. Scale shape: the positional self-join keys
+    * on doc_id with a ±window position residual — per-token fan-out is
+    * ≤ [[SkipWindow]], so the pair stream is linear in corpus size,
+    * shuffled once on doc_id (shuffle_hash, derived side never
+    * broadcast); everything downstream is vocabulary²-bounded and
+    * count-floored. The positional frame is localCheckpoint'd because
+    * three consumers read it (pair join ×2, marginals).
+    */
+  def qWindowPmi(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .localCheckpoint()
+    val pairs = tok.as("a")
+      .join(tok.as("b").hint("shuffle_hash"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") > col("a.pos") &&
+          col("b.pos") <= col("a.pos") + SkipWindow)
+      .groupBy(col("a.w").as("w_a"), col("b.w").as("w_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint() // totals + marginals + output all read it
+    val t = pairs.agg(sum(col("c_ab")).as("t_pairs"))
+    val left = pairs.groupBy(col("w_a").as("w")).agg(sum(col("c_ab")).as("cl"))
+    val right = pairs.groupBy(col("w_b").as("w")).agg(sum(col("c_ab")).as("cr"))
+    pairs
+      .filter(col("c_ab") >= WindowPmiMin)
+      .join(left.select(col("w").as("w_a"), col("cl")).hint("shuffle_hash"), Seq("w_a"))
+      .join(right.select(col("w").as("w_b"), col("cr")).hint("shuffle_hash"), Seq("w_b"))
+      .crossJoin(broadcast(t))
+      .select(col("w_a"), col("w_b"), col("c_ab"), col("cl"), col("cr"),
+        round(log(col("c_ab") * col("t_pairs") / (col("cl") * col("cr"))
+          .cast("double")), 6).as("pmi"))
+      .orderBy(col("w_a"), col("w_b"))
+  }
+
+  val qWindowPmiOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(v) AS w, unnest(range(1, len(v) + 1)) AS pos
+       |  FROM (SELECT doc_id, $toksSql AS v FROM documents)
+       |),
+       |p AS (
+       |  SELECT a.w AS w_a, b.w AS w_b, count(*) AS c_ab
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+       |    AND b.pos > a.pos AND b.pos <= a.pos + $SkipWindow
+       |  GROUP BY a.w, b.w
+       |),
+       |t AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t_pairs FROM p),
+       |l AS (SELECT w_a AS w, CAST(sum(c_ab) AS BIGINT) AS cl FROM p GROUP BY w_a),
+       |r AS (SELECT w_b AS w, CAST(sum(c_ab) AS BIGINT) AS cr FROM p GROUP BY w_b)
+       |SELECT p.w_a, p.w_b, p.c_ab, l.cl, r.cr,
+       |  round(ln(p.c_ab * t.t_pairs / CAST(l.cl * r.cr AS DOUBLE)), 6) AS pmi
+       |FROM p
+       |JOIN l ON l.w = p.w_a
+       |JOIN r ON r.w = p.w_b
+       |CROSS JOIN t
+       |WHERE p.c_ab >= $WindowPmiMin
+       |ORDER BY w_a, w_b""".stripMargin
 }

@@ -182,6 +182,62 @@ object EventPipeline {
       }
   }
 
+  case class TypedEvent(event_type: String, user_id: Long)
+  case class MgState(counters: Map[Long, Long], total: Long)
+  case class MgCandidate(event_type: String, user_id: Long,
+      mg_count: Long, total: Long)
+
+  /** Misra-Gries counter budget per event type. The guarantee is
+    * budget-relative: any user with true share > 1/[[MgCounters]] of a
+    * type's events survives in the summary, and 1/256 ≈ 39 bp is well
+    * under the [[graft.operators.Behavioral.HeavyHitterBp]] = 80 bp reporting threshold — so the
+    * candidate set is a PROVABLE superset of the exact heavy hitters.
+    */
+  val MgCounters = 256
+
+  /** Streaming heavy-hitters monitor — the unbounded mirror of the batch
+    * `q_heavy_hitters`, with O([[MgCounters]]) state per event type
+    * instead of O(users): a Misra-Gries summary folded event-at-a-time
+    * inside flatMapGroupsWithState. A new user takes a free counter if
+    * one exists; otherwise EVERY counter decrements (the MG step) — the
+    * classic guarantee is that a counter undercounts its user's true
+    * count by at most total/[[MgCounters]]. Emission compensates exactly
+    * that bound (`(mg_count·k + total)·10000 ≥ total·bp·k`, all int64),
+    * so every true ≥ threshold hitter is emitted after the batch
+    * that crossed the line — false positives are possible (resolved by
+    * one exact count over the candidate set, 256 keys per type), false
+    * negatives are not. No watermark: state is size-bounded by
+    * construction, not time-bounded.
+    */
+  def heavyHittersStream(events: Dataset[TypedEvent]): Dataset[MgCandidate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MgState, MgCandidate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (etype, evs, state: GroupState[MgState]) =>
+          var m = state.getOption.map(_.counters).getOrElse(Map.empty[Long, Long])
+          var total = state.getOption.map(_.total).getOrElse(0L)
+          evs.foreach { e =>
+            total += 1
+            m.get(e.user_id) match {
+              case Some(c) => m = m.updated(e.user_id, c + 1)
+              case None =>
+                if (m.size < MgCounters) m = m.updated(e.user_id, 1L)
+                else m = m.flatMap { case (k, v) =>
+                  if (v > 1) Some(k -> (v - 1)) else None
+                }
+            }
+          }
+          state.update(MgState(m, total))
+          m.iterator
+            .filter { case (_, c) =>
+              10000L * (c * MgCounters + total) >= graft.operators.Behavioral.HeavyHitterBp.toLong * MgCounters * total
+            }
+            .map { case (u, c) => MgCandidate(etype, u, c, total) }
+      }
+  }
+
   /** Batch-equivalent entry used by tests: stream the events parquet
     * through a file source (raw on-disk schema — ts arrives as a ns Long
     * under nanosAsLong and is normalized to a µs timestamp, mirroring

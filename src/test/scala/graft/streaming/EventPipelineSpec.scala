@@ -76,6 +76,38 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Misra-Gries monitor is a provable superset of the batch heavy hitters") {
+    import spark.implicits._
+    val stream = EventPipeline.streamEventsFrom(spark, sf001)
+      .select(col("event_type"), col("user_id"))
+      .as[EventPipeline.TypedEvent]
+    val q = EventPipeline.heavyHittersStream(stream)
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val candidates = spark.sql("SELECT event_type, user_id, mg_count FROM hh_test")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val exact = graft.operators.Behavioral.qHeavyHitters(spark, sf001)
+        .select(col("event_type"), col("user_id"), col("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(exact.nonEmpty, "batch mirror must report hitters at sf0.001")
+      val missed = exact.keySet -- candidates.keySet
+      assert(missed.isEmpty,
+        s"MG must never miss a true heavy hitter, but missed $missed")
+      // the MG counter never overcounts: mg_count ≤ true count, always
+      exact.foreach { case (k, n) =>
+        assert(candidates(k) <= n, s"$k: mg=${candidates(k)} > true=$n")
+      }
+      // and the candidate set is state-bounded: ≤ MgCounters per type
+      val perType = candidates.keys.groupBy(_._1).view.mapValues(_.size)
+      perType.foreach { case (t, n) =>
+        assert(n <= EventPipeline.MgCounters, s"$t emitted $n candidates")
+      }
+    } finally q.stop()
+  }
+
   test("streaming ingestion lands the cloud-optimized layout exactly once") {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
