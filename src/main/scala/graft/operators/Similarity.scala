@@ -663,33 +663,75 @@ object Similarity {
        |FROM q GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
+  /** Salt buckets for the PCA moment sums' first (long) stage: with
+    * per-element quanta |q| ≤ 1e12, each (cell, salt) partial stays
+    * inside int64 up to n/salts ≈ 8M elements per bucket — 64 covers
+    * half a billion vectors; scale salts with n beyond that (the cell
+    * frame stays dims²·salts, dimension-sized either way).
+    */
+  val PcaSalts = 64
+
   /** One PCA power-iteration step: v₁ ∝ C·v₀ over the exact covariance
     * C = S/n − μμᵀ, with the flat uniform seed v₀ = 1/√dims — the
     * dimensionality-reduction primitive (top principal component,
     * whitening, drift detection between corpus snapshots). The 100 TB
     * shape is the whole point: the corpus contributes ONLY through the
-    * moment sums Σxᵢ (dims cells) and Σxᵢxⱼ (dims² cells), each
-    * accumulated map-side as exact DECIMAL(38,12) partials — one scan,
+    * moment sums Σxᵢ (dims cells) and Σxᵢxⱼ (dims² cells) — one scan,
     * one dims²-bounded shuffle, never a vector through the exchange.
-    * Everything after (covariance assembly, the matrix-vector product,
-    * Rayleigh quotient λ = v₀ᵀCv₀-scaled, normalization) runs on
-    * dimension-sized frames. Iterating multiplies plan size, not data
-    * cost: each further step is another dims² broadcast join, corpus
-    * untouched. All cross-cell sums are decimal-stable; per-cell doubles
-    * are identical IEEE expressions on both engines.
+    * The hot n·dims² cell stream sums as QUANTIZED int64 (see the
+    * in-body comment: round(x·1e12) per element, salted two-stage
+    * accumulation) — exact integer arithmetic that stays inside
+    * whole-stage codegen, where a DECIMAL(38,12) cast per cell was
+    * BigDecimal-backed and 6× slower. Everything after (covariance
+    * assembly, the matrix-vector product, Rayleigh quotient
+    * λ = v₀ᵀCv₀-scaled, normalization) runs on dimension-sized frames.
+    * Iterating multiplies plan size, not data cost: each further step
+    * is another dims² broadcast join, corpus untouched. Cross-cell
+    * sums are integer/decimal-exact; per-cell doubles are identical
+    * IEEE expressions on both engines.
     */
   def qPcaPowerIter(s: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val DI = org.apache.spark.sql.types.DecimalType(38, 0)
     val e = Tables.embeddings(s, dir)
-      .select(VectorFns.asDouble(col("embedding")).as("v"))
-    val ei = e.select(col("v"), posexplode(col("v")))
-      .select(col("v"), col("pos").as("i"), col("col").as("xi"))
-    val pairs = ei.select(col("i"), col("xi"), posexplode(col("v")))
-      .select(col("i"), col("xi"), col("pos").as("j"), col("col").as("xj"))
-    val sij = pairs.groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("xj")).cast(D)).as("sij"))
-    val su = ei.groupBy(col("i")).agg(sum(col("xi").cast(D)).as("su"))
-    val cnt = e.agg(count(lit(1)).as("n"))
+      .select(col("vec_id"), VectorFns.asDouble(col("embedding")).as("v"))
+    val ei = e.select(col("vec_id"), col("v"), posexplode(col("v")))
+      .select(col("vec_id"), col("v"), col("pos").as("i"), col("col").as("xi"))
+    // The dims² moment cells are the hot path (n·dims² rows). A
+    // DECIMAL(38,12) sum here is BigDecimal-backed per row — measured
+    // ~9 s at sf0.1 — so the exactness discipline moves to int64:
+    // each product quantizes to a long at 1e12 (q = round(x·1e12), an
+    // identical deterministic value on both engines since the inputs
+    // are identical doubles), and longs sum in two salted stages so no
+    // partial can overflow: stage 1 sums ≤ n/salts elements of |q| ≤
+    // 1e12 per (i,j,salt) — picking salts ≥ n·1e12/8e18 keeps that
+    // under int64 range (64 covers n up to 512M vectors; the cell
+    // frame stays dims²·salts, dimension-sized) — and stage 2 folds
+    // the salted partials as DECIMAL(38,0), exact by construction.
+    // Quantization shifts each mean by ≤ 0.5e-12, invisible at the
+    // round-at-6 gate.
+    val pairs = ei.select(col("vec_id"), col("i"), col("xi"), posexplode(col("v")))
+      .select(col("i"), col("pos").as("j"),
+        graft.functions.NumFns.roundAwayLong(
+          col("xi") * col("col") * lit(1e12)).as("q"),
+        (col("vec_id") % PcaSalts).as("salt"))
+    // materialized once: su feeds the covariance from BOTH index sides
+    // and v1 is read twice downstream — without these checkpoints the
+    // n·dims² moment pass executes twice and the Σxᵢ pass four times
+    // (measured 2.4 s vs 0.7 s at sf0.1). The frames are dimension-
+    // sized (dims², dims, 1 rows), so the checkpoint itself is free.
+    val sij = pairs.groupBy(col("i"), col("j"), col("salt"))
+      .agg(sum(col("q")).as("pq"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("pq").cast(DI)).as("sij"))
+      .localCheckpoint()
+    val su = ei.select(col("i"),
+        graft.functions.NumFns.roundAwayLong(col("xi") * lit(1e12)).as("q"),
+        (col("vec_id") % PcaSalts).as("salt"))
+      .groupBy(col("i"), col("salt")).agg(sum(col("q")).as("pq"))
+      .groupBy(col("i")).agg(sum(col("pq").cast(DI)).as("su"))
+      .localCheckpoint()
+    val cnt = e.agg(count(lit(1)).as("n")).localCheckpoint()
     val cov = sij
       .join(broadcast(su.select(col("i").as("ri"), col("su").as("su_i"))),
         col("i") === col("ri"))
@@ -697,12 +739,13 @@ object Similarity {
         col("j") === col("rj"))
       .crossJoin(broadcast(cnt))
       .select(col("i"), col("j"),
-        (col("sij").cast("double") / col("n")
-          - (col("su_i").cast("double") / col("n"))
-            * (col("su_j").cast("double") / col("n"))).as("cij"))
+        (col("sij").cast("double") / col("n") / lit(1e12)
+          - (col("su_i").cast("double") / col("n") / lit(1e12))
+            * (col("su_j").cast("double") / col("n") / lit(1e12))).as("cij"))
     val seed = 1.0 / math.sqrt(Dims.toDouble)
     val v1 = cov.groupBy(col("i"))
       .agg(sum((col("cij") * lit(seed)).cast(D)).cast("double").as("v1raw"))
+      .localCheckpoint() // read by sc AND the final projection
     val sc = v1.agg(
       sum((col("v1raw") * col("v1raw")).cast(D)).cast("double").as("nsq"),
       sum((col("v1raw") * lit(seed)).cast(D)).cast("double").as("lambda"))
@@ -718,22 +761,22 @@ object Similarity {
     s"""WITH e AS (SELECT $vSql AS v FROM embeddings),
        |idx AS (SELECT unnest(range(1, $Dims + 1)) AS i),
        |p AS (
-       |  SELECT a.i AS i, b.i AS j, v[a.i] AS xi, v[b.i] AS xj
+       |  SELECT a.i AS i, b.i AS j,
+       |    CAST(round(v[a.i] * v[b.i] * 1e12) AS BIGINT) AS q
        |  FROM e, idx a, idx b
        |),
-       |sij AS (
-       |  SELECT i, j, sum(CAST(xi * xj AS DECIMAL(38,12))) AS sij
-       |  FROM p GROUP BY i, j
-       |),
+       |sij AS (SELECT i, j, sum(q) AS sij FROM p GROUP BY i, j),
        |su AS (
-       |  SELECT a.i AS i, sum(CAST(v[a.i] AS DECIMAL(38,12))) AS su
+       |  SELECT a.i AS i,
+       |    sum(CAST(round(v[a.i] * 1e12) AS BIGINT)) AS su
        |  FROM e, idx a GROUP BY a.i
        |),
        |n AS (SELECT count(*) AS n FROM e),
        |c AS (
        |  SELECT s.i, s.j,
-       |    CAST(s.sij AS DOUBLE) / n.n
-       |      - (CAST(a.su AS DOUBLE) / n.n) * (CAST(b.su AS DOUBLE) / n.n) AS cij
+       |    CAST(s.sij AS DOUBLE) / n.n / 1e12
+       |      - (CAST(a.su AS DOUBLE) / n.n / 1e12)
+       |        * (CAST(b.su AS DOUBLE) / n.n / 1e12) AS cij
        |  FROM sij s JOIN su a ON s.i = a.i JOIN su b ON s.j = b.i CROSS JOIN n
        |),
        |v1 AS (
