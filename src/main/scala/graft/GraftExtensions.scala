@@ -14,6 +14,10 @@ import graft.expressions.{MinHashSigs, RollingHash, VecDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // float discipline as an optimizer guarantee, not a convention:
+    // every round(avg|sum(double)) GROUP aggregate — including ones
+    // users write — lowers to the order-independent decimal form
+    ext.injectOptimizerRule(_ => graft.plans.StableAggRule)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
