@@ -641,6 +641,92 @@ object TextAnalysis {
       .orderBy(col("w_a"), col("w_b"))
   }
 
+  /** CCNet-style perplexity bucketing: every document scored by the
+    * corpus's own bigram LM ([[qBigramLm]]'s avg log-prob — perplexity
+    * is its exponential), then split into head/middle/tail THIRDS of
+    * the corpus by score, reported per source — the table behind "keep
+    * head+middle, drop tail" quality curation, and the per-source skew
+    * is the point: a source whose documents land mostly in tail is
+    * machine-generated or scraped noise. Exact thirds without a global
+    * sort: scores are rounded at 4 (hash-stable decimal means), so the
+    * distinct-value CELL frame is bounded; the cumulative-count window
+    * runs over that aggregate (the exactPercentiles trick), and the
+    * boundary CELL goes wholly to the better bucket — a deterministic
+    * integer rule (cum_before·3 < total) both engines reproduce. The
+    * doc→bucket assignment is a broadcast join of the cell map onto the
+    * scored docs; source arrives via one shuffle_hash doc_id join; the
+    * output is sources×3 rows.
+    */
+  def qPplBucket(s: SparkSession, dir: String): DataFrame = {
+    val lm = qBigramLm(s, dir) // (doc_id, n_bigrams, avg_logp)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val scored = lm.join(docs.hint("shuffle_hash"), Seq("doc_id"))
+      .localCheckpoint() // cells + bucket join both read it
+    val wCum = Window.orderBy(col("avg_logp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cells = scored.groupBy(col("avg_logp")).agg(count(lit(1)).as("n_cell"))
+    val total = cells.agg(sum(col("n_cell")).as("tot"))
+    val buckets = cells
+      .withColumn("cum_before", coalesce(sum(col("n_cell")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("avg_logp"),
+        when(col("cum_before") * 3 < col("tot"), "head")
+          .when(col("cum_before") * 3 < col("tot") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.join(broadcast(buckets), Seq("avg_logp"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("avg_logp")).as("lo_logp"),
+        max(col("avg_logp")).as("hi_logp"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val qPplBucketOracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      |  FROM documents
+      |),
+      |bg AS (
+      |  SELECT doc_id, t.toks[i] || ' ' || t.toks[i+1] AS bigram, t.toks[i] AS w1
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)
+      |  WHERE len(toks) >= 2
+      |),
+      |bc AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+      |uc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |lm AS (
+      |  SELECT bg.doc_id, count(*) AS n_bigrams,
+      |    ${graft.functions.NumFns.stableMeanSql("ln(bc.c2 / CAST(uc.c1 AS DOUBLE))", "count(*)", 4)} AS avg_logp
+      |  FROM bg JOIN bc USING (bigram) JOIN uc USING (w1)
+      |  GROUP BY bg.doc_id
+      |),
+      |scored AS (
+      |  SELECT lm.doc_id, lm.n_bigrams, lm.avg_logp, d.source
+      |  FROM lm JOIN documents d USING (doc_id)
+      |),
+      |cells AS (SELECT avg_logp, count(*) AS n_cell FROM scored GROUP BY avg_logp),
+      |tot AS (SELECT CAST(sum(n_cell) AS BIGINT) AS tot FROM cells),
+      |b AS (
+      |  SELECT avg_logp,
+      |    CAST(COALESCE(sum(n_cell) OVER (ORDER BY avg_logp DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM cells
+      |),
+      |bk AS (
+      |  SELECT b.avg_logp,
+      |    CASE WHEN b.cum_before * 3 < tot.tot THEN 'head'
+      |         WHEN b.cum_before * 3 < tot.tot * 2 THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM b CROSS JOIN tot
+      |)
+      |SELECT s.source, bk.bucket, count(*) AS n_docs,
+      |  CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams,
+      |  min(s.avg_logp) AS lo_logp, max(s.avg_logp) AS hi_logp
+      |FROM scored s JOIN bk USING (avg_logp)
+      |GROUP BY s.source, bk.bucket
+      |ORDER BY source, bucket""".stripMargin
+
   val qWindowPmiOracle: String =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(v) AS w, unnest(range(1, len(v) + 1)) AS pos

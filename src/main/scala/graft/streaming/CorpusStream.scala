@@ -38,6 +38,49 @@ object CorpusStream {
       .withWatermark("ingest_ts", horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  case class ScoredDoc(doc_id: Long, source: String, z: Double, score: Double)
+  case class CapState(best: List[(Double, Long, Double)]) // (z desc, doc_id asc, score)
+  case class CapRow(doc_id: Long, source: String, cap_rank: Int, score: Double)
+
+  /** Streaming per-source quality leaderboard — the unbounded mirror of
+    * the batch `q_source_caps`: maintain each source's current best
+    * [[graft.operators.Curation.SourceCap]] documents by quality score
+    * as the stream arrives. flatMapGroupsWithState keeps ONE bounded
+    * list (≤ cap entries of (z, doc_id, score)) per source — O(cap)
+    * state per key forever, no watermark needed — and re-emits the
+    * source's full current leaderboard each batch (Update semantics:
+    * downstream upserts by (source, cap_rank)). Ordering is the batch
+    * window's exact key — (round(z,6) desc, doc_id asc) — and insertion
+    * is order-independent ACROSS batches (a set's top-k doesn't depend
+    * on arrival order), so a full replay converges to the batch answer
+    * bit-for-bit. The quality columns come from the SAME shared
+    * [[Curation.withQuality]] projection as the batch query — parity by
+    * construction, the CorpusStream contract.
+    */
+  def sourceCapStream(docs: DataFrame): org.apache.spark.sql.Dataset[CapRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val cap = Curation.SourceCap
+    Curation.withQuality(docs)
+      .select(col("doc_id"), col("source"),
+        round(col("z"), 6).as("z"), round(col("score"), 4).as("score"))
+      .as[ScoredDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[CapState, CapRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (src, ds, state: GroupState[CapState]) =>
+          val merged = (state.getOption.map(_.best).getOrElse(Nil) ++
+            ds.map(d => (d.z, d.doc_id, d.score)))
+            .distinct
+            .sortBy { case (z, id, _) => (-z, id) }
+            .take(cap)
+          state.update(CapState(merged))
+          merged.iterator.zipWithIndex.map { case ((_, id, sc), idx) =>
+            CapRow(id, src, idx + 1, sc)
+          }
+      }
+  }
+
   /** Batch-equivalent entry used by tests: stream the documents parquet
     * through a file source, stamping a deterministic per-document ingest
     * time (content-addressed, like everything in Curation) so watermark

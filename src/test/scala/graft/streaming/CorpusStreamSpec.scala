@@ -54,6 +54,28 @@ class CorpusStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming source-cap leaderboard converges to the batch q_source_caps") {
+    val q = CorpusStream.sourceCapStream(
+      CorpusStream.streamDocumentsFrom(spark, sf001))
+      .writeStream.format("memory").queryName("cap_test")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // single-file source → one batch → one emission per source
+      val streamed = spark.sql("SELECT source, cap_rank, doc_id, score FROM cap_test")
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.operators.Curation.qSourceCaps(spark, sf001)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Int]("cap_rank").toInt,
+          r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"leaderboards must agree: stream-batch=${(streamed -- batch).take(5)} " +
+          s"batch-stream=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("curated stream is stateless: the plan carries no stateful operators") {
     val curatedDf = CorpusStream.curated(CorpusStream.streamDocumentsFrom(spark, sf001))
     val q = curatedDf.writeStream.format("memory").queryName("curated_plan_test")
