@@ -226,4 +226,57 @@ object Graph {
        |  FROM walk w JOIN sym ON sym.src = w.id WHERE w.lvl < $BfsMaxRounds
        |)
        |SELECT id, min(lvl) AS level FROM walk GROUP BY id ORDER BY id""".stripMargin
+
+  /** One label-propagation round over the bipartite purchase graph:
+    * every customer adopts the MAJORITY nation among the suppliers it
+    * buys from, weighted by purchase count — semi-supervised label
+    * inference (the labeled side seeds, the unlabeled side votes), the
+    * community-detection primitive next to [[qPagerankIter]]'s ranking
+    * and [[Dedup.connectedComponents]]' clustering. Deterministic by
+    * construction: votes are exact int64 purchase counts and ties break
+    * to the SMALLEST nation key via one lexicographic max-of-struct
+    * (votes, −nation) — the q_argmax_agg pattern, no per-customer
+    * window, no sort. Shape: one fact⋈fact shuffle on orderkey builds
+    * the weighted edge list, the supplier dim broadcasts its labels,
+    * and two map-side-combined aggregates ((cust,nation) votes → per-
+    * cust argmax) finish it; iterating feeds the winners back as the
+    * next round's labels with the pagerank loop discipline.
+    */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val votes = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("supp"), col("s_nationkey").as("nation"))),
+        Seq("supp"))
+      .groupBy(col("cust"), col("nation"))
+      .agg(count(lit(1)).as("votes"))
+    votes
+      .groupBy(col("cust").as("c_custkey"))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col("votes"), (-col("nation")).as("neg"))).as("w"))
+      .select(col("c_custkey"), (-col("w.neg")).cast("long").as("label"),
+        col("w.votes").as("votes"), col("n_candidates"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qLabelPropOracle: String =
+    s"""WITH v AS (
+       |  SELECT o_custkey AS cust, s_nationkey AS nation, count(*) AS votes
+       |  FROM orders
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY o_custkey, s_nationkey
+       |),
+       |r AS (
+       |  SELECT cust, nation, votes,
+       |    row_number() OVER (PARTITION BY cust
+       |      ORDER BY votes DESC, nation) AS rk,
+       |    count(*) OVER (PARTITION BY cust) AS n_candidates
+       |  FROM v
+       |)
+       |SELECT cust AS c_custkey, CAST(nation AS BIGINT) AS label, votes,
+       |  n_candidates
+       |FROM r WHERE rk = 1
+       |ORDER BY c_custkey""".stripMargin
 }

@@ -474,4 +474,88 @@ object Temporal {
        |FROM d
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
+
+  /** A user whose last activity is this many days before the corpus's
+    * final observed day counts as CHURNED; later last-activity is
+    * right-censored (still alive at observation end).
+    */
+  val ChurnHorizonDays = 7L
+
+  /** Kaplan-Meier survival curve over user lifetimes — THE
+    * retention/churn estimator: lifetime = days between a user's first
+    * and last event, churn vs right-censoring decided by
+    * [[ChurnHorizonDays]] against the corpus's last observed day, and
+    * S(t) = Π_{u ≤ t} (1 − d_u/n_u) over event times with the textbook
+    * risk-set accounting (censored lifetimes leave the risk set but
+    * never count as deaths — exactly why naive "fraction retained"
+    * overestimates churn under censoring). Shape: one user-level
+    * aggregate (first/last day), the corpus-end scalar broadcast back,
+    * then everything runs on the duration CELL frame (≤ observed-span
+    * rows): risk sets from an exclusive cumulative window over the
+    * aggregate (plan-audit safe), survival via exp(Σ ln) with each term
+    * an identical rational on both engines and the cumulative window
+    * sequential in frame order — deterministic without stabilization.
+    */
+  def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / (86400L * 1000000L)).as("day"))
+    val users = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val corpusEnd = days.agg(max(col("day")).as("end_day"))
+    val lifetimes = users.crossJoin(broadcast(corpusEnd))
+      .select((col("last_day") - col("first_day")).as("t"),
+        (col("last_day") <= col("end_day") - ChurnHorizonDays).as("churned"))
+    val cells = lifetimes.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_t"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d_t"))
+    val total = cells.agg(sum(col("n_t")).as("n_users"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("n_t")).over(wBefore), lit(0L)))
+      .withColumn("lnterm",
+        log(lit(1.0) - col("d_t") / col("n_risk").cast("double")))
+      .withColumn("survival", round(exp(sum(col("lnterm")).over(wCum)), 6))
+      .select(col("t"), col("n_risk"), col("d_t"), col("n_t"), col("survival"))
+      .orderBy(col("t"))
+  }
+
+  val qSurvivalOracle: String =
+    s"""WITH days AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch_us(ts) / 86400000000::BIGINT) AS BIGINT) AS day
+       |  FROM events
+       |),
+       |u AS (
+       |  SELECT user_id, min(day) AS first_day, max(day) AS last_day
+       |  FROM days GROUP BY user_id
+       |),
+       |m AS (SELECT max(day) AS end_day FROM days),
+       |lt AS (
+       |  SELECT last_day - first_day AS t,
+       |    last_day <= end_day - $ChurnHorizonDays AS churned
+       |  FROM u CROSS JOIN m
+       |),
+       |c AS (
+       |  SELECT t, count(*) AS n_t,
+       |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_t
+       |  FROM lt GROUP BY t
+       |),
+       |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_users FROM c),
+       |r AS (
+       |  SELECT t, n_t, d_t,
+       |    n_users - CAST(COALESCE(sum(n_t) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS n_risk
+       |  FROM c CROSS JOIN tot
+       |)
+       |SELECT t, n_risk, d_t, n_t,
+       |  round(exp(sum(ln(1.0 - d_t / CAST(n_risk AS DOUBLE))) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+       |FROM r
+       |ORDER BY t""".stripMargin
 }
