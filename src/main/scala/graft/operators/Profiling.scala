@@ -460,4 +460,97 @@ object Profiling {
        |    AS hapax_share
        |FROM c GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** Bootstrap resample count. 32 gives a ±1-rank-stable 5/95 interval
+    * (ranks 2 and 31) — production raises it; the plan is unchanged.
+    */
+  val BootstrapB = 32
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * event value per event type — the error-bar machinery every metrics
+    * report needs, in the only form a distributed engine should run it:
+    * the POISSON bootstrap (each row enters resample b with a
+    * Poisson(1)-distributed weight, so no resample needs a global
+    * sampling pass) with CONTENT-ADDRESSED weights (a multiplicative
+    * integer hash of (event_id, b) inverse-CDF-mapped to a count
+    * through exact integer thresholds — every engine and every rerun
+    * draws the identical resamples; md5 would also work but costs 30×
+    * on the B-times-fanned stream). Shape: one scan fans each row to
+    * [[BootstrapB]] lightweight (type, b, w, w·value) rows, map-side
+    * combine collapses them to a types×B cell frame, resample means
+    * are DECIMAL-stable, and the 5/95 interval is an exact rank pick
+    * (2nd/31st of 32) via a window over the tiny cell frame.
+    */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val fan = e.select(col("event_type"), col("value"),
+        explode(sequence(lit(0L), lit(BootstrapB - 1L))).as("b"),
+        col("event_id"))
+      .withColumn("h",
+        (col("event_id") * 2654435761L + col("b") * 40503L) % 1000003L % 1000L)
+      .withColumn("w",
+        when(col("h") < 368, 0L).when(col("h") < 736, 1L)
+          .when(col("h") < 920, 2L).when(col("h") < 981, 3L)
+          .when(col("h") < 996, 4L).otherwise(5L))
+    val cells = fan.groupBy(col("event_type"), col("b"))
+      .agg((sum((col("w") * col("value")).cast(D)).cast("double")
+        / sum(col("w"))).as("mean_b"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_b"), col("b"))
+    val ranked = cells.withColumn("rk", row_number().over(wRank))
+    val point = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.NumFns.stableMean(col("value"), count(lit(1)), 6)
+          .as("mean_value"))
+    point.join(
+        ranked.groupBy(col("event_type"))
+          .agg(round(min(when(col("rk") === 2, col("mean_b"))), 6).as("ci_lo"),
+            round(min(when(col("rk") === BootstrapB - 1, col("mean_b"))), 6)
+              .as("ci_hi")),
+        Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  val qBootstrapCiOracle: String =
+    s"""WITH e AS (SELECT event_id, event_type, value FROM events),
+       |fan AS (
+       |  SELECT event_type, value,
+       |    (event_id * 2654435761 + u.b * 40503) % 1000003 % 1000 AS h,
+       |    u.b
+       |  FROM e, unnest(range(0, $BootstrapB)) AS u(b)
+       |),
+       |wt AS (
+       |  SELECT event_type, b, value,
+       |    CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 WHEN h < 920 THEN 2
+       |         WHEN h < 981 THEN 3 WHEN h < 996 THEN 4 ELSE 5 END AS w
+       |  FROM fan
+       |),
+       |cells AS (
+       |  SELECT event_type, b,
+       |    CAST(sum(CAST(w * value AS DECIMAL(38,12))) AS DOUBLE)
+       |      / CAST(sum(w) AS BIGINT) AS mean_b
+       |  FROM wt GROUP BY event_type, b
+       |),
+       |r AS (
+       |  SELECT event_type, mean_b,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY mean_b, b) AS rk
+       |  FROM cells
+       |),
+       |ci AS (
+       |  SELECT event_type,
+       |    round(min(CASE WHEN rk = 2 THEN mean_b END), 6) AS ci_lo,
+       |    round(min(CASE WHEN rk = ${BootstrapB - 1} THEN mean_b END), 6) AS ci_hi
+       |  FROM r GROUP BY event_type
+       |),
+       |pt AS (
+       |  SELECT event_type, count(*) AS n,
+       |    ${graft.functions.NumFns.stableMeanSql("value", "count(*)", 6)} AS mean_value
+       |  FROM e GROUP BY event_type
+       |)
+       |SELECT pt.event_type, pt.n, pt.mean_value, ci.ci_lo, ci.ci_hi
+       |FROM pt JOIN ci USING (event_type)
+       |ORDER BY event_type""".stripMargin
 }

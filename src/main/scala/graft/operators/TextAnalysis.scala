@@ -591,6 +591,167 @@ object TextAnalysis {
        |    AS r2
        |FROM m""".stripMargin
 
+  /** Documents per Heaps-curve sample point (the corpus order IS doc_id
+    * order, the same tape convention as Packing.qSeqPack).
+    */
+  val HeapsBlock = 64L
+
+  /** Heaps'-law fit — the vocabulary-GROWTH twin of [[qZipfFit]]'s
+    * frequency law: V(N) ≈ K·N^β (β ≈ 0.4-0.6 for natural language),
+    * fitted by log-log least squares over per-block sample points of
+    * (tokens seen, distinct words seen). Tokenizer sizing reads this
+    * directly: extrapolate V(N) to the target corpus size to know how
+    * big the vocabulary gets. Scale shape: ONE pass computes each
+    * word's FIRST block (min over a map-side-combined (word, block)
+    * aggregate) and each block's token count; cumulative windows then
+    * run over the BLOCK frame (corpus/64 rows — an aggregate, audit-
+    * safe), and the five moment sums reuse the zipf DECIMAL discipline.
+    * No prefix scan ever touches raw rows.
+    */
+  def qHeapsFit(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val toks = Tables.documents(s, dir)
+      .select(expr(s"doc_id div $HeapsBlock").as("block"),
+        explode(TextFns.tokens(col("text"))).as("w"))
+      .localCheckpoint() // first-occurrence agg + block sizes share it
+    val firstSeen = toks.groupBy(col("w")).agg(min(col("block")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("new_words"))
+    val blockToks = toks.groupBy(col("block")).agg(count(lit(1)).as("n_toks"))
+    val wCum = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val points = blockToks
+      .join(firstSeen.withColumnRenamed("fb", "block"), Seq("block"), "left")
+      .withColumn("n_cum", sum(col("n_toks")).over(wCum))
+      .withColumn("v_cum", sum(coalesce(col("new_words"), lit(0L))).over(wCum))
+      .select(log(col("n_cum").cast("double")).as("x"),
+        log(col("v_cum").cast("double")).as("y"))
+    val m = points.agg(
+      count(lit(1)).as("k"),
+      sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+      sum((col("x") * col("x")).cast(D)).as("sxx"),
+      sum((col("x") * col("y")).cast(D)).as("sxy"))
+    m.select(
+      col("k").as("n_points"),
+      round(((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")), 4)
+        .as("beta"),
+      round(((col("sy").cast("double") -
+        ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          * col("sx").cast("double")) / col("k")), 4).as("ln_k"))
+  }
+
+  val qHeapsFitOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id // $HeapsBlock AS block, unnest($toksSql) AS w
+       |  FROM documents
+       |),
+       |fs AS (
+       |  SELECT fb, count(*) AS new_words FROM (
+       |    SELECT w, min(block) AS fb FROM toks GROUP BY w
+       |  ) GROUP BY fb
+       |),
+       |bt AS (SELECT block, count(*) AS n_toks FROM toks GROUP BY block),
+       |pts AS (
+       |  SELECT
+       |    ln(CAST(sum(bt.n_toks) OVER (ORDER BY bt.block
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS x,
+       |    ln(CAST(sum(COALESCE(fs.new_words, 0)) OVER (ORDER BY bt.block
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS y
+       |  FROM bt LEFT JOIN fs ON fs.fb = bt.block
+       |),
+       |m AS (
+       |  SELECT count(*) AS k,
+       |    sum(CAST(x AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+       |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+       |    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+       |  FROM pts
+       |)
+       |SELECT k AS n_points,
+       |  round(CAST(k * sxy - sx * sy AS DOUBLE)
+       |    / CAST(k * sxx - sx * sx AS DOUBLE), 4) AS beta,
+       |  round((CAST(sy AS DOUBLE)
+       |    - CAST(k * sxy - sx * sy AS DOUBLE)
+       |      / CAST(k * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / k, 4)
+       |    AS ln_k
+       |FROM m""".stripMargin
+
+  /** Corpus predictability profile: unigram entropy H(W), conditional
+    * bigram entropy H(W₂|W₁), and their difference (the mutual
+    * information between adjacent tokens — how much the previous word
+    * tells you about the next). Natural text sits near H(W)≈10 bits-ish
+    * with substantial adjacent-MI; shuffled or templated corpora
+    * collapse one or the other, so this is the sequence-structure twin
+    * of [[qZipfFit]]'s frequency check. All three numbers come from the
+    * SAME bigram-event frame ([[qBigramLm]]'s convention: events are
+    * bigram occurrences, marginals are slot counts): H = −Σ(c/T)ln(c/T)
+    * via the Σ n·ln n identity — integer counts, ln on identical
+    * rationals, DECIMAL-stable sums, vocabulary(²)-bounded frames.
+    */
+  def qCondEntropy(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val bg = Tables.documents(s, dir)
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(0), size(col("toks")) - 2), i =>
+          struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // three marginal aggregates share it
+    val pair = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // Σ c2·ln(c2/c1): H(W2|W1) = −(1/T)·Σ; Σ c1·ln(c1/T) gives H(W1)
+    val sPair = pair.join(uni.hint("shuffle_hash"), Seq("w1"))
+      .agg(sum(col("c2")).as("t_pairs"),
+        count(lit(1)).as("n_bigram_types"),
+        sum((col("c2") * log(col("c2") / col("c1").cast("double"))).cast(D))
+          .as("s_cond"))
+    val sUni = uni.agg(count(lit(1)).as("n_types"),
+      sum((col("c1") * log(col("c1").cast("double"))).cast(D)).as("s_nlnn"),
+      sum(col("c1")).as("t_uni"))
+    sPair.crossJoin(broadcast(sUni))
+      .select(col("t_pairs"), col("n_types"), col("n_bigram_types"),
+        round(log(col("t_uni").cast("double"))
+          - col("s_nlnn").cast("double") / col("t_uni"), 4).as("h_unigram"),
+        round((-col("s_cond").cast("double")) / col("t_pairs"), 4).as("h_cond"),
+        round((log(col("t_uni").cast("double"))
+          - col("s_nlnn").cast("double") / col("t_uni"))
+          - ((-col("s_cond").cast("double")) / col("t_pairs")), 4).as("adjacent_mi"))
+  }
+
+  val qCondEntropyOracle: String =
+    s"""WITH t AS (
+       |  SELECT $toksSql AS toks FROM documents
+       |),
+       |bg AS (
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2
+       |  FROM t, unnest(range(1, len(toks))) AS u(i)
+       |  WHERE len(toks) >= 2
+       |),
+       |p AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+       |un AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |sp AS (
+       |  SELECT CAST(sum(c2) AS BIGINT) AS t_pairs,
+       |    count(*) AS n_bigram_types,
+       |    sum(CAST(c2 * ln(c2 / CAST(c1 AS DOUBLE)) AS DECIMAL(38,12))) AS s_cond
+       |  FROM p JOIN un USING (w1)
+       |),
+       |su AS (
+       |  SELECT count(*) AS n_types,
+       |    sum(CAST(c1 * ln(CAST(c1 AS DOUBLE)) AS DECIMAL(38,12))) AS s_nlnn,
+       |    CAST(sum(c1) AS BIGINT) AS t_uni
+       |  FROM un
+       |)
+       |SELECT t_pairs, n_types, n_bigram_types,
+       |  round(ln(CAST(t_uni AS DOUBLE)) - CAST(s_nlnn AS DOUBLE) / t_uni, 4)
+       |    AS h_unigram,
+       |  round((-CAST(s_cond AS DOUBLE)) / t_pairs, 4) AS h_cond,
+       |  round((ln(CAST(t_uni AS DOUBLE)) - CAST(s_nlnn AS DOUBLE) / t_uni)
+       |    - ((-CAST(s_cond AS DOUBLE)) / t_pairs), 4) AS adjacent_mi
+       |FROM sp CROSS JOIN su""".stripMargin
+
   /** Skip-gram context radius and the floor that keeps the pair table
     * reportable (the engine computes all pairs; only pairs this frequent
     * reach the output — the same contract as [[PmiMinPairCount]]).
