@@ -4,25 +4,29 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.operators.Curation
+import graft.operators.{Curation, Packing, TextAnalysis}
 import graft.sources.{CloudOptimize, Interchange, Tables}
 
 /** The end-to-end curation run a user of this library actually executes:
   * raw documents → exact-dedup keepers → PII scrub → quality filter →
-  * deterministic train/val/test split → cloud-optimized parquet (+ JSONL
-  * for downstream tokenizers). Every stage is one of the library's
-  * oracle-gated primitives composed into ONE lazy plan — one fingerprint
-  * aggregation + semi-join, scan-side everything else, then each write's
-  * range repartition. The curated frame feeds two sinks (parquet + JSONL),
-  * so it is persisted across them: the corpus is scanned and curated once,
-  * both writes read the cached partitions. Nothing is collected; the
-  * returned counts are aggregate scalars read back from the written
-  * output (one metadata-cheap job), so the pipeline itself is 100
-  * TB-shaped end to end.
+  * CCNet-style perplexity tail-drop (the corpus's own bigram LM scores
+  * every survivor; the worst third is cut) → deterministic
+  * train/val/test split → cloud-optimized parquet (+ JSONL for
+  * downstream tokenizers, + the sequence-packing manifest a trainer
+  * consumes). Every stage is one of the library's oracle-gated
+  * primitives composed lazily — one fingerprint aggregation + semi-join,
+  * one LM pass over the persisted curated frame, scan-side everything
+  * else, then each write's range repartition. The curated frame feeds
+  * the LM and three sinks, so it is persisted once: the corpus is
+  * scanned and curated once, everything downstream reads the cached
+  * partitions. Nothing is collected; the returned counts are aggregate
+  * scalars read back from the written output (one metadata-cheap job),
+  * so the pipeline itself is 100 TB-shaped end to end.
   */
 object CuratePipeline {
 
-  case class Summary(nInput: Long, nWritten: Long, bySplit: Map[String, Long])
+  case class Summary(nInput: Long, nWritten: Long, bySplit: Map[String, Long],
+      nTailDropped: Long, nSequences: Long)
 
   def run(spark: SparkSession, dir: String, outDir: String): Summary = {
     val docs = Tables.documents(spark, dir)
@@ -42,15 +46,40 @@ object CuratePipeline {
         col("n_tokens"), round(col("score"), 4).as("quality_score"), col("split"))
       .persist()
     try {
-      CloudOptimize.write(curated, s"$outDir/corpus",
-        partitionCols = Seq("split"), sortCols = Seq("doc_id"))
-      Interchange.writeJsonl(curated, s"$outDir/jsonl", partitionCols = Seq("split"))
+      // perplexity tail-drop: the LM is built on the CURATED corpus
+      // (post-dedup — duplicate mass would otherwise dominate the
+      // model), scores read the persisted frame, and only doc_ids
+      // travel through the anti-join. Unscorable docs (< 2 tokens)
+      // have no perplexity and are kept.
+      val scored = TextAnalysis.bigramScores(curated)
+        .localCheckpoint() // bucket cells + tail filter both read it
+      val tailIds = scored
+        .join(broadcast(TextAnalysis.pplBuckets(scored)), Seq("avg_logp"))
+        .filter(col("bucket") === "tail")
+        .select(col("doc_id"))
+      val kept = curated.join(tailIds, Seq("doc_id"), "left_anti").persist()
+      val nTail = try {
+        CloudOptimize.write(kept, s"$outDir/corpus",
+          partitionCols = Seq("split"), sortCols = Seq("doc_id"))
+        Interchange.writeJsonl(kept, s"$outDir/jsonl", partitionCols = Seq("split"))
+        // the trainer-facing packing manifest over the kept corpus
+        CloudOptimize.write(
+          Packing.packOffsets(kept.select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_toks"))),
+          s"$outDir/pack_manifest", partitionCols = Seq(), sortCols = Seq("doc_id"))
+        tailIds.count()
+      } finally kept.unpersist()
+      // explicit schema: an all-filtered (empty) corpus writes no data
+      // files, and schema inference on the bare directory would throw
+      val written = spark.read.schema(curated.schema).parquet(s"$outDir/corpus")
+      val bySplit = written.groupBy(col("split")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val manifestSchema = Packing.packOffsets(
+        curated.select(col("doc_id"), col("n_tokens").cast("long").as("n_toks"))).schema
+      val nSeqs = spark.read.schema(manifestSchema)
+        .parquet(s"$outDir/pack_manifest")
+        .agg(coalesce(max(col("last_seq")) + 1, lit(0L))).collect()(0).getLong(0)
+      Summary(docs.count(), bySplit.values.sum, bySplit, nTail, nSeqs)
     } finally curated.unpersist()
-    // explicit schema: an all-filtered (empty) corpus writes no data
-    // files, and schema inference on the bare directory would throw
-    val written = spark.read.schema(curated.schema).parquet(s"$outDir/corpus")
-    val bySplit = written.groupBy(col("split")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Summary(docs.count(), bySplit.values.sum, bySplit)
   }
 }

@@ -44,11 +44,19 @@ object Packing {
     * "what fraction of documents are split across training sequences"
     * packing-quality reports.
     */
-  def qSeqPack(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def qSeqPack(s: SparkSession, dir: String): DataFrame =
+    packOffsets(Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_toks"),
-        expr(s"doc_id div $PackBlock").as("block"))
+        size(TextFns.tokens(col("text"))).cast("long").as("n_toks")))
+      .orderBy(col("doc_id"))
+
+  /** Frame-form packing plan behind [[qSeqPack]] and the pipeline's
+    * manifest sink: (doc_id, n_toks) → each document's tape offset and
+    * sequence span under [[SeqLen]]-token packing in doc_id order.
+    */
+  def packOffsets(docCounts: DataFrame): DataFrame = {
+    val docs = docCounts
+      .withColumn("block", expr(s"doc_id div $PackBlock"))
     val blockTotals = docs.groupBy(col("block"))
       .agg(sum(col("n_toks")).as("block_toks"))
     // exclusive prefix sum over the dimension-sized block frame (an
@@ -68,7 +76,6 @@ object Packing {
       .select(col("doc_id"), col("n_toks"), col("start_off"),
         col("first_seq"), col("last_seq"),
         (col("last_seq") > col("first_seq")).as("crosses"))
-      .orderBy(col("doc_id"))
   }
 
   val qSeqPackOracle: String =

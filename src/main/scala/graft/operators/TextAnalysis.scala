@@ -321,11 +321,19 @@ object TextAnalysis {
     * model tables persist bucketed by their key and scoring is one
     * co-located join per batch.
     */
-  def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+  def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    bigramScores(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** Frame-form bigram scoring behind [[qBigramLm]] and the pipeline's
+    * perplexity stage: (doc_id, text) → (doc_id, n_bigrams, avg_logp)
+    * for every document with ≥ 2 tokens, scored by the corpus's own
+    * MLE bigram model.
+    */
+  def bigramScores(docs: DataFrame): DataFrame = {
     // materialized once: the model counts AND the scoring join all read
     // this frame — without the checkpoint the tokenize+explode (the
     // dominant stage) executes three times
-    val bg = Tables.documents(s, dir)
+    val bg = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(
@@ -345,7 +353,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         graft.functions.NumFns.stableMean(
           log(col("c2") / col("c1").cast("double")), count(lit(1)), 4).as("avg_logp"))
-      .orderBy(col("doc_id"))
   }
 
   val qBigramLmOracle: String =
@@ -818,23 +825,32 @@ object TextAnalysis {
     * scored docs; source arrives via one shuffle_hash doc_id join; the
     * output is sources×3 rows.
     */
-  def qPplBucket(s: SparkSession, dir: String): DataFrame = {
-    val lm = qBigramLm(s, dir) // (doc_id, n_bigrams, avg_logp)
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val scored = lm.join(docs.hint("shuffle_hash"), Seq("doc_id"))
-      .localCheckpoint() // cells + bucket join both read it
+  /** The exact-thirds bucket map behind [[qPplBucket]] and the
+    * pipeline's tail-drop stage: a frame carrying `avg_logp` →
+    * (avg_logp, bucket) with head/middle/tail split by the cumulative
+    * integer rule over the rounded-score cell frame. Broadcast it back
+    * onto the scored frame to assign buckets.
+    */
+  def pplBuckets(scored: DataFrame): DataFrame = {
     val wCum = Window.orderBy(col("avg_logp").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cells = scored.groupBy(col("avg_logp")).agg(count(lit(1)).as("n_cell"))
     val total = cells.agg(sum(col("n_cell")).as("tot"))
-    val buckets = cells
+    cells
       .withColumn("cum_before", coalesce(sum(col("n_cell")).over(wCum), lit(0L)))
       .crossJoin(broadcast(total))
       .select(col("avg_logp"),
         when(col("cum_before") * 3 < col("tot"), "head")
           .when(col("cum_before") * 3 < col("tot") * 2, "middle")
           .otherwise("tail").as("bucket"))
-    scored.join(broadcast(buckets), Seq("avg_logp"))
+  }
+
+  def qPplBucket(s: SparkSession, dir: String): DataFrame = {
+    val lm = bigramScores(Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val scored = lm.join(docs.hint("shuffle_hash"), Seq("doc_id"))
+      .localCheckpoint() // cells + bucket join both read it
+    scored.join(broadcast(pplBuckets(scored)), Seq("avg_logp"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).as("n_bigrams"),

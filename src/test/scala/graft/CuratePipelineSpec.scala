@@ -14,6 +14,10 @@ class CuratePipelineSpec extends SparkSpec {
     assert(s.bySplit.values.sum == s.nWritten)
     assert(s.bySplit.keySet.subsetOf(Set("train", "val", "test")))
     assert(s.bySplit("train") > s.bySplit.getOrElse("val", 0L))
+    // the perplexity tail-drop removed roughly a third of the scorable docs
+    assert(s.nTailDropped > 0L && s.nTailDropped < s.nInput / 2,
+      s"tail drop out of range: ${s.nTailDropped}")
+    assert(s.nSequences > 0L)
 
     val corpus = spark.read.parquet(s"$out/corpus").cache()
     // quality gate actually applied, splits stable under re-derivation
@@ -35,6 +39,18 @@ class CuratePipelineSpec extends SparkSpec {
     val dirs = new java.io.File(s"$out/corpus").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.exists(_.startsWith("split=")))
+
+    // packing manifest: one row per written doc, tape offsets consistent
+    val manifest = spark.read.parquet(s"$out/pack_manifest").cache()
+    assert(manifest.count() == s.nWritten)
+    val tape = manifest.orderBy(col("doc_id"))
+      .select(col("start_off"), col("n_toks")).collect()
+    tape.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(0) == a.getLong(0) + a.getLong(1),
+          "manifest tape offsets must be gapless in doc order")
+      case _ =>
+    }
   }
 
   test("the pipeline handles an empty corpus without erroring") {
