@@ -350,6 +350,67 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** RRF smoothing constant — the standard k=60 from the original
+    * reciprocal-rank-fusion formulation.
+    */
+  val RrfK = 60
+
+  /** Reciprocal-rank fusion of two retrieval paths — the standard way a
+    * search stack combines rankers with incomparable scores (here the
+    * exact cosine top-5 and the IVF probe's top-3; in production, BM25 +
+    * dense retrieval): RRF(c) = Σ_rankers 1/(k + rank_r(c)) over the
+    * lists that contain the candidate, re-ranked. Rank arithmetic only —
+    * each term is one exact IEEE division of integers, summed once, so
+    * the fused ordering is deterministic cross-engine with neighbor_id
+    * tiebreak. Shape: both input rankings are already per-query bounded
+    * lists (≤5 and ≤3 rows per query), the fusion is one full-outer
+    * equi-join on (query, candidate) plus a query-partitioned window
+    * over ≤8 rows — the fusion layer adds NO corpus-scale work to
+    * whatever the rankers cost.
+    */
+  def qRankFusion(s: SparkSession, dir: String): DataFrame = {
+    val exact = qAnnTopk(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_exact"))
+    val ivf = qAnnIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_ivf"))
+    val fused = exact.join(ivf, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_exact")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("rank_ivf")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
+        round(col("rrf"), 6).as("rrf"),
+        col("rank_exact").isNotNull.as("in_exact"),
+        col("rank_ivf").isNotNull.as("in_ivf"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  val qRankFusionOracle: String =
+    s"""WITH ex AS ($qAnnTopkOracle),
+       |iv AS ($qAnnIvfOracle),
+       |f AS (
+       |  SELECT COALESCE(ex.query_id, iv.query_id) AS query_id,
+       |    COALESCE(ex.neighbor_id, iv.neighbor_id) AS neighbor_id,
+       |    COALESCE(1.0 / ($RrfK + ex.rank), 0.0)
+       |      + COALESCE(1.0 / ($RrfK + iv.rank), 0.0) AS rrf,
+       |    ex.rank IS NOT NULL AS in_exact,
+       |    iv.rank IS NOT NULL AS in_ivf
+       |  FROM ex FULL OUTER JOIN iv
+       |    ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, fused_rank, round(rrf, 6) AS rrf,
+       |  in_exact, in_ivf
+       |FROM (
+       |  SELECT query_id, neighbor_id, rrf, in_exact, in_ivf,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, neighbor_id) AS fused_rank
+       |  FROM f) t
+       |WHERE fused_rank <= 5
+       |ORDER BY query_id, fused_rank""".stripMargin
+
   /** ANN quality self-certification: recall@3 of the LSH path against
     * the brute-force ground truth, per query. The pattern that makes an
     * approximate index trustworthy in production — the exact baseline
