@@ -227,6 +227,43 @@ object Graph {
        |)
        |SELECT id, min(lvl) AS level FROM walk GROUP BY id ORDER BY id""".stripMargin
 
+  /** Full label-propagation loop over a weighted bipartite graph:
+    * `edges` (left, right, w) with seed labels on the right side;
+    * each round every LEFT node adopts its weight-majority right-label
+    * (ties → smallest label), then every RIGHT node re-derives its
+    * label from its left neighbors the same way — one round of
+    * [[qLabelProp]] is exactly the first half-step. Loop discipline per
+    * [[pagerank]]: the edge list is materialized once, each half-step
+    * is one join + two map-side-combined aggregates shuffling bare
+    * (key, label, weight) rows, and each round's label frames are
+    * localCheckpoint'ed so the plan stays constant-size at any
+    * iteration count.
+    */
+  def labelProp(edgesIn: DataFrame, rightLabels: DataFrame, iters: Int): DataFrame = {
+    val edges = edgesIn.select(col("left"), col("right"), col("w"))
+      .localCheckpoint()
+    def majority(votes: DataFrame, key: String): DataFrame =
+      votes.groupBy(col(key), col("label"))
+        .agg(sum(col("w")).as("votes"))
+        .groupBy(col(key))
+        .agg(max(struct(col("votes"), (-col("label")).as("neg"))).as("m"))
+        .select(col(key), (-col("m.neg")).cast("long").as("label"))
+    var right = rightLabels.select(col("right"), col("label").cast("long").as("label"))
+      .localCheckpoint()
+    var left: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      left = majority(
+        edges.join(right, Seq("right")).select(col("left"), col("label"), col("w")),
+        "left").localCheckpoint()
+      right = majority(
+        edges.join(left, Seq("left")).select(col("right"), col("label"), col("w")),
+        "right").localCheckpoint()
+      i += 1
+    }
+    left.orderBy(col("left"))
+  }
+
   /** One label-propagation round over the bipartite purchase graph:
     * every customer adopts the MAJORITY nation among the suppliers it
     * buys from, weighted by purchase count — semi-supervised label

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.sources.Tables
 
 class GraphSpec extends SparkSpec {
 
@@ -58,6 +59,38 @@ class GraphSpec extends SparkSpec {
     assert(step.nonEmpty)
     step.foreach { case (k, v) =>
       assert(math.abs(full(k) - v) < 5e-7, s"supplier $k: step=$v full=${full(k)}")
+    }
+  }
+
+  test("labelProp one iteration equals the audited q_label_prop half-step") {
+    val edges = Tables.orders(spark, sf001)
+      .join(Tables.lineitem(spark, sf001), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("left"), col("l_suppkey").as("right"))
+      .agg(count(lit(1)).as("w"))
+    val labels = Tables.supplier(spark, sf001)
+      .select(col("s_suppkey").as("right"), col("s_nationkey").as("label"))
+    val loop = Graph.labelProp(edges, labels, iters = 1).collect()
+      .map(r => r.getAs[Long]("left") -> r.getAs[Long]("label")).toMap
+    val step = Graph.qLabelProp(spark, sf001).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Long]("label")).toMap
+    assert(loop == step, "first half-step must reproduce the oracle-gated query")
+  }
+
+  test("labelProp converges on a separable bipartite community graph") {
+    // two disconnected communities: lefts {1,2} ↔ rights {10,11} labeled 7,
+    // lefts {3,4} ↔ rights {12,13} labeled 9 — any iteration count must
+    // assign each left its community's label and never leak across
+    val edges = Seq(
+      (1L, 10L, 3L), (1L, 11L, 1L), (2L, 10L, 2L),
+      (3L, 12L, 5L), (4L, 12L, 1L), (4L, 13L, 2L))
+      .toDF("left", "right", "w")
+    val labels = Seq((10L, 7L), (11L, 7L), (12L, 9L), (13L, 9L))
+      .toDF("right", "label")
+    Seq(1, 3).foreach { iters =>
+      val got = Graph.labelProp(edges, labels, iters).collect()
+        .map(r => r.getAs[Long]("left") -> r.getAs[Long]("label")).toMap
+      assert(got == Map(1L -> 7L, 2L -> 7L, 3L -> 9L, 4L -> 9L),
+        s"iters=$iters gave $got")
     }
   }
 }
