@@ -898,4 +898,132 @@ object Curation {
       |JOIN cl a ON z.lo BETWEEN a.lo_rank AND a.hi_rank
       |LEFT JOIN cl b ON (z.lo + 1) BETWEEN b.lo_rank AND b.hi_rank
       |ORDER BY z.doc_id""".stripMargin
+
+  /** Curation filter funnel — the stage-by-stage drop report every
+    * pipeline publishes (and the first thing reviewed when a corpus
+    * shrinks unexpectedly): survivors after each ORDERED stage —
+    * exact-dedup keeper, the four Gopher rules (length, word shape,
+    * symbol ratio, stopwords — same rounded comparisons as
+    * [[qGopherQuality]]), then the logistic quality gate (same z as
+    * [[withQuality]]). Cumulative conjunctions are computed per row in
+    * ONE scan (plus the fingerprint aggregate the dedup stage needs,
+    * one fp shuffle), collapse map-side to a single 7-counter row, and
+    * explode to the 7-row report; `dropped_here` is a lag over that
+    * aggregate-backed frame. Integer counts — deterministic except the
+    * z>0 cell, which carries the same 1-ulp boundary argument as
+    * q_quality_score.
+    */
+  def qFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"),
+        md5(TextFns.normalized(col("text"))).as("fp"))
+    val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    val flags = base.join(keepers.hint("shuffle_hash"), Seq("fp"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("keeper")).as("f1"),
+        size(col("toks")).as("n_tokens"),
+        round(aggregate(transform(col("toks"), t => length(t)), lit(0),
+          (a, x) => a + x) / size(col("toks")), 4).as("mean_word_len"),
+        round(length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+          / length(col("text")), 4).as("symbol_ratio"),
+        size(filter(col("toks"), t => t.isin(StopWords.map(w => lit(w): Any): _*)))
+          .as("n_stop"),
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+          / length(col("text")).cast("double")).as("sym_raw"))
+      .withColumn("stop_raw", col("n_stop") / col("n_tokens").cast("double"))
+      .withColumn("z",
+        lit(-1.0) + lit(0.6) * log(lit(1.0) + col("n_tokens"))
+          + lit(2.0) * col("stop_raw") - lit(4.0) * col("sym_raw"))
+      .withColumn("p2", col("f1") && col("n_tokens").between(5, 1000))
+      .withColumn("p3", col("p2") && col("mean_word_len").between(2.0, 10.0))
+      .withColumn("p4", col("p3") && col("symbol_ratio") <= 0.1)
+      .withColumn("p5", col("p4") && col("n_stop") >= 1)
+      .withColumn("p6", col("p5") && col("z") > 0)
+    val aggRow = flags.agg(
+      count(lit(1)).as("s0"),
+      sum(col("f1").cast("long")).as("s1"),
+      sum(col("p2").cast("long")).as("s2"),
+      sum(col("p3").cast("long")).as("s3"),
+      sum(col("p4").cast("long")).as("s4"),
+      sum(col("p5").cast("long")).as("s5"),
+      sum(col("p6").cast("long")).as("s6"))
+    val names = Seq("input", "dedup", "length", "word_shape", "symbol",
+      "stopword", "quality")
+    val stages = aggRow.select(explode(array(
+        names.zipWithIndex.map { case (n, i) =>
+          struct(lit(i).as("stage_idx"), lit(n).as("stage"),
+            col(s"s$i").as("survivors"))
+        }: _*)).as("e"))
+      .select(col("e.stage_idx"), col("e.stage"), col("e.survivors"))
+    val w = Window.orderBy(col("stage_idx"))
+    stages
+      .withColumn("dropped_here",
+        coalesce(lag(col("survivors"), 1).over(w) - col("survivors"), lit(0L)))
+      .orderBy(col("stage_idx"))
+  }
+
+  val qFilterFunnelOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $toksSql AS toks,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents
+       |),
+       |k AS (SELECT fp, min(doc_id) AS keeper FROM t GROUP BY fp),
+       |f AS (
+       |  SELECT t.doc_id,
+       |    t.doc_id = k.keeper AS f1,
+       |    len(toks) AS n_tokens,
+       |    round(list_sum(list_transform(toks, x -> length(x)))
+       |      / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
+       |    round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |      / CAST(length(text) AS DOUBLE), 4) AS symbol_ratio,
+       |    len(list_filter(toks, x -> x IN ($stopListSql))) AS n_stop,
+       |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |      / CAST(length(text) AS DOUBLE) AS sym_raw,
+       |    len(list_filter(toks, x -> x IN ($stopListSql)))
+       |      / CAST(len(toks) AS DOUBLE) AS stop_raw
+       |  FROM t JOIN k USING (fp)
+       |),
+       |p AS (
+       |  SELECT f1,
+       |    f1 AND n_tokens BETWEEN 5 AND 1000 AS p2,
+       |    f1 AND n_tokens BETWEEN 5 AND 1000
+       |      AND mean_word_len BETWEEN 2.0 AND 10.0 AS p3,
+       |    f1 AND n_tokens BETWEEN 5 AND 1000
+       |      AND mean_word_len BETWEEN 2.0 AND 10.0
+       |      AND symbol_ratio <= 0.1 AS p4,
+       |    f1 AND n_tokens BETWEEN 5 AND 1000
+       |      AND mean_word_len BETWEEN 2.0 AND 10.0
+       |      AND symbol_ratio <= 0.1 AND n_stop >= 1 AS p5,
+       |    f1 AND n_tokens BETWEEN 5 AND 1000
+       |      AND mean_word_len BETWEEN 2.0 AND 10.0
+       |      AND symbol_ratio <= 0.1 AND n_stop >= 1
+       |      AND (-1.0 + 0.6 * ln(1.0 + n_tokens)
+       |           + 2.0 * stop_raw - 4.0 * sym_raw) > 0 AS p6
+       |  FROM f
+       |),
+       |a AS (
+       |  SELECT count(*) AS s0,
+       |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+       |    CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+       |    CAST(sum(CASE WHEN p5 THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+       |    CAST(sum(CASE WHEN p6 THEN 1 ELSE 0 END) AS BIGINT) AS s6
+       |  FROM p
+       |),
+       |st AS (
+       |  SELECT 0 AS stage_idx, 'input' AS stage, s0 AS survivors FROM a
+       |  UNION ALL SELECT 1, 'dedup', s1 FROM a
+       |  UNION ALL SELECT 2, 'length', s2 FROM a
+       |  UNION ALL SELECT 3, 'word_shape', s3 FROM a
+       |  UNION ALL SELECT 4, 'symbol', s4 FROM a
+       |  UNION ALL SELECT 5, 'stopword', s5 FROM a
+       |  UNION ALL SELECT 6, 'quality', s6 FROM a
+       |)
+       |SELECT stage_idx, stage, survivors,
+       |  COALESCE(lag(survivors) OVER (ORDER BY stage_idx) - survivors, 0)
+       |    AS dropped_here
+       |FROM st
+       |ORDER BY stage_idx""".stripMargin
 }
