@@ -59,4 +59,23 @@ object NumFns {
       floor(x) + when((x - floor(x)) >= 0.5, 1L).otherwise(0L))
       .otherwise(ceil(x) - when((ceil(x) - x) >= 0.5, 1L).otherwise(0L))
       .cast("long")
+
+  /** Cross-engine-portable `round(x, digits)` for doubles whose value
+    * can land EXACTLY on a rounding boundary (means of small-n groups,
+    * ratios of small integers). Spark's round inspects the double's
+    * shortest DECIMAL representation (BigDecimal.valueOf → HALF_UP) while
+    * DuckDB rounds the BINARY value — for x = 161563.205 (binary
+    * …20499999…) they disagree by a cent, which is exactly the sf0.1
+    * q_scalar_subquery failure. This form rounds the scaled BINARY value
+    * identically on both engines: [[roundAwayLong]](x·10^k)/10^k, with
+    * [[roundPortableSql]] as the oracle twin (`round(x·10^k)` one-arg =
+    * C round = half away from zero). Requires |x|·10^k < 2^52.
+    */
+  def roundPortable(x: Column, digits: Int): Column = {
+    val scale = math.pow(10.0, digits)
+    roundAwayLong(x * scale).cast("double") / scale
+  }
+
+  def roundPortableSql(x: String, digits: Int): String =
+    s"CAST(round(($x) * 1e$digits) AS BIGINT) / 1e$digits"
 }

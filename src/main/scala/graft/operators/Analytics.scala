@@ -265,12 +265,13 @@ object Analytics {
     ord.join(custAvg, col("o_custkey") === col("ck"))
       .filter(col("o_totalprice") > col("avg_price") * 2.0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        round(col("avg_price"), 2).as("cust_avg"))
+        graft.functions.NumFns.roundPortable(col("avg_price"), 2).as("cust_avg"))
       .orderBy(col("o_orderkey"))
   }
 
   val qScalarSubqueryOracle: String =
-    """SELECT o_orderkey, o_custkey, o_totalprice, round(avg_price, 2) AS cust_avg
+    s"""SELECT o_orderkey, o_custkey, o_totalprice,
+      |  ${graft.functions.NumFns.roundPortableSql("avg_price", 2)} AS cust_avg
       |FROM orders
       |JOIN (SELECT o_custkey AS ck,
       |        CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS avg_price

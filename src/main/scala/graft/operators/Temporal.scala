@@ -338,8 +338,9 @@ object Temporal {
           / (col("n_prev") - 1), lit(0.0))))
       .filter(abs(col("value") - col("mean_prev")) > lit(3.0) * col("std_prev"))
       .select(col("event_id"), col("user_id"), col("us"), col("value"),
-        col("n_prev"), round(col("mean_prev"), 4).as("mean_prev"),
-        round(col("std_prev"), 4).as("std_prev"))
+        col("n_prev"),
+        graft.functions.NumFns.roundPortable(col("mean_prev"), 4).as("mean_prev"),
+        graft.functions.NumFns.roundPortable(col("std_prev"), 4).as("std_prev"))
       .orderBy(col("user_id"), col("us"), col("event_id"))
   }
 
@@ -359,7 +360,8 @@ object Temporal {
        |  FROM b WHERE n_prev >= $AnomalyMinPrev
        |)
        |SELECT event_id, user_id, us, value, n_prev,
-       |  round(mean_prev, 4) AS mean_prev, round(std_prev, 4) AS std_prev
+       |  ${graft.functions.NumFns.roundPortableSql("mean_prev", 4)} AS mean_prev,
+       |  ${graft.functions.NumFns.roundPortableSql("std_prev", 4)} AS std_prev
        |FROM z
        |WHERE abs(value - mean_prev) > 3.0 * std_prev
        |ORDER BY user_id, us, event_id""".stripMargin
