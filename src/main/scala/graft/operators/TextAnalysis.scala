@@ -598,6 +598,68 @@ object TextAnalysis {
        |    AS r2
        |FROM m""".stripMargin
 
+  /** Vocabulary size for the OOV-rate audit (a stand-in tokenizer
+    * lexicon; production plugs in the real tokenizer's vocab table).
+    */
+  val OovVocabK = 1000
+
+  /** Per-source out-of-vocabulary rate against the corpus's own
+    * top-[[OovVocabK]] vocabulary — the tokenizer-coverage audit by
+    * source: a source whose token mass falls mostly outside the shared
+    * vocabulary will fragment into long byte-level tokenizations
+    * (inflating its true token cost) or is simply not the language the
+    * tokenizer was sized for. Complements [[qVocabCoverage]] (corpus-
+    * level curve) with the per-source breakdown mix design needs.
+    * Shape: (source, word) counts map-side combine the corpus; the
+    * vocabulary is a per-partition-top-K + merge (TakeOrdered, never a
+    * global sort) that then BROADCASTS (K rows) into a left-anti join —
+    * the OOV sum touches only the cell frame. Integer counts, exact
+    * division at the end.
+    */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // totals + the anti-join both read it
+    val vocab = cells.groupBy(col("word")).agg(sum(col("n")).as("cn"))
+      .orderBy(col("cn").desc, col("word")).limit(OovVocabK)
+      .select(col("word"))
+    val totals = cells.groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val oov = cells.join(broadcast(vocab), Seq("word"), "left_anti")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_oov"), count(lit(1)).as("n_oov_types"))
+    totals.join(oov, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("n_oov_types"), lit(0L)).as("n_oov_types"),
+        round(coalesce(col("n_oov"), lit(0L)) / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  val qOovRateOracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest($toksSql) AS word FROM documents
+       |),
+       |cells AS (SELECT source, word, count(*) AS n FROM toks GROUP BY source, word),
+       |v AS (
+       |  SELECT word FROM (
+       |    SELECT word, sum(n) AS cn FROM cells GROUP BY word
+       |    ORDER BY cn DESC, word LIMIT $OovVocabK)
+       |),
+       |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM cells GROUP BY source),
+       |o AS (
+       |  SELECT source, CAST(sum(n) AS BIGINT) AS n_oov, count(*) AS n_oov_types
+       |  FROM cells ANTI JOIN v USING (word)
+       |  GROUP BY source
+       |)
+       |SELECT t.source, t.n_tokens,
+       |  COALESCE(o.n_oov, 0) AS n_oov,
+       |  COALESCE(o.n_oov_types, 0) AS n_oov_types,
+       |  round(COALESCE(o.n_oov, 0) / CAST(t.n_tokens AS DOUBLE), 6) AS oov_rate
+       |FROM t LEFT JOIN o USING (source)
+       |ORDER BY source""".stripMargin
+
   /** Documents per Heaps-curve sample point (the corpus order IS doc_id
     * order, the same tape convention as Packing.qSeqPack).
     */
