@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{NumFns, TextFns}
 import graft.sources.Tables
 
 /** Text-analysis operators over the documents corpus (SURVEY.md §2,
@@ -597,6 +597,57 @@ object TextAnalysis {
        |    / (CAST(k * sxx - sx * sx AS DOUBLE) * CAST(k * syy - sy * sy AS DOUBLE)), 4)
        |    AS r2
        |FROM m""".stripMargin
+
+  /** Language-ID confusion matrix against the corpus's ground-truth
+    * `lang` column — classifier evaluation as a first-class operator:
+    * per (true, predicted) cell the count plus the cell's contribution
+    * to that true class's RECALL and that predicted class's PRECISION.
+    * The honest readout matters: the stopword heuristic can only emit
+    * en/es/de/fr, so the zh row shows exactly where its mass leaks —
+    * the table a curation team reads before trusting a lang filter.
+    * Shape: the per-doc prediction pass is [[qTextLangid]]'s scan; the
+    * matrix is one map-side-combined (true, predicted) count, and both
+    * marginals are windows over that ≤ langs² cell frame. Counts are
+    * exact; the two ratios are single divisions of exact longs rounded
+    * via [[NumFns.roundPortable]] (a small-denominator rational CAN land
+    * exactly on a 7th-decimal boundary, e.g. n_true = 512).
+    */
+  def qLangidEval(s: SparkSession, dir: String): DataFrame = {
+    val wTrue = Window.partitionBy(col("lang"))
+    val wPred = Window.partitionBy(col("predicted"))
+    qTextLangid(s, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_true", sum(col("n")).over(wTrue))
+      .withColumn("n_pred", sum(col("n")).over(wPred))
+      .select(col("lang"), col("predicted"), col("n"),
+        col("n_true"), col("n_pred"),
+        (col("lang") === col("predicted")).as("correct"),
+        NumFns.roundPortable(col("n") / col("n_true").cast("double"), 6)
+          .as("recall_share"),
+        NumFns.roundPortable(col("n") / col("n_pred").cast("double"), 6)
+          .as("precision_share"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val qLangidEvalOracle: String =
+    s"""WITH pred AS ($qTextLangidOracle),
+       |cm AS (
+       |  SELECT lang, predicted, count(*) AS n
+       |  FROM pred GROUP BY lang, predicted
+       |)
+       |SELECT lang, predicted, n,
+       |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+       |  CAST(sum(n) OVER (PARTITION BY predicted) AS BIGINT) AS n_pred,
+       |  lang = predicted AS correct,
+       |  ${NumFns.roundPortableSql(
+             "n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)", 6)}
+       |    AS recall_share,
+       |  ${NumFns.roundPortableSql(
+             "n / CAST(sum(n) OVER (PARTITION BY predicted) AS DOUBLE)", 6)}
+       |    AS precision_share
+       |FROM cm
+       |ORDER BY lang, predicted""".stripMargin
 
   /** Vocabulary size for the OOV-rate audit (a stand-in tokenizer
     * lexicon; production plugs in the real tokenizer's vocab table).
