@@ -355,4 +355,99 @@ object Behavioral {
        |  ${NumFns.stableSumSql("credit", 4)} AS attributed
        |FROM c GROUP BY channel
        |ORDER BY channel""".stripMargin
+
+  /** RFM customer segmentation — the classic behavioral value model
+    * (recency of last order, order frequency, lifetime spend), each
+    * dimension cut at its corpus quartiles into 1–4, reported as the
+    * up-to-64-cell segment grid with size and average spend. Shape:
+    * one orders scan → per-customer aggregate (map-side combined);
+    * quartile thresholds come from the distinct-value-cells percentile
+    * engine ([[Analytics.exactPercentilesMulti]] — NEVER an ntile
+    * window over raw customers, which would funnel every customer
+    * through one task's sort) and come back as a broadcast 1-row
+    * frame; segment assignment is a scan-side comparison; the final
+    * grid is segment-count-sized. The per-customer frame feeds both
+    * the threshold derivation and the assignment, so it is
+    * materialized once (localCheckpoint — the repo's reused-derived-
+    * frame discipline). Exactness: recency/frequency are integers,
+    * spend is a DECIMAL-cast sum rounded to cents, thresholds are
+    * engine-rounded at 4 digits, and the strict `>` quartile rule
+    * compares identical doubles on both engines.
+    */
+  def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val o = Tables.orders(s, dir)
+    val refDate = o.agg(max(to_date(col("o_orderdate"))).as("d_ref"))
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("d_last"),
+        count(lit(1)).as("frequency"),
+        NumFns.stableSum(col("o_totalprice"), 2).as("monetary"))
+      .crossJoin(broadcast(refDate))
+      .select(col("o_custkey"),
+        datediff(col("d_ref"), col("d_last")).cast("long").as("recency"),
+        col("frequency"), col("monetary"))
+      .withColumn("grp", lit("all"))
+      .localCheckpoint() // feeds thresholds AND segment assignment
+    val th = Analytics.exactPercentilesMulti(rfm, "grp", Seq(
+      "recency" -> Seq(0.25 -> "r25", 0.5 -> "r50", 0.75 -> "r75"),
+      "frequency" -> Seq(0.25 -> "f25", 0.5 -> "f50", 0.75 -> "f75"),
+      "monetary" -> Seq(0.25 -> "m25", 0.5 -> "m50", 0.75 -> "m75")))
+      .drop("grp")
+    def quartile(v: Column, q1: String, q2: String, q3: String): Column =
+      lit(1) + (v > col(q1)).cast("int") + (v > col(q2)).cast("int") +
+        (v > col(q3)).cast("int")
+    rfm.crossJoin(broadcast(th))
+      .select(
+        quartile(col("recency"), "r25", "r50", "r75").as("r_q"),
+        quartile(col("frequency"), "f25", "f50", "f75").as("f_q"),
+        quartile(col("monetary"), "m25", "m50", "m75").as("m_q"),
+        col("monetary"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        NumFns.stableMean(col("monetary"), count(lit(1)), 2).as("avg_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val qRfmSegmentsOracle: String = {
+    def q(c: String, p: String, as: String) =
+      s"round(quantile_cont(CAST($c AS DOUBLE), $p), 4) AS $as"
+    s"""WITH o AS (
+       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
+       |),
+       |ref AS (SELECT max(d) AS d_ref FROM o),
+       |rfm AS (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day', max(d), (SELECT d_ref FROM ref)) AS BIGINT) AS recency,
+       |    count(*) AS frequency,
+       |    ${NumFns.stableSumSql("o_totalprice", 2)} AS monetary
+       |  FROM o GROUP BY o_custkey
+       |),
+       |th AS (
+       |  SELECT ${q("recency", "0.25", "r25")}, ${q("recency", "0.5", "r50")},
+       |    ${q("recency", "0.75", "r75")},
+       |    ${q("frequency", "0.25", "f25")}, ${q("frequency", "0.5", "f50")},
+       |    ${q("frequency", "0.75", "f75")},
+       |    ${q("monetary", "0.25", "m25")}, ${q("monetary", "0.5", "m50")},
+       |    ${q("monetary", "0.75", "m75")}
+       |  FROM rfm
+       |),
+       |seg AS (
+       |  SELECT
+       |    1 + CASE WHEN recency > r25 THEN 1 ELSE 0 END
+       |      + CASE WHEN recency > r50 THEN 1 ELSE 0 END
+       |      + CASE WHEN recency > r75 THEN 1 ELSE 0 END AS r_q,
+       |    1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+       |      + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+       |      + CASE WHEN frequency > f75 THEN 1 ELSE 0 END AS f_q,
+       |    1 + CASE WHEN monetary > m25 THEN 1 ELSE 0 END
+       |      + CASE WHEN monetary > m50 THEN 1 ELSE 0 END
+       |      + CASE WHEN monetary > m75 THEN 1 ELSE 0 END AS m_q,
+       |    monetary
+       |  FROM rfm CROSS JOIN th
+       |)
+       |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+       |  ${NumFns.stableMeanSql("monetary", "count(*)", 2)} AS avg_monetary
+       |FROM seg GROUP BY r_q, f_q, m_q
+       |ORDER BY r_q, f_q, m_q""".stripMargin
+  }
 }

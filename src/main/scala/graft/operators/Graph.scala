@@ -316,4 +316,53 @@ object Graph {
        |  n_candidates
        |FROM r WHERE rk = 1
        |ORDER BY c_custkey""".stripMargin
+
+  /** Degree distribution of the supplier side of the purchase graph —
+    * the first structural question asked of any graph ("is this
+    * power-law? are there super-nodes that will skew every
+    * per-neighbor join?") and the input to the salting decision
+    * [[graft.plans.Salt]] automates. degree(s) = distinct customers
+    * supplier s has served; the histogram buckets degrees by
+    * floor(log2) so the output is ~60 rows no matter how many nodes
+    * exist. Shape: one fact⋈fact join → distinct (hash agg, map-side
+    * combined) → per-node grouped count → log-bucket grouped count;
+    * every shuffle after the edge join carries bare (long, long) pairs
+    * and the two histogram aggregates are node- then bucket-sized.
+    * Exactness: degrees are integers and the log2 bucket comes from
+    * bit length (63 − numberOfLeadingZeros via repeated comparison is
+    * avoided: floor(log2(d)) computed as length of the binary string
+    * minus 1 is integer-exact on both engines).
+    */
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val deg = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      .distinct()
+      .groupBy(col("supp"))
+      .agg(count(lit(1)).as("degree"))
+    // floor(log2(degree)) from the binary rendering: exact for any
+    // positive integer, no floating log anywhere near a power of two
+    val bucket = (length(conv(col("degree").cast("string"), 10, 2)) - 1).cast("int")
+    deg.select(bucket.as("log2_bucket"), col("degree"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("degree")).as("min_degree"),
+        max(col("degree")).as("max_degree"))
+      .orderBy(col("log2_bucket"))
+  }
+
+  val qDegreeDistOracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |),
+      |deg AS (SELECT supp, count(*) AS degree FROM e GROUP BY supp),
+      |b AS (
+      |  SELECT CAST(length(bin(degree)) - 1 AS INT) AS log2_bucket, degree
+      |  FROM deg
+      |)
+      |SELECT log2_bucket, count(*) AS n_nodes,
+      |  min(degree) AS min_degree, max(degree) AS max_degree
+      |FROM b GROUP BY log2_bucket
+      |ORDER BY log2_bucket""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{NumFns, TextFns}
 import graft.sources.Tables
 
 /** Data-profiling operators (SURVEY.md §2): the audit pass a pipeline
@@ -553,4 +553,131 @@ object Profiling {
        |SELECT pt.event_type, pt.n, pt.mean_value, ci.ci_lo, ci.ci_hi
        |FROM pt JOIN ci USING (event_type)
        |ORDER BY event_type""".stripMargin
+
+  /** Benford's-law leading-digit audit of `l_extendedprice` — the
+    * classic "does this numeric column look organic?" data-quality
+    * check (fabricated, truncated, or unit-mangled feeds bend the
+    * first-digit curve long before summary stats move). Exactness: the
+    * leading digit comes from the INTEGER cents value (exact
+    * [[graft.functions.NumFns.roundAwayLong]] at ×100, then the first
+    * character of the integer's decimal rendering — integers print
+    * identically on every engine, unlike doubles), and the expected
+    * Benford share log10(1+1/d) ships as a 6-dp literal table so
+    * neither engine evaluates a transcendental. One scan + one
+    * map-side-combined 9-cell aggregate; the observed share and the
+    * deviation are divisions/subtractions on exact inputs, rounded
+    * with the portable scaled-binary round.
+    */
+  private val BenfordExpected: Seq[Double] = Seq(
+    0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757)
+
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val cents = NumFns.roundAwayLong(col("l_extendedprice") * 100)
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counted = Tables.lineitem(s, dir)
+      .select(digit.as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counted.agg(sum(col("n")).as("tot"))
+    val expected = element_at(
+      array(BenfordExpected.map(lit): _*), col("digit"))
+    counted.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        NumFns.roundPortable(col("n") / col("tot"), 6).as("share"),
+        expected.as("benford_share"),
+        NumFns.roundPortable(col("n") / col("tot") - expected, 6).as("dev"))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordOracle: String = {
+    val caseExpr = BenfordExpected.zipWithIndex
+      .map { case (e, i) => s"WHEN ${i + 1} THEN CAST($e AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM lineitem
+       |),
+       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+       |t AS (SELECT sum(n) AS tot FROM c),
+       |e AS (SELECT digit, n, CASE digit $caseExpr END AS benford_share FROM c)
+       |SELECT digit, n,
+       |  ${NumFns.roundPortableSql("n / tot", 6)} AS share,
+       |  benford_share,
+       |  ${NumFns.roundPortableSql("n / tot - benford_share", 6)} AS dev
+       |FROM e CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
+
+  /** Per-source Jensen–Shannon divergence of the unigram word
+    * distribution vs the whole corpus — the categorical drift twin of
+    * [[qKsDrift]] (which compares a NUMERIC column): "which source
+    * speaks a different language than the mix it feeds?" is the
+    * pre-training audit that catches a crawl segment gone off-domain.
+    * Math: with p = source distribution, q = corpus distribution and
+    * m = (p+q)/2, the q-side sum over words ABSENT from the source
+    * collapses to (1−coverage)·ln 2, so only (source, word-in-source)
+    * cells are ever touched: JSD = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q))
+    * + ½(1−Σq)·ln2, normalized by ln 2 into [0,1] bits. Shape: one
+    * corpus scan → (source, word) cells (map-side combined), word
+    * totals by a second grouping of those same cells (vocabulary-sized,
+    * never a rescan), source totals broadcast; per-cell terms are
+    * identical scalar IEEE arithmetic on exact integer ratios and the
+    * three per-source sums are decimal-cast (order-independent).
+    */
+  def qJsdDrift(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("nsw"))
+      .localCheckpoint() // feeds word totals AND the term join
+    val wordTot = cells.groupBy(col("word")).agg(sum(col("nsw")).as("nw"))
+    val srcTot = cells.groupBy(col("source")).agg(sum(col("nsw")).as("ns"))
+    val corpusTot = wordTot.agg(sum(col("nw")).as("ntot"))
+    val p = col("nsw") / col("ns")
+    val q = col("nw") / col("ntot")
+    val terms = cells
+      .join(wordTot, Seq("word"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"),
+        (p * log(lit(2.0) * p / (p + q))).cast(D).as("tp"),
+        (q * log(lit(2.0) * q / (p + q))).cast(D).as("tq"),
+        q.cast(D).as("cov"))
+    val ln2 = math.log(2.0)
+    terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        ((sum(col("tp")) * 0.5 + sum(col("tq")) * 0.5
+          + (lit(1.0) - sum(col("cov"))) * (0.5 * ln2)) / ln2).cast("double").as("jsd"))
+      .select(col("source"), col("n_words"),
+        NumFns.roundPortable(col("jsd"), 6).as("jsd_bits"))
+      .orderBy(col("source"))
+  }
+
+  val qJsdDriftOracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents
+       |),
+       |cells AS (SELECT source, word, count(*) AS nsw FROM toks GROUP BY source, word),
+       |wt AS (SELECT word, sum(nsw) AS nw FROM cells GROUP BY word),
+       |st AS (SELECT source, sum(nsw) AS ns FROM cells GROUP BY source),
+       |ct AS (SELECT sum(nw) AS ntot FROM wt),
+       |terms AS (
+       |  SELECT source,
+       |    CAST((nsw / ns) * ln(2.0 * (nsw / ns) / ((nsw / ns) + (nw / ntot))) AS DECIMAL(38,12)) AS tp,
+       |    CAST((nw / ntot) * ln(2.0 * (nw / ntot) / ((nsw / ns) + (nw / ntot))) AS DECIMAL(38,12)) AS tq,
+       |    CAST(nw / ntot AS DECIMAL(38,12)) AS cov
+       |  FROM cells JOIN wt USING (word) JOIN st USING (source) CROSS JOIN ct
+       |),
+       |agg AS (
+       |  SELECT source, count(*) AS n_words,
+       |    CAST((sum(tp) * 0.5 + sum(tq) * 0.5
+       |      + (1.0 - sum(cov)) * (0.5 * ln(2.0))) / ln(2.0) AS DOUBLE) AS jsd
+       |  FROM terms GROUP BY source
+       |)
+       |SELECT source, n_words, ${NumFns.roundPortableSql("jsd", 6)} AS jsd_bits
+       |FROM agg
+       |ORDER BY source""".stripMargin
 }

@@ -1039,4 +1039,162 @@ object TextAnalysis {
        |CROSS JOIN t
        |WHERE p.c_ab >= $WindowPmiMin
        |ORDER BY w_a, w_b""".stripMargin
+
+  /** BM25 keyword retrieval — the lexical-search baseline every corpus
+    * tool ships beside its ANN index (and the sparse half of a hybrid
+    * retriever, cf. [[graft.operators.Similarity.qRankFusion]] fusing
+    * dense paths): Okapi BM25 with k1 = 1.2, b = 0.75 over a fixed
+    * 3-term query, top [[Bm25TopK]] documents. idf is the Lucene
+    * ln(1 + (N−df+0.5)/(df+0.5)) form (never negative); tf saturates
+    * through k1 with document-length normalization against the mean.
+    * Scale shape: the per-(doc, term) tf frame touches only docs
+    * containing a query term (scan-side filter BEFORE the explode —
+    * the corpus never fans out), df/N/avgdl are one-row or 3-row
+    * broadcast frames, and the top-k is TakeOrdered (orderBy + limit:
+    * per-partition heap, never a global sort of the match set).
+    * Exactness: tf/df/dl/N are integers, avgdl is an exact int÷int,
+    * the per-term score is identical scalar IEEE arithmetic, the
+    * per-doc sum is ≤3 terms added in array order (list-fold, not
+    * partial-agg order), and the score ships through the portable
+    * scaled-binary round.
+    */
+  val Bm25Query: Seq[String] = Seq("hash", "stream", "window")
+  val Bm25TopK = 20
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val qTerms = Bm25Query.map(lit(_))
+    // scan-side prefilter: only docs containing >=1 query term explode
+    val hits = docs
+      .filter(arrays_overlap(col("toks"), array(qTerms: _*)))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl") / col("n_docs") // exact int ÷ int
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val score = idf * (col("tf") * lit(Bm25K1 + 1.0)) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / avgdl))
+    // fixed-order per-term pivot + left-to-right add (absent term = 0.0,
+    // an exact identity add), not a partial-agg double sum: the per-doc
+    // score is the same 3-term IEEE addition chain on every engine/run
+    val termCols = Bm25Query.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("term_score"))).as(s"_s$i")
+    }
+    val raw = Bm25Query.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    hits
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), score.as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), termCols: _*)
+      .select(col("doc_id"), col("n_terms"),
+        NumFns.roundPortable(raw, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val qBm25Oracle: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents
+       |),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, word AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS word FROM d)
+       |  WHERE word IN ($terms)
+       |  GROUP BY doc_id, word
+       |),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0 + CAST(st.n_docs - df.df + 0.5 AS DOUBLE) / CAST(df.df + 0.5 AS DOUBLE))
+       |      * (tf.tf * CAST(${Bm25K1 + 1.0} AS DOUBLE))
+       |      / (tf.tf + CAST(${Bm25K1} AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE) + CAST(${Bm25B} AS DOUBLE) * dl.dl / (CAST(st.tot_dl AS DOUBLE) / st.n_docs)))
+       |      AS term_score,
+       |    tf.term
+       |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st
+       |),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |    ${Bm25Query.map(t => s"coalesce(max(CASE WHEN term = '$t' THEN term_score END), CAST(0.0 AS DOUBLE))").mkString(" + ")} AS raw
+       |  FROM sc GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_terms, ${NumFns.roundPortableSql("raw", 6)} AS bm25
+       |FROM agg
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
+  /** Flesch-style readability scoring from a vowel-group syllable
+    * proxy — the curation signal orthogonal to the Gopher rules
+    * (a doc can pass length/symbol checks and still be word-salad or
+    * legalese; reading-ease flags both tails). syllables(doc) ≈ count
+    * of [aeiouy]+ runs in the lowercased text (runs never span
+    * whitespace, so the doc-level count equals the per-word sum),
+    * sentences = [.!?]+ runs floored at 1, words = whitespace tokens.
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), banded at the conventional 30/50/60/90 cut points. One
+    * scan, three codegen'd regexp counts per row, zero shuffle; all
+    * inputs integer so the score is identical scalar IEEE arithmetic,
+    * rounded portably; the band compares the ROUNDED score so the
+    * boundary decision is made on the same grid both engines see.
+    */
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    val words = size(TextFns.tokens(col("text"))).cast("long")
+    val syll = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val score = NumFns.roundPortable(
+      lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences"))
+        - lit(84.6) * (col("n_syllables") / col("n_words")), 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("n_words"), syll.as("n_syllables"),
+        sents.as("n_sentences"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_syllables"), col("n_sentences"),
+        score.as("flesch"))
+      .withColumn("band",
+        when(col("flesch") >= 90, "very_easy")
+          .when(col("flesch") >= 60, "easy")
+          .when(col("flesch") >= 50, "medium")
+          .when(col("flesch") >= 30, "hard")
+          .otherwise("very_hard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qReadabilityOracle: String = {
+    val raw = "206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words)"
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len($toksSql) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+       |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences
+       |  FROM documents
+       |),
+       |sc AS (
+       |  SELECT doc_id, n_words, n_syllables, n_sentences,
+       |    ${NumFns.roundPortableSql(raw, 4)} AS flesch
+       |  FROM c WHERE n_words > 0
+       |)
+       |SELECT doc_id, n_words, n_syllables, n_sentences, flesch,
+       |  CASE WHEN flesch >= 90 THEN 'very_easy'
+       |       WHEN flesch >= 60 THEN 'easy'
+       |       WHEN flesch >= 50 THEN 'medium'
+       |       WHEN flesch >= 30 THEN 'hard'
+       |       ELSE 'very_hard' END AS band
+       |FROM sc
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Behavioral invariants for the late-round-4 operator batch (Benford,
+  * JSD drift, degree distribution, BM25, readability, RFM). The DuckDB
+  * oracle gate pins value-level correctness; these pin the semantic
+  * properties a refactor could silently break.
+  */
+class Round4NewOpsSpec extends SparkSpec {
+
+  test("benford digits partition the rows and expected shares are log10(1+1/d)") {
+    val rows = Profiling.qBenford(spark, sf001).collect()
+    val digits = rows.map(_.getAs[Int]("digit"))
+    assert(digits.toSet.subsetOf((1 to 9).toSet) && digits.length == digits.distinct.length)
+    // every row lands in exactly one digit bucket
+    val nRows = Tables.lineitem(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nRows)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(math.abs(r.getAs[Double]("benford_share") - math.log10(1.0 + 1.0 / d)) < 1e-6)
+      // deviation is share - expectation on the same grid
+      assert(math.abs(r.getAs[Double]("dev") -
+        (r.getAs[Double]("share") - r.getAs[Double]("benford_share"))) < 2e-6)
+    }
+    // shares are a distribution
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-5)
+  }
+
+  test("jsd drift is a per-source divergence in [0, 1] bits") {
+    val rows = Profiling.qJsdDrift(spark, sf001).collect()
+    val nSources = Tables.documents(spark, sf001).select(col("source")).distinct().count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd_bits")
+      assert(j >= 0.0 && j <= 1.0, s"JSD must be in [0,1] bits: $r")
+      assert(r.getAs[Long]("n_words") > 0)
+    }
+  }
+
+  test("degree buckets bound their degrees by powers of two and cover all suppliers") {
+    val rows = Graph.qDegreeDist(spark, sf001).collect()
+    val nSupp = Tables.orders(spark, sf001)
+      .join(Tables.lineitem(spark, sf001), col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_suppkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == nSupp)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("log2_bucket")
+      assert(r.getAs[Long]("min_degree") >= (1L << b), s"bucket lower bound: $r")
+      assert(r.getAs[Long]("max_degree") < (1L << (b + 1)), s"bucket upper bound: $r")
+    }
+  }
+
+  test("bm25 returns descending scores over docs that contain a query term") {
+    val rows = TextAnalysis.qBm25(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.Bm25TopK)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "top-k must be sorted")
+    rows.foreach(r => assert(r.getAs[Long]("n_terms") >= 1
+      && r.getAs[Long]("n_terms") <= TextAnalysis.Bm25Query.length))
+    // every returned doc really contains at least one query term
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val matching = Tables.documents(spark, sf001)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
+      .filter(arrays_overlap(col("t"),
+        array(TextAnalysis.Bm25Query.map(lit(_)): _*)))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(matching))
+  }
+
+  test("readability bands follow the rounded flesch score") {
+    val rows = TextAnalysis.qReadability(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("flesch")
+      val expected =
+        if (f >= 90) "very_easy" else if (f >= 60) "easy"
+        else if (f >= 50) "medium" else if (f >= 30) "hard" else "very_hard"
+      assert(r.getAs[String]("band") == expected, s"band must match score: $r")
+      // the score recomputes from the emitted integer counts
+      val w = r.getAs[Long]("n_words").toDouble
+      val sy = r.getAs[Long]("n_syllables").toDouble
+      val se = r.getAs[Long]("n_sentences").toDouble
+      assert(math.abs(f - (206.835 - 1.015 * (w / se) - 84.6 * (sy / w))) < 1e-3)
+    }
+  }
+
+  test("rfm segments cover every customer with quartile digits in 1..4") {
+    val rows = Behavioral.qRfmSegments(spark, sf001).collect()
+    val nCust = Tables.orders(spark, sf001).select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    rows.foreach { r =>
+      Seq("r_q", "f_q", "m_q").foreach { c =>
+        val v = r.getAs[Int](c)
+        assert(v >= 1 && v <= 4, s"$c must be a quartile digit: $r")
+      }
+    }
+    // each marginal quartile holds a nontrivial share (exact quartiles
+    // of a continuous-ish metric put ~25% in each bucket; integer ties
+    // can skew the frequency dimension, so bound loosely)
+    val total = rows.map(_.getAs[Long]("n_customers")).sum.toDouble
+    val mMarg = rows.groupBy(_.getAs[Int]("m_q"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("n_customers")).sum / total }
+    assert(mMarg.forall(s => s > 0.10 && s < 0.45), s"monetary quartiles skewed: $mMarg")
+  }
+}
