@@ -157,10 +157,14 @@ object Dedup {
     * (band, key, doc_id) only, and shingle sets are re-joined by id for
     * verification (never carried through the band explode).
     */
-  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val base = shingled(s, dir)
-    // native one-pass signature bank (vs 32 array_min(transform(...))
-    // columns = 32 traversals + allocations per row)
+  /** LSH band frame of a shingle-set frame `(doc_id, hs)`: one row per
+    * (doc_id, band, band-key). The signature bank is the native one-pass
+    * `minhash_sigs` (vs 32 array_min(transform(...)) columns = 32
+    * traversals + allocations per row); band keys are md5 over each
+    * band's signature rows. This is the frame a 100 TB corpus PERSISTS
+    * as its near-dup index — [[qIncrementalMinhash]] probes it.
+    */
+  private def bandFrame(base: DataFrame): DataFrame = {
     val sigs = base.select(col("doc_id"),
       expr(s"minhash_sigs(hs, $NumPerms)").as("sigs"))
     val bandStructs = (0 until NumBands).map { bnd =>
@@ -169,9 +173,14 @@ object Dedup {
         md5(concat_ws("-", (0 until RowsPerBand)
           .map(r => element_at(col("sigs"), RowsPerBand * bnd + r + 1)): _*)).as("bkey"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+    val bands = bandFrame(base)
     val cand = bands.as("a")
       .join(bands.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
@@ -482,6 +491,74 @@ object Dedup {
        |WHERE doc_id >= $IncrementalCutover
        |  AND fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id < $IncrementalCutover)
        |ORDER BY doc_id""".stripMargin
+
+  /** Incremental NEAR-dup admission — the MinHash twin of
+    * [[qIncrementalDedup]] (which only catches byte-identical text):
+    * an arriving batch (doc_id ≥ [[IncrementalCutover]]) probes the
+    * established corpus's PERSISTED LSH band index ([[bandFrame]] over
+    * the corpus — at 100 TB a bucketed table on (band, bkey), built
+    * once and appended to as batches are admitted) and every candidate
+    * (batch, corpus) collision is verified with exact Jaccard. Nothing
+    * ever rescans the corpus: the probe join touches index rows whose
+    * band keys the BATCH produced, the verify join fetches only the
+    * candidates' shingle sets by id, and all shuffles carry bare
+    * (band, key, id) or (id, hs) rows. Same 8×4 band scheme as
+    * [[qDedupMinhash]], so this is provably that query's pair set
+    * restricted to batch×corpus crossings — the spec asserts exactly
+    * that equivalence.
+    */
+  def qIncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+    val cut = lit(IncrementalCutover)
+    val index = bandFrame(base.filter(col("doc_id") < cut))
+    val probe = bandFrame(base.filter(col("doc_id") >= cut))
+    val cand = probe.as("a")
+      .join(index.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("dup_of"))
+      .dropDuplicates("doc_id", "dup_of")
+    val verified = cand
+      .join(base.select(col("doc_id"), col("hs").as("hs_a")).hint("shuffle_hash"), "doc_id")
+      .join(base.select(col("doc_id").as("dup_of"), col("hs").as("hs_b")).hint("shuffle_hash"), "dup_of")
+      .select(col("doc_id"), col("dup_of"), jaccardOut.as("jaccard"))
+    graft.plans.Fence.filterNoPushdown(verified, col("jaccard"), _ >= JaccardThreshold)
+      .orderBy(col("doc_id"), col("dup_of"))
+  }
+
+  val qIncrementalMinhashOracle: String = {
+    val ms = (0 until NumPerms).map { j =>
+      val a = 2L * j + 3L
+      val b = 101L * j + 7L
+      s"list_min(list_transform(hs, hh -> ($a * hh + $b) % $P)) AS m$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { bnd =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(m${RowsPerBand * bnd + r} AS VARCHAR)")
+        .mkString(" || '-' || ")
+      s"SELECT doc_id, $bnd AS band, md5($key) AS bkey FROM m"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shingledSql,
+       |m AS (
+       |  SELECT doc_id,
+       |    $ms
+       |  FROM s
+       |),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id >= $IncrementalCutover AND b.doc_id < $IncrementalCutover
+       |)
+       |SELECT cand.doc_id AS doc_id, dup_of, $jaccardOutSql AS jaccard
+       |FROM cand
+       |JOIN s x ON x.doc_id = cand.doc_id
+       |JOIN s y ON y.doc_id = dup_of
+       |WHERE $jaccardOutSql >= $JaccardThreshold
+       |ORDER BY cand.doc_id, dup_of""".stripMargin
+  }
 
   /** Shared recursive-CTE prefix labeling every document with its
     * min-reachable cluster representative (`cl(doc_id, cluster)`).

@@ -88,6 +88,25 @@ class Round4NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash equals the full near-dup pair set restricted to batch-corpus crossings") {
+    val inc = Dedup.qIncrementalMinhash(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"), r.getAs[Double]("jaccard")))
+      .toSet
+    // every admitted probe pairs a batch doc with an established doc
+    inc.foreach { case (d, dup, j) =>
+      assert(d >= Dedup.IncrementalCutover && dup < Dedup.IncrementalCutover)
+      assert(j >= Dedup.JaccardThreshold)
+    }
+    // same band scheme as the full query: the incremental pair set is
+    // exactly the full pair set's batch x corpus crossings
+    val full = Dedup.qDedupMinhash(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard")))
+      .filter { case (a, b, _) => a < Dedup.IncrementalCutover && b >= Dedup.IncrementalCutover }
+      .map { case (a, b, j) => (b, a, j) }
+      .toSet
+    assert(inc == full, s"incremental pairs must equal restricted full pairs: $inc vs $full")
+  }
+
   test("rfm segments cover every customer with quartile digits in 1..4") {
     val rows = Behavioral.qRfmSegments(spark, sf001).collect()
     val nCust = Tables.orders(spark, sf001).select(col("o_custkey")).distinct().count()
