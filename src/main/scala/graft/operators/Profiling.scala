@@ -680,4 +680,84 @@ object Profiling {
        |SELECT source, n_words, ${NumFns.roundPortableSql("jsd", 6)} AS jsd_bits
        |FROM agg
        |ORDER BY source""".stripMargin
+
+  /** Welch's two-sample t-test per event type — the experimentation
+    * primitive (is arm B's metric different from arm A's?) with the
+    * unequal-variance form that is the safe default. Arms are assigned
+    * deterministically by user-id parity, so the test is reproducible
+    * and the assignment is itself auditable. Exactness: Σx and Σx² are
+    * DECIMAL-cast sums (order-independent; x² is one deterministic IEEE
+    * multiply per row), both cast to double ONCE, and the t statistic
+    * and Welch–Satterthwaite df are then identical scalar arithmetic on
+    * identical doubles — variances via the textbook
+    * (Σx² − n·mean²)/(n−1) form, acceptable here because determinism
+    * (not extra precision) is what the cross-engine gate needs. Shape:
+    * one events scan, one map-side-combined (event_type × arm)
+    * aggregate (≤ 2·types cells), arms pivoted by a second tiny agg —
+    * no p-value column because the incomplete-beta special function is
+    * not portable arithmetic; t and df are the decision inputs.
+    */
+  def qWelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val arms = Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2).as("arm"), col("value"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).as("sx"),
+        sum((col("value") * col("value")).cast(D)).as("sx2"))
+    def armCol(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+    val wide = arms.groupBy(col("event_type"))
+      .agg(armCol(0, "n").as("n0"), armCol(0, "sx").cast("double").as("sx0"),
+        armCol(0, "sx2").cast("double").as("sq0"),
+        armCol(1, "n").as("n1"), armCol(1, "sx").cast("double").as("sx1"),
+        armCol(1, "sx2").cast("double").as("sq1"))
+    val m0 = col("sx0") / col("n0")
+    val m1 = col("sx1") / col("n1")
+    val v0 = (col("sq0") - col("n0") * (m0 * m0)) / (col("n0") - 1)
+    val v1 = (col("sq1") - col("n1") * (m1 * m1)) / (col("n1") - 1)
+    val se0 = v0 / col("n0")
+    val se1 = v1 / col("n1")
+    val t = (m0 - m1) / sqrt(se0 + se1)
+    val df = ((se0 + se1) * (se0 + se1)) /
+      ((se0 * se0) / (col("n0") - 1) + (se1 * se1) / (col("n1") - 1))
+    wide.select(col("event_type"), col("n0"), col("n1"),
+        NumFns.roundPortable(m0, 4).as("mean0"),
+        NumFns.roundPortable(m1, 4).as("mean1"),
+        NumFns.roundPortable(t, 4).as("t_stat"),
+        NumFns.roundPortable(df, 2).as("welch_df"))
+      .orderBy(col("event_type"))
+  }
+
+  val qWelchTtestOracle: String =
+    s"""WITH a AS (
+       |  SELECT event_type, user_id % 2 AS arm, count(*) AS n,
+       |    sum(CAST(value AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(value * value AS DECIMAL(38,12))) AS sx2
+       |  FROM events GROUP BY event_type, user_id % 2
+       |),
+       |w AS (
+       |  SELECT event_type,
+       |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    CAST(max(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sx0,
+       |    CAST(max(CASE WHEN arm = 0 THEN sx2 END) AS DOUBLE) AS sq0,
+       |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    CAST(max(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sx1,
+       |    CAST(max(CASE WHEN arm = 1 THEN sx2 END) AS DOUBLE) AS sq1
+       |  FROM a GROUP BY event_type
+       |),
+       |c AS (
+       |  SELECT event_type, n0, n1,
+       |    sx0 / n0 AS m0, sx1 / n1 AS m1,
+       |    ((sq0 - n0 * ((sx0 / n0) * (sx0 / n0))) / (n0 - 1)) / n0 AS se0,
+       |    ((sq1 - n1 * ((sx1 / n1) * (sx1 / n1))) / (n1 - 1)) / n1 AS se1
+       |  FROM w
+       |)
+       |SELECT event_type, n0, n1,
+       |  ${NumFns.roundPortableSql("m0", 4)} AS mean0,
+       |  ${NumFns.roundPortableSql("m1", 4)} AS mean1,
+       |  ${NumFns.roundPortableSql("(m0 - m1) / sqrt(se0 + se1)", 4)} AS t_stat,
+       |  ${NumFns.roundPortableSql(
+            "((se0 + se1) * (se0 + se1)) / ((se0 * se0) / (n0 - 1) + (se1 * se1) / (n1 - 1))", 2)} AS welch_df
+       |FROM c
+       |ORDER BY event_type""".stripMargin
 }

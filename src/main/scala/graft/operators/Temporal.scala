@@ -560,4 +560,126 @@ object Temporal {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
        |FROM r
        |ORDER BY t""".stripMargin
+
+  /** Exponentially-weighted moving average (α = ½) over each user's
+    * event-value series, truncated at [[EwmaWindow]] terms — the
+    * smoothing primitive behind anomaly baselines and trend features.
+    * α = ½ is chosen deliberately: every weight 2^−(k+1) is a DYADIC
+    * rational, so weight·value is an EXACT binary scaling (multiplying
+    * a double by a power of two never rounds) and the truncated-series
+    * normalizer 1−2^−n is exact — the whole computation is
+    * deterministic arithmetic, not an accumulation-order gamble. Shape:
+    * per-user positions from a bounded per-user sort window, then a
+    * user-keyed self-join with ≤[[EwmaWindow]] fan-out per row (the
+    * distance-weighted frame no built-in window aggregate expresses);
+    * the weighted terms sum decimal-cast (order-independent). One
+    * shuffle on user_id; fan-out is constant-bounded.
+    */
+  val EwmaWindow = 16
+
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pos = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("pos", row_number().over(w))
+    val a = pos.select(col("user_id"), col("event_id"), col("pos"), col("value"))
+    val b = pos.select(col("user_id").as("b_user"), col("pos").as("b_pos"),
+      col("value").as("b_value"))
+    a.join(b.hint("shuffle_hash"),
+        col("user_id") === col("b_user")
+          && col("b_pos") <= col("pos")
+          && col("b_pos") > col("pos") - EwmaWindow)
+      .select(col("user_id"), col("event_id"), col("pos"), col("value"),
+        (col("b_value") * pow(lit(2.0), (col("b_pos") - col("pos") - 1).cast("double")))
+          .cast(D).as("term"))
+      .groupBy(col("user_id"), col("event_id"), col("pos"), col("value"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("num"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        graft.functions.NumFns.roundPortable(
+          col("num").cast("double") /
+            (lit(1.0) - pow(lit(2.0), -col("n_terms").cast("double"))), 6).as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val qEwmaOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pos
+       |  FROM events
+       |),
+       |j AS (
+       |  SELECT a.user_id, a.event_id, a.pos, a.value,
+       |    CAST(b.value * power(2.0, CAST(b.pos - a.pos - 1 AS DOUBLE)) AS DECIMAL(38,12)) AS term
+       |  FROM e a JOIN e b ON a.user_id = b.user_id
+       |    AND b.pos <= a.pos AND b.pos > a.pos - $EwmaWindow
+       |),
+       |g AS (
+       |  SELECT user_id, event_id, value, count(*) AS n_terms,
+       |    sum(term) AS num
+       |  FROM j GROUP BY user_id, event_id, pos, value
+       |)
+       |SELECT user_id, event_id, value,
+       |  ${graft.functions.NumFns.roundPortableSql(
+             "CAST(num AS DOUBLE) / (1.0 - power(2.0, -CAST(n_terms AS DOUBLE)))", 6)} AS ewma
+       |FROM g
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** Per-user time-weighted average value (TWAP — the IoT/finance
+    * aggregate where irregular sampling makes the plain mean wrong):
+    * each event's value weighted by how long it was "current" (the gap
+    * to the user's next event), normalized by the user's total active
+    * span. The last event holds no interval and drops out — users need
+    * ≥ 2 events. Exactness: interval durations are exact integer
+    * MICROSECONDS (the lead-window difference of unix_micros), each
+    * value·duration product is one deterministic IEEE multiply
+    * decimal-cast before the order-independent sum, and the final
+    * normalization divides by the exact integer span. Shape: one
+    * shuffle on user_id, a bounded per-user lead window, map-side-
+    * combined per-user aggregation — never a self-join.
+    */
+  def qTwap(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .select(col("user_id"), col("value"), (col("next_us") - col("us")).as("dur"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("span_us"),
+        sum((col("value") * col("dur")).cast(D)).as("vnum"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_intervals"), col("span_us"),
+        graft.functions.NumFns.roundPortable(
+          col("vnum").cast("double") / col("span_us"), 6).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
+  val qTwapOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+       |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS next_us
+       |  FROM events
+       |),
+       |d AS (
+       |  SELECT user_id, value, next_us - us AS dur
+       |  FROM e WHERE next_us IS NOT NULL
+       |),
+       |g AS (
+       |  SELECT user_id, count(*) AS n_intervals,
+       |    CAST(sum(dur) AS BIGINT) AS span_us,
+       |    sum(CAST(value * dur AS DECIMAL(38,12))) AS vnum
+       |  FROM d GROUP BY user_id
+       |)
+       |SELECT user_id, n_intervals, span_us,
+       |  ${graft.functions.NumFns.roundPortableSql(
+             "CAST(vnum AS DOUBLE) / span_us", 6)} AS twap
+       |FROM g
+       |WHERE span_us > 0
+       |ORDER BY user_id""".stripMargin
 }

@@ -107,6 +107,86 @@ class Round4NewOpsSpec extends SparkSpec {
     assert(inc == full, s"incremental pairs must equal restricted full pairs: $inc vs $full")
   }
 
+  test("ewma starts at the raw value and stays inside the window's value range") {
+    val rows = Temporal.qEwma(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // reconstruct each user's ordered series and check the smoother
+    val byUser = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[Double]("value")))
+      .groupBy(_._1)
+      .map { case (u, es) => u -> es.sortBy(e => (e._3, e._2)).map(_._4) }
+    val out = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) ->
+      r.getAs[Double]("ewma")).toMap
+    val firstEvents = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Long]("us"),
+        r.getAs[Double]("value")))
+      .groupBy(_._1)
+      .map { case (_, es) => es.minBy(e => (e._3, e._2)) }
+    // a user's FIRST event has a single-term series: ewma == value
+    firstEvents.foreach { case (u, eid, _, v) =>
+      assert(math.abs(out((u, eid)) - v) < 1e-5, s"first ewma must equal value for user $u")
+    }
+    // every smoothed value lies within its user's min/max raw value
+    rows.foreach { r =>
+      val vals = byUser(r.getAs[Long]("user_id"))
+      val e = r.getAs[Double]("ewma")
+      assert(e >= vals.min - 1e-6 && e <= vals.max + 1e-6, s"ewma outside value range: $r")
+    }
+  }
+
+  test("twap matches a driver-side recomputation per user") {
+    val rows = Temporal.qTwap(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byUser = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"), r.getAs[Long]("us"),
+        r.getAs[Double]("value")))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val es = byUser(r.getAs[Long]("user_id")).sortBy(e => (e._3, e._2))
+      val durs = es.zip(es.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      val span = durs.map(_._2).sum
+      assert(r.getAs[Long]("span_us") == span)
+      assert(r.getAs[Long]("n_intervals") == durs.length)
+      val expected = durs.map { case (v, d) => v * d }.sum / span
+      assert(math.abs(r.getAs[Double]("twap") - expected) < 1e-4, s"twap mismatch: $r")
+    }
+  }
+
+  test("welch t-test matches a driver-side recomputation and df stays in its bounds") {
+    val rows = Profiling.qWelchTtest(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id") % 2,
+        r.getAs[Double]("value")))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val arm0 = data.filter(d => d._1 == t && d._2 == 0).map(_._3)
+      val arm1 = data.filter(d => d._1 == t && d._2 == 1).map(_._3)
+      assert(r.getAs[Long]("n0") == arm0.length && r.getAs[Long]("n1") == arm1.length)
+      def stats(xs: Array[Double]) = {
+        val n = xs.length.toDouble
+        val m = xs.sum / n
+        (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+      }
+      val (n0, m0, v0) = stats(arm0)
+      val (n1, m1, v1) = stats(arm1)
+      val se = v0 / n0 + v1 / n1
+      assert(math.abs(r.getAs[Double]("t_stat") - (m0 - m1) / math.sqrt(se)) < 1e-2)
+      val df = r.getAs[Double]("welch_df")
+      assert(df >= math.min(n0, n1) - 1 - 1e-6 && df <= n0 + n1 - 2 + 1e-6,
+        s"welch df out of bounds: $r")
+    }
+  }
+
   test("rfm segments cover every customer with quartile digits in 1..4") {
     val rows = Behavioral.qRfmSegments(spark, sf001).collect()
     val nCust = Tables.orders(spark, sf001).select(col("o_custkey")).distinct().count()
