@@ -78,4 +78,17 @@ object NumFns {
 
   def roundPortableSql(x: String, digits: Int): String =
     s"CAST(round(($x) * 1e$digits) AS BIGINT) / 1e$digits"
+
+  /** Oracle twin of [[graft.plans.QuantAgg]]'s quantized stable sum:
+    * the exact integer Σ round(x·10⁶) (BIGINT→HUGEINT accumulation is
+    * exact in the oracle engine), scaled back and rounded portably.
+    */
+  def quantSumSql(x: String, digits: Int): String =
+    roundPortableSql(
+      s"CAST(sum(CAST(round(($x) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6", digits)
+
+  /** Oracle twin of the quantized stable mean (Σ round(x·10⁶) / 10⁶ / n). */
+  def quantMeanSql(x: String, n: String, digits: Int): String =
+    roundPortableSql(
+      s"CAST(sum(CAST(round(($x) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / ($n)", digits)
 }

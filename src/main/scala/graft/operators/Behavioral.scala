@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.NumFns
@@ -450,4 +451,193 @@ object Behavioral {
        |FROM seg GROUP BY r_q, f_q, m_q
        |ORDER BY r_q, f_q, m_q""".stripMargin
   }
+
+  /** DAU/WAU stickiness — the engagement ratio every product dashboard
+    * leads with: per day, the distinct active users that day (DAU), the
+    * distinct users active in the trailing 7 days (WAU), and their
+    * ratio. Shape: the raw event stream collapses ONCE to the distinct
+    * (day, user) presence frame (map-side combined — at 100 TB this is
+    * the persisted daily-presence table, orders of magnitude smaller
+    * than events); DAU is a per-day count over it, and WAU joins the
+    * tiny day spine against the presence frame on a 7-day range — the
+    * fan-out is ≤7× a DIMENSION-sized frame, never the event stream.
+    * Exactness: counts are integers; the ratio is one portable-rounded
+    * division.
+    */
+  def qStickiness(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // feeds the spine, DAU, and the WAU range join
+    val spine = du.select(col("day").as("d")).distinct()
+    val dau = du.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
+    val wau = broadcast(spine)
+      .join(du, col("day") >= date_sub(col("d"), 6) && col("day") <= col("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        NumFns.roundPortable(col("dau") / col("wau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val qStickinessOracle: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |),
+       |spine AS (SELECT DISTINCT day AS d FROM du),
+       |dau AS (SELECT day AS d, count(*) AS dau FROM du GROUP BY day),
+       |wau AS (
+       |  SELECT d, count(DISTINCT user_id) AS wau
+       |  FROM spine JOIN du ON du.day >= spine.d - 6 AND du.day <= spine.d
+       |  GROUP BY d
+       |)
+       |SELECT d AS day, dau, wau,
+       |  ${NumFns.roundPortableSql("dau / wau", 6)} AS stickiness
+       |FROM dau JOIN wau USING (d)
+       |ORDER BY day""".stripMargin
+
+  /** Cohort LTV curves — cumulative revenue per customer by cohort age:
+    * customers cohort by FIRST-order month, every order lands in a
+    * (cohort, months-since-cohort) cell, and the running per-customer
+    * cumulative is the curve finance extrapolates. Shape: one orders
+    * scan → per-customer first-month aggregate (map-side combined),
+    * joined back on custkey (the only fact-sized shuffle), then
+    * everything is (cohorts × ages)-sized: revenue cells, a cumulative
+    * window PARTITIONED by cohort over the cell frame, cohort sizes
+    * broadcast. Exactness: months are integer year·12+month arithmetic
+    * (never months_between's fractional days), revenue is a
+    * DECIMAL-cast sum rounded to cents, LTV one portable division.
+    */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"),
+        col("o_totalprice"))
+    val firstYm = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cohort_ym"))
+    val cohortSize = firstYm.groupBy(col("cohort_ym"))
+      .agg(count(lit(1)).as("n_customers"))
+    val cells = o.join(firstYm.hint("shuffle_hash"), Seq("o_custkey"))
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("age_months"))
+      .agg(NumFns.stableSum(col("o_totalprice"), 2).as("revenue"))
+    val w = Window.partitionBy(col("cohort_ym")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_revenue", round(sum(col("revenue")).over(w), 2))
+      .join(broadcast(cohortSize), Seq("cohort_ym"))
+      .select(
+        concat(
+          floor((col("cohort_ym") - 1) / 12).cast("int").cast("string"), lit("-"),
+          lpad(((col("cohort_ym") - 1) % 12 + 1).cast("string"), 2, "0")).as("cohort_month"),
+        col("age_months").cast("int").as("age_months"), col("n_customers"),
+        col("revenue"), col("cum_revenue"),
+        NumFns.roundPortable(col("cum_revenue") / col("n_customers"), 4)
+          .as("ltv_per_customer"))
+      .orderBy(col("cohort_month"), col("age_months"))
+  }
+
+  val qCohortLtvOracle: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey,
+       |    year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+       |    o_totalprice
+       |  FROM orders
+       |),
+       |f AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+       |cs AS (SELECT cohort_ym, count(*) AS n_customers FROM f GROUP BY cohort_ym),
+       |cells AS (
+       |  SELECT cohort_ym, ym - cohort_ym AS age_months,
+       |    ${NumFns.stableSumSql("o_totalprice", 2)} AS revenue
+       |  FROM o JOIN f USING (o_custkey)
+       |  GROUP BY cohort_ym, ym - cohort_ym
+       |),
+       |cum AS (
+       |  SELECT cohort_ym, age_months, revenue,
+       |    round(sum(revenue) OVER (PARTITION BY cohort_ym ORDER BY age_months
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+       |  FROM cells
+       |)
+       |SELECT
+       |  CAST(CAST(floor((cohort_ym - 1) / 12) AS INT) AS VARCHAR) || '-' ||
+       |    lpad(CAST((cohort_ym - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       |  CAST(age_months AS INT) AS age_months, n_customers, revenue, cum_revenue,
+       |  ${NumFns.roundPortableSql("cum_revenue / n_customers", 4)} AS ltv_per_customer
+       |FROM cum JOIN cs USING (cohort_ym)
+       |ORDER BY cohort_month, age_months""".stripMargin
+
+  /** Market-basket association lift between part brands co-purchased in
+    * one order — the classic affinity analytic ("customers who buy X
+    * also buy Y"): support, confidence and lift per ordered brand pair
+    * with ≥ [[BasketMinCooc]] co-occurrences. Shape: lineitem joins the
+    * broadcast part dim, collapses to DISTINCT (order, brand) — so the
+    * pair fan-out is C(brands-in-order, 2) per order, a small constant —
+    * and every aggregate after that is brand²-bounded (≤625 cells).
+    * Exactness: supports are exact integer counts; lift multiplies
+    * integers cross-wise BEFORE one double division (c_ab·N / c_a·c_b),
+    * so there is no accumulated float anywhere.
+    */
+  val BasketMinCooc = 5L
+
+  def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    // ONE fact shuffle total: baskets collapse to a sorted distinct-brand
+    // array per order (collect_set dedups in the same hash agg), and the
+    // C(b,2) ordered pairs GENERATE scan-side from that array — no
+    // (order, brand) self-join, no second fact-sized exchange. Everything
+    // downstream of `byOrder` is order- or brand²-sized.
+    val byOrder = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .localCheckpoint() // feeds totals, marginals, and the pair explode
+    val n = byOrder.agg(count(lit(1)).as("n_orders"))
+    val marg = byOrder
+      .select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("c"))
+    // ordered pairs (a < b) from the sorted array: for element i, pair it
+    // with every later element — slice is 1-based, so start at i+2
+    val pairComb = flatten(transform(col("bs"), (x, i) =>
+      transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+        y => struct(x.as("brand_a"), y.as("brand_b")))))
+    val pairs = byOrder
+      .select(explode(pairComb).as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= BasketMinCooc)
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"), col("c").as("c_a"))), "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"), col("c").as("c_b"))), "brand_b")
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("c_ab"), col("c_a"), col("c_b"),
+        NumFns.roundPortable(col("c_ab") / col("n_orders"), 6).as("support"),
+        NumFns.roundPortable(col("c_ab") / col("c_a"), 6).as("confidence"),
+        NumFns.roundPortable(
+          (col("c_ab") * col("n_orders")) / (col("c_a") * col("c_b")).cast("double"), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+  }
+
+  val qBasketLiftOracle: String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |),
+       |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+       |marg AS (SELECT brand, count(*) AS c FROM ob GROUP BY brand),
+       |p AS (
+       |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS c_ab
+       |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+       |  GROUP BY a.brand, b.brand
+       |  HAVING count(*) >= $BasketMinCooc
+       |)
+       |SELECT brand_a, brand_b, c_ab, ma.c AS c_a, mb.c AS c_b,
+       |  ${NumFns.roundPortableSql("c_ab / n_orders", 6)} AS support,
+       |  ${NumFns.roundPortableSql("c_ab / ma.c", 6)} AS confidence,
+       |  ${NumFns.roundPortableSql("(c_ab * n_orders) / CAST(ma.c * mb.c AS DOUBLE)", 6)} AS lift
+       |FROM p
+       |JOIN marg ma ON ma.brand = p.brand_a
+       |JOIN marg mb ON mb.brand = p.brand_b
+       |CROSS JOIN n
+       |ORDER BY lift DESC, brand_a, brand_b""".stripMargin
 }

@@ -495,9 +495,21 @@ object Profiling {
         when(col("h") < 368, 0L).when(col("h") < 736, 1L)
           .when(col("h") < 920, 2L).when(col("h") < 981, 3L)
           .when(col("h") < 996, 4L).otherwise(5L))
-    val cells = fan.groupBy(col("event_type"), col("b"))
-      .agg((sum((col("w") * col("value")).cast(D)).cast("double")
-        / sum(col("w"))).as("mean_b"))
+    // resample means via the quantized two-phase form (r4, the QuantAgg
+    // trick): a DECIMAL(38,12) sum on the B-times-fanned stream was the
+    // query's dominant cost — int64 micro-unit partials per
+    // (type, b, salt) fold to exact DECIMAL(38,0) on the types×B×salts
+    // frame instead (measured ~2× on the whole query)
+    val DI = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = fan
+      .groupBy(col("event_type"), col("b"),
+        pmod(hash(col("event_id")), lit(64)).as("_salt"))
+      .agg(sum(graft.functions.NumFns.roundAwayLong(
+          col("w") * col("value") * 1e6)).as("pq"),
+        sum(col("w")).as("pw"))
+      .groupBy(col("event_type"), col("b"))
+      .agg((sum(col("pq").cast(DI)).cast("double") / 1e6 / sum(col("pw")))
+        .as("mean_b"))
     val wRank = Window.partitionBy(col("event_type"))
       .orderBy(col("mean_b"), col("b"))
     val ranked = cells.withColumn("rk", row_number().over(wRank))
@@ -505,10 +517,14 @@ object Profiling {
       .agg(count(lit(1)).as("n"),
         graft.functions.NumFns.stableMean(col("value"), count(lit(1)), 6)
           .as("mean_value"))
+    // portable round: a micro-unit-grid mean CAN land exactly on the
+    // 6th-decimal boundary
     point.join(
         ranked.groupBy(col("event_type"))
-          .agg(round(min(when(col("rk") === 2, col("mean_b"))), 6).as("ci_lo"),
-            round(min(when(col("rk") === BootstrapB - 1, col("mean_b"))), 6)
+          .agg(NumFns.roundPortable(
+              min(when(col("rk") === 2, col("mean_b"))), 6).as("ci_lo"),
+            NumFns.roundPortable(
+              min(when(col("rk") === BootstrapB - 1, col("mean_b"))), 6)
               .as("ci_hi")),
         Seq("event_type"))
       .orderBy(col("event_type"))
@@ -530,7 +546,7 @@ object Profiling {
        |),
        |cells AS (
        |  SELECT event_type, b,
-       |    CAST(sum(CAST(w * value AS DECIMAL(38,12))) AS DOUBLE)
+       |    CAST(sum(CAST(round(w * value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
        |      / CAST(sum(w) AS BIGINT) AS mean_b
        |  FROM wt GROUP BY event_type, b
        |),
@@ -541,8 +557,8 @@ object Profiling {
        |),
        |ci AS (
        |  SELECT event_type,
-       |    round(min(CASE WHEN rk = 2 THEN mean_b END), 6) AS ci_lo,
-       |    round(min(CASE WHEN rk = ${BootstrapB - 1} THEN mean_b END), 6) AS ci_hi
+       |    ${NumFns.roundPortableSql(s"min(CASE WHEN rk = 2 THEN mean_b END)", 6)} AS ci_lo,
+       |    ${NumFns.roundPortableSql(s"min(CASE WHEN rk = ${BootstrapB - 1} THEN mean_b END)", 6)} AS ci_hi
        |  FROM r GROUP BY event_type
        |),
        |pt AS (

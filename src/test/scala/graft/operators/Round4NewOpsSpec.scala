@@ -187,6 +187,63 @@ class Round4NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("stickiness is dau/wau with dau never exceeding wau") {
+    val rows = Behavioral.qStickiness(spark, sf001).collect()
+    val nDays = Tables.events(spark, sf001)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(rows.length == nDays)
+    rows.foreach { r =>
+      val dau = r.getAs[Long]("dau"); val wau = r.getAs[Long]("wau")
+      assert(dau >= 1 && dau <= wau, s"dau must not exceed wau: $r")
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+      assert(math.abs(st - dau.toDouble / wau) < 1e-5)
+    }
+  }
+
+  test("cohort ltv curves are cumulative and consistent per cohort") {
+    val rows = Behavioral.qCohortLtv(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cohort_month")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("age_months"))
+      // first cell's cumulative equals its own revenue
+      assert(math.abs(sorted.head.getAs[Double]("cum_revenue") -
+        sorted.head.getAs[Double]("revenue")) < 1e-6)
+      // cumulative is nondecreasing and sums the per-age revenue
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(math.abs(b.getAs[Double]("cum_revenue") -
+            (a.getAs[Double]("cum_revenue") + b.getAs[Double]("revenue"))) < 1e-2)
+        case _ =>
+      }
+      // ltv is the per-customer cumulative
+      sorted.foreach { r =>
+        assert(math.abs(r.getAs[Double]("ltv_per_customer") * r.getAs[Long]("n_customers")
+          - r.getAs[Double]("cum_revenue")) < r.getAs[Long]("n_customers") * 1e-3)
+      }
+    }
+    // cohort sizes cover every customer exactly once at age 0
+    val nCust = Tables.orders(spark, sf001).select(col("o_custkey")).distinct().count()
+    val age0 = rows.filter(_.getAs[Int]("age_months") == 0)
+    assert(age0.map(r => r.getAs[String]("cohort_month") -> r.getAs[Long]("n_customers"))
+      .toMap.values.sum == nCust)
+  }
+
+  test("basket lift marginals bound the pair counts and ratios recompute") {
+    val rows = Behavioral.qBasketLift(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cab = r.getAs[Long]("c_ab")
+      val ca = r.getAs[Long]("c_a"); val cb = r.getAs[Long]("c_b")
+      assert(cab >= Behavioral.BasketMinCooc && cab <= math.min(ca, cb),
+        s"pair count must be bounded by marginals: $r")
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"))
+      assert(math.abs(r.getAs[Double]("confidence") - cab.toDouble / ca) < 1e-5)
+    }
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "sorted by lift desc")
+  }
+
   test("rfm segments cover every customer with quartile digits in 1..4") {
     val rows = Behavioral.qRfmSegments(spark, sf001).collect()
     val nCust = Tables.orders(spark, sf001).select(col("o_custkey")).distinct().count()
