@@ -640,4 +640,91 @@ object Behavioral {
        |JOIN marg mb ON mb.brand = p.brand_b
        |CROSS JOIN n
        |ORDER BY lift DESC, brand_a, brand_b""".stripMargin
+
+  /** Width of a Pareto revenue bucket in integer cents ($10k). */
+  val ParetoBucketCents = 1000000L
+
+  /** The revenue-concentration percentile levels reported. */
+  val ParetoLevels = Seq(1, 5, 10, 25)
+
+  /** Pareto / Lorenz revenue concentration: for the top 1/5/10/25% of
+    * customers by lifetime revenue, the customer count and their share
+    * of total revenue — the "80/20" query behind every account-tiering
+    * decision.
+    *
+    * Scale shape: the cumulative-revenue-at-rank curve needs a GLOBAL
+    * ordering, and the naive `sum().over(Window.orderBy(...))` is the
+    * single-partition window this engine bans. Rank-from-counts instead
+    * (the [[graft.operators.Analytics.qGlobalDeciles]] trick, revenue
+    * descending): per-customer cents (exact longs) bucket into fixed
+    * $10k bands; per-bucket (count, cents-sum) partials fold into an
+    * exclusive prefix over the DIMENSION-sized bucket frame and
+    * broadcast back; within-bucket row_number + running cents complete
+    * the exact global rank AND exact cumulative revenue of every
+    * customer with no task ever sorting more than one bucket. The four
+    * cutoff ranks ⌈n·p/100⌉ join against the ranked frame as a
+    * broadcast.
+    *
+    * Exactness: revenue is integer cents end-to-end (sum of
+    * `round(price·100)` longs — order-independent); shares divide two
+    * exact integers once, portably rounded.
+    */
+  def qParetoShare(s: SparkSession, dir: String): DataFrame = {
+    val cr = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        NumFns.roundAwayLong(col("o_totalprice") * 100).as("cents"))
+      .groupBy(col("o_custkey")).agg(sum(col("cents")).as("cents"))
+      .withColumn("bucket", floor(col("cents") / ParetoBucketCents).cast("long"))
+    val bagg = cr.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bc"), sum(col("cents")).as("bcents"))
+    // revenue DESC ⇒ prefix over buckets in DESC order
+    val wPrefix = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bagg
+      .withColumn("off_n", coalesce(sum(col("bc")).over(wPrefix), lit(0L)))
+      .withColumn("off_cents", coalesce(sum(col("bcents")).over(wPrefix), lit(0L)))
+      .select(col("bucket"), col("off_n"), col("off_cents"))
+    val totals = cr.agg(count(lit(1)).as("n_customers"),
+      sum(col("cents")).as("total_cents"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("cents").desc, col("o_custkey"))
+    val ranked = cr.join(broadcast(offsets), "bucket")
+      .withColumn("rnk", col("off_n") + row_number().over(wIn))
+      .withColumn("cum_cents", col("off_cents") +
+        sum(col("cents")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+    val cutoffs = totals
+      .select(explode(lit(ParetoLevels.toArray)).as("pct"),
+        col("n_customers"), col("total_cents"))
+      .withColumn("k", expr("(n_customers * pct + 99) div 100"))
+    ranked.join(broadcast(cutoffs), col("rnk") === col("k"))
+      .select(col("pct"), col("k").as("n_top"),
+        (col("cum_cents").cast("double") / 100).as("cum_revenue"),
+        NumFns.roundPortable(
+          col("cum_cents").cast("double") / col("total_cents"), 6)
+          .as("revenue_share"))
+      .orderBy(col("pct"))
+  }
+
+  val qParetoShareOracle: String =
+    s"""WITH cr AS (
+       |  SELECT o_custkey,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |r AS (
+       |  SELECT o_custkey, cents,
+       |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk,
+       |    sum(cents) OVER (ORDER BY cents DESC, o_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+       |  FROM cr
+       |),
+       |t AS (SELECT count(*) AS n_customers, sum(cents) AS total_cents FROM cr),
+       |p AS (SELECT unnest([${ParetoLevels.mkString(", ")}]) AS pct)
+       |SELECT pct, (n_customers * pct + 99) // 100 AS n_top,
+       |  CAST(cum_cents AS DOUBLE) / 100 AS cum_revenue,
+       |  ${NumFns.roundPortableSql(
+             "CAST(cum_cents AS DOUBLE) / total_cents", 6)} AS revenue_share
+       |FROM p CROSS JOIN t
+       |JOIN r ON r.rnk = (t.n_customers * p.pct + 99) // 100
+       |ORDER BY pct""".stripMargin
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.NumFns
+import graft.sources.Tables
+
+/** Recommender primitives over the purchase graph (SURVEY.md §2,
+  * table 2): item-item collaborative filtering from co-purchase
+  * signals — the memory-based CF baseline every recsys starts from.
+  */
+object Recsys {
+
+  /** Customers with more than this many distinct purchased parts are
+    * excluded from pair generation: the per-customer pair fan-out is
+    * C(basket, 2), so one unbounded "crawler" account would dominate the
+    * whole pair stage (the standard item-CF frequent-user cap, cf. the
+    * analogous hot-label chunking in
+    * [[graft.operators.Similarity.chunkedCorpus]]). The cap is part of
+    * the operator's SEMANTICS (mirrored in the oracle), not a silent
+    * truncation.
+    */
+  val CfMaxBasket = 64L
+
+  /** Minimum co-purchase count for a pair to be scored. */
+  val CfMinCooc = 3L
+
+  /** Neighbors kept per item. */
+  val CfTopK = 5
+
+  /** Item-item collaborative filtering: for every part, the top-5 most
+    * similar parts by co-purchase cosine sim(a,b) = c_ab / √(c_a·c_b),
+    * where c_x counts distinct purchasing customers — the "customers who
+    * bought X also bought Y" table.
+    *
+    * Scale shape: orders⋈lineitem collapses to the DISTINCT
+    * (customer, part) incidence frame in ONE fact shuffle; baskets over
+    * [[CfMaxBasket]] parts drop (bounded C(b,2) fan-out per customer);
+    * ordered pairs GENERATE scan-side from each customer's sorted
+    * distinct-part array (no incidence self-join — the same
+    * array-combination trick as [[Behavioral.qBasketLift]]); marginals
+    * and pair counts are map-side-combined integer aggregates; the
+    * top-k window partitions by part — an item-domain-sized partition,
+    * never a row-scale one.
+    *
+    * Exactness: counts are exact integers; cosine is one double
+    * expression of three integers, portably rounded, and the top-k
+    * tie-breaks on the neighbor key, so ranks are deterministic on both
+    * engines.
+    */
+  def qItemCf(s: SparkSession, dir: String): DataFrame = {
+    val inc = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val baskets = inc.groupBy(col("cust"))
+      .agg(sort_array(collect_set(col("part"))).as("ps"))
+      .filter(size(col("ps")) <= CfMaxBasket)
+      .localCheckpoint() // feeds marginals AND the pair explode
+    val marg = baskets.select(explode(col("ps")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("c"))
+    val pairComb = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("pa"), y.as("pb")))))
+    val pairs = baskets.select(explode(pairComb).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CfMinCooc)
+    // undirected pair counts → both neighbor directions before ranking
+    val sym = pairs.union(
+      pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("c_ab")))
+    val scored = sym
+      .join(marg.hint("shuffle_hash")
+        .select(col("part").as("pa"), col("c").as("c_a")), "pa")
+      .join(marg.hint("shuffle_hash")
+        .select(col("part").as("pb"), col("c").as("c_b")), "pb")
+      .withColumn("cosine", NumFns.roundPortable(
+        col("c_ab") / sqrt((col("c_a") * col("c_b")).cast("double")), 6))
+    val w = Window.partitionBy(col("pa"))
+      .orderBy(col("cosine").desc, col("pb"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CfTopK)
+      .select(col("pa").as("part"), col("rk"), col("pb").as("neighbor"),
+        col("c_ab"), col("c_a"), col("c_b"), col("cosine"))
+      .orderBy(col("part"), col("rk"))
+  }
+
+  val qItemCfOracle: String =
+    s"""WITH inc AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |keep AS (
+       |  SELECT cust FROM inc GROUP BY cust HAVING count(*) <= $CfMaxBasket
+       |),
+       |ki AS (SELECT inc.* FROM inc JOIN keep USING (cust)),
+       |marg AS (SELECT part, count(*) AS c FROM ki GROUP BY part),
+       |pr AS (
+       |  SELECT a.part AS pa, b.part AS pb, count(*) AS c_ab
+       |  FROM ki a JOIN ki b ON a.cust = b.cust AND a.part < b.part
+       |  GROUP BY a.part, b.part
+       |  HAVING count(*) >= $CfMinCooc
+       |),
+       |sym AS (
+       |  SELECT pa, pb, c_ab FROM pr
+       |  UNION ALL SELECT pb AS pa, pa AS pb, c_ab FROM pr
+       |),
+       |sc AS (
+       |  SELECT sym.pa, sym.pb, sym.c_ab, ma.c AS c_a, mb.c AS c_b,
+       |    ${NumFns.roundPortableSql(
+             "c_ab / sqrt(CAST(ma.c * mb.c AS DOUBLE))", 6)} AS cosine
+       |  FROM sym
+       |  JOIN marg ma ON ma.part = sym.pa
+       |  JOIN marg mb ON mb.part = sym.pb
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY pa
+       |    ORDER BY cosine DESC, pb) AS rk
+       |  FROM sc
+       |)
+       |SELECT pa AS part, rk, pb AS neighbor, c_ab, c_a, c_b, cosine
+       |FROM r WHERE rk <= $CfTopK
+       |ORDER BY part, rk""".stripMargin
+}

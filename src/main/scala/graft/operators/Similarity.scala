@@ -854,4 +854,83 @@ object Similarity {
        |FROM v1 CROSS JOIN sc
        |ORDER BY pos""".stripMargin
   }
+
+  /** Minimum within-threshold neighbors for a vector to count as a
+    * DBSCAN core point (the vector itself is not counted).
+    */
+  val DensityMinPts = 3L
+
+  /** DBSCAN-style density classification over the embedding corpus:
+    * every vector becomes `core` (≥ [[DensityMinPts]] neighbors at
+    * cosine ≥ [[NearDupThreshold]] within its label block), `border`
+    * (fewer, but adjacent to a core), or `noise` — the standard density
+    * triage for pruning sparse junk and keeping cluster interiors when
+    * curating an embedding space.
+    *
+    * Scale shape: the ENTIRE pair computation is
+    * [[embedNeardupPairs]] — the chunk×chunk bounded-task exact
+    * generator (per-task memory capped at 2×[[EmbedChunkSize]] vectors
+    * regardless of label skew) — so this query adds only
+    * dimension-per-vector degree aggregates on bare (id, id) longs: a
+    * symmetric union, one map-side-combined degree count, one
+    * core-neighbor semi-join of the pair list against the core set, and
+    * a left join back to the corpus for degree-0 noise rows. Nothing
+    * after the generator ever touches a vector payload.
+    *
+    * Exactness: neighbor = the SAME rounded-sim ≥ threshold predicate as
+    * `q_embed_neardup` (identical fold order both engines), so degrees
+    * are exact integers and the class is a pure integer decision —
+    * nothing here can flake.
+    */
+  def qEmbedDensity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = embedNeardupPairs(s, dir, EmbedChunkSize)
+      .select(col("vec_id_a"), col("vec_id_b"))
+      .localCheckpoint() // feeds degrees AND the border semi-join
+    val sym = pairs
+      .union(pairs.select(col("vec_id_b").as("vec_id_a"), col("vec_id_a").as("vec_id_b")))
+    val deg = sym.groupBy(col("vec_id_a").as("vec_id"))
+      .agg(count(lit(1)).as("degree"))
+    val core = deg.filter(col("degree") >= DensityMinPts)
+      .select(col("vec_id").as("core_id"))
+    // border = sub-core vector with ≥1 core neighbor: semi-join of the
+    // symmetric edge list against the core set, on bare longs
+    val hasCoreNbr = sym
+      .join(core.hint("shuffle_hash"), col("vec_id_b") === col("core_id"), "left_semi")
+      .select(col("vec_id_a").as("vec_id")).distinct()
+      .withColumn("near_core", lit(true))
+    Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      .join(deg.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .join(hasCoreNbr.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        when(coalesce(col("degree"), lit(0L)) >= DensityMinPts, "core")
+          .when(coalesce(col("near_core"), lit(false)), "border")
+          .otherwise("noise").as("density_class"))
+      .orderBy(col("vec_id"))
+  }
+
+  val qEmbedDensityOracle: String =
+    s"""WITH $preparedSql,
+       |pr AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round(${dotSql("a.v", "b.v")} / (sqrt(a.nsq) * sqrt(b.nsq)), 4)
+       |    >= $NearDupThreshold
+       |),
+       |sym AS (SELECT va, vb FROM pr UNION ALL SELECT vb AS va, va AS vb FROM pr),
+       |deg AS (SELECT va AS vec_id, count(*) AS degree FROM sym GROUP BY va),
+       |core AS (SELECT vec_id FROM deg WHERE degree >= $DensityMinPts),
+       |nearc AS (
+       |  SELECT DISTINCT sym.va AS vec_id FROM sym
+       |  WHERE sym.vb IN (SELECT vec_id FROM core)
+       |)
+       |SELECT e.vec_id, e.label,
+       |  coalesce(deg.degree, 0) AS degree,
+       |  CASE WHEN coalesce(deg.degree, 0) >= $DensityMinPts THEN 'core'
+       |       WHEN nearc.vec_id IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS density_class
+       |FROM e
+       |LEFT JOIN deg ON e.vec_id = deg.vec_id
+       |LEFT JOIN nearc ON e.vec_id = nearc.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 }

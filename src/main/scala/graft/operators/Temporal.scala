@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.NumFns
 import graft.sources.Tables
 
 /** Time-series operators over the events table (SURVEY.md §2, table 2):
@@ -682,4 +683,144 @@ object Temporal {
        |FROM g
        |WHERE span_us > 0
        |ORDER BY user_id""".stripMargin
+
+  /** Day-of-week seasonality profile per event type: events per ISO
+    * weekday, that weekday's mean value, and the lift of the weekday
+    * mean over the type's overall mean — the decomposition behind
+    * "weekend traffic is 2× weekday" dashboards.
+    *
+    * Shape: ONE event scan into a (type × 7)-cell map-side-combined
+    * aggregate carrying the DECIMAL partial sum and count; the per-type
+    * overall mean folds FROM the 7 weekday cells (exact decimal partials
+    * re-aggregated, never a second event scan) and broadcasts back onto
+    * the cell frame. Everything after the scan is dimension-sized.
+    *
+    * Cross-engine: ISO weekday (1=Mon..7=Sun) is arithmetic on Spark's
+    * Sunday-based `dayofweek` vs DuckDB's native `isodow`; means are
+    * DECIMAL-sum ÷ count rounded portably (a mean of few-decimal values
+    * CAN land on the 6th-decimal boundary).
+    */
+  def qDowProfile(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        (pmod(dayofweek(col("ts")) + 5, lit(7)) + 1).as("isodow"),
+        col("value"))
+      .groupBy(col("event_type"), col("isodow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).as("vsum"))
+    val overall = cells.groupBy(col("event_type"))
+      .agg((sum(col("vsum")).cast("double") / sum(col("n_events"))).as("mean_all"))
+    cells.join(broadcast(overall), Seq("event_type"))
+      .select(col("event_type"), col("isodow"), col("n_events"),
+        NumFns.roundPortable(col("vsum").cast("double") / col("n_events"), 6)
+          .as("mean_value"),
+        NumFns.roundPortable(
+          (col("vsum").cast("double") / col("n_events")) / col("mean_all"), 6)
+          .as("lift"))
+      .orderBy(col("event_type"), col("isodow"))
+  }
+
+  val qDowProfileOracle: String =
+    s"""WITH c AS (
+       |  SELECT event_type, isodow(ts) AS isodow, count(*) AS n_events,
+       |    sum(CAST(value AS DECIMAL(38,12))) AS vsum
+       |  FROM events GROUP BY event_type, isodow(ts)
+       |),
+       |o AS (
+       |  SELECT event_type,
+       |    CAST(sum(vsum) AS DOUBLE) / sum(n_events) AS mean_all
+       |  FROM c GROUP BY event_type
+       |)
+       |SELECT event_type, isodow, n_events,
+       |  ${NumFns.roundPortableSql("CAST(vsum AS DOUBLE) / n_events", 6)} AS mean_value,
+       |  ${NumFns.roundPortableSql(
+             "(CAST(vsum AS DOUBLE) / n_events) / mean_all", 6)} AS lift
+       |FROM c JOIN o USING (event_type)
+       |ORDER BY event_type, isodow""".stripMargin
+
+  /** CUSUM change-point detection per event type: the day where the
+    * cumulative deviation of the daily mean from the type's overall mean
+    * peaks in absolute value — the classic single-change-point locator
+    * (the cusum curve drifts monotonically before/after a level shift,
+    * so its extremum brackets the shift).
+    *
+    * Shape: events collapse once to (type, day) cells with DECIMAL
+    * partial sums (map-side combined); the per-type mean-of-daily-means
+    * folds from the cell frame and broadcasts; the cusum window runs
+    * over the (type × days) CELL frame — day-count-sized, never event
+    * rows — and one rank keeps the extremum row per type.
+    *
+    * Determinism: daily means are portable-rounded doubles (identical
+    * both engines), the running sum is sequential in day order on both
+    * engines over identical inputs, and the argmax tie-breaks on the
+    * earlier day.
+    */
+  def qCusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / (86400L * 1000000L)).as("day_epoch"),
+        col("value"))
+      .groupBy(col("event_type"), col("day_epoch"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("vsum"))
+      .select(col("event_type"), col("day_epoch"),
+        NumFns.roundPortable(col("vsum").cast("double") / col("n"), 6)
+          .as("day_mean"))
+    val mu = days.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        NumFns.roundPortable(
+          sum(col("day_mean").cast(D)).cast("double") / count(lit(1)), 6)
+          .as("mu"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day_epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = days.join(broadcast(mu), Seq("event_type"))
+      .withColumn("cusum", sum(col("day_mean") - col("mu")).over(wCum))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day_epoch"))
+    cum.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_days"),
+        col("day_epoch").as("change_day"),
+        NumFns.roundPortable(col("cusum"), 6).as("peak_cusum"),
+        when(col("cusum") > 0, "level_drop").otherwise("level_rise")
+          .as("shift_direction"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCusumChangepointOracle: String =
+    s"""WITH d AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day_epoch,
+       |    count(*) AS n, sum(CAST(value AS DECIMAL(38,12))) AS vsum
+       |  FROM events GROUP BY event_type, day_epoch
+       |),
+       |dm AS (
+       |  SELECT event_type, day_epoch,
+       |    ${NumFns.roundPortableSql("CAST(vsum AS DOUBLE) / n", 6)} AS day_mean
+       |  FROM d
+       |),
+       |m AS (
+       |  SELECT event_type, count(*) AS n_days,
+       |    ${NumFns.roundPortableSql(
+             "CAST(sum(CAST(day_mean AS DECIMAL(38,12))) AS DOUBLE) / count(*)", 6)} AS mu
+       |  FROM dm GROUP BY event_type
+       |),
+       |c AS (
+       |  SELECT dm.event_type, m.n_days, dm.day_epoch,
+       |    sum(dm.day_mean - m.mu) OVER (PARTITION BY dm.event_type
+       |      ORDER BY dm.day_epoch
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+       |  FROM dm JOIN m USING (event_type)
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |    ORDER BY abs(cusum) DESC, day_epoch) AS rk
+       |  FROM c
+       |)
+       |SELECT event_type, n_days, day_epoch AS change_day,
+       |  ${NumFns.roundPortableSql("cusum", 6)} AS peak_cusum,
+       |  CASE WHEN cusum > 0 THEN 'level_drop' ELSE 'level_rise' END
+       |    AS shift_direction
+       |FROM r WHERE rk = 1
+       |ORDER BY event_type""".stripMargin
 }

@@ -244,6 +244,98 @@ class Round4NewOpsSpec extends SparkSpec {
     assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b }, "sorted by lift desc")
   }
 
+  test("pareto shares are monotone in pct and bounded by the top-rank identity") {
+    val rows = Behavioral.qParetoShare(spark, sf001).collect()
+    assert(rows.map(_.getAs[Int]("pct")).toSeq == Behavioral.ParetoLevels)
+    val nCust = Tables.orders(spark, sf001).select(col("o_custkey")).distinct().count()
+    rows.foreach { r =>
+      val pct = r.getAs[Int]("pct")
+      assert(r.getAs[Long]("n_top") == (nCust * pct + 99) / 100)
+      val share = r.getAs[Double]("revenue_share")
+      // top p% of customers hold at least p% of revenue (sorted desc)
+      assert(share >= pct / 100.0 - 1e-9 && share <= 1.0)
+    }
+    val shares = rows.map(_.getAs[Double]("revenue_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "share must grow with pct")
+  }
+
+  test("item-cf neighbors are symmetric-counted, ranked, and capped at top-k") {
+    val rows = Recsys.qItemCf(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byPart = rows.groupBy(_.getAs[Long]("part"))
+    byPart.foreach { case (_, rs) =>
+      assert(rs.length <= Recsys.CfTopK)
+      val ranked = rs.sortBy(_.getAs[Int]("rk"))
+      assert(ranked.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length))
+      val cos = ranked.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // pair counts are symmetric: (a, b, c_ab) implies the reverse count
+    val cnt = rows.map(r => (r.getAs[Long]("part"), r.getAs[Long]("neighbor")) ->
+      r.getAs[Long]("c_ab")).toMap
+    cnt.foreach { case ((a, b), c) =>
+      cnt.get((b, a)).foreach(rc => assert(rc == c, s"asymmetric count for ($a,$b)"))
+    }
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("c_ab") /
+        math.sqrt((r.getAs[Long]("c_a") * r.getAs[Long]("c_b")).toDouble)
+      assert(math.abs(r.getAs[Double]("cosine") - expected) < 1e-5)
+    }
+  }
+
+  test("embed density classes partition the corpus and satisfy the degree rules") {
+    val rows = Similarity.qEmbedDensity(spark, sf001).collect()
+    val nVec = Tables.embeddings(spark, sf001).count()
+    assert(rows.length == nVec)
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val pairs = Similarity.embedNeardupPairs(spark, sf001, Similarity.EmbedChunkSize)
+      .select(col("vec_id_a"), col("vec_id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      val d = r.getAs[Long]("degree")
+      assert(d == deg.getOrElse(r.getAs[Long]("vec_id"), 0L))
+      val cls = r.getAs[String]("density_class")
+      if (d >= Similarity.DensityMinPts) assert(cls == "core")
+      else assert(cls == "border" || cls == "noise")
+    }
+    // border ⇔ sub-core with a core neighbor
+    pairs.foreach { case (a, b) =>
+      def check(x: Long, y: Long): Unit =
+        if (byId(x).getAs[String]("density_class") == "noise")
+          assert(byId(y).getAs[String]("density_class") != "core",
+            s"$x marked noise but has core neighbor $y")
+      check(a, b); check(b, a)
+    }
+  }
+
+  test("dow profile lift recombines to the per-type overall mean") {
+    val rows = Temporal.qDowProfile(spark, sf001).collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("isodow")).toSet.subsetOf((1 to 7).toSet))
+      // weighted mean of weekday means = overall mean, so the weighted
+      // mean of lifts is 1
+      val n = rs.map(_.getAs[Long]("n_events")).sum.toDouble
+      val wLift = rs.map(r => r.getAs[Double]("lift") * r.getAs[Long]("n_events")).sum / n
+      assert(math.abs(wLift - 1.0) < 1e-4, s"weighted lift $wLift != 1")
+    }
+  }
+
+  test("cusum changepoint flags the extremum of the daily-mean deviation walk") {
+    val rows = Temporal.qCusumChangepoint(spark, sf001).collect()
+    val types = Tables.events(spark, sf001)
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") >= 1)
+      val peak = r.getAs[Double]("peak_cusum")
+      val dir = r.getAs[String]("shift_direction")
+      assert(if (peak > 0) dir == "level_drop" else dir == "level_rise")
+    }
+  }
+
   test("rfm segments cover every customer with quartile digits in 1..4") {
     val rows = Behavioral.qRfmSegments(spark, sf001).collect()
     val nCust = Tables.orders(spark, sf001).select(col("o_custkey")).distinct().count()
