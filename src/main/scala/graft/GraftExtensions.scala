@@ -18,6 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // every round(avg|sum(double)) GROUP aggregate — including ones
     // users write — lowers to the order-independent decimal form
     ext.injectOptimizerRule(_ => graft.plans.StableAggRule)
+    // grouped top-k: Filter(row_number <= k, Window) lowers to the
+    // map-side-heap TopKPerKey operator under the window — the exchange
+    // then carries k rows per key instead of every row
+    ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
