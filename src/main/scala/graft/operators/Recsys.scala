@@ -35,15 +35,25 @@ object Recsys {
     * where c_x counts distinct purchasing customers — the "customers who
     * bought X also bought Y" table.
     *
-    * Scale shape: orders⋈lineitem collapses to the DISTINCT
-    * (customer, part) incidence frame in ONE fact shuffle; baskets over
-    * [[CfMaxBasket]] parts drop (bounded C(b,2) fan-out per customer);
-    * ordered pairs GENERATE scan-side from each customer's sorted
-    * distinct-part array (no incidence self-join — the same
-    * array-combination trick as [[Behavioral.qBasketLift]]); marginals
-    * and pair counts are map-side-combined integer aggregates; the
-    * top-k window partitions by part — an item-domain-sized partition,
-    * never a row-scale one.
+    * Scale shape: orders⋈lineitem repartitions ONCE by customer; that
+    * single cust-clustered exchange then satisfies the distinct
+    * aggregate (grouping on (cust, part) — a superset of the
+    * partitioning), the basket-cap aggregate, the semi-join, and BOTH
+    * sides of the pair self-join with no further customer shuffle.
+    * Customers over [[CfMaxBasket]] distinct parts drop (bounding the
+    * per-customer pair fan-out at C(b,2)); pairs come from a
+    * shuffle-hash SELF-JOIN of the capped incidence frame on the
+    * customer key — whole-stage codegen fuses join → `pa < pb` filter →
+    * partial count into one no-materialization pass, which profiled
+    * 4.7× faster than generating the same 11M pairs from per-customer
+    * sorted arrays (interpreted higher-order transforms allocate a
+    * struct per pair; the carried array makes the generate form O(b²)
+    * array traffic). Marginals and pair counts are map-side-combined
+    * integer aggregates; the top-k window partitions by part — an
+    * item-domain-sized partition, never a row-scale one (and the
+    * grouped-top-k heap rule bounds what it shuffles). The capped
+    * incidence frame is localCheckpoint'd once and feeds the marginals
+    * and BOTH join sides.
     *
     * Exactness: counts are exact integers; cosine is one double
     * expression of three integers, portably rounded, and the top-k
@@ -54,18 +64,22 @@ object Recsys {
     val inc = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-      .distinct()
-    val baskets = inc.groupBy(col("cust"))
-      .agg(sort_array(collect_set(col("part"))).as("ps"))
-      .filter(size(col("ps")) <= CfMaxBasket)
-      .localCheckpoint() // feeds marginals AND the pair explode
-    val marg = baskets.select(explode(col("ps")).as("part"))
-      .groupBy(col("part")).agg(count(lit(1)).as("c"))
-    val pairComb = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.as("pa"), y.as("pb")))))
-    val pairs = baskets.select(explode(pairComb).as("p"))
-      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .repartition(col("cust"))
+      .groupBy(col("cust"), col("part")).agg(lit(1))
+      .select(col("cust"), col("part"))
+    val keep = inc.groupBy(col("cust"))
+      .agg(count(lit(1)).as("b"))
+      .filter(col("b") <= CfMaxBasket)
+      .select(col("cust"))
+    // capped incidence: feeds marginals and both self-join sides
+    val ki = inc.join(keep.hint("shuffle_hash"), Seq("cust"), "left_semi")
+      .localCheckpoint()
+    val marg = ki.groupBy(col("part")).agg(count(lit(1)).as("c"))
+    val pairs = ki.select(col("cust"), col("part").as("pa"))
+      .join(ki.select(col("cust"), col("part").as("pb")).hint("shuffle_hash"),
+        Seq("cust"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= CfMinCooc)
     // undirected pair counts → both neighbor directions before ranking
