@@ -26,8 +26,8 @@ object Curation {
     * Spliced into the oracle SQL below (never hand-copied) so the two
     * engines cannot silently drift.
     */
-  private val StopWords = Seq("the", "a", "of", "and", "to")
-  private val stopListSql = StopWords.map(w => s"'$w'").mkString(", ")
+  val StopWords = Seq("the", "a", "of", "and", "to")
+  val stopListSql: String = StopWords.map(w => s"'$w'").mkString(", ")
 
   /** Email-matching regex shared by [[qTextRedact]], its oracle, and the
     * production scrub in [[graft.CuratePipeline]] — one definition, no

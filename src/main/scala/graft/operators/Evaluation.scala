@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{NumFns, TextFns}
+import graft.sources.Tables
+
+/** Classifier / ranker evaluation metrics as first-class distributed
+  * operators (SURVEY.md §2, table 3): exact ROC AUC by rank-from-counts,
+  * NDCG of the approximate retrieval path against the exact one, and the
+  * chi-square independence test. A training-data pipeline lives and dies
+  * by these — every quality filter is a classifier and every ANN index a
+  * ranker, and their quality must be a measured, oracle-checked number,
+  * not a claim.
+  */
+object Evaluation {
+
+  private val D12 = DecimalType(38, 12)
+
+  /** Exact ROC AUC of the stopword-ratio signal as an English-language
+    * classifier — the Mann-Whitney rank-sum form
+    * AUC = (Σ ranks⁺ − P(P+1)/2) / (P·N) with average ranks over ties.
+    *
+    * Rank-from-counts shape (the exactPercentiles / percent_rank trick):
+    * the corpus collapses to per-score CELLS (score is an integer
+    * permille, so ≤1001 cells — value-domain-sized, never row-scale),
+    * ranks come from a running sum OVER THE CELLS frame, and every
+    * rank-sum term is a half-integer summed as DECIMAL(38,1) — exact on
+    * both engines regardless of accumulation order. No row-scale sort,
+    * no per-row window: the only per-row work is the scan-side score
+    * projection, exactly the shape that survives 100 TB.
+    */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val D1 = DecimalType(38, 1)
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0) // empty docs have no score (0/0)
+      .select(
+        floor(lit(1000) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val cells = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    // running count of rows ranked strictly below this cell — a window
+    // over the ≤1001-row cells aggregate, not over the corpus
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("below", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("n"), col("np"),
+        // average rank of the tied block, a half-integer: below + (n+1)/2
+        ((col("np") * (lit(2) * col("below") + col("n") + 1)).cast(D1) / 2)
+          .as("pos_rank_sum"))
+    ranked.agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("n") - col("np")).as("n_neg"),
+        sum(col("pos_rank_sum")).as("r_pos"))
+      .select(col("n_pos"), col("n_neg"),
+        NumFns.roundPortable(
+          (col("r_pos").cast("double")
+            - col("n_pos").cast("double") * (col("n_pos") + 1) / 2)
+            / (col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+  }
+
+  val qAucOracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT CAST(floor(1000 * len(list_filter(toks,
+       |      x -> x IN (${Curation.stopListSql}))) / len(toks)) AS BIGINT)
+       |    AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |cells AS (
+       |  SELECT score, count(*) AS n, sum(pos) AS np FROM sc GROUP BY score
+       |),
+       |rk AS (
+       |  SELECT n, np,
+       |    COALESCE(sum(n) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM cells
+       |),
+       |ag AS (
+       |  SELECT sum(np) AS n_pos, sum(n - np) AS n_neg,
+       |    sum(CAST(np * (2 * below + n + 1) AS DECIMAL(38,1)) / 2) AS r_pos
+       |  FROM rk
+       |)
+       |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       |  ${NumFns.roundPortableSql(
+             "(CAST(r_pos AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2)" +
+               " / CAST(n_pos * n_neg AS DOUBLE)", 6)} AS auc
+       |FROM ag""".stripMargin
+
+  /** NDCG@3 of the IVF retrieval path against the exact cosine ranking —
+    * the graded companion to `q_ann_recall`'s set recall: the exact
+    * top-5 defines relevance (rel = 6 − exact rank), the IVF top-3 is
+    * the ranking under test, and NDCG@3 = DCG/IDCG with the standard
+    * 1/log₂(pos+1) discounts. Shape: both inputs are already per-query
+    * bounded lists, the join is (query, neighbor)-keyed over ≤5·|queries|
+    * rows, and the discounted sums are DECIMAL-cast — the metric layer
+    * adds no corpus-scale work (same argument as `qRankFusion`).
+    */
+  def qNdcg(s: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.qAnnTopk(s, dir)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(6) - col("rank")).as("rel"))
+    val ivf = Similarity.qAnnIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    // ideal DCG@3 of the (5,4,3)-graded exact list — a constant
+    val idcg = (1 to 3).map(i => (6.0 - i) / (math.log(i + 1.0) / math.log(2.0))).sum
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("rel"), lit(0)).cast("double")
+          / log(2.0, col("rank") + 1)).cast(D12).as("g"))
+    val queries = exact.select(col("query_id")).distinct()
+    queries.join(
+        hits.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_ret"), sum(col("g")).as("dcg")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+        NumFns.roundPortable(
+          coalesce(col("dcg").cast("double"), lit(0.0)) / idcg, 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  val qNdcgOracle: String = {
+    val idcg = (1 to 3).map(i => (6.0 - i) / (math.log(i + 1.0) / math.log(2.0))).sum
+    s"""WITH ex AS (${Similarity.qAnnTopkOracle}),
+       |iv AS (${Similarity.qAnnIvfOracle}),
+       |h AS (
+       |  SELECT iv.query_id,
+       |    CAST(CAST(COALESCE(6 - ex.rank, 0) AS DOUBLE) / log2(iv.rank + 1)
+       |      AS DECIMAL(38,12)) AS g
+       |  FROM iv LEFT JOIN ex
+       |    ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+       |),
+       |d AS (
+       |  SELECT query_id, count(*) AS n_ret, sum(g) AS dcg
+       |  FROM h GROUP BY query_id
+       |),
+       |q AS (SELECT DISTINCT query_id FROM ex)
+       |SELECT q.query_id, COALESCE(d.n_ret, 0) AS n_ret,
+       |  ${NumFns.roundPortableSql(
+             s"COALESCE(CAST(d.dcg AS DOUBLE), 0.0) / $idcg", 6)} AS ndcg
+       |FROM q LEFT JOIN d ON d.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
+  /** Chi-square test of independence between market segment and order
+    * priority, with Cramér's V effect size — the categorical-association
+    * companion to `q_welch_ttest` (means) and `q_corr` (linear). The
+    * contingency table is an integer hash aggregate (segments ×
+    * priorities = 25 cells); margins come from re-aggregating the CELLS,
+    * so the fact table is scanned once and everything downstream is
+    * dimension-sized. Expected counts and contributions are one double
+    * expression of exact integers each, summed as DECIMAL — the whole
+    * statistic is accumulation-order-independent.
+    */
+  def qChi2(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds both margins and the contribution join
+    val rowTot = cells.groupBy(col("seg")).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col("prio")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("seg")).as("n_seg"),
+      countDistinct(col("prio")).as("n_prio"))
+    val contrib = cells
+      .join(broadcast(rowTot), Seq("seg"))
+      .join(broadcast(colTot), Seq("prio"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("n_seg"), col("n_prio"),
+        (pow(col("o") - col("r") * col("c") / col("n").cast("double"), 2.0)
+          / (col("r") * col("c") / col("n").cast("double"))).cast(D12).as("x"))
+    contrib.groupBy(col("n"), col("n_seg"), col("n_prio"))
+      .agg(sum(col("x")).as("chi2d"))
+      .select(col("n"),
+        ((col("n_seg") - 1) * (col("n_prio") - 1)).as("dof"),
+        NumFns.roundPortable(col("chi2d").cast("double"), 6).as("chi2"),
+        NumFns.roundPortable(
+          sqrt(col("chi2d").cast("double")
+            / (col("n") * least(col("n_seg") - 1, col("n_prio") - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  val qChi2Oracle: String =
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS o
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY seg, prio
+       |),
+       |rt AS (SELECT seg, sum(o) AS r FROM cells GROUP BY seg),
+       |ct AS (SELECT prio, sum(o) AS c FROM cells GROUP BY prio),
+       |t AS (SELECT sum(o) AS n, count(DISTINCT seg) AS n_seg,
+       |        count(DISTINCT prio) AS n_prio FROM cells),
+       |x AS (
+       |  SELECT n, n_seg, n_prio,
+       |    CAST(pow(o - r * c / CAST(n AS DOUBLE), 2)
+       |      / (r * c / CAST(n AS DOUBLE)) AS DECIMAL(38,12)) AS x
+       |  FROM cells JOIN rt USING (seg) JOIN ct USING (prio) CROSS JOIN t
+       |)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CAST((n_seg - 1) * (n_prio - 1) AS BIGINT) AS dof,
+       |  ${NumFns.roundPortableSql("CAST(sum(x) AS DOUBLE)", 6)} AS chi2,
+       |  ${NumFns.roundPortableSql(
+           "sqrt(CAST(sum(x) AS DOUBLE) / (n * least(n_seg - 1, n_prio - 1)))", 6)}
+       |    AS cramers_v
+       |FROM x GROUP BY n, n_seg, n_prio""".stripMargin
+}

@@ -776,4 +776,91 @@ object Profiling {
             "((se0 + se1) * (se0 + se1)) / ((se0 * se0) / (n0 - 1) + (se1 * se1) / (n1 - 1))", 2)} AS welch_df
        |FROM c
        |ORDER BY event_type""".stripMargin
+
+  /** Bin count for [[qPsi]]'s length histogram (500-char buckets, last
+    * bin open-ended). */
+  val PsiBins = 10
+
+  /** Population stability index of the document-length distribution
+    * between the even-doc_id snapshot (reference) and the odd-doc_id
+    * snapshot (current) — the industry-standard drift gate (PSI < 0.1
+    * stable, > 0.25 shifted) complementing `q_jsd_drift` (vocabulary)
+    * and `q_ks_drift` (distribution shape): PSI = Σ (p_cur − p_ref) ·
+    * ln(p_cur / p_ref) over fixed bins, Laplace-smoothed so empty bins
+    * contribute finitely. Shape: one scan-side binning projection, a
+    * bins-sized cell aggregate, and the full bin domain generated by
+    * `sequence` so both engines smooth the SAME bins; every ratio is an
+    * exact rational of integers and the ln terms are DECIMAL-summed.
+    */
+  def qPsi(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val binned = Tables.documents(s, dir)
+      .select(least(floor(col("n_chars") / 500), lit(PsiBins - 1)).as("bin"),
+        (col("doc_id") % 2 === 0).as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    // full bin domain so missing bins smooth identically on both engines
+    val domain = s.range(0, PsiBins).select(col("id").as("bin"))
+    val cells = domain.join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint() // bins-sized; read by totals and the term pass
+    val tot = cells.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((col("n_ref") + 1) / (col("tr") + PsiBins).cast("double")).as("p_ref"),
+        ((col("n_cur") + 1) / (col("tc") + PsiBins).cast("double")).as("p_cur"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        NumFns.roundPortable(col("p_ref"), 6).as("p_ref"),
+        NumFns.roundPortable(col("p_cur"), 6).as("p_cur"),
+        ((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+          .cast(D).as("term"))
+      .localCheckpoint() // read per-bin AND by the total fold
+    val total = terms.agg(sum(col("term")).as("t"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"), col("p_cur"),
+        NumFns.roundPortable(col("term").cast("double"), 6).as("psi_contrib"),
+        NumFns.roundPortable(col("t").cast("double"), 6).as("psi_total"))
+      .orderBy(col("bin"))
+  }
+
+  val qPsiOracle: String =
+    s"""WITH b AS (
+       |  SELECT least(CAST(floor(n_chars / 500) AS BIGINT), ${PsiBins - 1}) AS bin,
+       |    doc_id % 2 = 0 AS is_ref
+       |  FROM documents
+       |),
+       |c0 AS (
+       |  SELECT bin,
+       |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+       |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+       |  FROM b GROUP BY bin
+       |),
+       |dom AS (SELECT unnest(range(0, $PsiBins)) AS bin),
+       |cells AS (
+       |  SELECT dom.bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |  FROM dom LEFT JOIN c0 ON c0.bin = dom.bin
+       |),
+       |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM cells),
+       |p AS (
+       |  SELECT bin, n_ref, n_cur,
+       |    (n_ref + 1) / CAST(tr + $PsiBins AS DOUBLE) AS p_ref,
+       |    (n_cur + 1) / CAST(tc + $PsiBins AS DOUBLE) AS p_cur
+       |  FROM cells CROSS JOIN t
+       |),
+       |terms AS (
+       |  SELECT bin, n_ref, n_cur,
+       |    ${NumFns.roundPortableSql("p_ref", 6)} AS p_ref,
+       |    ${NumFns.roundPortableSql("p_cur", 6)} AS p_cur,
+       |    CAST((p_cur - p_ref) * ln(p_cur / p_ref) AS DECIMAL(38,12)) AS term
+       |  FROM p
+       |),
+       |tt AS (SELECT sum(term) AS t FROM terms)
+       |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+       |  ${NumFns.roundPortableSql("CAST(term AS DOUBLE)", 6)} AS psi_contrib,
+       |  ${NumFns.roundPortableSql("CAST(t AS DOUBLE)", 6)} AS psi_total
+       |FROM terms CROSS JOIN tt
+       |ORDER BY bin""".stripMargin
 }

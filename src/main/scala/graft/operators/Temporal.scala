@@ -823,4 +823,74 @@ object Temporal {
        |    AS shift_direction
        |FROM r WHERE rk = 1
        |ORDER BY event_type""".stripMargin
+
+  /** Autocorrelation of the daily revenue series at lags 1..7 — the
+    * seasonality detector behind the DOW profile: a strong lag-7 peak
+    * means weekly periodicity, a slow lag-1 decay means trend. Shape:
+    * the fact table collapses scan-side to the DAYS frame (one integer
+    * cents sum per day — map-side combined, value-domain-sized), the
+    * lag alignment is a self-join of that dimension-sized frame on
+    * `day − lag` (broadcast-scale; the corpus is never touched again),
+    * and each lag's Pearson terms are exact integer/DECIMAL sums, so
+    * the statistic is accumulation-order-independent.
+    */
+  val AutocorrMaxLag = 7
+
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val days = Tables.orders(s, dir)
+      .select(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"),
+        NumFns.roundAwayLong(col("o_totalprice") * 100).as("cents"))
+      .groupBy(col("di")).agg(sum(col("cents")).as("rev"))
+      .localCheckpoint() // dimension-sized; feeds both join sides x 7 lags
+    val lags = s.range(1, AutocorrMaxLag + 1).select(col("id").cast("int").as("lag"))
+    // aligned pairs: x at day di, y at day di - lag
+    val aligned = days.select(col("di"), col("rev").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(days.select(col("di").as("dj"), col("rev").as("y")),
+        col("dj") === col("di") - col("lag"))
+    aligned.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x").cast(D0) * col("y"))).as("sxy"),
+        sum((col("x").cast(D0) * col("x"))).as("sxx"),
+        sum((col("y").cast(D0) * col("y"))).as("syy"))
+      .select(col("lag"), col("n"),
+        NumFns.roundPortable(
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("autocorr"))
+      .orderBy(col("lag"))
+  }
+
+  val qAutocorrOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+       |  FROM orders GROUP BY di
+       |),
+       |lags AS (SELECT unnest(range(1, ${AutocorrMaxLag + 1})) AS lag),
+       |al AS (
+       |  SELECT l.lag, a.rev AS x, b.rev AS y
+       |  FROM days a CROSS JOIN lags l
+       |  JOIN days b ON b.di = a.di - l.lag
+       |),
+       |ag AS (
+       |  SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+       |    sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+       |    sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+       |  FROM al GROUP BY lag
+       |)
+       |SELECT CAST(lag AS INT) AS lag, n,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+            " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))" +
+            " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)}
+       |    AS autocorr
+       |FROM ag ORDER BY lag""".stripMargin
 }
