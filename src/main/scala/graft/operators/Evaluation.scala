@@ -153,6 +153,90 @@ object Evaluation {
        |ORDER BY q.query_id""".stripMargin
   }
 
+  /** Reliability diagram + expected calibration error (ECE) of the
+    * stopword-ratio signal read as P(English) — the calibration
+    * companion to [[qAuc]]'s discrimination: per predicted-probability
+    * decile, the mean prediction vs the observed English rate, and
+    * ECE = Σ (n_b/N)·|obs_b − pred_b|. A quality classifier that gates
+    * a 100 TB corpus must be calibrated, not just ranked. Shape: the
+    * same scan-side integer score projection as AUC, a ≤10-cell bin
+    * aggregate (integer sums only — the permille score sums exactly),
+    * and the ECE fold over the bins frame; ratios become doubles once,
+    * at the end.
+    */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val D1 = DecimalType(38, 12)
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        floor(lit(1000) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val bins = scored
+      .select(least(floor(col("score") / 100), lit(9L)).as(
+        "bin"), col("score"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("ssum"),
+        sum(col("pos")).as("npos"))
+      .localCheckpoint() // ≤10 rows; read per-bin AND by the ECE fold
+    val tot = bins.agg(sum(col("n")).as("nt"))
+    val terms = bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("nt"),
+        (col("ssum") / (col("n") * 1000.0)).as("pred"),
+        (col("npos") / col("n").cast("double")).as("obs"))
+      .select(col("bin"), col("n"), col("pred"), col("obs"),
+        ((col("n") / col("nt").cast("double"))
+          * abs(col("obs") - col("pred"))).cast(D1).as("w"))
+      .localCheckpoint()
+    val ece = terms.agg(sum(col("w")).as("e"))
+    terms.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"),
+        NumFns.roundPortable(col("pred"), 6).as("mean_pred"),
+        NumFns.roundPortable(col("obs"), 6).as("obs_rate"),
+        NumFns.roundPortable(col("w").cast("double"), 6).as("ece_term"),
+        NumFns.roundPortable(col("e").cast("double"), 6).as("ece_total"))
+      .orderBy(col("bin"))
+  }
+
+  val qCalibrationOracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT CAST(floor(1000 * len(list_filter(toks,
+       |      x -> x IN (${Curation.stopListSql}))) / len(toks)) AS BIGINT)
+       |    AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |bins AS (
+       |  SELECT least(CAST(floor(score / 100) AS BIGINT), 9) AS bin,
+       |    count(*) AS n, sum(score) AS ssum, sum(pos) AS npos
+       |  FROM sc GROUP BY bin
+       |),
+       |tt AS (SELECT sum(n) AS nt FROM bins),
+       |p AS (
+       |  SELECT bin, n, nt,
+       |    ssum / (n * 1000.0) AS pred,
+       |    npos / CAST(n AS DOUBLE) AS obs
+       |  FROM bins CROSS JOIN tt
+       |),
+       |terms AS (
+       |  SELECT bin, n, pred, obs,
+       |    CAST((n / CAST(nt AS DOUBLE)) * abs(obs - pred) AS DECIMAL(38,12)) AS w
+       |  FROM p
+       |),
+       |e AS (SELECT sum(w) AS e FROM terms)
+       |SELECT bin, n,
+       |  ${NumFns.roundPortableSql("pred", 6)} AS mean_pred,
+       |  ${NumFns.roundPortableSql("obs", 6)} AS obs_rate,
+       |  ${NumFns.roundPortableSql("CAST(w AS DOUBLE)", 6)} AS ece_term,
+       |  ${NumFns.roundPortableSql("CAST(e AS DOUBLE)", 6)} AS ece_total
+       |FROM terms CROSS JOIN e
+       |ORDER BY bin""".stripMargin
+
   /** Chi-square test of independence between market segment and order
     * priority, with Cramér's V effect size — the categorical-association
     * companion to `q_welch_ttest` (means) and `q_corr` (linear). The

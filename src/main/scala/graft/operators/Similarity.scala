@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFns
+import graft.functions.{NumFns, VectorFns}
 import graft.sources.Tables
 
 /** Similarity-search operators over the embeddings table (SURVEY.md §2,
@@ -933,4 +933,85 @@ object Similarity {
        |LEFT JOIN deg ON e.vec_id = deg.vec_id
        |LEFT JOIN nearc ON e.vec_id = nearc.vec_id
        |ORDER BY e.vec_id""".stripMargin
+
+  /** Embedding-space drift between corpus snapshots (vec_id parity =
+    * reference vs current) as the linear-kernel MMD: the squared L2
+    * distance between per-snapshot mean embeddings, plus their cosine —
+    * the embedding companion to the text-side drift gates (`q_psi_drift`
+    * length, `q_jsd_drift` vocabulary, `q_ks_drift` shape). Deliberately
+    * linear (no RBF/transcendental features): cos/exp differ by ulps
+    * across engines' libm, and the mean-embedding distance is already
+    * the detector a corpus monitor wants. Shape: one scan-side
+    * posexplode to (dim, snapshot) CELLS with DECIMAL partial sums (128
+    * cells — dimension-sized, map-side combined); all the distance math
+    * runs on the 64-row per-dim frame. The corpus contributes one pass,
+    * nothing row-scale shuffles.
+    */
+  def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 2 === 0).as("is_ref"),
+        posexplode(VectorFns.asDouble(col("embedding"))))
+      .select(col("is_ref"), col("pos").as("i"), col("col").as("x"))
+      .groupBy(col("i"))
+      .agg(
+        sum(when(col("is_ref"), col("x")).otherwise(lit(0.0)).cast(D)).as("sr"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("is_ref"), lit(0.0)).otherwise(col("x")).cast(D)).as("sc"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("nc"))
+    val dims = cells
+      .select(col("nr"), col("nc"),
+        (col("sr").cast("double") / col("nr")).as("mr"),
+        (col("sc").cast("double") / col("nc")).as("mc"))
+      .select(col("nr"), col("nc"),
+        ((col("mr") - col("mc")) * (col("mr") - col("mc"))).cast(D).as("d2"),
+        (col("mr") * col("mc")).cast(D).as("rc"),
+        (col("mr") * col("mr")).cast(D).as("rr"),
+        (col("mc") * col("mc")).cast(D).as("cc"))
+    dims.groupBy(col("nr"), col("nc"))
+      .agg(sum(col("d2")).as("mmd"), sum(col("rc")).as("src"),
+        sum(col("rr")).as("srr"), sum(col("cc")).as("scc"))
+      .select(col("nr").as("n_ref"), col("nc").as("n_cur"),
+        NumFns.roundPortable(col("mmd").cast("double"), 6).as("mmd_linear"),
+        NumFns.roundPortable(
+          col("src").cast("double")
+            / (sqrt(col("srr").cast("double")) * sqrt(col("scc").cast("double"))), 6)
+          .as("mean_cosine"))
+  }
+
+  val qEmbedDriftOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id % 2 = 0 AS is_ref, $vSql AS v FROM embeddings
+       |),
+       |el AS (
+       |  SELECT is_ref, i, v[i] AS x
+       |  FROM e, unnest(range(1, $Dims + 1)) AS a(i)
+       |),
+       |cells AS (
+       |  SELECT i,
+       |    sum(CAST(CASE WHEN is_ref THEN x ELSE 0.0 END AS DECIMAL(38,12))) AS sr,
+       |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+       |    sum(CAST(CASE WHEN is_ref THEN 0.0 ELSE x END AS DECIMAL(38,12))) AS sc,
+       |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+       |  FROM el GROUP BY i
+       |),
+       |m AS (
+       |  SELECT nr, nc,
+       |    CAST(sr AS DOUBLE) / nr AS mr, CAST(sc AS DOUBLE) / nc AS mc
+       |  FROM cells
+       |),
+       |d AS (
+       |  SELECT nr, nc,
+       |    CAST((mr - mc) * (mr - mc) AS DECIMAL(38,12)) AS d2,
+       |    CAST(mr * mc AS DECIMAL(38,12)) AS rc,
+       |    CAST(mr * mr AS DECIMAL(38,12)) AS rr,
+       |    CAST(mc * mc AS DECIMAL(38,12)) AS cc
+       |  FROM m
+       |)
+       |SELECT nr AS n_ref, nc AS n_cur,
+       |  ${NumFns.roundPortableSql("CAST(sum(d2) AS DOUBLE)", 6)} AS mmd_linear,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(rc) AS DOUBLE) / (sqrt(CAST(sum(rr) AS DOUBLE)) * sqrt(CAST(sum(cc) AS DOUBLE)))", 6)}
+       |    AS mean_cosine
+       |FROM d GROUP BY nr, nc""".stripMargin
 }

@@ -69,6 +69,30 @@ class EvaluationSpec extends SparkSpec {
     assert(byLag(1) >= byLag(Temporal.AutocorrMaxLag))
   }
 
+  test("embed drift is zero between identical snapshots and positive between parities") {
+    val row = Similarity.qEmbedDrift(spark, sf001).collect().head
+    assert(row.getAs[Long]("n_ref") + row.getAs[Long]("n_cur") ==
+      graft.sources.Tables.embeddings(spark, sf001).count())
+    assert(row.getAs[Double]("mmd_linear") >= 0.0)
+    val cos = row.getAs[Double]("mean_cosine")
+    assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+  }
+
+  test("calibration bins partition the corpus and ECE is the weighted gap sum") {
+    val rows = Evaluation.qCalibration(spark, sf001).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf001)
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_pred") >= 0.0 && r.getAs[Double]("mean_pred") <= 1.0)
+      assert(r.getAs[Double]("obs_rate") >= 0.0 && r.getAs[Double]("obs_rate") <= 1.0)
+    }
+    val total = rows.head.getAs[Double]("ece_total")
+    val fold = rows.map(_.getAs[Double]("ece_term")).sum
+    assert(math.abs(total - fold) < 1e-4, s"ece $total vs term sum $fold")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("ece_total") - total) < 1e-12))
+  }
+
   test("psi contributions are non-negative and smoothed shares are distributions") {
     val rows = Profiling.qPsi(spark, sf001).collect()
     assert(rows.length == Profiling.PsiBins)
