@@ -893,4 +893,132 @@ object Temporal {
             " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)}
        |    AS autocorr
        |FROM ag ORDER BY lag""".stripMargin
+
+  /** Classical seasonal decomposition (STL-lite) of the daily revenue
+    * series: trend = centered 7-observation moving average, seasonal =
+    * day-of-week mean of the detrended series, residual = the rest —
+    * the explainability layer over `q_dow_profile`/`q_autocorr`'s
+    * detection. Shape: the fact table collapses scan-side to the
+    * integer-cents DAYS frame once; the MA window, the DOW means, and
+    * the residual all run over that dimension-sized aggregate (the
+    * unpartitioned window is over cells, never rows). Exactness: the
+    * trend is an exact-integer 7-sum divided once; detrended values are
+    * identical IEEE doubles on both engines and every cross-row mean
+    * DECIMAL-sums them.
+    */
+  def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .select(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"),
+        NumFns.roundAwayLong(col("o_totalprice") * 100).as("cents"))
+      .groupBy(col("di")).agg(sum(col("cents")).as("rev"))
+      .localCheckpoint() // dimension-sized; feeds trend AND seasonal joins
+    val w = Window.orderBy(col("di")).rowsBetween(-3, 3)
+    val trended = days
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s7", sum(col("rev")).over(w))
+      .filter(col("n7") === 7) // only fully-windowed observations
+      .select(col("di"), col("rev"),
+        (col("s7") / lit(7.0)).as("trend"),
+        ((col("di") + 3) % 7).as("dow")) // 1992-01-01 was a Wednesday
+      .localCheckpoint() // read by the seasonal agg AND the final join
+    val seasonal = trended
+      .groupBy(col("dow"))
+      .agg((sum((col("rev") - col("trend")).cast(D)).cast("double")
+        / count(lit(1))).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("dow"))
+      .select(col("di"), col("dow"), col("rev").as("rev_cents"),
+        NumFns.roundPortable(col("trend"), 6).as("trend"),
+        NumFns.roundPortable(col("seasonal"), 6).as("seasonal"),
+        NumFns.roundPortable(
+          col("rev") - col("trend") - col("seasonal"), 6).as("residual"))
+      .orderBy(col("di"))
+  }
+
+  val qSeasonalDecomposeOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+       |  FROM orders GROUP BY di
+       |),
+       |tr AS (
+       |  SELECT di, rev,
+       |    count(*) OVER w AS n7, sum(rev) OVER w AS s7,
+       |    (di + 3) % 7 AS dow
+       |  FROM days
+       |  WINDOW w AS (ORDER BY di ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |),
+       |t2 AS (
+       |  SELECT di, rev, s7 / 7.0 AS trend, dow FROM tr WHERE n7 = 7
+       |),
+       |se AS (
+       |  SELECT dow,
+       |    CAST(sum(CAST(rev - trend AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+       |      AS seasonal
+       |  FROM t2 GROUP BY dow
+       |)
+       |SELECT di, t2.dow, rev AS rev_cents,
+       |  ${NumFns.roundPortableSql("trend", 6)} AS trend,
+       |  ${NumFns.roundPortableSql("seasonal", 6)} AS seasonal,
+       |  ${NumFns.roundPortableSql("rev - trend - seasonal", 6)} AS residual
+       |FROM t2 JOIN se ON se.dow = t2.dow
+       |ORDER BY di""".stripMargin
+
+  /** Backtest of the two zero-parameter forecasting baselines every
+    * real model must beat — naive (ŷ_t = y_{t−1}) and seasonal-naive
+    * (ŷ_t = y_{t−7}) — scored with MAE (exact integer cents) and SMAPE
+    * (DECIMAL-summed terms). Lag alignment joins the dimension-sized
+    * days frame on `di − lag` (calendar-exact under gaps, unlike a
+    * row-offset lag window); the corpus contributes one scan.
+    */
+  def qForecastEval(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .select(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"),
+        NumFns.roundAwayLong(col("o_totalprice") * 100).as("cents"))
+      .groupBy(col("di")).agg(sum(col("cents")).as("rev"))
+      .localCheckpoint()
+    val models = s.range(0, 2).select(
+      when(col("id") === 0, "naive_lag1").otherwise("seasonal_naive_lag7").as("model"),
+      when(col("id") === 0, 1).otherwise(7).as("lag"))
+    val scored = days.select(col("di"), col("rev").as("y"))
+      .crossJoin(broadcast(models))
+      .join(days.select(col("di").as("dj"), col("rev").as("f")),
+        col("dj") === col("di") - col("lag"))
+      .select(col("model"),
+        abs(col("y") - col("f")).as("ae"),
+        ((lit(2.0) * abs(col("y") - col("f")))
+          / (abs(col("y")) + abs(col("f")))).cast(D).as("sm"))
+    scored.groupBy(col("model"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ae")).as("sae"),
+        sum(col("sm")).as("ssm"))
+      .select(col("model"), col("n"),
+        NumFns.roundPortable(col("sae") / col("n").cast("double"), 2).as("mae_cents"),
+        NumFns.roundPortable(col("ssm").cast("double") / col("n"), 6).as("smape"))
+      .orderBy(col("model"))
+  }
+
+  val qForecastEvalOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+       |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+       |  FROM orders GROUP BY di
+       |),
+       |models AS (
+       |  SELECT 'naive_lag1' AS model, 1 AS lag
+       |  UNION ALL SELECT 'seasonal_naive_lag7', 7
+       |),
+       |sc AS (
+       |  SELECT m.model, abs(a.rev - b.rev) AS ae,
+       |    CAST((2.0 * abs(a.rev - b.rev)) / (abs(a.rev) + abs(b.rev))
+       |      AS DECIMAL(38,12)) AS sm
+       |  FROM days a CROSS JOIN models m
+       |  JOIN days b ON b.di = a.di - m.lag
+       |)
+       |SELECT model, count(*) AS n,
+       |  ${NumFns.roundPortableSql("sum(ae) / CAST(count(*) AS DOUBLE)", 2)} AS mae_cents,
+       |  ${NumFns.roundPortableSql("CAST(sum(sm) AS DOUBLE) / count(*)", 6)} AS smape
+       |FROM sc GROUP BY model
+       |ORDER BY model""".stripMargin
 }

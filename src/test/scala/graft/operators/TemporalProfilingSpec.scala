@@ -206,4 +206,35 @@ class TemporalProfilingSpec extends SparkSpec {
       .map(_.getAs[Long]("p_partkey")).toSet
     assert(got == expect, s"skyline mismatch: extra=${got -- expect} missing=${expect -- got}")
   }
+
+  test("seasonal decomposition reassembles the series and seasonal means cancel") {
+    val rows = Temporal.qSeasonalDecompose(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val y = r.getAs[Long]("rev_cents").toDouble
+      val recomposed = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(y - recomposed) < 1e-4, s"trend+seasonal+residual != y: $r")
+    }
+    // the seasonal component is a mean of detrended values, so weighting
+    // each dow's value by its day count must cancel against the residuals
+    val byDow = rows.groupBy(_.getAs[Int]("dow"))
+    assert(byDow.size == 7)
+    byDow.values.foreach { g =>
+      val meanResid = g.map(_.getAs[Double]("residual")).sum / g.size
+      assert(math.abs(meanResid) < 1e-3, s"per-dow residuals must center on 0")
+    }
+  }
+
+  test("forecast backtest scores both baselines with sane error magnitudes") {
+    val rows = Temporal.qForecastEval(spark, sf001).collect()
+    assert(rows.map(_.getAs[String]("model")).sorted.toSeq ==
+      Seq("naive_lag1", "seasonal_naive_lag7"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0)
+      assert(r.getAs[Double]("mae_cents") >= 0.0)
+      val sm = r.getAs[Double]("smape")
+      assert(sm >= 0.0 && sm <= 2.0, s"SMAPE is bounded by 2: $r")
+    }
+  }
 }
