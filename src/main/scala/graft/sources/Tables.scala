@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed loaders for the testdata star schema (see TESTDATA.md).
   *
@@ -35,9 +35,16 @@ object Tables {
     // integer `div`, NOT `/`: Spark's `/` on longs is double division, and
     // epoch-nanos (~1.7e18) exceed a double's 2^53 integer range — the
     // rounding jitter shows up as ±1µs timestamp drift.
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
+      // with the engine-wide UTC session zone the cast is micros-preserving
+      // and matches DuckDB's naive-as-UTC epoch_us.
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -244,13 +244,19 @@ object EventPipeline {
     * Tables.events).
     */
   def streamEventsFrom(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // the file-stream source wants a directory; glob down to the one table
     val st = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (st.schema("ts").dataType == LongType)
-      st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else st
+    st.schema("ts").dataType match {
+      case LongType =>
+        st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(isAdjustedToUTC=false) parquet → TIMESTAMP_NTZ; UTC
+      // session zone makes the cast micros-preserving (mirrors Tables.events)
+      case TimestampNTZType =>
+        st.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => st
+    }
   }
 }
