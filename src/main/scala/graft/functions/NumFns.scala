@@ -28,12 +28,22 @@ object NumFns {
 
   private val D = DecimalType(38, 12)
 
-  /** Order-independent `round(sum(x), digits)` over a double column. */
+  /** Order-independent `round(sum(x), digits)` over a double column.
+    *
+    * The rounding happens in DECIMAL space, not on the double-cast sum:
+    * an exact decimal sum CAN land exactly on a half boundary (money
+    * inputs have 2-4 decimals, so a 4-decimal sum hitting `…x.365` is
+    * routine), and there Spark's double round (shortest-decimal HALF_UP)
+    * and DuckDB's (binary value) disagree by one ulp-cent. Decimal
+    * rounding is half-away-from-zero on BOTH engines (Java BigDecimal
+    * HALF_UP == DuckDB decimal round), and the rounded 2-decimal value
+    * converts to the identical double.
+    */
   def stableSum(x: Column, digits: Int): Column =
-    round(sum(x.cast(D)).cast("double"), digits)
+    round(sum(x.cast(D)), digits).cast("double")
 
   def stableSumSql(x: String, digits: Int): String =
-    s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE), $digits)"
+    s"CAST(round(sum(CAST($x AS DECIMAL(38,12))), $digits) AS DOUBLE)"
 
   /** Order-independent `round(avg(x), digits)`: exact decimal sum ÷ n. */
   def stableMean(x: Column, n: Column, digits: Int): Column =

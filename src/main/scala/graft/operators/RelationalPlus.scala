@@ -1,0 +1,542 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NumFns
+import graft.sources.Tables
+
+/** Deep relational coverage (SURVEY.md §2, table 2): the TPC-H query
+  * shapes beyond Q1/Q3/Q5 — EXISTS / NOT EXISTS decorrelation, correlated
+  * scalar aggregates, HAVING join-back, OR-of-conjunction pushdown,
+  * multi-fact semi/anti chains — each adapted to the testdata star schema
+  * (no partsupp / commit dates; lateness is derived from ship-vs-order
+  * dates).
+  *
+  * Scale discipline shared with [[Relational]]: dimension tables
+  * (region/nation/customer/supplier/part, and dimension-sized aggregate
+  * frames) are broadcast; fact⋈fact joins shuffle each side once on the
+  * join key; fact-DERIVED frames are never broadcast (the r1
+  * driver-build cliff) — they join via shuffle_hash; money sums go
+  * through [[NumFns.stableSum]] so partial-aggregation order can never
+  * flip a hash comparison.
+  */
+object RelationalPlus {
+
+  private def revenue: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  private val RevSql = "l_extendedprice * (1.0 - l_discount)"
+
+  /** TPC-H Q4 shape (order-priority checking): EXISTS over a fact table
+    * decorrelates to a left-semi join — the lineitem side is pruned to
+    * (l_orderkey, l_shipdate) before the shuffle, so the semi join moves
+    * two columns, and the non-equi lateness predicate rides the equi
+    * join as a post-probe filter (no extra pass).
+    */
+  def qPriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qPriorityExistsOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping): cross-region trade flows by ship
+    * year. All five dimension hops (supplier→nation→region on one side,
+    * customer→nation→region on the other) are broadcast; the only
+    * shuffle is lineitem⋈orders on the order key. The region-pair
+    * predicate lands post-broadcast-join as a cheap string filter.
+    */
+  def qRegionTrade(s: SparkSession, dir: String): DataFrame = {
+    val nr1 = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name").isin("ASIA", "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("s_nkey"), col("r_name").as("supp_region"))
+    val nr2 = nr1.select(col("s_nkey").as("c_nkey"), col("supp_region").as("cust_region"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nr1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(nr2), col("c_nationkey") === col("c_nkey"))
+      .filter(col("supp_region") =!= col("cust_region"))
+      .groupBy(col("supp_region"), col("cust_region"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(NumFns.stableSum(revenue, 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+  }
+
+  val qRegionTradeOracle: String =
+    s"""SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  ${NumFns.stableSumSql(RevSql, 2)} AS revenue, count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+       |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+       |WHERE r1.r_name <> r2.r_name
+       |  AND r1.r_name IN ('ASIA', 'EUROPE') AND r2.r_name IN ('ASIA', 'EUROPE')
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_region, cust_region, l_year""".stripMargin
+
+  /** TPC-H Q8 shape (market share): a conditional-sum ratio — the share
+    * of ASIA-customer ECONOMY-part revenue supplied by one nation, per
+    * order year. Both numerator and denominator are stable decimal sums
+    * computed in ONE grouped pass (the CASE rides the same aggregate);
+    * the ratio is rounded with the portable binary-rounding form so the
+    * two engines can't disagree at a decimal boundary.
+    */
+  def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val nAsia = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"))
+    val nSupp = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val joined = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nAsia), col("c_nationkey") === col("c_nkey"), "left_semi")
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("s_nkey"))
+    joined
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        NumFns.stableSum(
+          when(col("supp_nation") === "NATION_5", revenue).otherwise(lit(0.0)), 2).as("nrev"),
+        NumFns.stableSum(revenue, 2).as("rev"))
+      .select(col("o_year"),
+        NumFns.roundPortable(col("nrev") / col("rev"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val qMarketShareOracle: String = {
+    val nrev = NumFns.stableSumSql(
+      s"CASE WHEN n1.n_name = 'NATION_5' THEN $RevSql ELSE 0.0 END", 2)
+    val rev = NumFns.stableSumSql(RevSql, 2)
+    s"""WITH t AS (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    $nrev AS nrev, $rev AS rev
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+       |  GROUP BY 1
+       |)
+       |SELECT o_year, ${NumFns.roundPortableSql("nrev / rev", 6)} AS mkt_share
+       |FROM t ORDER BY o_year""".stripMargin
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit per supplier nation and
+    * order year for a part-name family. The cost side has no partsupp in
+    * this schema, so cost is modeled as a retail-price fraction — the
+    * plan shape (fact⋈fact shuffle + three broadcast dims + grouped
+    * stable sum) is the Q9 one.
+    *
+    * Float discipline: the profit expression mixes two 4-decimal money
+    * products, and its double→DECIMAL(38,12) cast can round DIFFERENTLY
+    * on the two engines (Spark casts the shortest-decimal string, DuckDB
+    * the exact binary value) — so this aggregate quantizes per row to
+    * int64 micro-units with the portable binary round instead
+    * ([[NumFns.roundAwayLong]]), summing exactly in BIGINT on both.
+    */
+  def qProductProfit(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("widget"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(NumFns.roundPortable(
+        sum(NumFns.roundAwayLong(
+          (revenue - lit(0.5) * col("p_retailprice") * col("l_quantity")) * lit(1e6)))
+          .cast("double") / lit(1e6), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year"))
+
+  val qProductProfitOracle: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  ${NumFns.quantSumSql(s"$RevSql - 0.5 * p_retailprice * l_quantity", 2)} AS profit
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year""".stripMargin
+
+  /** TPC-H Q10 shape (returned items): top-20 customers by revenue lost
+    * to returns in a half-year window. Grouped agg on the customer key
+    * then TakeOrderedAndProject — the top-k never globally sorts.
+    */
+  def qReturnedItems(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-07-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(NumFns.stableSum(revenue, 2).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  val qReturnedItemsOracle: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${NumFns.stableSumSql(RevSql, 2)} AS revenue, count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q12 shape (shipping modes → lateness mix): conditional counts
+    * by a derived delay bucket. One fact⋈fact shuffle; the CASE
+    * aggregates combine map-side, so the shuffle carries 3 buckets × 2
+    * counters per task.
+    */
+  def qShipDelayMix(s: SparkSession, dir: String): DataFrame = {
+    val delay = datediff(col("l_shipdate"), col("o_orderdate"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        when(delay > 60, "late").when(delay > 30, "slow").otherwise("ontime")
+          .as("delay_bucket"))
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_count"))
+      .orderBy(col("delay_bucket"))
+  }
+
+  val qShipDelayMixOracle: String =
+    """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60 THEN 'late'
+      |            WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN 'slow'
+      |            ELSE 'ontime' END AS delay_bucket,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1
+      |ORDER BY delay_bucket""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect), widened from one month to a
+    * per-ship-year series: PROMO revenue share as a conditional-sum
+    * ratio. Same one-pass + portable-round discipline as
+    * [[qMarketShare]].
+    */
+  def qPromoShare(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("s_year"))
+      .agg(
+        NumFns.stableSum(
+          when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0)), 2).as("prev"),
+        NumFns.stableSum(revenue, 2).as("rev"))
+      .select(col("s_year"),
+        NumFns.roundPortable(col("prev") / col("rev"), 6).as("promo_share"))
+      .orderBy(col("s_year"))
+
+  val qPromoShareOracle: String = {
+    val prev = NumFns.stableSumSql(
+      s"CASE WHEN p_type = 'PROMO' THEN $RevSql ELSE 0.0 END", 2)
+    val rev = NumFns.stableSumSql(RevSql, 2)
+    s"""WITH t AS (
+       |  SELECT CAST(year(l_shipdate) AS BIGINT) AS s_year,
+       |    $prev AS prev, $rev AS rev
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY 1
+       |)
+       |SELECT s_year, ${NumFns.roundPortableSql("prev / rev", 6)} AS promo_share
+       |FROM t ORDER BY s_year""".stripMargin
+  }
+
+  /** TPC-H Q16 shape (supplier diversity): distinct-supplier counts per
+    * (brand, size) cell with NOT-filters on the part dim. The distinct
+    * rewrite shuffles (brand, size, suppkey) triples once; the part
+    * filters are all broadcast-side.
+    */
+  def qSupplierDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#5" &&
+            col("p_size").isin(10, 20, 30, 40))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+
+  val qSupplierDiversityOracle: String =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#5'
+      |  AND p_size IN (10, 20, 30, 40)
+      |GROUP BY 1, 2
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
+  /** TPC-H Q17 shape (small-quantity revenue): the correlated per-part
+    * AVG subquery decorrelates to a grouped aggregate joined back on the
+    * part key. The per-part frame is fact-DERIVED → shuffle_hash, never
+    * broadcast (the r1 cliff); both sides shuffle once on l_partkey.
+    * The 0.2·avg threshold compares exactly on both engines: quantities
+    * are integer-valued doubles, so the per-part sum (< 2^53) and the
+    * division are bit-identical.
+    */
+  def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(pa.hint("shuffle_hash"), col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .groupBy(col("p_brand"))
+      .agg(NumFns.stableSum(col("l_extendedprice"), 2).as("sum_extended"),
+        count(lit(1)).as("n_small"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qSmallQtyRevenueOracle: String =
+    s"""WITH pa AS (
+       |  SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT p_brand, ${NumFns.stableSumSql("l_extendedprice", 2)} AS sum_extended,
+       |  count(*) AS n_small
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN pa ON l_partkey = a_partkey
+       |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+       |  AND l_quantity < 0.2 * avg_qty
+       |GROUP BY 1
+       |ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING over a fact aggregate,
+    * joined back to orders/customer for attribution, top-20 by price.
+    * The aggregate side is fact-derived → shuffle_hash on the order key
+    * (both sides already hash-partitioned by it); quantity sums are
+    * exact integer-valued doubles.
+    */
+  def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150.0)
+    big.hint("shuffle_hash")
+      .join(Tables.orders(s, dir), col("b_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val qLargeOrdersOracle: String =
+    """WITH big AS (
+      |  SELECT l_orderkey AS b_orderkey, sum(l_quantity) AS sum_qty
+      |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+      |)
+      |SELECT c_custkey, c_name, o_orderkey, o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+      |FROM big
+      |JOIN orders ON b_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue): an OR of three
+    * (brand, size, quantity) conjunctions. The disjunction spans both
+    * sides of the join so it can't fully push into either scan, but
+    * column pruning still holds and the part side is broadcast — the OR
+    * evaluates post-probe in codegen.
+    */
+  def qOrPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 35)))
+      .agg(NumFns.stableSum(revenue, 2).as("revenue"), count(lit(1)).as("n_rows"))
+
+  val qOrPushdownOracle: String =
+    s"""SELECT ${NumFns.stableSumSql(RevSql, 2)} AS revenue, count(*) AS n_rows
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    * EXISTS + NOT EXISTS pair over the same derived relation — suppliers
+    * late (shipped >60 days after order) on multi-supplier orders where
+    * no OTHER supplier was late. EXISTS → left_semi against raw
+    * lineitem; NOT EXISTS → left_anti against the late set itself. The
+    * late set is fact-derived, so its self-anti-join is shuffle_hash on
+    * the order key — three hash exchanges on l_orderkey total, no
+    * broadcast of anything fact-sized.
+    */
+  def qWaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    val others = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    late
+      .join(others.hint("shuffle_hash"),
+        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(lateOthers.hint("shuffle_hash"),
+        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  val qWaitingSupplierOracle: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): customers above the
+    * positive-balance average with no recent orders. The scalar average
+    * is a 1-row dimension aggregate (broadcast is correct — it is not
+    * fact-derived); recency is a left-anti join against date-filtered
+    * orders, moving keys only. The threshold is a 6-digit stable mean so
+    * both engines compare against the IDENTICAL double.
+    */
+  def qIdleRichCustomers(s: SparkSession, dir: String): DataFrame = {
+    val thr = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .agg(NumFns.stableMean(col("c_acctbal"), count(lit(1)), 6).as("avg_bal"))
+    Tables.customer(s, dir)
+      .crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01"))),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        NumFns.stableSum(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qIdleRichCustomersOracle: String =
+    s"""WITH thr AS (
+       |  SELECT ${NumFns.stableMeanSql("c_acctbal", "count(*)", 6)} AS avg_bal
+       |  FROM customer WHERE c_acctbal > 0.0
+       |)
+       |SELECT c_mktsegment, count(*) AS numcust,
+       |  ${NumFns.stableSumSql("c_acctbal", 2)} AS totacctbal
+       |FROM customer, thr
+       |WHERE c_acctbal > avg_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    * becomes a per-(part,supplier) stable-mean aggregate + an argmin by
+    * struct ordering — min(struct(avg_unit, suppkey)) picks the cheapest
+    * supplier with a deterministic key tie-break in the SAME grouped
+    * pass (no window, no second shuffle). Dimension joins (part filter,
+    * supplier, nation) broadcast onto the 1-row-per-part result.
+    */
+  def qMinPriceSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(NumFns.stableMean(
+        col("l_extendedprice") / col("l_quantity"), count(lit(1)), 4).as("avg_unit"))
+    val best = ps
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("avg_unit"), col("l_suppkey"))).as("b"))
+      .select(col("l_partkey"), col("b.avg_unit").as("avg_unit"),
+        col("b.l_suppkey").as("l_suppkey"))
+    best
+      .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+        col("avg_unit"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val qMinPriceSupplierOracle: String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ${NumFns.stableMeanSql("l_extendedprice / l_quantity", "count(*)", 4)} AS avg_unit
+       |  FROM lineitem GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT l_partkey, l_suppkey, avg_unit,
+       |    row_number() OVER (PARTITION BY l_partkey ORDER BY avg_unit, l_suppkey) AS rn
+       |  FROM ps
+       |)
+       |SELECT p_partkey, p_brand, s_name, n_name, avg_unit
+       |FROM rk
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE rn = 1 AND p_size = 15
+       |ORDER BY p_partkey""".stripMargin
+}
