@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NumFns, TextFns}
+import graft.sources.Tables
+
+/** Training-pipeline utility operators (SURVEY.md §2, table 3): k-fold
+  * assignment, LSH band-config tuning from observed similarity, curriculum
+  * phase budgeting, and the generic per-column table profiler.
+  */
+object PipelineOps {
+
+  /** Content-addressed k-fold cross-validation assignment: fold =
+    * md5-prefix("fold:"+doc_id) mod 5 — reproducible on any engine, any
+    * run, any shard order (the same discipline as the train/val/test
+    * split). The report is the fold-balance audit: doc/token counts and
+    * source coverage per fold. Pure scan-side hash + one grouped agg; at
+    * 100 TB this is one pass, and the assignment column costs nothing to
+    * recompute downstream (no fold table to store or join).
+    */
+  def qCrossvalFolds(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        (TextFns.hash28(concat(lit("fold:"), col("doc_id").cast("string"))) % 5).as("fold"),
+        size(TextFns.tokens(col("text"))).as("n_toks"),
+        col("source"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("fold"))
+
+  val qCrossvalFoldsOracle: String =
+    s"""SELECT ${TextFns.hash28Sql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold,
+       |  count(*) AS n_docs,
+       |  sum(len(${TextFns.toksSql})) AS n_tokens,
+       |  count(DISTINCT source) AS n_sources
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY fold""".stripMargin
+
+  /** The (bands, rows) configs to evaluate — all factorizations of a
+    * 64-hash MinHash signature budget.
+    */
+  val LshConfigs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8), (4, 16))
+
+  /** Integer-exponent power as an explicit left-associated multiplication
+    * chain — IEEE multiplication is correctly rounded, so splicing the
+    * SAME chain into both engines gives bit-identical results, where
+    * `pow()` (libm, not correctly rounded) may differ in the last ulp.
+    */
+  private def powChain(x: Column, n: Int): Column =
+    (1 until n).foldLeft(x)((acc, _) => acc * x)
+
+  private def powChainSql(x: String, n: Int): String =
+    Seq.fill(n)(x).mkString("(", " * ", ")")
+
+  /** LSH band-config tuning from the OBSERVED pair-similarity
+    * distribution: for each (b bands × r rows) factorization of the
+    * signature budget, the S-curve collision probability
+    * 1−(1−s^r)^b evaluated at each observed Jaccard decile's midpoint,
+    * and the expected candidate-pair count it implies. This is how the
+    * band/row knobs of [[Dedup]]'s MinHash index are chosen FROM DATA
+    * rather than folklore — the config whose expected candidates stay
+    * near the true near-dup count is the one to deploy. The observed
+    * histogram is the verified Jaccard edge set collapsed to ≤10 decile
+    * rows (localCheckpoint'd — 4 config branches reuse it without
+    * re-running the pair join); everything after is arithmetic on a
+    * dimension-sized frame.
+    */
+  def qLshTune(s: SparkSession, dir: String): DataFrame = {
+    val hist = Dedup.jaccardPairs(s, dir)
+      .groupBy(least(floor(col("jaccard") * 10), lit(9.0)).cast("long").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint()
+    val mids = hist.withColumn("s_mid",
+      (lit(2) * col("decile") + lit(1)) / lit(20.0))
+    LshConfigs.map { case (b, r) =>
+      mids
+        .withColumn("miss1", lit(1.0) - powChain(col("s_mid"), r))
+        .select(
+          lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+          col("decile"), col("n_pairs"),
+          NumFns.roundPortable(lit(1.0) - powChain(col("miss1"), b), 6).as("p_collide"),
+          NumFns.roundPortable(
+            col("n_pairs") * (lit(1.0) - powChain(col("miss1"), b)), 4).as("expected_pairs"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("n_bands").desc, col("decile"))
+  }
+
+  val qLshTuneOracle: String = {
+    val branches = LshConfigs.map { case (b, r) =>
+      val miss1 = s"(1.0 - ${powChainSql("s_mid", r)})"
+      s"""SELECT $b AS n_bands, $r AS rows_per_band, decile, n_pairs,
+         |  ${NumFns.roundPortableSql(s"1.0 - ${powChainSql(miss1, b)}", 6)} AS p_collide,
+         |  ${NumFns.roundPortableSql(s"n_pairs * (1.0 - ${powChainSql(miss1, b)})", 4)} AS expected_pairs
+         |FROM m""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH ${Dedup.jaccardPairsCte},
+       |h AS (
+       |  SELECT CAST(least(floor(jaccard * 10), 9.0) AS BIGINT) AS decile,
+       |    count(*) AS n_pairs
+       |  FROM pj GROUP BY 1
+       |),
+       |m AS (SELECT decile, n_pairs, (2 * decile + 1) / 20.0 AS s_mid FROM h)
+       |$branches
+       |ORDER BY n_bands DESC, decile""".stripMargin
+  }
+
+  /** Curriculum phase budgeting: order the corpus by quality score
+    * (descending) and cut it into 4 phases of equal TOKEN mass — the
+    * easy→hard schedule a curriculum trainer consumes, expressed as
+    * per-phase doc/token budgets with score ranges. Scale-safe weighted
+    * quantiles: docs collapse to ~10⁴ rounded-score cells (one grouped
+    * pass), the exclusive token prefix runs over the CELL frame (the
+    * dimension-sized-window exception), and the phase of a cell is pure
+    * int64 arithmetic on exact token counts — no per-doc global sort at
+    * any scale, and the per-doc phase is recoverable scan-side by
+    * broadcasting the ≤10⁴-row cell→phase map.
+    */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val cells = Curation.withQuality(Tables.documents(s, dir))
+      .select(round(col("score"), 4).as("sc"), col("n_tokens"))
+      .groupBy(col("sc"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
+    val w = Window.orderBy(col("sc").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("total", sum(col("toks")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("phase",
+        lit(1) + least(lit(3.0), floor(lit(4.0) * col("cum_before") / col("total"))).cast("int"))
+      .groupBy(col("phase"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("sc")).as("min_score"), max(col("sc")).as("max_score"))
+      .orderBy(col("phase"))
+  }
+
+  val qCurriculumOracle: String =
+    s"""WITH q AS ($qualityScoreCellsSql),
+       |cells AS (
+       |  SELECT sc, count(*) AS n_docs, sum(n_tokens) AS toks FROM q GROUP BY sc
+       |),
+       |pre AS (
+       |  SELECT sc, n_docs, toks,
+       |    COALESCE(sum(toks) OVER (ORDER BY sc DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |    sum(toks) OVER () AS total
+       |  FROM cells
+       |)
+       |SELECT CAST(1 + least(3.0, floor(4.0 * cum_before / total)) AS INT) AS phase,
+       |  sum(n_docs) AS n_docs, sum(toks) AS n_tokens,
+       |  min(sc) AS min_score, max(sc) AS max_score
+       |FROM pre
+       |GROUP BY 1
+       |ORDER BY phase""".stripMargin
+
+  /** SQL twin of [[Curation.withQuality]]'s (rounded score, n_tokens)
+    * projection — spliced from the same constants as the quality-score
+    * oracle (z = −1 + 0.6·ln(1+n) + 2·stop − 4·symbol).
+    */
+  private def qualityScoreCellsSql: String =
+    s"""SELECT round(1.0 / (1.0 + exp(-z)), 4) AS sc, n_tokens FROM (
+       |    SELECT len(toks) AS n_tokens,
+       |      -1.0 + 0.6 * ln(1.0 + len(toks))
+       |        + 2.0 * (len(list_filter(toks, x -> x IN (${Curation.stopListSql})))
+       |                 / CAST(len(toks) AS DOUBLE))
+       |        - 4.0 * (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |                 / CAST(length(text) AS DOUBLE)) AS z
+       |    FROM (SELECT text, ${TextFns.toksSql} AS toks FROM documents) t0
+       |  ) t1""".stripMargin
+
+  /** Generic per-column table profiler (data-quality audit): one scan of
+    * the orders table produces null counts, exact distinct counts, and
+    * typed min/max per profiled column, emitted long-form. The multi-
+    * column exact countDistinct plans one Expand (×4) over the scan — at
+    * 100 TB swap approx_count_distinct into the same frame for a single
+    * no-expand pass. min/max keep their native type lane (numeric vs
+    * string) — no double→string formatting parity trap between engines.
+    */
+  def qTableProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderstatus").isNull.cast("long")).as("nn_status"),
+      countDistinct(col("o_orderstatus")).as("nd_status"),
+      min(col("o_orderstatus")).as("mn_status"),
+      max(col("o_orderstatus")).as("mx_status"),
+      sum(col("o_orderpriority").isNull.cast("long")).as("nn_prio"),
+      countDistinct(col("o_orderpriority")).as("nd_prio"),
+      min(col("o_orderpriority")).as("mn_prio"),
+      max(col("o_orderpriority")).as("mx_prio"),
+      sum(col("o_totalprice").isNull.cast("long")).as("nn_price"),
+      countDistinct(col("o_totalprice")).as("nd_price"),
+      min(col("o_totalprice")).as("mn_price"),
+      max(col("o_totalprice")).as("mx_price"),
+      sum(col("o_custkey").isNull.cast("long")).as("nn_cust"),
+      countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).as("mn_cust"),
+      max(col("o_custkey")).as("mx_cust"))
+    val nul = lit(null).cast("double")
+    val nus = lit(null).cast("string")
+    agg.select(
+        lit("o_orderstatus").as("col_name"), col("n_rows"),
+        col("nn_status").as("n_nulls"), col("nd_status").as("n_distinct"),
+        nul.as("min_num"), nul.as("max_num"),
+        col("mn_status").as("min_str"), col("mx_status").as("max_str"))
+      .unionAll(agg.select(
+        lit("o_orderpriority").as("col_name"), col("n_rows"),
+        col("nn_prio").as("n_nulls"), col("nd_prio").as("n_distinct"),
+        nul.as("min_num"), nul.as("max_num"),
+        col("mn_prio").as("min_str"), col("mx_prio").as("max_str")))
+      .unionAll(agg.select(
+        lit("o_totalprice").as("col_name"), col("n_rows"),
+        col("nn_price").as("n_nulls"), col("nd_price").as("n_distinct"),
+        col("mn_price").as("min_num"), col("mx_price").as("max_num"),
+        nus.as("min_str"), nus.as("max_str")))
+      .unionAll(agg.select(
+        lit("o_custkey").as("col_name"), col("n_rows"),
+        col("nn_cust").as("n_nulls"), col("nd_cust").as("n_distinct"),
+        col("mn_cust").cast("double").as("min_num"),
+        col("mx_cust").cast("double").as("max_num"),
+        nus.as("min_str"), nus.as("max_str")))
+      .orderBy(col("col_name"))
+  }
+
+  val qTableProfileOracle: String =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+      |    count(DISTINCT o_orderstatus) AS nd_status,
+      |    min(o_orderstatus) AS mn_status, max(o_orderstatus) AS mx_status,
+      |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_prio,
+      |    count(DISTINCT o_orderpriority) AS nd_prio,
+      |    min(o_orderpriority) AS mn_prio, max(o_orderpriority) AS mx_prio,
+      |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
+      |    count(DISTINCT o_totalprice) AS nd_price,
+      |    min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_cust,
+      |    count(DISTINCT o_custkey) AS nd_cust,
+      |    min(o_custkey) AS mn_cust, max(o_custkey) AS mx_cust
+      |  FROM orders
+      |)
+      |SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str
+      |FROM (
+      |  SELECT 'o_orderstatus' AS col_name, n_rows, nn_status AS n_nulls,
+      |    nd_status AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,
+      |    CAST(NULL AS DOUBLE) AS max_num, mn_status AS min_str, mx_status AS max_str
+      |  FROM a
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio,
+      |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_prio, mx_prio FROM a
+      |  UNION ALL
+      |  SELECT 'o_totalprice', n_rows, nn_price, nd_price,
+      |    mn_price, mx_price, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+      |  UNION ALL
+      |  SELECT 'o_custkey', n_rows, nn_cust, nd_cust,
+      |    CAST(mn_cust AS DOUBLE), CAST(mx_cust AS DOUBLE),
+      |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+      |) t
+      |ORDER BY col_name""".stripMargin
+}

@@ -1014,4 +1014,69 @@ object Similarity {
             "CAST(sum(rc) AS DOUBLE) / (sqrt(CAST(sum(rr) AS DOUBLE)) * sqrt(CAST(sum(cc) AS DOUBLE)))", 6)}
        |    AS mean_cosine
        |FROM d GROUP BY nr, nc""".stripMargin
+
+  /** Contrastive-pair mining for embedding-model training: within each
+    * IVF cell, high-similarity pairs become (anchor, positive) examples
+    * when the labels agree and HARD NEGATIVES when they don't — the
+    * hard-negative set is precisely what makes a contrastive batch
+    * informative (random negatives are trivially separable). The index
+    * bounds candidate generation exactly as in [[qSemdedup]]: pairs are
+    * generated per cell (shuffle_hash self-join, never broadcast — the
+    * cell frame is fact-derived), so the corpus is never all-paired.
+    * Output is the per-anchor-label mining report: pair counts and
+    * hash-stable mean similarities for both classes.
+    */
+  def qContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val cells = cellAssigned(s, dir)
+    val pairs = cells.as("a")
+      .join(cells.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), col("b.label").as("lb"), simCol.as("sim"))
+    val fenced = graft.plans.Fence.filterNoPushdown(pairs, col("sim"), _ >= NearDupThreshold)
+    // sims carry 4 decimals, so a decimal-sum ÷ n CAN land exactly on a
+    // rounding boundary — quantize to exact int64 ten-thousandths and
+    // divide/round portably instead (same discipline as the temperature
+    // mix / Q9 profit sums)
+    val simQ = NumFns.roundAwayLong(col("sim") * lit(1e4))
+    fenced
+      .groupBy(col("label"))
+      .agg(
+        sum(when(col("label") === col("lb"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("label") =!= col("lb"), 1L).otherwise(0L)).as("n_hard_neg"),
+        sum(when(col("label") === col("lb"), simQ).otherwise(0L)).as("sp"),
+        sum(when(col("label") =!= col("lb"), simQ).otherwise(0L)).as("sn"))
+      .select(col("label"), col("n_pos"), col("n_hard_neg"),
+        when(col("n_pos") > 0, NumFns.roundPortable(
+          col("sp").cast("double") / (lit(1e4) * col("n_pos")), 4)).as("mean_pos_sim"),
+        when(col("n_hard_neg") > 0, NumFns.roundPortable(
+          col("sn").cast("double") / (lit(1e4) * col("n_hard_neg")), 4)).as("mean_neg_sim"))
+      .orderBy(col("label"))
+  }
+
+  val qContrastivePairsOracle: String =
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |cl AS (SELECT c1.vec_id, c1.v, c1.nsq, c1.cell, n.label
+       |       FROM cells c1 JOIN n ON c1.vec_id = n.vec_id),
+       |p AS (
+       |  SELECT x.label AS label, y.label AS lb,
+       |    round(${dotSql("x.v", "y.v")} / (sqrt(x.nsq) * sqrt(y.nsq)), 4) AS sim
+       |  FROM cl x JOIN cl y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |),
+       |g AS (
+       |  SELECT label,
+       |    sum(CASE WHEN label = lb THEN 1 ELSE 0 END) AS n_pos,
+       |    sum(CASE WHEN label <> lb THEN 1 ELSE 0 END) AS n_hard_neg,
+       |    sum(CASE WHEN label = lb THEN CAST(round(sim * 1e4) AS BIGINT) ELSE 0 END) AS sp,
+       |    sum(CASE WHEN label <> lb THEN CAST(round(sim * 1e4) AS BIGINT) ELSE 0 END) AS sn
+       |  FROM p WHERE sim >= $NearDupThreshold
+       |  GROUP BY label
+       |)
+       |SELECT label, n_pos, n_hard_neg,
+       |  CASE WHEN n_pos > 0
+       |    THEN ${NumFns.roundPortableSql("CAST(sp AS DOUBLE) / (1e4 * n_pos)", 4)} END AS mean_pos_sim,
+       |  CASE WHEN n_hard_neg > 0
+       |    THEN ${NumFns.roundPortableSql("CAST(sn AS DOUBLE) / (1e4 * n_hard_neg)", 4)} END AS mean_neg_sim
+       |FROM g
+       |ORDER BY label""".stripMargin
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineOpsSpec extends SparkSpec {
+
+  test("crossval folds partition the corpus exactly (doc counts sum to the corpus)") {
+    val folds = PipelineOps.qCrossvalFolds(spark, sf001).collect()
+    assert(folds.map(_.getLong(0)).toSet.subsetOf((0L until 5L).toSet))
+    val total = graft.sources.Tables.documents(spark, sf001).count()
+    assert(folds.map(_.getLong(1)).sum == total)
+    // deterministic: a second evaluation assigns identical fold sizes
+    val again = PipelineOps.qCrossvalFolds(spark, sf001).collect()
+    assert(folds.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("lsh tune: collision probability is monotone in similarity and rows sharpen the curve") {
+    val rows = PipelineOps.qLshTune(spark, sf001).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // within a config, p_collide grows with the decile
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byDecile = rs.sortBy(_._2).map(_._3)
+      assert(byDecile.zip(byDecile.tail).forall { case (a, b) => a <= b + 1e-12 })
+    }
+    // at the TOP decile every config catches nearly everything; at any
+    // fixed decile more rows-per-band (sharper curve) never collides more
+    val byConfig = rows.groupBy(_._1)
+    val decs = rows.map(_._2).distinct
+    decs.foreach { d =>
+      val ps = PipelineOps.LshConfigs.flatMap(c =>
+        byConfig(c).find(_._2 == d).map(t => (c._2, t._3)))
+      ps.sortBy(_._1).map(_._2).sliding(2).foreach {
+        case Seq(lo, hi) => assert(hi <= lo + 1e-9, s"decile $d: $ps")
+        case _ =>
+      }
+    }
+  }
+
+  test("curriculum phases cover all tokens once, scores descend across phases") {
+    val phases = PipelineOps.qCurriculum(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(phases.map(_._1).toSeq == (1 to phases.length))
+    val totalDocs = graft.sources.Tables.documents(spark, sf001).count()
+    assert(phases.map(_._2).sum == totalDocs)
+    // phase 1 holds the highest scores: min of each phase >= max of the next
+    phases.sliding(2).foreach {
+      case Array(hi, lo) => assert(hi._4 >= lo._5, s"$hi vs $lo")
+      case _ =>
+    }
+    // equal-mass cut: no phase exceeds ~half the token mass (4 phases)
+    val total = phases.map(_._3).sum
+    phases.foreach(p => assert(p._3 < total, p.toString))
+  }
+
+  test("table profile reports plausible stats for every profiled column") {
+    val prof = PipelineOps.qTableProfile(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey"))
+    val price = prof("o_totalprice")
+    assert(price.getLong(2) == 0L) // no nulls
+    assert(price.getDouble(4) <= price.getDouble(5)) // min <= max
+    assert(price.isNullAt(6) && price.isNullAt(7)) // no string lane
+    val status = prof("o_orderstatus")
+    assert(status.isNullAt(4) && status.isNullAt(5))
+    assert(status.getString(6) <= status.getString(7))
+  }
+
+  test("contrastive pairs: positives and hard negatives are disjoint and bounded by cell pairs") {
+    val rows = Similarity.qContrastivePairs(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nPos, nNeg) = (r.getLong(1), r.getLong(2))
+      assert(nPos >= 0 && nNeg >= 0 && nPos + nNeg > 0)
+      // mean similarities only reported when the class is non-empty, in [-1, 1]
+      if (nPos > 0) assert(math.abs(r.getDouble(3)) <= 1.0)
+      if (nNeg > 0) assert(math.abs(r.getDouble(4)) <= 1.0)
+    }
+  }
+}
