@@ -41,4 +41,44 @@ object Interchange {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+
+  /** Export as compressed CSV shards (header on) — the boundary to
+    * spreadsheet/BI consumers. Same sharding contract as
+    * [[writeJsonl]]: repartition upstream to the shard size wanted.
+    */
+  def writeCsv(
+      df: DataFrame,
+      outPath: String,
+      compression: String = "gzip",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .option("header", "true")
+      .option("compression", compression)
+      .csv(outPath)
+
+  /** Read CSV with an EXPLICIT schema and quarantine semantics: rows
+    * that fail type conversion or have the wrong arity land intact in
+    * `_corrupt_record` instead of failing the 100 TB scan (same
+    * PERMISSIVE contract and caveats as [[readJsonl]]).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** Split a PERMISSIVE-read frame into (clean, quarantined): clean rows
+    * drop the corrupt column; quarantined rows carry the raw line for
+    * repair/re-ingest. Both sides stay lazy scans — the split is two
+    * filters over one cached read, not a second pass over the files.
+    */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val cached = df.cache()
+    (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull))
+  }
 }
