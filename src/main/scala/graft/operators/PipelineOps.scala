@@ -263,4 +263,172 @@ object PipelineOps {
       |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
       |) t
       |ORDER BY col_name""".stripMargin
+
+  /** Sample-ratio-mismatch (SRM) gate for the content-addressed
+    * train/val/test split: observed fold sizes vs the designed 80/10/10
+    * shares as per-split chi-square contributions — the standard
+    * experiment-health check (a drifted hash or a filtered-after-split
+    * bug shows up here before it poisons an eval). One grouped count +
+    * one broadcast total; the corpus is scanned once.
+    */
+  def qSrm(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir)
+      .select(Curation.splitCol.as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = obs.agg(sum(col("n_docs")).as("total"))
+    val share = when(col("split") === "train", 0.8).otherwise(0.1)
+    obs.crossJoin(broadcast(total))
+      .withColumn("expected", col("total") * share)
+      .select(col("split"), col("n_docs"),
+        NumFns.roundPortable(col("expected"), 4).as("expected"),
+        NumFns.roundPortable(
+          (col("n_docs") - col("expected")) * (col("n_docs") - col("expected"))
+            / col("expected"), 6).as("chi2_contrib"))
+      .orderBy(col("split"))
+  }
+
+  val qSrmOracle: String =
+    s"""WITH obs AS (
+       |  SELECT ${Curation.splitCaseSql} AS split, count(*) AS n_docs
+       |  FROM documents GROUP BY 1
+       |),
+       |t AS (SELECT sum(n_docs) AS total FROM obs),
+       |e AS (
+       |  SELECT split, n_docs,
+       |    total * (CASE WHEN split = 'train' THEN 0.8 ELSE 0.1 END) AS expected
+       |  FROM obs, t
+       |)
+       |SELECT split, n_docs,
+       |  ${NumFns.roundPortableSql("expected", 4)} AS expected,
+       |  ${NumFns.roundPortableSql("(n_docs - expected) * (n_docs - expected) / expected", 6)} AS chi2_contrib
+       |FROM e
+       |ORDER BY split""".stripMargin
+
+  /** View→purchase conversion-latency distribution: each purchase pairs
+    * with the user's most recent STRICTLY-prior view (the as-of window:
+    * last-ignore-nulls over an exclusive-end frame), and the latency
+    * distribution is summarized by exact p50/p90/p99 through the
+    * distinct-value-cells percentile engine — one user-keyed window pass
+    * + cell-sized percentile state, never a global row sort.
+    */
+  def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lat = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("lvu",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(wPrev))
+      .filter(col("event_type") === "purchase" && col("lvu").isNotNull)
+      .select(lit("all").as("grp"), ((col("us") - col("lvu")) / lit(1e6)).as("lat_s"))
+    Analytics.exactPercentilesMulti(lat, "grp",
+        Seq("lat_s" -> Seq(0.5 -> "p50_s", 0.9 -> "p90_s", 0.99 -> "p99_s")),
+        countAs = Some("lat_s" -> "n_conversions"))
+      .select(col("p50_s"), col("p90_s"), col("p99_s"), col("n_conversions"))
+  }
+
+  val qTimeToConvertOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |),
+      |lv AS (
+      |  SELECT event_type, us,
+      |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lvu
+      |  FROM o
+      |),
+      |l AS (
+      |  SELECT (us - lvu) / 1e6 AS lat_s FROM lv
+      |  WHERE event_type = 'purchase' AND lvu IS NOT NULL
+      |)
+      |SELECT round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+      |  round(quantile_cont(lat_s, 0.9), 4) AS p90_s,
+      |  round(quantile_cont(lat_s, 0.99), 4) AS p99_s,
+      |  count(*) AS n_conversions
+      |FROM l""".stripMargin
+
+  /** Repeat-purchase (reorder) rate per part — the recsys demand-shape
+    * metric: of the customers who ever bought a part, the share who
+    * bought it in ≥2 DISTINCT orders. The (part, customer, order) triple
+    * distinct collapses map-side before any per-part aggregation; exact
+    * integer ratio, portably rounded.
+    */
+  def qReorderRate(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .select(col("part"), col("n_customers"), col("n_repeat"),
+        NumFns.roundPortable(
+          col("n_repeat").cast("double") / col("n_customers"), 4).as("repeat_rate"))
+      .orderBy(col("part"))
+
+  val qReorderRateOracle: String =
+    s"""WITH pc AS (
+       |  SELECT l_partkey AS part, o_custkey AS cust,
+       |    count(DISTINCT o_orderkey) AS n_orders
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |),
+       |g AS (
+       |  SELECT part, count(*) AS n_customers,
+       |    sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS n_repeat
+       |  FROM pc GROUP BY 1
+       |)
+       |SELECT part, n_customers, n_repeat,
+       |  ${NumFns.roundPortableSql("CAST(n_repeat AS DOUBLE) / n_customers", 4)} AS repeat_rate
+       |FROM g
+       |ORDER BY part""".stripMargin
+
+  /** Per-source compressibility proxy: the unique-3-gram ratio
+    * (distinct shingles ÷ total shingles WITH multiplicity). Highly
+    * templated/boilerplate sources score low, natural prose scores high
+    * — a one-pass corpus-quality signal that approximates what a gzip
+    * probe would say without decompressing anything. The explode
+    * shuffles bare (source, hash28) longs; distinct counting is the
+    * standard two-phase rewrite (approx_count_distinct is the no-Expand
+    * 100 TB swap-in).
+    */
+  def qCompressRatio(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), size(col("t")) - 3),
+      i => TextFns.hash28(concat_ws(" ",
+        element_at(col("t"), i + 1), element_at(col("t"), i + 2),
+        element_at(col("t"), i + 3))))
+    Tables.documents(s, dir)
+      .select(col("source"), t.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(grams).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_unique"))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        NumFns.roundPortable(
+          col("n_unique").cast("double") / col("n_grams"), 6).as("unique_ratio"))
+      .orderBy(col("source"))
+  }
+
+  val qCompressRatioOracle: String =
+    s"""WITH t AS (SELECT source, ${TextFns.toksSql} AS t FROM documents),
+       |g AS (
+       |  SELECT source,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> ${TextFns.hash28Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")})) AS g
+       |  FROM t WHERE len(t) >= 3
+       |),
+       |a AS (
+       |  SELECT source, count(*) AS n_grams, count(DISTINCT g) AS n_unique
+       |  FROM g GROUP BY 1
+       |)
+       |SELECT source, n_grams, n_unique,
+       |  ${NumFns.roundPortableSql("CAST(n_unique AS DOUBLE) / n_grams", 6)} AS unique_ratio
+       |FROM a
+       |ORDER BY source""".stripMargin
 }

@@ -70,6 +70,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(status.getString(6) <= status.getString(7))
   }
 
+  test("srm: expected counts sum to the corpus and chi2 contributions are non-negative") {
+    val rows = PipelineOps.qSrm(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    val totalDocs = graft.sources.Tables.documents(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum == totalDocs)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - totalDocs) < 1e-6)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
+  test("time-to-convert percentiles are ordered and positive") {
+    val r = PipelineOps.qTimeToConvert(spark, sf001).collect()(0)
+    val (p50, p90, p99) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(p50 > 0 && p50 <= p90 && p90 <= p99)
+    assert(r.getLong(3) > 0)
+  }
+
+  test("reorder rate: repeat customers never exceed total customers") {
+    val rows = PipelineOps.qReorderRate(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("compress ratio: unique grams bounded by total, ratio in (0, 1]") {
+    val rows = PipelineOps.qCompressRatio(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("contrastive pairs: positives and hard negatives are disjoint and bounded by cell pairs") {
     val rows = Similarity.qContrastivePairs(spark, sf001).collect()
     assert(rows.nonEmpty)
