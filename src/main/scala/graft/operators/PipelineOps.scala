@@ -431,4 +431,142 @@ object PipelineOps {
        |  ${NumFns.roundPortableSql("CAST(n_unique AS DOUBLE) / n_grams", 6)} AS unique_ratio
        |FROM a
        |ORDER BY source""".stripMargin
+
+  /** Session-scoped conversion funnel: the [[Relational.qSessionize]]
+    * 30-minute-gap sessionization composed with the chained-min funnel
+    * ([[Behavioral.qFunnel]]'s shape), at SESSION granularity — a user
+    * who browses on Monday and buys on Friday is two sessions, one
+    * stage-1 and one stage-3, which is what product analytics actually
+    * wants. One user-keyed window pass builds session ids; each funnel
+    * stage is a grouped min joined forward on the (user, session) key —
+    * all shuffles ride the same user hash.
+    */
+  def qSessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val key = Seq("user_id", "sess")
+    val all = sess.groupBy(col("user_id"), col("sess")).agg(count(lit(1)).as("n_ev"))
+    val t1 = sess.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sess")).agg(min(col("us")).as("view_us"))
+    val t2 = sess.filter(col("event_type") === "click")
+      .join(t1.hint("shuffle_hash"), key)
+      .filter(col("us") > col("view_us"))
+      .groupBy(col("user_id"), col("sess")).agg(min(col("us")).as("click_us"))
+    val t3 = sess.filter(col("event_type") === "purchase")
+      .join(t2.hint("shuffle_hash"), key)
+      .filter(col("us") > col("click_us"))
+      .groupBy(col("user_id"), col("sess")).agg(min(col("us")).as("purchase_us"))
+    all
+      .join(t1.hint("shuffle_hash"), key, "left")
+      .join(t2.hint("shuffle_hash"), key, "left")
+      .join(t3.hint("shuffle_hash"), key, "left")
+      .select(
+        when(col("purchase_us").isNotNull, 3)
+          .when(col("click_us").isNotNull, 2)
+          .when(col("view_us").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("stage"))
+  }
+
+  val qSessionFunnelOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |), g AS (
+      |  SELECT user_id, event_id, us, event_type,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), se AS (
+      |  SELECT user_id, us, event_type,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g
+      |), t1 AS (
+      |  SELECT user_id, sess, min(us) AS view_us FROM se
+      |  WHERE event_type = 'view' GROUP BY 1, 2
+      |), t2 AS (
+      |  SELECT se.user_id, se.sess, min(us) AS click_us
+      |  FROM se JOIN t1 ON se.user_id = t1.user_id AND se.sess = t1.sess
+      |  WHERE event_type = 'click' AND us > view_us GROUP BY 1, 2
+      |), t3 AS (
+      |  SELECT se.user_id, se.sess, min(us) AS purchase_us
+      |  FROM se JOIN t2 ON se.user_id = t2.user_id AND se.sess = t2.sess
+      |  WHERE event_type = 'purchase' AND us > click_us GROUP BY 1, 2
+      |), a AS (
+      |  SELECT user_id, sess FROM se GROUP BY 1, 2
+      |)
+      |SELECT CASE WHEN purchase_us IS NOT NULL THEN 3
+      |            WHEN click_us IS NOT NULL THEN 2
+      |            WHEN view_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
+      |  count(*) AS n_sessions
+      |FROM a
+      |LEFT JOIN t1 USING (user_id, sess)
+      |LEFT JOIN t2 USING (user_id, sess)
+      |LEFT JOIN t3 USING (user_id, sess)
+      |GROUP BY 1
+      |ORDER BY stage""".stripMargin
+
+  /** Watermark-sizing audit: per event type, the event-time LATENESS
+    * distribution under arrival order (event_id as the arrival proxy) —
+    * lateness of a row is how far the already-seen event-time high-water
+    * mark is ahead of it. p50/p95 come from the exact cells percentile
+    * engine; the on-time share and max are exact integers/micros. This
+    * is the number a streaming deployment reads to set
+    * `withWatermark(delay)`: the delay covering p95 (or max) lateness
+    * bounds state while dropping ≤5% (or none) of late rows — computed
+    * in batch over history, consumed by [[graft.streaming]].
+    */
+  def qWatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    val wArr = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lat = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("late_us", max(col("us")).over(wArr) - col("us"))
+      .localCheckpoint()
+    val pct = Analytics.exactPercentilesMulti(
+      lat.select(col("event_type"), (col("late_us") / lit(1e6)).as("late_s")),
+      "event_type",
+      Seq("late_s" -> Seq(0.5 -> "p50_late_s", 0.95 -> "p95_late_s")),
+      countAs = Some("late_s" -> "n_events"))
+    val ext = lat.groupBy(col("event_type"))
+      .agg(max(col("late_us")).as("max_late_us"),
+        sum(when(col("late_us") === 0L, 1L).otherwise(0L)).as("n_on_time"))
+    pct.join(broadcast(ext), "event_type")
+      .select(col("event_type"), col("n_events"),
+        col("p50_late_s"), col("p95_late_s"),
+        (col("max_late_us") / lit(1e6)).as("max_late_s"),
+        NumFns.roundPortable(
+          col("n_on_time").cast("double") / col("n_events"), 4).as("on_time_share"))
+      .orderBy(col("event_type"))
+  }
+
+  val qWatermarkAuditOracle: String =
+    s"""WITH o AS (
+       |  SELECT event_type, event_id, epoch_us(ts) AS us FROM events
+       |),
+       |l AS (
+       |  SELECT event_type,
+       |    max(us) OVER (PARTITION BY event_type ORDER BY event_id
+       |                  ROWS UNBOUNDED PRECEDING) - us AS late_us
+       |  FROM o
+       |)
+       |SELECT event_type, count(*) AS n_events,
+       |  round(quantile_cont(late_us / 1e6, 0.5), 4) AS p50_late_s,
+       |  round(quantile_cont(late_us / 1e6, 0.95), 4) AS p95_late_s,
+       |  max(late_us) / 1e6 AS max_late_s,
+       |  ${NumFns.roundPortableSql(
+            "sum(CASE WHEN late_us = 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS on_time_share
+       |FROM l
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
 }

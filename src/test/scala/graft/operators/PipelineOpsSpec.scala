@@ -105,6 +105,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("session funnel: stage counts sum to the session count and stages only shrink") {
+    val rows = PipelineOps.qSessionFunnel(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nSessions = Relational.qSessionize(spark, sf001)
+      .agg(org.apache.spark.sql.functions.sum("n_sessions")).collect()(0).getLong(0)
+    assert(rows.values.sum == nSessions)
+    // funnel property: reached-stage-k counts shrink as k grows
+    val reached = (1 to 3).map(k => rows.filter(_._1 >= k).values.sum)
+    assert(reached.zip(reached.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("watermark audit: lateness percentiles ordered, on-time share in (0,1]") {
+    val rows = PipelineOps.qWatermarkAudit(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p95, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 >= 0 && p50 <= p95 && p95 <= mx)
+      val share = r.getDouble(5)
+      assert(share > 0 && share <= 1.0)
+    }
+  }
+
   test("contrastive pairs: positives and hard negatives are disjoint and bounded by cell pairs") {
     val rows = Similarity.qContrastivePairs(spark, sf001).collect()
     assert(rows.nonEmpty)
