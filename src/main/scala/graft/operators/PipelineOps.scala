@@ -569,4 +569,58 @@ object PipelineOps {
        |FROM l
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
+
+  /** Join-key skew profiler — the measurement that DECIDES when
+    * [[graft.plans.Salt]] is worth its overhead: for each candidate join
+    * key of the fact tables, the per-key row-count distribution (mean,
+    * p99, max via the exact cells engine on the key-count frame) and the
+    * skew factor max/mean. A factor near 1 says hash joins balance; a
+    * large factor says the hot keys need salting or AQE skew handling.
+    * Each key costs one map-side-combined count; the percentile runs
+    * over the KEY-COUNT frame (|distinct keys| rows, never the fact).
+    */
+  def qJoinSkew(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(
+      ("lineitem.l_orderkey", Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))),
+      ("lineitem.l_partkey", Tables.lineitem(s, dir).select(col("l_partkey").as("k"))),
+      ("lineitem.l_suppkey", Tables.lineitem(s, dir).select(col("l_suppkey").as("k"))),
+      ("orders.o_custkey", Tables.orders(s, dir).select(col("o_custkey").as("k"))),
+      ("events.user_id", Tables.events(s, dir).select(col("user_id").as("k"))))
+    keys.map { case (name, df) =>
+      val counts = df.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val stats = Analytics.exactPercentilesMulti(
+        counts.select(lit(name).as("grp"), col("c").cast("double").as("c")),
+        "grp", Seq("c" -> Seq(0.5 -> "p50_rows", 0.99 -> "p99_rows")),
+        countAs = Some("c" -> "n_keys"))
+      val ext = counts.agg(
+        sum(col("c")).as("n_rows"), max(col("c")).as("max_rows"))
+      stats.crossJoin(broadcast(ext))
+        .select(col("grp").as("join_key"), col("n_keys"), col("n_rows"),
+          col("p50_rows"), col("p99_rows"), col("max_rows"),
+          NumFns.roundPortable(
+            col("max_rows") * col("n_keys") / col("n_rows").cast("double"), 4)
+            .as("skew_factor"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("join_key"))
+  }
+
+  val qJoinSkewOracle: String = {
+    val branches = Seq(
+      ("lineitem.l_orderkey", "SELECT l_orderkey AS k FROM lineitem"),
+      ("lineitem.l_partkey", "SELECT l_partkey AS k FROM lineitem"),
+      ("lineitem.l_suppkey", "SELECT l_suppkey AS k FROM lineitem"),
+      ("orders.o_custkey", "SELECT o_custkey AS k FROM orders"),
+      ("events.user_id", "SELECT user_id AS k FROM events")).map { case (name, src) =>
+      s"""SELECT '$name' AS join_key, count(*) AS n_keys,
+         |  CAST(sum(c) AS BIGINT) AS n_rows,
+         |  round(quantile_cont(CAST(c AS DOUBLE), 0.5), 4) AS p50_rows,
+         |  round(quantile_cont(CAST(c AS DOUBLE), 0.99), 4) AS p99_rows,
+         |  max(c) AS max_rows,
+         |  ${NumFns.roundPortableSql(
+              "max(c) * count(*) / CAST(sum(c) AS DOUBLE)", 4)} AS skew_factor
+         |FROM (SELECT k, count(*) AS c FROM ($src) GROUP BY k)""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""$branches
+       |ORDER BY join_key""".stripMargin
+  }
 }

@@ -127,6 +127,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("join-skew profiler: row counts conserve and skew factor >= 1") {
+    val rows = PipelineOps.qJoinSkew(spark, sf001).collect()
+    assert(rows.length == 5)
+    val li = graft.sources.Tables.lineitem(spark, sf001).count()
+    rows.filter(_.getString(0).startsWith("lineitem.")).foreach { r =>
+      assert(r.getLong(2) == li, r.toString) // n_rows = fact rows for each key
+      assert(r.getDouble(6) >= 1.0 - 1e-9)   // max/mean >= 1 by definition
+      assert(r.getDouble(3) <= r.getDouble(4)) // p50 <= p99
+      assert(r.getDouble(4) <= r.getLong(5).toDouble + 1e-9)
+    }
+  }
+
   test("contrastive pairs: positives and hard negatives are disjoint and bounded by cell pairs") {
     val rows = Similarity.qContrastivePairs(spark, sf001).collect()
     assert(rows.nonEmpty)
