@@ -536,6 +536,91 @@ object RelationalPlus {
       .orderBy(col("p_partkey"))
   }
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure-predicate
+    * aggregate — every filter pushes to the parquet scan (shipdate range,
+    * discount band, quantity cap are all scan-pushable), so at 100 TB
+    * this reads the row groups the statistics admit and nothing else.
+    */
+  def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(NumFns.stableSum(col("l_extendedprice") * col("l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val qForecastRevenueOracle: String =
+    s"""SELECT ${NumFns.stableSumSql("l_extendedprice * l_discount", 2)} AS revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    * zero-order customers keep their c_count = 0 bucket, then the
+    * distribution of the per-customer counts — a two-level aggregate
+    * whose second level runs over the count domain (≤ max orders per
+    * customer), not the customer set.
+    */
+  def qCustDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val qCustDistributionOracle: String =
+    """WITH co AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1
+      |)
+      |SELECT c_count, count(*) AS custdist
+      |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): the revenue "view" is a grouped
+    * aggregate; the correlated MAX becomes a 1-row broadcast aggregate
+    * joined back with an equality filter — ALL ties surface (the Q15
+    * contract), no row_number cutoff. The revenue frame is fact-derived
+    * and reused for both the max and the equality probe, so it is
+    * localCheckpoint'd once.
+    */
+  def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(NumFns.stableSum(revenue, 2).as("total_revenue"))
+      .localCheckpoint()
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    Tables.supplier(s, dir)
+      .join(rev.hint("shuffle_hash"), col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val qTopSupplierOracle: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${NumFns.stableSumSql(RevSql, 2)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY 1
+       |)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN rev ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   val qMinPriceSupplierOracle: String =
     s"""WITH ps AS (
        |  SELECT l_partkey, l_suppkey,

@@ -94,6 +94,28 @@ class RelationalPlusSpec extends SparkSpec {
     }
   }
 
+  test("forecast revenue pushes every predicate to the parquet scan") {
+    val df = RelationalPlus.qForecastRevenue(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_discount") && plan.contains("l_quantity"), plan)
+    val r = df.collect()(0)
+    assert(r.getDouble(0) > 0 && r.getLong(1) > 0)
+  }
+
+  test("customer distribution conserves customers including the zero-order bucket") {
+    val rows = RelationalPlus.qCustDistribution(spark, sf001).collect()
+    val nCust = graft.sources.Tables.customer(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+  }
+
+  test("top supplier returns every max-revenue tie and nothing below it") {
+    val rows = RelationalPlus.qTopSupplier(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1) // all returned rows share the maximum
+  }
+
   test("min-price supplier picks the argmin with deterministic suppkey tie-break") {
     val best = RelationalPlus.qMinPriceSupplier(spark, sf001).collect()
     assert(best.nonEmpty)
