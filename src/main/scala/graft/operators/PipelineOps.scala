@@ -604,6 +604,118 @@ object PipelineOps {
       .orderBy(col("join_key"))
   }
 
+  /** Per-customer behavioral feature materialization — the feature-store
+    * shape: one orders⋈lineitem pass grouped by customer produces the
+    * training-feature row (order/part/supplier breadth, stable spend,
+    * portably-rounded average order value, active-span days). The three
+    * exact distincts plan one Expand over the joined scan;
+    * approx_count_distinct is the single-pass 100 TB swap-in. Every
+    * feature is engine-deterministic, so a re-materialization diffs
+    * clean against the last snapshot.
+    */
+  def qFeatureStore(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        NumFns.stableSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("total_spend"),
+        max(unix_micros(col("o_orderdate"))).as("last_us"),
+        min(unix_micros(col("o_orderdate"))).as("first_us"))
+      .select(col("cust"), col("n_orders"), col("n_parts"), col("n_suppliers"),
+        col("total_spend"),
+        NumFns.roundPortable(col("total_spend") / col("n_orders"), 4).as("avg_order_value"),
+        ((col("last_us") - col("first_us")) / lit(86400000000L)).as("active_span_days"))
+      .orderBy(col("cust"))
+
+  val qFeatureStoreOracle: String =
+    s"""WITH f AS (
+       |  SELECT o_custkey AS cust,
+       |    count(DISTINCT o_orderkey) AS n_orders,
+       |    count(DISTINCT l_partkey) AS n_parts,
+       |    count(DISTINCT l_suppkey) AS n_suppliers,
+       |    ${NumFns.stableSumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS total_spend,
+       |    CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+       |    CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_us
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1
+       |)
+       |SELECT cust, n_orders, n_parts, n_suppliers, total_spend,
+       |  ${NumFns.roundPortableSql("total_spend / n_orders", 4)} AS avg_order_value,
+       |  (last_us - first_us) / 86400000000 AS active_span_days
+       |FROM f
+       |ORDER BY cust""".stripMargin
+
+  /** Two-proportion z-test for an A/B experiment: variants are
+    * content-addressed (md5-prefix of the user id — the same
+    * deterministic assignment discipline as the splits), the outcome is
+    * a per-user conversion flag, and the pooled-variance z-score is the
+    * launch/no-launch number. The z is guarded to NULL when the pooled
+    * rate is degenerate (0 or 1) — identical CASE on both engines
+    * instead of an engine-specific NaN. One grouped pass over users; the
+    * final arithmetic runs on a 1-row frame.
+    */
+  def qAbConversion(s: SparkSession, dir: String): DataFrame = {
+    val variant = when(
+      TextFns.hash28(concat(lit("ab:"), col("user_id").cast("string"))) % 2 === 0,
+      "A").otherwise("B")
+    val u = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(variant.as("variant"),
+        when(col("np") > 13, 1L).otherwise(0L).as("converted"))
+    val g = u.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+    val w = g.agg(
+      max(when(col("variant") === "A", col("n_users"))).as("na"),
+      max(when(col("variant") === "A", col("n_converted"))).as("ca"),
+      max(when(col("variant") === "B", col("n_users"))).as("nb"),
+      max(when(col("variant") === "B", col("n_converted"))).as("cb"))
+    val pooled = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb"))
+    val z = (col("ca").cast("double") / col("na") - col("cb").cast("double") / col("nb")) /
+      sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    w.select(col("na"), col("ca"), col("nb"), col("cb"),
+      NumFns.roundPortable(col("ca").cast("double") / col("na"), 6).as("rate_a"),
+      NumFns.roundPortable(col("cb").cast("double") / col("nb"), 6).as("rate_b"),
+      when(col("ca") + col("cb") > 0 && col("ca") + col("cb") < col("na") + col("nb"),
+        NumFns.roundPortable(z, 4)).as("z_score"))
+  }
+
+  val qAbConversionOracle: String = {
+    val h = TextFns.hash28Sql("'ab:' || CAST(user_id AS VARCHAR)")
+    val zExpr = "(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) " +
+      "/ sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) " +
+      "* (1.0 / na + 1.0 / nb))"
+    s"""WITH u AS (
+       |  SELECT CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 13
+       |         THEN 1 ELSE 0 END AS converted
+       |  FROM events GROUP BY user_id
+       |),
+       |g AS (
+       |  SELECT variant, count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_converted
+       |  FROM u GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT
+       |    max(CASE WHEN variant = 'A' THEN n_users END) AS na,
+       |    max(CASE WHEN variant = 'A' THEN n_converted END) AS ca,
+       |    max(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+       |    max(CASE WHEN variant = 'B' THEN n_converted END) AS cb
+       |  FROM g
+       |)
+       |SELECT na, ca, nb, cb,
+       |  ${NumFns.roundPortableSql("CAST(ca AS DOUBLE) / na", 6)} AS rate_a,
+       |  ${NumFns.roundPortableSql("CAST(cb AS DOUBLE) / nb", 6)} AS rate_b,
+       |  CASE WHEN ca + cb > 0 AND ca + cb < na + nb
+       |       THEN ${NumFns.roundPortableSql(zExpr, 4)} END AS z_score
+       |FROM w""".stripMargin
+  }
+
   val qJoinSkewOracle: String = {
     val branches = Seq(
       ("lineitem.l_orderkey", "SELECT l_orderkey AS k FROM lineitem"),

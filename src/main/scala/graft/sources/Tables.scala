@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** All loads normalize TIMESTAMP_NTZ columns to TimestampType: the
+    * driver's parquet writes TIMESTAMP(isAdjustedToUTC=false) (since r4),
+    * which Spark reads as NTZ and half the timestamp functions
+    * (unix_micros, window, watermarks) reject. With the engine-wide UTC
+    * session zone the cast is micros-preserving and matches DuckDB's
+    * naive-as-UTC epoch_us.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
@@ -38,12 +49,7 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      // parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
-      // with the engine-wide UTC session zone the cast is micros-preserving
-      // and matches DuckDB's naive-as-UTC epoch_us.
-      case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case _ => raw // NTZ already normalized by load
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

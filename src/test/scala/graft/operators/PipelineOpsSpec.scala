@@ -139,6 +139,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("feature store: one row per ordering customer, internally consistent features") {
+    val rows = PipelineOps.qFeatureStore(spark, sf001).collect()
+    val ordering = graft.sources.Tables.orders(spark, sf001)
+      .select("o_custkey").distinct().count()
+    assert(rows.length.toLong == ordering)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
+      assert(r.getDouble(4) > 0)
+      // avg order value times order count recovers total spend (to rounding)
+      assert(math.abs(r.getDouble(5) * r.getLong(1) - r.getDouble(4)) <
+        0.01 * r.getLong(1) + 1e-6)
+      assert(r.getDouble(6) >= 0.0)
+    }
+  }
+
+  test("A/B conversion: users partition into variants and z is finite when defined") {
+    val r = PipelineOps.qAbConversion(spark, sf001).collect()(0)
+    val nUsers = graft.sources.Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) == nUsers)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    if (!r.isNullAt(6)) assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
+  }
+
   test("contrastive pairs: positives and hard negatives are disjoint and bounded by cell pairs") {
     val rows = Similarity.qContrastivePairs(spark, sf001).collect()
     assert(rows.nonEmpty)
