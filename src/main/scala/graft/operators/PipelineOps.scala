@@ -716,6 +716,53 @@ object PipelineOps {
        |FROM w""".stripMargin
   }
 
+  /** Deterministic negative sampling for recsys/contrastive training:
+    * per anchor customer, k candidate parts drawn content-addressed
+    * (md5-prefix of "neg:cust:j" mod |parts|), then accidental positives
+    * removed with an anti join against the true interaction set. The
+    * draw is a pure function of the key — any executor, any retry, any
+    * engine regenerates the same negatives, so training runs are
+    * reproducible without persisting a sample table. The anti join moves
+    * (cust, part) keys only; the anchor set here is id-bounded to keep
+    * the oracle output small (at scale the same plan runs unbounded).
+    */
+  def qNegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val nParts = Tables.part(s, dir).agg(count(lit(1)).as("n_parts"))
+    val pos = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    Tables.customer(s, dir).filter(col("c_custkey") < 20)
+      .select(col("c_custkey").as("cust"))
+      .crossJoin(broadcast(nParts))
+      .select(col("cust"), explode(sequence(lit(1), lit(10))).as("j"),
+        col("n_parts"))
+      .select(col("cust"), col("j").cast("long").as("j"),
+        (TextFns.hash28(concat(lit("neg:"), col("cust").cast("string"),
+          lit(":"), col("j").cast("string"))) % col("n_parts")).as("part"))
+      .join(pos.hint("shuffle_hash"), Seq("cust", "part"), "left_anti")
+      .orderBy(col("cust"), col("j"))
+      .select(col("cust"), col("j"), col("part"))
+  }
+
+  val qNegativeSamplingOracle: String = {
+    val h = TextFns.hash28Sql("'neg:' || cust || ':' || j")
+    s"""WITH np AS (SELECT count(*) AS n_parts FROM part),
+       |t AS (SELECT c_custkey AS cust FROM customer WHERE c_custkey < 20),
+       |c AS (
+       |  SELECT cust, j, $h % n_parts AS part
+       |  FROM t, np, unnest(range(1, 11)) AS r(j)
+       |),
+       |pos AS (
+       |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |)
+       |SELECT cust, j, part
+       |FROM c
+       |WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.cust = c.cust AND pos.part = c.part)
+       |ORDER BY cust, j""".stripMargin
+  }
+
   val qJoinSkewOracle: String = {
     val branches = Seq(
       ("lineitem.l_orderkey", "SELECT l_orderkey AS k FROM lineitem"),

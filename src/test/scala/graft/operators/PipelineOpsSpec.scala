@@ -163,6 +163,21 @@ class PipelineOpsSpec extends SparkSpec {
     if (!r.isNullAt(6)) assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
   }
 
+  test("negative sampling: draws are reproducible and never true positives") {
+    val a = PipelineOps.qNegativeSampling(spark, sf001).collect()
+    val b = PipelineOps.qNegativeSampling(spark, sf001).collect()
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    import spark.implicits._
+    val pos = graft.sources.Tables.orders(spark, sf001)
+      .join(graft.sources.Tables.lineitem(spark, sf001), $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    a.foreach { r =>
+      assert(!pos.contains((r.getLong(0), r.getLong(2))), r.toString)
+    }
+  }
+
   test("contrastive pairs: positives and hard negatives are disjoint and bounded by cell pairs") {
     val rows = Similarity.qContrastivePairs(spark, sf001).collect()
     assert(rows.nonEmpty)
