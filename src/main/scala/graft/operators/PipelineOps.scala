@@ -612,6 +612,12 @@ object PipelineOps {
     * approx_count_distinct is the single-pass 100 TB swap-in. Every
     * feature is engine-deterministic, so a re-materialization diffs
     * clean against the last snapshot.
+    *
+    * Spend is int64-quantized per row (NOT a decimal sum of the raw
+    * product): with ~|customers| groups, SOME group's revenue product
+    * will land where the double→DECIMAL(38,12) cast rounds differently
+    * across engines (caught by the sf0.1 probe) — the per-row portable
+    * quantization is immune by construction.
     */
   def qFeatureStore(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -621,8 +627,10 @@ object PipelineOps {
         countDistinct(col("o_orderkey")).as("n_orders"),
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_suppliers"),
-        NumFns.stableSum(
-          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("total_spend"),
+        NumFns.roundPortable(
+          sum(NumFns.roundAwayLong(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1e6)))
+            .cast("double") / lit(1e6), 2).as("total_spend"),
         max(unix_micros(col("o_orderdate"))).as("last_us"),
         min(unix_micros(col("o_orderdate"))).as("first_us"))
       .select(col("cust"), col("n_orders"), col("n_parts"), col("n_suppliers"),
@@ -637,7 +645,7 @@ object PipelineOps {
        |    count(DISTINCT o_orderkey) AS n_orders,
        |    count(DISTINCT l_partkey) AS n_parts,
        |    count(DISTINCT l_suppkey) AS n_suppliers,
-       |    ${NumFns.stableSumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS total_spend,
+       |    ${NumFns.quantSumSql("l_extendedprice * (1.0 - l_discount)", 2)} AS total_spend,
        |    CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
        |    CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_us
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
