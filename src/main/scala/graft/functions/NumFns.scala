@@ -45,12 +45,27 @@ object NumFns {
   def stableSumSql(x: String, digits: Int): String =
     s"CAST(round(sum(CAST($x AS DECIMAL(38,12))), $digits) AS DOUBLE)"
 
+  /** Collapse IEEE signed zero to +0.0. Spark's decimal-space round has
+    * no signed zero (BigDecimal) while DuckDB's `round(double, k)` keeps
+    * the IEEE sign, so a mean/product that underflows to zero from below
+    * renders `-0.0` on one engine and `0.0` on the other — value-equal,
+    * hash-different (the two-round q_kmeans_step red). Normalized HERE so
+    * every operator inherits it; do NOT use `+ 0.0`, which constant
+    * folding may drop.
+    */
+  def noNegZero(x: Column): Column =
+    when(x === 0.0, lit(0.0)).otherwise(x)
+
+  def noNegZeroSql(x: String): String =
+    s"(CASE WHEN ($x) = 0 THEN CAST(0.0 AS DOUBLE) ELSE ($x) END)"
+
   /** Order-independent `round(avg(x), digits)`: exact decimal sum ÷ n. */
   def stableMean(x: Column, n: Column, digits: Int): Column =
-    round(sum(x.cast(D)).cast("double") / n, digits)
+    noNegZero(round(sum(x.cast(D)).cast("double") / n, digits))
 
   def stableMeanSql(x: String, n: String, digits: Int): String =
-    s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / $n, $digits)"
+    noNegZeroSql(
+      s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / $n, $digits)")
 
   /** EXACT round-half-away-from-zero of a double to a long — the same
     * value Spark's `round(x, 0)` and DuckDB's `round(x)` produce, but
@@ -83,11 +98,11 @@ object NumFns {
     */
   def roundPortable(x: Column, digits: Int): Column = {
     val scale = math.pow(10.0, digits)
-    roundAwayLong(x * scale).cast("double") / scale
+    noNegZero(roundAwayLong(x * scale).cast("double") / scale)
   }
 
   def roundPortableSql(x: String, digits: Int): String =
-    s"CAST(round(($x) * 1e$digits) AS BIGINT) / 1e$digits"
+    noNegZeroSql(s"CAST(round(($x) * 1e$digits) AS BIGINT) / 1e$digits")
 
   /** Oracle twin of [[graft.plans.QuantAgg]]'s quantized stable sum:
     * the exact integer Σ round(x·10⁶) (BIGINT→HUGEINT accumulation is

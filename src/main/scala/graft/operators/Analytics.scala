@@ -367,7 +367,7 @@ object Analytics {
       |                   ORDER BY o_totalprice, o_orderkey) AS quartile
       |  FROM orders
       |)
-      |SELECT o_orderpriority AS priority, quartile,
+      |SELECT o_orderpriority AS priority, CAST(quartile AS INTEGER) AS quartile,
       |  count(*) AS n_orders,
       |  round(min(o_totalprice), 2) AS min_price,
       |  round(max(o_totalprice), 2) AS max_price

@@ -61,8 +61,8 @@ object Behavioral {
       |       JOIN t2 ON e.user_id = t2.user_id AND e.us > t2.click_us
       |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
       |SELECT t1.user_id, t1.view_us, t2.click_us, t3.purchase_us,
-      |  1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
-      |    + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS stage
+      |  CAST(1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
       |FROM t1
       |LEFT JOIN t2 ON t1.user_id = t2.user_id
       |LEFT JOIN t3 ON t1.user_id = t3.user_id

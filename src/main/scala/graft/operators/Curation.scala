@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{NumFns, TextFns}
 import graft.sources.Tables
 
 /** Corpus-curation operators — the selection/splitting/cleaning stages of
@@ -120,7 +120,7 @@ object Curation {
   val qTextNormalizeOracle: String =
     """SELECT doc_id,
       |  md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp,
-      |  length(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_chars_norm
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS n_chars_norm
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -201,7 +201,7 @@ object Curation {
        |    n_stop
        |  FROM c
        |)
-       |SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, n_stop,
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, mean_word_len, symbol_ratio, CAST(n_stop AS INTEGER) AS n_stop,
        |  (n_tokens BETWEEN 5 AND 1000 AND mean_word_len BETWEEN 2.0 AND 10.0
        |    AND symbol_ratio <= 0.1 AND n_stop >= 1) AS keep
        |FROM m
@@ -232,7 +232,7 @@ object Curation {
        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct
        |  FROM t WHERE len(t) >= 3
        |)
-       |SELECT doc_id, n_trigrams, n_distinct,
+       |SELECT doc_id, CAST(n_trigrams AS INTEGER) AS n_trigrams, CAST(n_distinct AS INTEGER) AS n_distinct,
        |  round(1.0 - n_distinct / n_trigrams, 6) AS rep_ratio
        |FROM c
        |ORDER BY doc_id""".stripMargin
@@ -520,8 +520,8 @@ object Curation {
   def qQualityScore(s: SparkSession, dir: String): DataFrame =
     withQuality(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("z"), 4).as("z"),
-        round(col("score"), 4).as("score"),
+        NumFns.roundPortable(col("z"), 4).as("z"),
+        NumFns.roundPortable(col("score"), 4).as("score"),
         col("keep"))
       .orderBy(col("doc_id"))
 
@@ -548,24 +548,34 @@ object Curation {
       .drop("toks", "stop_ratio", "symbol_ratio")
   }
 
-  val qQualityScoreOracle: String =
-    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
-       |f AS (
-       |  SELECT doc_id,
-       |    len(toks) AS n_tokens,
+  /** SQL twin of [[withQuality]]'s feature projection — the ONE
+    * definition of the classifier features on the oracle side, spliced
+    * (never copied) by every oracle that scores documents.
+    */
+  val qualityFeaturesSql: String =
+    s"""SELECT doc_id, len(toks) AS n_tokens,
        |    len(list_filter(toks, x -> x IN ($stopListSql)))
        |      / CAST(len(toks) AS DOUBLE) AS stop_ratio,
        |    length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
        |      / CAST(length(text) AS DOUBLE) AS symbol_ratio
-       |  FROM t
+       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) tq""".stripMargin
+
+  /** SQL twin of [[withQuality]]'s linear form z, over the columns of
+    * [[qualityFeaturesSql]].
+    */
+  val qualityZSql: String =
+    "-1.0 + 0.6 * ln(1.0 + n_tokens) + 2.0 * stop_ratio - 4.0 * symbol_ratio"
+
+  val qQualityScoreOracle: String =
+    s"""WITH f AS (
+       |  $qualityFeaturesSql
        |),
        |z AS (
-       |  SELECT doc_id, n_tokens,
-       |    -1.0 + 0.6 * ln(1.0 + n_tokens) + 2.0 * stop_ratio - 4.0 * symbol_ratio AS z
+       |  SELECT doc_id, n_tokens, $qualityZSql AS z
        |  FROM f
        |)
-       |SELECT doc_id, n_tokens, round(z, 4) AS z,
-       |  round(1.0 / (1.0 + exp(-z)), 4) AS score,
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql("1.0 / (1.0 + exp(-z))", 4)} AS score,
        |  z > 0 AS keep
        |FROM z
        |ORDER BY doc_id""".stripMargin
@@ -616,7 +626,7 @@ object Curation {
        |                       ORDER BY round(z, 6) DESC, doc_id) AS cap_rank
        |  FROM z
        |)
-       |SELECT doc_id, source, cap_rank,
+       |SELECT doc_id, source, CAST(cap_rank AS INTEGER) AS cap_rank,
        |  round(1.0 / (1.0 + exp(-z)), 4) AS score
        |FROM r WHERE cap_rank <= $SourceCap
        |ORDER BY source, cap_rank""".stripMargin

@@ -36,7 +36,7 @@ object PipelineOps {
   val qCrossvalFoldsOracle: String =
     s"""SELECT ${TextFns.hash28Sql("'fold:' || CAST(doc_id AS VARCHAR)")} % 5 AS fold,
        |  count(*) AS n_docs,
-       |  sum(len(${TextFns.toksSql})) AS n_tokens,
+       |  CAST(sum(len(${TextFns.toksSql})) AS BIGINT) AS n_tokens,
        |  count(DISTINCT source) AS n_sources
        |FROM documents
        |GROUP BY 1
@@ -123,7 +123,7 @@ object PipelineOps {
     */
   def qCurriculum(s: SparkSession, dir: String): DataFrame = {
     val cells = Curation.withQuality(Tables.documents(s, dir))
-      .select(round(col("score"), 4).as("sc"), col("n_tokens"))
+      .select(NumFns.roundPortable(col("score"), 4).as("sc"), col("n_tokens"))
       .groupBy(col("sc"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("toks"))
     val w = Window.orderBy(col("sc").desc)
@@ -153,25 +153,22 @@ object PipelineOps {
        |  FROM cells
        |)
        |SELECT CAST(1 + least(3.0, floor(4.0 * cum_before / total)) AS INT) AS phase,
-       |  sum(n_docs) AS n_docs, sum(toks) AS n_tokens,
+       |  CAST(sum(n_docs) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
        |  min(sc) AS min_score, max(sc) AS max_score
        |FROM pre
        |GROUP BY 1
        |ORDER BY phase""".stripMargin
 
   /** SQL twin of [[Curation.withQuality]]'s (rounded score, n_tokens)
-    * projection — spliced from the same constants as the quality-score
-    * oracle (z = −1 + 0.6·ln(1+n) + 2·stop − 4·symbol).
+    * projection — spliced from [[Curation.qualityFeaturesSql]] /
+    * [[Curation.qualityZSql]] (one definition, never copied) with the
+    * same portable cell-key rounding as the Spark side.
     */
   private def qualityScoreCellsSql: String =
-    s"""SELECT round(1.0 / (1.0 + exp(-z)), 4) AS sc, n_tokens FROM (
-       |    SELECT len(toks) AS n_tokens,
-       |      -1.0 + 0.6 * ln(1.0 + len(toks))
-       |        + 2.0 * (len(list_filter(toks, x -> x IN (${Curation.stopListSql})))
-       |                 / CAST(len(toks) AS DOUBLE))
-       |        - 4.0 * (length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
-       |                 / CAST(length(text) AS DOUBLE)) AS z
-       |    FROM (SELECT text, ${TextFns.toksSql} AS toks FROM documents) t0
+    s"""SELECT ${NumFns.roundPortableSql("1.0 / (1.0 + exp(-z))", 4)} AS sc, n_tokens FROM (
+       |    SELECT n_tokens, ${Curation.qualityZSql} AS z FROM (
+       |      ${Curation.qualityFeaturesSql}
+       |    ) f0
        |  ) t1""".stripMargin
 
   /** Generic per-column table profiler (data-quality audit): one scan of
@@ -231,16 +228,16 @@ object PipelineOps {
   val qTableProfileOracle: String =
     """WITH a AS (
       |  SELECT count(*) AS n_rows,
-      |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nn_status,
+      |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
       |    count(DISTINCT o_orderstatus) AS nd_status,
       |    min(o_orderstatus) AS mn_status, max(o_orderstatus) AS mx_status,
-      |    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_prio,
+      |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_prio,
       |    count(DISTINCT o_orderpriority) AS nd_prio,
       |    min(o_orderpriority) AS mn_prio, max(o_orderpriority) AS mx_prio,
-      |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
+      |    CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
       |    count(DISTINCT o_totalprice) AS nd_price,
       |    min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price,
-      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_cust,
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_cust,
       |    count(DISTINCT o_custkey) AS nd_cust,
       |    min(o_custkey) AS mn_cust, max(o_custkey) AS mx_cust
       |  FROM orders
@@ -379,7 +376,7 @@ object PipelineOps {
        |),
        |g AS (
        |  SELECT part, count(*) AS n_customers,
-       |    sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS n_repeat
+       |    CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
        |  FROM pc GROUP BY 1
        |)
        |SELECT part, n_customers, n_repeat,
@@ -598,7 +595,7 @@ object PipelineOps {
         .select(col("grp").as("join_key"), col("n_keys"), col("n_rows"),
           col("p50_rows"), col("p99_rows"), col("max_rows"),
           NumFns.roundPortable(
-            col("max_rows") * col("n_keys") / col("n_rows").cast("double"), 4)
+            col("max_rows").cast("double") * col("n_keys") / col("n_rows"), 4)
             .as("skew_factor"))
     }.reduce(_ unionAll _)
       .orderBy(col("join_key"))
@@ -784,7 +781,7 @@ object PipelineOps {
          |  round(quantile_cont(CAST(c AS DOUBLE), 0.99), 4) AS p99_rows,
          |  max(c) AS max_rows,
          |  ${NumFns.roundPortableSql(
-              "max(c) * count(*) / CAST(sum(c) AS DOUBLE)", 4)} AS skew_factor
+              "CAST(max(c) AS DOUBLE) * count(*) / CAST(sum(c) AS DOUBLE)", 4)} AS skew_factor
          |FROM (SELECT k, count(*) AS c FROM ($src) GROUP BY k)""".stripMargin
     }.mkString("\n|UNION ALL\n|")
     s"""$branches

@@ -80,7 +80,7 @@ object Profiling {
   val qCharClassesOracle: String = {
     def r(pat: String, alias: String) =
       s"CASE WHEN length(text) > 0 THEN round((length(text) - length(regexp_replace(text, '$pat', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) END AS $alias"
-    s"""SELECT doc_id, length(text) AS n_chars,
+    s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
        |  ${r("[0-9]", "digit_ratio")},
        |  ${r("[A-Z]", "upper_ratio")},
        |  ${r("\\s", "space_ratio")},
@@ -858,7 +858,7 @@ object Profiling {
        |  FROM p
        |),
        |tt AS (SELECT sum(term) AS t FROM terms)
-       |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+       |SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur, p_ref, p_cur,
        |  ${NumFns.roundPortableSql("CAST(term AS DOUBLE)", 6)} AS psi_contrib,
        |  ${NumFns.roundPortableSql("CAST(t AS DOUBLE)", 6)} AS psi_total
        |FROM terms CROSS JOIN tt

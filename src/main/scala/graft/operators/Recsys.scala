@@ -134,7 +134,7 @@ object Recsys {
        |    ORDER BY cosine DESC, pb) AS rk
        |  FROM sc
        |)
-       |SELECT pa AS part, rk, pb AS neighbor, c_ab, c_a, c_b, cosine
+       |SELECT pa AS part, CAST(rk AS INTEGER) AS rk, pb AS neighbor, c_ab, c_a, c_b, cosine
        |FROM r WHERE rk <= $CfTopK
        |ORDER BY part, rk""".stripMargin
 }

@@ -181,7 +181,7 @@ object Relational {
   }
 
   val qWindowRankOracle: String =
-    """SELECT c_mktsegment, rk, c_custkey, c_name, c_acctbal FROM (
+    """SELECT c_mktsegment, CAST(rk AS INTEGER) AS rk, c_custkey, c_name, c_acctbal FROM (
       |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
       |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
       |  FROM customer) t

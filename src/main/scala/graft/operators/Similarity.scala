@@ -213,7 +213,7 @@ object Similarity {
        |    round(${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)), 4) AS sim
        |  FROM q JOIN n c ON c.vec_id != q.vec_id
        |)
-       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim FROM (
        |  SELECT query_id, neighbor_id, sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM p) t
@@ -318,7 +318,7 @@ object Similarity {
        |    round(${dotSql("q.v", "c2.v")} / (sqrt(q.nsq) * sqrt(c2.nsq)), 4) AS sim
        |  FROM q JOIN cells c2 ON c2.cell = q.cell AND c2.vec_id != q.vec_id
        |)
-       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim FROM (
        |  SELECT query_id, neighbor_id, sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM p) t
@@ -342,7 +342,7 @@ object Similarity {
        |    round(${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)), 4) AS sim
        |  FROM q JOIN bk c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
        |)
-       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim FROM (
        |  SELECT query_id, neighbor_id, sim,
        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM p) t
@@ -401,7 +401,7 @@ object Similarity {
        |  FROM ex FULL OUTER JOIN iv
        |    ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
        |)
-       |SELECT query_id, neighbor_id, fused_rank, round(rrf, 6) AS rrf,
+       |SELECT query_id, neighbor_id, CAST(fused_rank AS INTEGER) AS fused_rank, round(rrf, 6) AS rrf,
        |  in_exact, in_ivf
        |FROM (
        |  SELECT query_id, neighbor_id, rrf, in_exact, in_ivf,
@@ -491,7 +491,7 @@ object Similarity {
   val qEmbedCentroidsOracle: String =
     s"""WITH e AS (SELECT label, $vSql AS v FROM embeddings),
        |x AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM e)
-       |SELECT label, pos, count(*) AS n_vecs, ${stableMean4Sql("x", "count(*)")} AS cx
+       |SELECT label, CAST(pos AS INTEGER) AS pos, count(*) AS n_vecs, ${stableMean4Sql("x", "count(*)")} AS cx
        |FROM x
        |GROUP BY label, pos
        |ORDER BY label, pos""".stripMargin
@@ -609,7 +609,7 @@ object Similarity {
     s"""WITH $preparedSql,
        |$cellsSql,
        |x AS (SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos FROM cells)
-       |SELECT cell, pos, count(*) AS n_vecs, ${stableMean4Sql("x", "count(*)")} AS cx
+       |SELECT cell, CAST(pos AS INTEGER) AS pos, count(*) AS n_vecs, ${stableMean4Sql("x", "count(*)")} AS cx
        |FROM x
        |GROUP BY cell, pos
        |ORDER BY cell, pos""".stripMargin
@@ -849,7 +849,7 @@ object Similarity {
        |    CAST(sum(CAST(v1raw * $seedSql AS DECIMAL(38,12))) AS DOUBLE) AS lambda
        |  FROM v1
        |)
-       |SELECT i AS pos, round(v1raw / sqrt(nsq), 6) AS comp,
+       |SELECT CAST(i AS INTEGER) AS pos, round(v1raw / sqrt(nsq), 6) AS comp,
        |  round(lambda, 6) AS lambda
        |FROM v1 CROSS JOIN sc
        |ORDER BY pos""".stripMargin
@@ -1008,7 +1008,7 @@ object Similarity {
        |    CAST(mc * mc AS DECIMAL(38,12)) AS cc
        |  FROM m
        |)
-       |SELECT nr AS n_ref, nc AS n_cur,
+       |SELECT CAST(nr AS BIGINT) AS n_ref, CAST(nc AS BIGINT) AS n_cur,
        |  ${NumFns.roundPortableSql("CAST(sum(d2) AS DOUBLE)", 6)} AS mmd_linear,
        |  ${NumFns.roundPortableSql(
             "CAST(sum(rc) AS DOUBLE) / (sqrt(CAST(sum(rr) AS DOUBLE)) * sqrt(CAST(sum(cc) AS DOUBLE)))", 6)}
@@ -1072,7 +1072,7 @@ object Similarity {
        |  FROM p WHERE sim >= $NearDupThreshold
        |  GROUP BY label
        |)
-       |SELECT label, n_pos, n_hard_neg,
+       |SELECT label, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_hard_neg AS BIGINT) AS n_hard_neg,
        |  CASE WHEN n_pos > 0
        |    THEN ${NumFns.roundPortableSql("CAST(sp AS DOUBLE) / (1e4 * n_pos)", 4)} END AS mean_pos_sim,
        |  CASE WHEN n_hard_neg > 0

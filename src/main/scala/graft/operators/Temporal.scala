@@ -260,7 +260,7 @@ object Temporal {
       |  SELECT * FROM e WHERE prev_type IS NULL OR prev_type != event_type
       |)
       |SELECT user_id,
-      |  row_number() OVER w AS version,
+      |  CAST(row_number() OVER w AS INTEGER) AS version,
       |  event_type,
       |  us AS valid_from_us,
       |  lead(us) OVER w AS valid_to_us
@@ -300,7 +300,7 @@ object Temporal {
       |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
       |  FROM d
       |)
-      |SELECT user_id, min(d) AS start_day, max(d) AS end_day, count(*) AS n_days
+      |SELECT user_id, CAST(min(d) AS INTEGER) AS start_day, CAST(max(d) AS INTEGER) AS end_day, count(*) AS n_days
       |FROM g
       |GROUP BY user_id, grp
       |ORDER BY user_id, start_day""".stripMargin
@@ -732,7 +732,7 @@ object Temporal {
        |    CAST(sum(vsum) AS DOUBLE) / sum(n_events) AS mean_all
        |  FROM c GROUP BY event_type
        |)
-       |SELECT event_type, isodow, n_events,
+       |SELECT event_type, CAST(isodow AS INTEGER) AS isodow, n_events,
        |  ${NumFns.roundPortableSql("CAST(vsum AS DOUBLE) / n_events", 6)} AS mean_value,
        |  ${NumFns.roundPortableSql(
              "(CAST(vsum AS DOUBLE) / n_events) / mean_all", 6)} AS lift
@@ -957,7 +957,7 @@ object Temporal {
        |      AS seasonal
        |  FROM t2 GROUP BY dow
        |)
-       |SELECT di, t2.dow, rev AS rev_cents,
+       |SELECT CAST(di AS INTEGER) AS di, CAST(t2.dow AS INTEGER) AS dow, CAST(rev AS BIGINT) AS rev_cents,
        |  ${NumFns.roundPortableSql("trend", 6)} AS trend,
        |  ${NumFns.roundPortableSql("seasonal", 6)} AS seasonal,
        |  ${NumFns.roundPortableSql("rev - trend - seasonal", 6)} AS residual

@@ -43,9 +43,9 @@ object TextAnalysis {
 
   val qTextTokensOracle: String =
     s"""SELECT doc_id,
-       |  len($toksSql) AS n_ws_tokens,
-       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
-       |  length(text) AS n_chars_measured
+       |  CAST(len($toksSql) AS INTEGER) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+       |  CAST(length(text) AS INTEGER) AS n_chars_measured
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
@@ -77,7 +77,7 @@ object TextAnalysis {
        |    len(list_distinct(toks)) AS n_types
        |  FROM t
        |)
-       |SELECT doc_id, n_tokens, n_stop,
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, CAST(n_stop AS INTEGER) AS n_stop,
        |  round(n_stop / n_tokens, 6) AS stop_ratio,
        |  round(n_types / n_tokens, 6) AS type_token_ratio,
        |  round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop / n_tokens), 6) AS quality_score
@@ -124,7 +124,8 @@ object TextAnalysis {
        |    WHEN s_de >= s_fr THEN 'de'
        |    ELSE 'fr'
        |  END AS predicted,
-       |  s_en, s_es, s_de, s_fr
+       |  CAST(s_en AS INTEGER) AS s_en, CAST(s_es AS INTEGER) AS s_es,
+       |  CAST(s_de AS INTEGER) AS s_de, CAST(s_fr AS INTEGER) AS s_fr
        |FROM sc
        |ORDER BY doc_id""".stripMargin
 
@@ -195,7 +196,7 @@ object TextAnalysis {
        |        FROM documents) f
        |  GROUP BY fp
        |)
-       |SELECT lq.doc_id, lq.n_tokens, lq.quality_score
+       |SELECT lq.doc_id, CAST(lq.n_tokens AS INTEGER) AS n_tokens, lq.quality_score
        |FROM lq JOIN k ON lq.doc_id = k.doc_id
        |WHERE lq.predicted = 'en' AND lq.quality_score >= 0.3
        |ORDER BY lq.doc_id""".stripMargin
@@ -214,7 +215,7 @@ object TextAnalysis {
   val qTextFingerprintOracle: String =
     """SELECT doc_id,
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-      |  length(text) AS n_chars_measured
+      |  CAST(length(text) AS INTEGER) AS n_chars_measured
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -260,7 +261,7 @@ object TextAnalysis {
       |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
       |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
       |)
-      |SELECT doc_id, word, tfidf, rank FROM (
+      |SELECT doc_id, word, tfidf, CAST(rank AS INTEGER) AS rank FROM (
       |  SELECT doc_id, word, tfidf,
       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
       |  FROM sc) t
@@ -303,7 +304,7 @@ object TextAnalysis {
        |  SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rank
        |  FROM c ORDER BY n DESC, word LIMIT $VocabTopK
        |)
-       |SELECT rank, word, n,
+       |SELECT CAST(rank AS INTEGER) AS rank, word, n,
        |  round(n / t.tot, 6) AS share,
        |  round(sum(n / t.tot) OVER (ORDER BY n DESC, word
        |                             ROWS UNBOUNDED PRECEDING), 6) AS cum_share
