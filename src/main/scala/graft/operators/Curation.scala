@@ -1036,4 +1036,55 @@ object Curation {
        |    AS dropped_here
        |FROM st
        |ORDER BY stage_idx""".stripMargin
+
+  /** Token-weighted median quality score per source — the mixing-board
+    * statistic that answers "where does the middle TOKEN of this domain
+    * sit on the quality scale" (the doc-weighted median over-represents
+    * short documents). Rank-from-cells shape: documents collapse to
+    * (source, rounded-score) cells with token weights — value-domain-
+    * sized, ≤10⁴ score cells per source — the running weight is a window
+    * over that cell frame, and the median is the first cell where
+    * 2·cum ≥ total, an exact int64 comparison on both engines. No
+    * row-scale sort at any scale.
+    */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val cells = withQuality(Tables.documents(s, dir))
+      .select(col("source"), NumFns.roundPortable(col("score"), 4).as("sc"),
+        col("n_tokens").cast("long").as("w"))
+      .groupBy(col("source"), col("sc"))
+      .agg(sum(col("w")).as("w"))
+    val byS = Window.partitionBy(col("source"))
+    val cum = Window.partitionBy(col("source")).orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("tot", sum(col("w")).over(byS))
+      .withColumn("cum", sum(col("w")).over(cum))
+      .filter(lit(2L) * col("cum") >= col("tot"))
+      .groupBy(col("source"))
+      .agg(min(col("sc")).as("median_score"), max(col("tot")).as("total_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val qWeightedMedianOracle: String =
+    s"""WITH q AS (
+       |  SELECT f.doc_id, f.n_tokens,
+       |    ${NumFns.roundPortableSql(s"1.0 / (1.0 + exp(-($qualityZSql)))", 4)} AS sc
+       |  FROM ($qualityFeaturesSql) f
+       |),
+       |cells AS (
+       |  SELECT d.source, q.sc, CAST(sum(q.n_tokens) AS BIGINT) AS w
+       |  FROM q JOIN documents d ON d.doc_id = q.doc_id
+       |  GROUP BY d.source, q.sc
+       |),
+       |r AS (
+       |  SELECT source, sc, w,
+       |    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot,
+       |    CAST(sum(w) OVER (PARTITION BY source ORDER BY sc
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM cells
+       |)
+       |SELECT source, min(sc) AS median_score, max(tot) AS total_tokens
+       |FROM r WHERE 2 * cum >= tot
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 }

@@ -301,4 +301,76 @@ object Evaluation {
            "sqrt(CAST(sum(x) AS DOUBLE) / (n * least(n_seg - 1, n_prio - 1)))", 6)}
        |    AS cramers_v
        |FROM x GROUP BY n, n_seg, n_prio""".stripMargin
+
+  /** Precision/recall/F1 curve of the English stopword-ratio signal as a
+    * language classifier, swept over 10 decision thresholds — the
+    * operating-point picker that turns a scored corpus into a keep/drop
+    * rule with known trade-offs. Scale shape: one scan projects the
+    * per-document (score, label) pair, a 10-row threshold dimension
+    * broadcasts onto it, and the aggregation shuffles exactly 10 count
+    * rows — confusion counts are exact int64, the final ratios are
+    * portably rounded. At 100 TB the sweep costs the same single pass as
+    * one threshold.
+    */
+  def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select((col("lang") === "en").as("label"),
+        (size(filter(col("toks"), t => t.isin("the", "a", "of", "and", "to")))
+          / size(col("toks")).cast("double")).as("score"))
+    val th = spark_range_df(s)
+    scored.crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(
+        sum((col("label") && col("score") >= col("threshold")).cast("long")).as("tp"),
+        sum((!col("label") && col("score") >= col("threshold")).cast("long")).as("fp"),
+        sum((col("label") && col("score") < col("threshold")).cast("long")).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          NumFns.roundPortable(col("tp") / (col("tp") + col("fp")).cast("double"), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          NumFns.roundPortable(col("tp") / (col("tp") + col("fn")).cast("double"), 6))
+          .as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          NumFns.roundPortable(
+            lit(2.0) * col("tp") / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6))
+          .as("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  /** The 10-point threshold grid 0.00, 0.05, …, 0.45 as a 1-column
+    * DataFrame — k/20.0 is the same double on both engines.
+    */
+  private def spark_range_df(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until 10).map(k => k / 20.0).toDF("threshold")
+  }
+
+  val qPrCurveOracle: String =
+    s"""WITH sc AS (
+       |  SELECT lang = 'en' AS label,
+       |    len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))
+       |      / CAST(len(toks) AS DOUBLE) AS score
+       |  FROM (SELECT lang, ${TextFns.toksSql} AS toks FROM documents) t
+       |  WHERE len(toks) > 0
+       |),
+       |th AS (SELECT i / 20.0 AS threshold FROM unnest(range(0, 10)) AS a(i)),
+       |g AS (
+       |  SELECT threshold,
+       |    CAST(sum(CASE WHEN label AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN NOT label AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN label AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM sc CROSS JOIN th GROUP BY threshold
+       |)
+       |SELECT threshold, tp, fp, fn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN ${NumFns.roundPortableSql("tp / CAST(tp + fp AS DOUBLE)", 6)} END AS "precision",
+       |  CASE WHEN tp + fn > 0
+       |    THEN ${NumFns.roundPortableSql("tp / CAST(tp + fn AS DOUBLE)", 6)} END AS recall,
+       |  CASE WHEN 2 * tp + fp + fn > 0
+       |    THEN ${NumFns.roundPortableSql("2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE)", 6)} END AS f1
+       |FROM g
+       |ORDER BY threshold""".stripMargin
 }

@@ -863,4 +863,70 @@ object Profiling {
        |  ${NumFns.roundPortableSql("CAST(t AS DOUBLE)", 6)} AS psi_total
        |FROM terms CROSS JOIN tt
        |ORDER BY bin""".stripMargin
+
+  /** Per-source dataset card — the one-row-per-source summary a corpus
+    * release ships: volumes (docs/tokens/chars), language breadth and
+    * English share, exact duplicate rate (via the normalized content
+    * fingerprint), and the hash-stable mean quality score. One scan
+    * computes every per-document feature; the aggregation groups by
+    * source with map-side combine. The two exact count-distincts
+    * (languages, fingerprints) plan one Expand over the scan —
+    * `approx_count_distinct` is the single-pass 100 TB swap-in, and the
+    * mean uses the DECIMAL-sum form so the card is bit-reproducible
+    * across runs and layouts.
+    */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val scored = Curation.withQuality(Tables.documents(s, dir))
+      .withColumn("fp", md5(TextFns.normalized(col("text"))))
+    scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum((col("lang") === "en").cast("long")).as("en_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        NumFns.stableMean(col("score"), count(lit(1)), 4).as("mean_quality"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"),
+        NumFns.roundPortable(col("en_docs") / col("n_docs").cast("double"), 6)
+          .as("en_share"),
+        NumFns.roundPortable(
+          lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        col("mean_quality"))
+      .orderBy(col("source"))
+  }
+
+  val qDatasetCardOracle: String =
+    s"""WITH f AS (
+       |  ${Curation.qualityFeaturesSql}
+       |),
+       |sc AS (
+       |  SELECT doc_id, n_tokens,
+       |    1.0 / (1.0 + exp(-(${Curation.qualityZSql}))) AS score
+       |  FROM f
+       |),
+       |d AS (
+       |  SELECT d.source, d.lang, d.n_chars, sc.n_tokens, sc.score,
+       |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+       |),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+       |    count(DISTINCT fp) AS n_unique,
+       |    ${NumFns.stableMeanSql("score", "count(*)", 4)} AS mean_quality
+       |  FROM d GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens, n_chars, n_langs,
+       |  ${NumFns.roundPortableSql("en_docs / CAST(n_docs AS DOUBLE)", 6)} AS en_share,
+       |  ${NumFns.roundPortableSql("1.0 - n_unique / CAST(n_docs AS DOUBLE)", 6)} AS dup_rate,
+       |  mean_quality
+       |FROM g
+       |ORDER BY source""".stripMargin
 }

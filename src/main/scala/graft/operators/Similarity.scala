@@ -1079,4 +1079,57 @@ object Similarity {
        |    THEN ${NumFns.roundPortableSql("CAST(sn AS DOUBLE) / (1e4 * n_hard_neg)", 4)} END AS mean_neg_sim
        |FROM g
        |ORDER BY label""".stripMargin
+
+  /** Cluster-quality report for the IVF cells against the ground-truth
+    * labels — the "are my clusters about anything" check run after every
+    * clustering/index build: per cell, its size, majority label (count
+    * tiebreak to the smallest label — total order, engine-independent),
+    * purity, and Gini impurity. Purity and Gini are pure integer-ratio
+    * arithmetic over the (cell, label) count frame — cells × labels
+    * rows, dimension-sized by construction — so the only row-scale work
+    * is the count aggregation itself (one map-side-combined pass over
+    * the assigned corpus). Σcnt² stays in int64: a per-(cell,label)
+    * count would need to exceed 3·10⁹ rows before cnt² nears the
+    * boundary, and at that scale the count frame itself is what you
+    * shard.
+    */
+  def qClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val counts = cellAssigned(s, dir)
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col("cell"))
+      .agg(
+        sum(col("cnt")).as("n_vecs"),
+        max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"),
+        sum(col("cnt") * col("cnt")).as("ssq"))
+      .select(col("cell"), col("n_vecs"),
+        (-col("m.nl")).as("top_label"),
+        col("m.cnt").as("n_top"),
+        NumFns.roundPortable(col("m.cnt") / col("n_vecs").cast("double"), 6).as("purity"),
+        NumFns.roundPortable(
+          lit(1.0) - col("ssq") / (col("n_vecs") * col("n_vecs")).cast("double"), 6)
+          .as("gini_impurity"))
+      .orderBy(col("cell"))
+  }
+
+  val qClusterPurityOracle: String =
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |cl AS (SELECT c1.cell, n.label FROM cells c1 JOIN n ON c1.vec_id = n.vec_id),
+       |cc AS (SELECT cell, label, count(*) AS cnt FROM cl GROUP BY cell, label),
+       |g AS (
+       |  SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+       |    max([cnt, -CAST(label AS BIGINT)]) AS m,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS ssq
+       |  FROM cc GROUP BY cell
+       |)
+       |SELECT cell, n_vecs,
+       |  CAST(-m[2] AS INTEGER) AS top_label,
+       |  m[1] AS n_top,
+       |  ${NumFns.roundPortableSql("m[1] / CAST(n_vecs AS DOUBLE)", 6)} AS purity,
+       |  ${NumFns.roundPortableSql("1.0 - ssq / CAST(n_vecs * n_vecs AS DOUBLE)", 6)}
+       |    AS gini_impurity
+       |FROM g
+       |ORDER BY cell""".stripMargin
 }

@@ -1021,4 +1021,120 @@ object Temporal {
        |  ${NumFns.roundPortableSql("CAST(sum(sm) AS DOUBLE) / count(*)", 6)} AS smape
        |FROM sc GROUP BY model
        |ORDER BY model""".stripMargin
+
+  /** Bucketed global range join — the non-equi-key time-range join made
+    * scale-safe: for every purchase, the count of error events from ANY
+    * user within ±5 minutes, plus the nearest error's absolute gap.
+    * There is no equi key to hash on, so the naive form is an all-pairs
+    * time comparison; the scalable shape buckets time into windows the
+    * width of the match radius (600 s): each error lands in every bucket
+    * its ±300 s window overlaps (≤2 — radius = bucket/2), each purchase
+    * in exactly one, and the join becomes bucket-equality + residual
+    * |Δt| ≤ 300 s. Shuffles carry (bucket, µs) longs; candidates per
+    * purchase are bounded by the errors in two buckets, and a hot bucket
+    * is ordinary AQE-skew territory. This is the standard event-
+    * correlation primitive (incident windows, sensor coincidence) that
+    * a plain hash join cannot express.
+    */
+  def qRangeJoinGlobal(s: SparkSession, dir: String): DataFrame = {
+    val RadiusUs = 300L * 1000000L
+    val BucketUs = 2L * RadiusUs
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("us"), floor(col("us") / BucketUs).as("bk"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("us").as("eus"),
+        explode(array_distinct(array(
+          floor((col("us") - RadiusUs) / BucketUs),
+          floor((col("us") + RadiusUs) / BucketUs)))).as("bk"))
+    purchases.join(errors,
+        purchases("bk") === errors("bk") &&
+          abs(col("eus") - col("us")) <= RadiusUs, "left")
+      .groupBy(col("event_id"), col("us"))
+      .agg(
+        sum(when(col("eus").isNotNull, 1L).otherwise(0L)).as("n_errors_5m"),
+        min(abs(col("eus") - col("us"))).as("nearest_error_gap_us"))
+      .select(col("event_id"), col("n_errors_5m"), col("nearest_error_gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qRangeJoinGlobalOracle: String =
+    """WITH p AS (
+      |  SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'
+      |),
+      |e AS (SELECT epoch_us(ts) AS eus FROM events WHERE event_type = 'error')
+      |SELECT p.event_id,
+      |  CAST(sum(CASE WHEN e.eus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_errors_5m,
+      |  min(abs(e.eus - p.us)) AS nearest_error_gap_us
+      |FROM p LEFT JOIN e ON abs(e.eus - p.us) <= 300000000
+      |GROUP BY p.event_id, p.us
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Trailing-7-day rolling Pearson correlation between daily event
+    * volume and daily event value — the metric-coupling monitor ("did
+    * traffic decouple from revenue this week?"). Scale shape: the corpus
+    * collapses to one row per day (map-side-combined aggregation with
+    * the value sum quantized to exact integer micros), and ALL window
+    * work — five trailing sums — runs over that dimension-sized day
+    * frame in ONE pass (an ORDER BY frame is sequential on both engines,
+    * so the double sums need no stabilization). The correlation is then
+    * fixed-order arithmetic over identical doubles, portably rounded;
+    * windows shorter than 7 days emit NULL, as does a zero-variance
+    * window.
+    */
+  def qRollingCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        col("value"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(NumFns.roundAwayLong(col("value") * lit(1e6))).as("y"))
+      .select(col("day"), col("x").cast("double").as("x"),
+        (col("y").cast("double") / lit(1e6)).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val corr =
+      (lit(7.0) * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(lit(7.0) * col("sxx") - col("sx") * col("sx")) *
+          sqrt(lit(7.0) * col("syy") - col("sy") * col("sy")))
+    daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .select(col("day"), col("x").cast("long").as("n_events"),
+        NumFns.roundPortable(col("y"), 6).as("value_sum"),
+        when(col("n7") === 7 &&
+            (lit(7.0) * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (lit(7.0) * col("syy") - col("sy") * col("sy")) > 0,
+          NumFns.roundPortable(corr, 6)).as("corr_7d"))
+      .orderBy(col("day"))
+  }
+
+  val qRollingCorrOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+       |    CAST(count(*) AS DOUBLE) AS x,
+       |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS y
+       |  FROM events GROUP BY day
+       |),
+       |r AS (
+       |  SELECT day, x, y,
+       |    count(*) OVER w AS n7,
+       |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+       |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+       |    sum(x * y) OVER w AS sxy
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT day, CAST(x AS BIGINT) AS n_events,
+       |  ${NumFns.roundPortableSql("y", 6)} AS value_sum,
+       |  CASE WHEN n7 = 7 AND (7.0 * sxx - sx * sx) > 0 AND (7.0 * syy - sy * sy) > 0
+       |    THEN ${NumFns.roundPortableSql(
+              "(7.0 * sxy - sx * sy) / (sqrt(7.0 * sxx - sx * sx) * sqrt(7.0 * syy - sy * sy))", 6)}
+       |  END AS corr_7d
+       |FROM r
+       |ORDER BY day""".stripMargin
 }

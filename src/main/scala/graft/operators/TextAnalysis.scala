@@ -1198,4 +1198,138 @@ object TextAnalysis {
        |FROM sc
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** PII classes scanned by [[qPiiScan]] — pattern semantics identical
+    * under Java regex and RE2 (no lookaround, no backrefs). Email splices
+    * [[Curation.EmailRe]] (one definition with the redaction pass).
+    */
+  private def piiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private def piiIpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** PII-exposure audit — the compliance report that precedes any
+    * redaction pass at corpus scale: per source, how many documents hit
+    * each PII class (email/phone/IPv4) and the total hit counts. PII is
+    * synthesized deterministically onto a subset of documents (same
+    * device as [[Curation.qTextRedact]]) so the scan has real work on
+    * synthetic data. Pure scan-side regexp counting + one map-side-
+    * combined aggregation — the 100 TB shape is a single pass, and the
+    * per-class columns make the report the direct input to a targeted
+    * redaction job.
+    */
+  def qPiiScan(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".25")))
+        .otherwise(lit("")))
+    val ne = size(regexp_extract_all(col("synth"), lit(Curation.EmailRe), lit(0)))
+    val np = size(regexp_extract_all(col("synth"), lit(piiPhoneRe), lit(0)))
+    val ni = size(regexp_extract_all(col("synth"), lit(piiIpRe), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("source"), synth.as("synth"))
+      .select(col("source"), ne.as("ne"), np.as("np"), ni.as("ni"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("ne") > 0).cast("long")).as("docs_email"),
+        sum((col("np") > 0).cast("long")).as("docs_phone"),
+        sum((col("ni") > 0).cast("long")).as("docs_ip"),
+        sum(col("ne").cast("long")).as("email_hits"),
+        sum(col("np").cast("long")).as("phone_hits"),
+        sum(col("ni").cast("long")).as("ip_hits"),
+        sum(((col("ne") > 0) || (col("np") > 0) || (col("ni") > 0)).cast("long"))
+          .as("docs_any_pii"))
+      .withColumn("pii_rate", NumFns.roundPortable(col("docs_any_pii") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  val qPiiScanOracle: String = {
+    val emailRe = graft.operators.Curation.EmailRe
+    s"""WITH t AS (
+       |  SELECT source,
+       |    text
+       |      || CASE WHEN doc_id % 3 = 0
+       |              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |              ELSE '' END
+       |      || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END
+       |      || CASE WHEN doc_id % 7 = 0
+       |              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+       |              ELSE '' END AS synth
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(synth, '$emailRe')) AS ne,
+       |    len(regexp_extract_all(synth, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np,
+       |    len(regexp_extract_all(synth, '[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS ni
+       |  FROM t
+       |),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+       |    CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+       |    CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ip,
+       |    CAST(sum(ne) AS BIGINT) AS email_hits,
+       |    CAST(sum(np) AS BIGINT) AS phone_hits,
+       |    CAST(sum(ni) AS BIGINT) AS ip_hits,
+       |    CAST(sum(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS docs_any_pii
+       |  FROM c GROUP BY source
+       |)
+       |SELECT source, n_docs, docs_email, docs_phone, docs_ip,
+       |  email_hits, phone_hits, ip_hits, docs_any_pii,
+       |  ${NumFns.roundPortableSql("docs_any_pii / CAST(n_docs AS DOUBLE)", 6)} AS pii_rate
+       |FROM g
+       |ORDER BY source""".stripMargin
+  }
+
+  /** Tokenizer-fertility profile — the tokenizer-selection analytic: per
+    * source, whitespace-token vs BPE-ish-token vs character volumes, and
+    * the derived fertility (BPE tokens per word) and compression (chars
+    * per BPE token) ratios. High fertility flags sources the tokenizer
+    * fragments (code, non-Latin scripts); it directly prices a source's
+    * context-window cost. One scan, map-side-combined aggregation.
+    */
+  def qTokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("ch")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"), col("n_chars"),
+        NumFns.roundPortable(col("bpe_tokens") / col("ws_tokens").cast("double"), 6)
+          .as("fertility"),
+        NumFns.roundPortable(col("n_chars") / col("bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+
+  val qTokenizerFertilityOracle: String =
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(len($toksSql) AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS bpe,
+       |    CAST(length(text) AS BIGINT) AS ch
+       |  FROM documents
+       |),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |    CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |    CAST(sum(ch) AS BIGINT) AS n_chars
+       |  FROM c GROUP BY source
+       |)
+       |SELECT source, n_docs, ws_tokens, bpe_tokens, n_chars,
+       |  ${NumFns.roundPortableSql("bpe_tokens / CAST(ws_tokens AS DOUBLE)", 6)} AS fertility,
+       |  ${NumFns.roundPortableSql("n_chars / CAST(bpe_tokens AS DOUBLE)", 6)} AS chars_per_token
+       |FROM g
+       |ORDER BY source""".stripMargin
 }

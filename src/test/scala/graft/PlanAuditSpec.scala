@@ -92,6 +92,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r4 heavy shapes hold their audited plan structure (PlanReport)") {
+    import graft.plans.PlanReport
+    // q_item_cf: one customer-keyed exchange feeds four consumers; the
+    // tree shows the exchange per consumer pre-AQE (reuse collapses them
+    // at runtime) — the guard is the ceiling and the absences.
+    val cf = PlanReport.of(SparkEntry.queries("q_item_cf")(spark, sf001))
+    assert(cf.shuffles <= 12 && cf.broadcasts == 0 && cf.cartesianProducts == 0,
+      s"q_item_cf plan drifted: ${cf.summary}")
+    // q_attribution: shuffle_hash both sides — the event fact must never
+    // broadcast, and every parquet scan keeps its pushdown.
+    val at = PlanReport.of(SparkEntry.queries("q_attribution")(spark, sf001))
+    assert(at.shuffles <= 12 && at.broadcasts == 0 && at.cartesianProducts == 0,
+      s"q_attribution plan drifted: ${at.summary}")
+    assert(at.parquetScans > 0 && at.scansWithPushdown == at.parquetScans,
+      s"q_attribution lost scan pushdown: ${at.summary}")
+    // q_pca_power_iter: the only shuffles carry the dims²-bounded
+    // quantized moment cells; the single broadcast is the 1-row norm.
+    val pca = PlanReport.of(SparkEntry.queries("q_pca_power_iter")(spark, sf001))
+    assert(pca.shuffles <= 2 && pca.broadcasts <= 1 && pca.cartesianProducts == 0,
+      s"q_pca_power_iter plan drifted: ${pca.summary}")
+  }
+
   test("centroid averaging partial-aggregates before its single shuffle") {
     val p = plans("q_embed_centroids")
     assert(p.contains("partial_count") || p.contains("partial_avg"),
