@@ -382,14 +382,84 @@ object BinaryPipeline {
     }
   }
 
+  /** Run `f` over an ImageIO reader positioned on a GIF payload — the
+    * SECOND pure-JVM video container (after MJPEG-AVI): the JDK ships a
+    * native-free GIF codec, and an animated GIF is exactly a framed
+    * image sequence. None for non-GIF payloads (magic-checked first so
+    * non-GIF bytes don't pay for a reader probe) or reader failures.
+    */
+  private def withGifReader[A](payload: Array[Byte])(
+      f: javax.imageio.ImageReader => A): Option[A] = {
+    if (payload.length < 6 || payload(0) != 'G' || payload(1) != 'I' || payload(2) != 'F')
+      None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          reader.setInput(iis, false)
+          try Some(f(reader))
+          catch { case _: Exception => None }
+          finally reader.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
+  /** Animated-GIF frame decode: up to `maxFrames` frames evenly strided
+    * through the sequence. Frames are decoded as stored — GIF delta
+    * frames are not composited onto their logical canvas, which is the
+    * right trade for fingerprinting (the majority vote in
+    * [[videoHash64]] absorbs partial frames) and keeps the decode
+    * allocation-flat. Empty for non-GIF payloads.
+    */
+  def gifFrames(payload: Array[Byte], maxFrames: Int = 16): Seq[java.awt.image.BufferedImage] =
+    withGifReader(payload) { reader =>
+      val n = reader.getNumImages(true)
+      if (n <= 0) Seq.empty[java.awt.image.BufferedImage]
+      else {
+        val stride = math.max(1, n / maxFrames)
+        (0 until n by stride).flatMap { i =>
+          try Option(reader.read(i))
+          catch { case _: Exception => None }
+        }
+      }
+    }.getOrElse(Seq.empty)
+
+  /** Frame count of an animated GIF without decoding pixel data. */
+  def gifFrameCount(payload: Array[Byte]): Option[Int] =
+    withGifReader(payload)(_.getNumImages(true)).filter(_ > 0)
+
+  /** Decoded frames of either supported pure-JVM video container —
+    * MJPEG-AVI (demux + JPEG decode) or animated GIF — evenly strided to
+    * at most `maxFrames`. Empty when the payload is neither.
+    */
+  def videoFrames(payload: Array[Byte], maxFrames: Int = 16): Seq[java.awt.image.BufferedImage] = {
+    val raw = demuxMjpeg(payload)
+    if (raw.nonEmpty) {
+      val stride = math.max(1, raw.length / maxFrames)
+      raw.indices.by(stride).flatMap(i => decodeImageBuffered(raw(i)))
+    } else gifFrames(payload, maxFrames)
+  }
+
   /** REAL video decode: dimensions of the first decodable frame + the
-    * container's frame count, via [[demuxMjpeg]] + ImageIO. None when
-    * the payload isn't MJPEG-AVI or no frame decodes.
+    * container's frame count, via [[demuxMjpeg]] + ImageIO for MJPEG-AVI
+    * or the JDK GIF codec for animated GIFs. None when the payload is
+    * neither container or no frame decodes.
     */
   def decodeVideo(payload: Array[Byte]): Option[VideoInfo] = {
     val fs = demuxMjpeg(payload)
-    fs.view.flatMap(decodeImageBuffered(_)).headOption
-      .map(img => VideoInfo(img.getWidth, img.getHeight, fs.length))
+    if (fs.nonEmpty)
+      fs.view.flatMap(decodeImageBuffered(_)).headOption
+        .map(img => VideoInfo(img.getWidth, img.getHeight, fs.length))
+    else
+      gifFrameCount(payload).flatMap { n =>
+        gifFrames(payload, maxFrames = 1).headOption
+          .map(img => VideoInfo(img.getWidth, img.getHeight, n))
+      }
   }
 
   /** 64-bit video fingerprint: per-bit MAJORITY vote across the frames'
@@ -417,7 +487,8 @@ object BinaryPipeline {
     * fingerprint table video dedup runs on; the video twin of
     * [[imageHashes]]. At most `maxFrames` frames are decoded per record
     * (evenly strided through the clip) so hashing cost is bounded no
-    * matter how long the video is; payloads that aren't MJPEG-AVI drop
+    * matter how long the video is; payloads that are neither MJPEG-AVI
+    * nor animated GIF drop
     * here (byte-exact dedup still sees them via the checksum).
     */
   def videoHashes(media: Dataset[MediaRecord], maxFrames: Int = 16): DataFrame = {
@@ -427,14 +498,8 @@ object BinaryPipeline {
       it.flatMap { r =>
         if (r.media_type != "video") None
         else {
-          val raw = demuxMjpeg(r.payload)
-          if (raw.isEmpty) None
-          else {
-            val stride = math.max(1, raw.length / maxFrames)
-            val imgs = raw.indices.by(stride)
-              .flatMap(i => decodeImageBuffered(raw(i)))
-            if (imgs.isEmpty) None else Some((r.media_id, videoHash64(imgs)))
-          }
+          val imgs = videoFrames(r.payload, maxFrames)
+          if (imgs.isEmpty) None else Some((r.media_id, videoHash64(imgs)))
         }
       }
     }.toDF("media_id", "ahash")

@@ -33,6 +33,25 @@ object EventPipeline {
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Event-time session windows via the NATIVE `session_window`
+    * aggregate — the declarative complement of [[sessionize]]'s
+    * custom-state form. The engine merges overlapping per-user windows
+    * as events arrive and the watermark evicts closed sessions, so state
+    * is O(open sessions) regardless of stream length; window end = last
+    * event + gap, the standard session-window convention. Batch parity
+    * is spec-asserted against the gap-sessionization in
+    * [[graft.operators.Relational.qSessionize]].
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
   case class Event(user_id: Long, event_id: Long, us: Long)
   case class SessionState(nSessions: Long, lastUs: Long)
   case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)

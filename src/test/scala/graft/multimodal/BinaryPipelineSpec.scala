@@ -304,6 +304,54 @@ class BinaryPipelineSpec extends SparkSpec {
     assert(BinaryPipeline.demuxMjpeg("RIFF".getBytes("US-ASCII")).isEmpty)
   }
 
+  /** Animated GIF via the JDK's own writer — a real multi-frame GIF
+    * stream (writeToSequence), no native deps.
+    */
+  private def animatedGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("animated GIF decodes as a real video container end-to-end") {
+    import spark.implicits._
+    val gif = animatedGif((0 until 5).map(i => patternImage(40, 30, seed = i)))
+    assert(BinaryPipeline.gifFrames(gif).length == 5)
+    assert(BinaryPipeline.gifFrameCount(gif).contains(5))
+    assert(BinaryPipeline.gifFrames("GIF89a-but-junk".getBytes("UTF-8")).isEmpty)
+    assert(BinaryPipeline.gifFrames(Array[Byte](1, 2, 3)).isEmpty)
+    val media = Seq(
+      BinaryPipeline.MediaRecord(1L, "video", gif, "test", gif.length.toLong)).toDS()
+    val f = BinaryPipeline.extractFeatures(media).collect().head
+    assert(f.width == 40 && f.height == 30 && f.n_frames == 5,
+      s"real GIF decode expected, got $f")
+  }
+
+  test("GIF and MJPEG encodings of the same clip are near-dups") {
+    import spark.implicits._
+    val frames = (0 until 8).map(i => patternImage(64, 48, seed = 100 + i))
+    def rec(id: Long, bytes: Array[Byte]) =
+      BinaryPipeline.MediaRecord(id, "video", bytes, "test", bytes.length.toLong)
+    val media = Seq(
+      rec(1L, mjpegAvi(frames)),
+      rec(2L, animatedGif(frames)), // same scenes, different container+codec
+      rec(3L, animatedGif((0 until 8).map(i => patternImage(64, 48, seed = 900 + i))))
+    ).toDS()
+    assert(BinaryPipeline.videoHashes(media).count() == 3)
+    val pairs = BinaryPipeline.nearDupVideo(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the cross-container pair, got $pairs")
+  }
+
   test("video near-dup pairing finds the rescaled clip and not the stranger") {
     import spark.implicits._
     def clip(sz: Int, seedBase: Int): Array[Byte] =

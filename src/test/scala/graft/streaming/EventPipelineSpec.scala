@@ -30,6 +30,33 @@ class EventPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session windows reproduce the batch gap sessionization") {
+    val stream = EventPipeline.streamEventsFrom(spark, sf001)
+    val q = EventPipeline.sessionWindows(stream)
+      .writeStream.format("memory").queryName("sesswin_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // per-user rollup of the emitted session windows must equal the
+      // batch lag/cumsum sessionization (same 30-min gap)
+      val streamed = spark.sql(
+        """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events
+          |FROM sesswin_test GROUP BY user_id ORDER BY user_id""".stripMargin)
+        .collect()
+      val batch = Relational.qSessionize(spark, sf001).collect()
+      assert(streamed.length == batch.length && streamed.length > 0)
+      streamed.zip(batch).foreach { case (sw, b) =>
+        assert(sw.getLong(0) == b.getLong(0) && sw.getLong(1) == b.getLong(1)
+          && sw.getLong(2) == b.getLong(2), s"$sw != $b")
+      }
+      // window span sanity: every session is [first event, last event + gap]
+      val bad = spark.sql(
+        "SELECT count(*) FROM sesswin_test WHERE session_end_us - session_start_us < 1800000000")
+        .collect()(0).getLong(0)
+      assert(bad == 0L, "a session window shorter than the gap is impossible")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join converges to the batch inner join") {
     val joined = EventPipeline.purchaseErrorJoin(
       EventPipeline.streamEventsFrom(spark, sf001),
