@@ -974,4 +974,92 @@ object Dedup {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.head_h AS head_h
        |FROM t a JOIN t b ON a.head_h = b.head_h AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Span width for [[qDupSpan]] (word 8-grams, the granularity of the
+    * exact-substring train-data dedup literature). */
+  val SpanW = 8
+
+  /** Exact duplicated-SPAN accounting (the Lee et al. "Deduplicating
+    * Training Data" measurement, re-expressed relationally): an 8-token
+    * span occurring in more than one document is duplicated text, and a
+    * document's dup_frac is the fraction of its token POSITIONS covered
+    * by at least one such span — interval union via position explode +
+    * distinct, never interval merging logic. Shape: tokenize once into a
+    * positional span frame (hash60 of the span text; 1 row per position,
+    * ~n_tokens rows total) materialized once — it feeds the span-count
+    * aggregate AND the cover join; duplicated spans reduce to bare
+    * (hash) keys; the cover join is shuffle_hash on the span hash
+    * (fact-derived on both sides, never broadcast) and fans out a
+    * bounded ×8 into the distinct position count. At 100 TB every
+    * exchange carries (hash, doc, pos) triples — no span text, no
+    * document payloads — and hot spans (boilerplate) are exactly the
+    * q_join_skew salting case.
+    */
+  def qDupSpan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= SpanW)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
+        col("t"))
+    val spans = docs
+      .select(col("doc_id"), col("n_toks"), explode(
+        transform(sequence(lit(1), size(col("t")) - (SpanW - 1)), i =>
+          struct(i.as("pos"),
+            TextFns.hash60(concat_ws(" ", slice(col("t"), i, lit(SpanW))))
+              .as("h")))).as("sp"))
+      .select(col("doc_id"), col("n_toks"), col("sp.pos").as("pos"),
+        col("sp.h").as("h"))
+      .localCheckpoint()
+    val dup = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val covered = spans
+      .join(dup.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanW - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_tokens"))
+    docs.select(col("doc_id"), col("n_toks"))
+      .join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        graft.functions.NumFns.roundPortable(
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_toks"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qDupSpanOracle: String =
+    s"""WITH t0 AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |d AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks, t
+       |  FROM t0 WHERE len(t) >= $SpanW
+       |),
+       |sp AS (
+       |  SELECT doc_id, n_toks, i AS pos,
+       |    ${hash60Sql(s"array_to_string(t[i : i + ${SpanW - 1}], ' ')")} AS h
+       |  FROM d, unnest(range(1, CAST(n_toks AS INT) - ${SpanW - 2}))
+       |    AS u(i)
+       |),
+       |dup AS (
+       |  SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) > 1
+       |),
+       |cov AS (
+       |  SELECT DISTINCT sp.doc_id, p
+       |  FROM sp JOIN dup USING (h),
+       |    unnest(range(pos, pos + $SpanW)) AS v(p)
+       |),
+       |cd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+       |  FROM cov GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, d.n_toks,
+       |  coalesce(cd.dup_tokens, 0) AS dup_tokens,
+       |  ${graft.functions.NumFns.roundPortableSql(
+            "coalesce(cd.dup_tokens, 0) / CAST(d.n_toks AS DOUBLE)", 6)}
+       |    AS dup_frac
+       |FROM d LEFT JOIN cd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

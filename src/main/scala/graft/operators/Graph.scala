@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NumFns
 import graft.sources.Tables
 
 /** Graph operators beyond connected components (which lives with its
@@ -365,4 +366,57 @@ object Graph {
       |  min(degree) AS min_degree, max(degree) AS max_degree
       |FROM b GROUP BY log2_bucket
       |ORDER BY log2_bucket""".stripMargin
+
+  /** One HITS iteration (Kleinberg hubs/authorities) over the bipartite
+    * supplier↔part edge set from lineitem (distinct pairs): from uniform
+    * authority 1, hub(s) = Σ_{s−p} 1 = deg(s), then authority(p) =
+    * Σ_{p−s} hub(s) — both INTEGER aggregates, so the iteration is
+    * bit-exact in any accumulation order and needs no decimal cast; the
+    * usual L2 normalization (a global sqrt that would drag every score
+    * through order-dependent float summation) is replaced by max-scaling
+    * with the max as an exact integer, applied in one final projection.
+    * Shape: one distinct edge agg, materialized once (feeds hub agg and
+    * the scatter join), hub degrees joined back shuffle-on-supplier,
+    * authority agg shuffle-on-part — every exchange carries bare (key,
+    * long) pairs; top-25 via a single orderBy+limit over the part-sized
+    * score frame. At 100 TB the edge distinct is the only fact-sized
+    * pass.
+    */
+  def qHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("supp"), col("l_partkey").as("part"))
+      .distinct()
+      .localCheckpoint()
+    val hub = edges.groupBy(col("supp"))
+      .agg(count(lit(1)).as("hub_score"))
+    val auth = edges.join(hub.hint("shuffle_hash"), Seq("supp"))
+      .groupBy(col("part"))
+      .agg(sum(col("hub_score")).as("auth_raw"))
+      .localCheckpoint()
+    val mx = auth.agg(max(col("auth_raw")).as("mx"))
+    auth.crossJoin(broadcast(mx))
+      .select(col("part"), col("auth_raw"),
+        NumFns.roundPortable(
+          col("auth_raw").cast("double") / col("mx").cast("double"), 6)
+          .as("authority"))
+      .orderBy(col("auth_raw").desc, col("part"))
+      .limit(25)
+  }
+
+  val qHitsOracle: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+       |),
+       |hub AS (SELECT supp, count(*) AS hub_score FROM e GROUP BY supp),
+       |auth AS (
+       |  SELECT part, CAST(sum(hub_score) AS BIGINT) AS auth_raw
+       |  FROM e JOIN hub USING (supp) GROUP BY part
+       |)
+       |SELECT part, auth_raw,
+       |  ${NumFns.roundPortableSql(
+            "CAST(auth_raw AS DOUBLE) / (SELECT CAST(max(auth_raw) AS DOUBLE) FROM auth)",
+            6)} AS authority
+       |FROM auth
+       |ORDER BY auth_raw DESC, part
+       |LIMIT 25""".stripMargin
 }

@@ -787,4 +787,94 @@ object PipelineOps {
     s"""$branches
        |ORDER BY join_key""".stripMargin
   }
+
+  /** CUPED variance reduction (Deng et al., WSDM'13) for the A/B read:
+    * per-customer pre-period (1996) spend is the covariate X, post-period
+    * (1997) spend the metric Y; θ = cov(X,Y)/var(X) from global moments,
+    * and each arm (custkey parity) reports its mean of the adjusted
+    * metric Y − θ·(X − X̄) plus the variance-reduction factor
+    * 1 − ρ² = 1 − cov²/(var·var). Exactness: per-customer X, Y and the
+    * cross/square products are deterministic row-local doubles; ALL
+    * global and per-arm moment sums go through DECIMAL(38,12) so
+    * accumulation order can't move θ — θ then feeds both arms as one
+    * identical scalar. Shape: one orders scan → customer-keyed partial
+    * agg (map-side combined), a 1-row broadcast moment frame, one ≤2-row
+    * arm agg. No raw-row reshuffle after the per-customer collapse; at
+    * 100 TB the exchange carries |customers| pre/post pairs.
+    */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val yr = year(col("o_orderdate"))
+    val perCust = Tables.orders(s, dir)
+      .filter(yr.isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(when(yr === 1996, col("o_totalprice")).otherwise(0.0).cast(D))
+          .cast("double").as("x"),
+        sum(when(yr === 1997, col("o_totalprice")).otherwise(0.0).cast(D))
+          .cast("double").as("y"))
+      .localCheckpoint()
+    val mom = perCust.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(D)).cast("double").as("sx"),
+        sum(col("y").cast(D)).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(D)).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(D)).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast(D)).cast("double").as("syy"))
+      .select(
+        (col("sx") / col("n")).as("mx"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"),
+        (lit(1.0) -
+          (col("sxy") - col("sx") * col("sy") / col("n")) *
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+          ((col("sxx") - col("sx") * col("sx") / col("n")) *
+           (col("syy") - col("sy") * col("sy") / col("n")))).as("var_ratio"))
+    perCust.crossJoin(broadcast(mom))
+      .groupBy((col("o_custkey") % 2).as("arm"))
+      .agg(count(lit(1)).as("n_cust"),
+        NumFns.stableMean(col("y"), count(lit(1)), 4).as("mean_raw"),
+        NumFns.stableMean(
+          col("y") - col("theta") * (col("x") - col("mx")),
+          count(lit(1)), 4).as("mean_cuped"),
+        NumFns.roundPortable(max(col("theta")), 6).as("theta"),
+        NumFns.roundPortable(max(col("var_ratio")), 6).as("var_ratio"))
+      .orderBy(col("arm"))
+  }
+
+  val qCupedOracle: String =
+    s"""WITH pc AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1996
+       |      THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS x,
+       |    CAST(sum(CAST(CASE WHEN year(o_orderdate) = 1997
+       |      THEN o_totalprice ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS y
+       |  FROM orders
+       |  WHERE year(o_orderdate) IN (1996, 1997)
+       |  GROUP BY o_custkey
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+       |  FROM pc
+       |),
+       |k AS (
+       |  SELECT sx / n AS mx,
+       |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+       |    1.0 - (sxy - sx * sy / n) * (sxy - sx * sy / n) /
+       |      ((sxx - sx * sx / n) * (syy - sy * sy / n)) AS var_ratio
+       |  FROM m
+       |)
+       |SELECT o_custkey % 2 AS arm, count(*) AS n_cust,
+       |  ${NumFns.stableMeanSql("y", "count(*)", 4)} AS mean_raw,
+       |  ${NumFns.stableMeanSql("y - theta * (x - mx)", "count(*)", 4)}
+       |    AS mean_cuped,
+       |  ${NumFns.roundPortableSql("max(theta)", 6)} AS theta,
+       |  ${NumFns.roundPortableSql("max(var_ratio)", 6)} AS var_ratio
+       |FROM pc, k
+       |GROUP BY o_custkey % 2
+       |ORDER BY arm""".stripMargin
 }

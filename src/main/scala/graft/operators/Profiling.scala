@@ -929,4 +929,83 @@ object Profiling {
        |  mean_quality
        |FROM g
        |ORDER BY source""".stripMargin
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per event type — the
+    * nonparametric complement to [[qWelchTtest]]: does arm B's value
+    * distribution stochastically dominate arm A's, without assuming
+    * normality (event values are heavy-tailed, where the t-test's mean
+    * is the wrong summary). Arms by user-id parity, as in the t-test.
+    *
+    * Shape — rank-from-counts, NEVER a per-arm sort over raw rows (the
+    * q_percent_rank discipline): one scan collapses to (event_type,
+    * value) cells carrying `cnt` and `cnt1` (arm-1 multiplicity); the
+    * midrank of every cell is cum_before + (cnt+1)/2 from a running sum
+    * over the CELL frame (bounded by distinct values, not rows); R₁ is
+    * then Σ midrank·cnt1. Exactness: midranks are integer halves and
+    * every product stays < 2⁵³, so the double sums are EXACT in any
+    * accumulation order — no decimal cast needed, deterministic by
+    * construction. The tie-corrected normal approximation
+    * z = (U₁ − n₁n₂/2) / σ, σ² = n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))),
+    * is then scalar arithmetic on identical integers on both engines.
+    * At 100 TB: the only shuffle carries value cells; ranks never
+    * materialize on raw rows.
+    */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        (col("user_id") % 2).as("arm"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("double")
+          .as("cnt1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("cum_before",
+      coalesce(sum(col("cnt")).over(w), lit(0.0)))
+    val byType = ranked.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"), sum(col("cnt1")).as("n1"),
+        sum((col("cum_before") + (col("cnt") + 1.0) / 2.0) * col("cnt1"))
+          .as("r1"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("ties"))
+    val n2 = col("n") - col("n1")
+    val u1 = col("r1") - col("n1") * (col("n1") + 1.0) / 2.0
+    val sigma2 = col("n1") * n2 / 12.0 *
+      ((col("n") + 1.0) - col("ties") / (col("n") * (col("n") - 1.0)))
+    val z = (u1 - col("n1") * n2 / 2.0) / sqrt(sigma2)
+    byType.select(col("event_type"),
+        col("n1").cast("long").as("n1"), n2.cast("long").as("n2"),
+        u1.as("u1"), NumFns.roundPortable(z, 4).as("z_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  val qMannWhitneyOracle: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, value,
+       |    CAST(count(*) AS DOUBLE) AS cnt,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |      AS cnt1
+       |  FROM events GROUP BY event_type, value
+       |),
+       |rk AS (
+       |  SELECT event_type, cnt, cnt1,
+       |    coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+       |      AS cum_before
+       |  FROM cells
+       |),
+       |t AS (
+       |  SELECT event_type, sum(cnt) AS n, sum(cnt1) AS n1,
+       |    sum((cum_before + (cnt + 1.0) / 2.0) * cnt1) AS r1,
+       |    sum(cnt * cnt * cnt - cnt) AS ties
+       |  FROM rk GROUP BY event_type
+       |)
+       |SELECT event_type,
+       |  CAST(n1 AS BIGINT) AS n1, CAST(n - n1 AS BIGINT) AS n2,
+       |  r1 - n1 * (n1 + 1.0) / 2.0 AS u1,
+       |  ${NumFns.roundPortableSql(
+             "(r1 - n1 * (n1 + 1.0) / 2.0 - n1 * (n - n1) / 2.0) / " +
+             "sqrt(n1 * (n - n1) / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0))))",
+             4)} AS z_stat
+       |FROM t ORDER BY event_type""".stripMargin
 }

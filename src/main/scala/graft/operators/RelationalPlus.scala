@@ -638,4 +638,139 @@ object RelationalPlus {
        |JOIN nation ON s_nationkey = n_nationkey
        |WHERE rn = 1 AND p_size = 15
        |ORDER BY p_partkey""".stripMargin
+
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two named
+    * nations by ship year. The supplier→nation and orders→customer→nation
+    * legs are both dimension-sized and broadcast; the ONLY shuffle is
+    * lineitem⋈orders on l_orderkey (fact⋈fact, both sides pruned to the
+    * join key + 3 columns before the exchange). The nation-pair
+    * restriction is applied on the broadcast side BEFORE the probe, so
+    * the fact rows that survive the hash probe are already pair-filtered
+    * — at 100 TB the exchange carries only the two nations' traffic.
+    */
+  def qVolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(s, dir)
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(NumFns.stableSum(revenue, 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val qVolumeShippingOracle: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  ${NumFns.stableSumSql(RevSql, 2)} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE sn.n_name IN ('NATION_3', 'NATION_8')
+       |  AND cn.n_name IN ('NATION_3', 'NATION_8')
+       |  AND sn.n_name <> cn.n_name
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): per-part value held by suppliers
+    * of a nation subset, kept only where the part's share exceeds a
+    * fixed fraction of the subset's total. The total is a 1-row
+    * aggregate over the SAME grouped frame — computed once from a
+    * localCheckpoint'd per-part aggregate (dimension-sized: ≤ |part|)
+    * and broadcast into the HAVING filter, so the fact table is scanned
+    * exactly once. Money goes through the exact-decimal sum: a share
+    * threshold comparison on an order-dependent double sum would
+    * admit/reject boundary parts nondeterministically. The cut is 2× the
+    * AVERAGE part share (TPC-H's fixed fraction is divided by SF for the
+    * same reason: part count grows with scale, so any constant share
+    * eventually admits nothing) — scale-invariant by construction.
+    */
+  def qImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val suppIn = Tables.supplier(s, dir)
+      .filter(col("s_nationkey") < 5).select(col("s_suppkey"))
+    val perPart = Tables.lineitem(s, dir)
+      .join(broadcast(suppIn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(NumFns.stableSum(col("l_extendedprice"), 2).as("value"))
+      .localCheckpoint()
+    val total = perPart.agg(NumFns.stableSum(col("value"), 2).as("tot"),
+      count(lit(1)).cast("double").as("np"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") * col("np") > col("tot") * lit(2.0))
+      .select(col("ps_partkey"), col("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  val qImportantStockOracle: String =
+    s"""WITH pp AS (
+       |  SELECT l_partkey AS ps_partkey,
+       |    ${NumFns.stableSumSql("l_extendedprice", 2)} AS value
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE s_nationkey < 5
+       |  GROUP BY 1
+       |), tot AS (
+       |  SELECT ${NumFns.stableSumSql("value", 2)} AS tot,
+       |    CAST(count(*) AS DOUBLE) AS np FROM pp
+       |)
+       |SELECT ps_partkey, value FROM pp, tot
+       |WHERE value * np > tot * 2.0
+       |ORDER BY value DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct-supplier
+    * counts per (brand, type, size) over the lineitem part-supplier
+    * pairs, minus an excluded supplier set (NOT IN → broadcast left-anti
+    * — the excluded set is dimension-sized by construction). The
+    * part⋈lineitem join broadcasts part; the distinct-count shuffles
+    * (brand, type, size, suppkey) cells — already deduplicated map-side
+    * by the partial aggregate — never raw fact rows.
+    */
+  def qPartsSupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(s, dir)
+      .filter(col("s_nationkey") >= 20).select(col("s_suppkey"))
+    val dims = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val qPartsSupplierCountOracle: String =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 4, 9, 14, 19, 24)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_nationkey >= 20)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 }

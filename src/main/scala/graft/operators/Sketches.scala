@@ -205,4 +205,65 @@ object Sketches {
        |FROM probes JOIN cells ON pj = sj AND ppos = spos
        |GROUP BY word, exact_n
        |ORDER BY exact_n DESC, word""".stripMargin
+
+  /** Relative-error budget for the inclusion-exclusion intersection
+    * estimate: three HLL estimates (A, B, A∪B) at rsd 0.02 stack, so the
+    * certificate bound is generous against their combined drift. */
+  val InterBound = 0.05
+
+  /** Sketch-space set INTERSECTION via inclusion-exclusion —
+    * |A∩B| ≈ hll(A) + hll(B) − hll(A∪B) — between two sources' token
+    * vocabularies, the overlap question (shared vocabulary, audience
+    * overlap, cross-corpus contamination) answered WITHOUT materializing
+    * either set: HLL sketches are unionable, so at 100 TB each source
+    * keeps a KB-sized sketch and intersection estimates come from sketch
+    * algebra, never a token join. Self-certifying like the other
+    * sketches: the exact intersection rides the same frames (per-token
+    * presence flags → Σ both-present) and the oracle asserts the
+    * estimate lands within [[InterBound]] of it. approx_count_distinct
+    * hashes deterministically, so the certificate is reproducible, not
+    * flaky. Shape: one (source, token) distinct, then a token-keyed
+    * presence aggregate for the exact side and one sketch aggregate for
+    * the approx side — both map-side combined.
+    */
+  def qHllIntersection(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(TextFns.tokenSet(col("text"))).as("tok"))
+      .distinct()
+      .localCheckpoint() // feeds the exact presence agg AND the sketches
+    val exact = st.groupBy(col("tok"))
+      .agg(max(when(col("source") === "src0", 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === "src1", 1).otherwise(0)).as("in_b"))
+      .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+        sum(col("in_a") * col("in_b")).as("n_inter"))
+    val approx = st.agg(
+      approx_count_distinct(when(col("source") === "src0", col("tok")), 0.02)
+        .as("est_a"),
+      approx_count_distinct(when(col("source") === "src1", col("tok")), 0.02)
+        .as("est_b"),
+      approx_count_distinct(col("tok"), 0.02).as("est_u"))
+    exact.crossJoin(approx)
+      .select(col("n_a"), col("n_b"), col("n_inter"),
+        (abs(col("est_a") + col("est_b") - col("est_u") - col("n_inter")) <=
+          (col("n_a") + col("n_b")) * InterBound).as("within_bound"))
+  }
+
+  val qHllIntersectionOracle: String =
+    s"""WITH st AS (
+       |  SELECT DISTINCT source, unnest(list_distinct(${TextFns.toksSql}))
+       |    AS tok
+       |  FROM documents WHERE source IN ('src0', 'src1')
+       |),
+       |p AS (
+       |  SELECT tok,
+       |    max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS in_b
+       |  FROM st GROUP BY tok
+       |)
+       |SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+       |  CAST(sum(in_b) AS BIGINT) AS n_b,
+       |  CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+       |  TRUE AS within_bound
+       |FROM p""".stripMargin
 }

@@ -1137,4 +1137,47 @@ object Temporal {
        |  END AS corr_7d
        |FROM r
        |ORDER BY day""".stripMargin
+
+  /** CDC log application (the MERGE/upsert-compaction kernel): the event
+    * stream is read as a change log — every event is an upsert of the
+    * user's profile value and an `error` event is a tombstone — and the
+    * final state is last-writer-wins per key with a total, reproducible
+    * order (event time, then event_id as the uniquifier: a bare-ts order
+    * would be nondeterministic under same-microsecond writes, the classic
+    * CDC replay bug). One user-keyed window (row_number desc, keep 1),
+    * tombstoned keys dropped AFTER picking the winner — a tombstone only
+    * deletes if it IS the latest op. At 100 TB this is exactly the
+    * log-compaction shuffle: one exchange on the key, state never larger
+    * than one row per key, and the same plan incrementalizes (new log
+    * chunk unioned with prior compacted state, same window).
+    */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        NumFns.roundPortable(col("value"), 6).as("last_value"),
+        col("n_ops"))
+      .orderBy(col("user_id"))
+  }
+
+  val qCdcApplyOracle: String =
+    s"""WITH r AS (
+       |  SELECT user_id, event_type, value,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n_ops
+       |  FROM events
+       |)
+       |SELECT user_id, event_type AS last_op,
+       |  ${NumFns.roundPortableSql("value", 6)} AS last_value, n_ops
+       |FROM r
+       |WHERE rn = 1 AND event_type <> 'error'
+       |ORDER BY user_id""".stripMargin
 }

@@ -1332,4 +1332,83 @@ object TextAnalysis {
        |  ${NumFns.roundPortableSql("n_chars / CAST(bpe_tokens AS DOUBLE)", 6)} AS chars_per_token
        |FROM g
        |ORDER BY source""".stripMargin
+
+  /** Absolute discount for [[qKneserNey]] — the textbook 0.75. */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram probabilities for the corpus's 20
+    * most frequent bigrams — the smoothing actually used by n-gram LMs
+    * (the MLE model behind q_bigram_lm assigns zero to unseen pairs; KN
+    * backs off to CONTINUATION counts, "how many contexts does w2
+    * complete", not raw frequency):
+    *   P(w₂|w₁) = max(c₁₂−D,0)/c₁ + (D/c₁)·N₁₊(w₁·)·N₁₊(·w₂)/N₁₊(··).
+    * Exactness: every input is an integer count (bigram count, context
+    * count, left/right continuation type counts, total bigram types), so
+    * P is one deterministic IEEE expression of exact integers — no
+    * accumulation-order exposure anywhere. Shape: the bigram frame is
+    * materialized once and feeds four independent map-side-combined
+    * aggregates; the top-20 selection happens FIRST (orderBy+limit over
+    * the bigram-type frame), and the 20-row result is broadcast into the
+    * three stat joins — at 100 TB the corpus is tokenized once and every
+    * post-aggregate join moves ≤ 20 rows.
+    */
+  def qKneserNey(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val pairC = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds top-20, c1, both continuation counts
+    val top = pairC.orderBy(col("c12").desc, col("w1"), col("w2")).limit(20)
+    val c1 = pairC.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("fanout"))
+    val leftCont = pairC.groupBy(col("w2"))
+      .agg(count(lit(1)).as("lcont"))
+    val nTypes = pairC.agg(count(lit(1)).as("n_types"))
+    val d = lit(KnDiscount)
+    top
+      .join(c1.hint("shuffle_hash"), Seq("w1"))
+      .join(leftCont.hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(nTypes))
+      .select(col("w1"), col("w2"), col("c12"),
+        NumFns.roundPortable(
+          greatest(col("c12") - d, lit(0.0)) / col("c1") +
+            d / col("c1") * col("fanout") *
+            (col("lcont").cast("double") / col("n_types")), 6).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+  }
+
+  val qKneserNeyOracle: String =
+    s"""WITH t AS (
+       |  SELECT ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |bg AS (
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2
+       |  FROM t, unnest(range(1, len(toks))) AS u(i)
+       |  WHERE len(toks) >= 2
+       |),
+       |pc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |top AS (
+       |  SELECT w1, w2, c12 FROM pc
+       |  ORDER BY c12 DESC, w1, w2 LIMIT 20
+       |),
+       |c1 AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS fanout
+       |  FROM pc GROUP BY w1
+       |),
+       |lc AS (SELECT w2, count(*) AS lcont FROM pc GROUP BY w2),
+       |nt AS (SELECT count(*) AS n_types FROM pc)
+       |SELECT w1, w2, c12,
+       |  ${NumFns.roundPortableSql(
+            "greatest(c12 - 0.75, 0.0) / c1 + " +
+            "0.75 / c1 * fanout * (CAST(lcont AS DOUBLE) / n_types)", 6)}
+       |    AS p_kn
+       |FROM top JOIN c1 USING (w1) JOIN lc USING (w2), nt
+       |ORDER BY c12 DESC, w1, w2""".stripMargin
 }

