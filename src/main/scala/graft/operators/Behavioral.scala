@@ -727,4 +727,52 @@ object Behavioral {
        |FROM p CROSS JOIN t
        |JOIN r ON r.rnk = (t.n_customers * p.pct + 99) // 100
        |ORDER BY pct""".stripMargin
+
+  /** Result size for [[qPathMining]]. */
+  val PathTopN = 15
+
+  /** Sequential-pattern mining lite: the corpus's most common 3-step
+    * event paths (what do users DO, in order?) — the navigation-flow /
+    * funnel-discovery primitive that q_funnel (which checks ONE fixed
+    * path) and q_markov_chain (which sees only pairwise transitions)
+    * can't answer: a high-probability chain of two transitions need not
+    * be a frequent 3-path. Shape: one user-keyed window (total
+    * (ts, event_id) order — bare-ts would be nondeterministic under
+    * same-microsecond events) producing both lead steps in one pass;
+    * triple counting is a map-side-combined aggregate over short
+    * strings; top-N by (count desc, path) total order. At 100 TB: one
+    * exchange on user_id, one on the triple — both bare keys.
+    */
+  def qPathMining(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(PathTopN)
+  }
+
+  val qPathMiningOracle: String =
+    s"""WITH s AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type, 1) OVER w AS e2,
+       |    lead(event_type, 2) OVER w AS e3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |)
+       |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       |  count(*) AS n_paths
+       |FROM s
+       |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       |GROUP BY 1
+       |ORDER BY n_paths DESC, path
+       |LIMIT $PathTopN""".stripMargin
 }

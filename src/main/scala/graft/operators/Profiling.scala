@@ -1008,4 +1008,121 @@ object Profiling {
              "sqrt(n1 * (n - n1) / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0))))",
              4)} AS z_stat
        |FROM t ORDER BY event_type""".stripMargin
+
+  /** Per-group OLS fit (price ~ quantity per return flag): slope,
+    * intercept and R² from the five classical moments — the regression
+    * companion to [[qSpearman]]/q_corr. Exactness: x·y and x² are
+    * deterministic row-local IEEE products; ALL five moment sums go
+    * through DECIMAL(38,12), are cast to double ONCE, and β̂/α̂/R² are
+    * then identical scalar arithmetic on identical doubles on both
+    * engines — the same discipline as qWelchTtest. Shape: one fact
+    * scan, one map-side-combined aggregate into ≤|flags| cells; nothing
+    * else moves. At 100 TB this is a pure scan-side reduction.
+    */
+  def qOlsFit(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val m = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(D)).cast("double").as("sx"),
+        sum(col("y").cast(D)).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(D)).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(D)).cast("double").as("sxy"),
+        sum((col("y") * col("y")).cast(D)).cast("double").as("syy"))
+    val covN = col("sxy") - col("sx") * col("sy") / col("n")
+    val varX = col("sxx") - col("sx") * col("sx") / col("n")
+    val varY = col("syy") - col("sy") * col("sy") / col("n")
+    val slope = covN / varX
+    m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        NumFns.roundPortable(slope, 6).as("slope"),
+        NumFns.roundPortable(
+          (col("sy") - slope * col("sx")) / col("n"), 4).as("intercept"),
+        NumFns.roundPortable(covN * covN / (varX * varY), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qOlsFitOracle: String =
+    s"""WITH m AS (
+       |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS syy
+       |  FROM lineitem GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       |  ${NumFns.roundPortableSql(
+            "(sxy - sx * sy / n) / (sxx - sx * sx / n)", 6)} AS slope,
+       |  ${NumFns.roundPortableSql(
+            "(sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n", 4)}
+       |    AS intercept,
+       |  ${NumFns.roundPortableSql(
+            "(sxy - sx * sy / n) * (sxy - sx * sy / n) / " +
+            "((sxx - sx * sx / n) * (syy - sy * sy / n))", 6)} AS r2
+       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Top-order-statistic count for [[qTailIndex]]'s Hill estimator. */
+  val HillK = 100
+
+  /** Hill tail-index estimate of the document-length distribution per
+    * source — α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₎) over the top-k order statistics.
+    * Heavy-tail exponents decide truncation/packing policy (α ≤ 2 means
+    * unbounded variance: expect extreme outliers forever; α > 3 means
+    * a few caps suffice) — the principled version of q_length_outliers'
+    * MAD cut. Shape: the top-k per source comes from a row_number window
+    * that the GroupedTopK rule lowers to the map-side-heap TopKPerKey
+    * operator — the exchange carries ≤ k rows per source, never the
+    * corpus; x₍ₖ₎ is a per-source aggregate of that k-row frame joined
+    * back by broadcast (sources-sized). Determinism: lengths are
+    * integers with a total (length, doc_id) tie order, so the top-k SET
+    * is identical on both engines; ln of an integer ratio follows the
+    * round-gap discipline (4 decimals) like every other transcendental
+    * in the suite.
+    */
+  def qTailIndex(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val topk = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= HillK)
+      .localCheckpoint() // feeds the x_(k) aggregate AND the ratio pass
+    val xk = topk.groupBy(col("source"))
+      .agg(min(col("n_chars")).as("xk"), count(lit(1)).as("k"))
+    topk.join(broadcast(xk), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("k")).as("k"), max(col("xk")).as("x_k"),
+        sum(log(col("n_chars").cast("double") / col("xk"))).as("s"))
+      .select(col("source"), col("k"), col("x_k"),
+        when(col("s") > 0.0,
+          NumFns.roundPortable(col("k") / col("s"), 4)).as("hill_alpha"))
+      .orderBy(col("source"))
+  }
+
+  val qTailIndexOracle: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents
+       |),
+       |topk AS (SELECT source, n_chars FROM r WHERE rn <= $HillK),
+       |xk AS (
+       |  SELECT source, min(n_chars) AS xk, count(*) AS k
+       |  FROM topk GROUP BY source
+       |),
+       |a AS (
+       |  SELECT t.source, max(k) AS k, max(xk) AS x_k,
+       |    sum(ln(CAST(n_chars AS DOUBLE) / xk)) AS s
+       |  FROM topk t JOIN xk USING (source)
+       |  GROUP BY t.source
+       |)
+       |SELECT source, k, x_k,
+       |  CASE WHEN s > 0.0 THEN ${NumFns.roundPortableSql("k / s", 4)} END
+       |    AS hill_alpha
+       |FROM a ORDER BY source""".stripMargin
 }

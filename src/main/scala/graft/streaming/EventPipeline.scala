@@ -257,6 +257,49 @@ object EventPipeline {
       }
   }
 
+  case class CdcOp(user_id: Long, event_id: Long, us: Long,
+    event_type: String, value: Double)
+  case class CdcState(bestUs: Long, bestId: Long, lastOp: String,
+    lastValue: Double, nOps: Long)
+  case class CdcRow(user_id: Long, last_op: String, last_value: Double,
+    n_ops: Long, tombstoned: Boolean)
+
+  /** Streaming CDC log compaction — the unbounded-input form of the
+    * batch [[graft.operators.Temporal.qCdcApply]]: last-writer-wins per
+    * key under the same TOTAL (event time, event_id) order, with `error`
+    * ops as tombstones. State is ONE CdcState per key — the winner so
+    * far — regardless of stream length or arrival order: a late-arriving
+    * op only replaces the winner if it sorts later, so any arrival
+    * interleaving converges to the batch answer (spec-asserted). Each
+    * update emits the key's current compacted row; a downstream upsert
+    * sink (foreachBatch MERGE) makes this the classic streaming
+    * materialized view.
+    */
+  def cdcCompact(ops: Dataset[CdcOp]): Dataset[CdcRow] = {
+    import ops.sparkSession.implicits._
+    ops
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(
+            CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+          evs.foreach { e =>
+            val wins = e.us > st.bestUs ||
+              (e.us == st.bestUs && e.event_id > st.bestId)
+            st = CdcState(
+              if (wins) e.us else st.bestUs,
+              if (wins) e.event_id else st.bestId,
+              if (wins) e.event_type else st.lastOp,
+              if (wins) e.value else st.lastValue,
+              st.nOps + 1)
+          }
+          state.update(st)
+          Iterator.single(CdcRow(uid, st.lastOp, st.lastValue, st.nOps,
+            tombstoned = st.lastOp == "error"))
+      }
+  }
+
   /** Batch-equivalent entry used by tests: stream the events parquet
     * through a file source (raw on-disk schema — ts arrives as a ns Long
     * under nanosAsLong and is normalized to a µs timestamp, mirroring

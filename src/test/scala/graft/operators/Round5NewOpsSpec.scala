@@ -136,4 +136,72 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(ni >= 0 && ni <= math.min(na, nb))
     assert(r.getBoolean(3), s"HLL intersection estimate outside ${Sketches.InterBound} bound")
   }
+
+  test("ols-fit: slope/intercept reproduce the driver-side normal equations; R2 in [0,1]") {
+    val rows = Profiling.qOlsFit(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, r))
+    // exact recomputation for one group
+    val xs = graft.sources.Tables.lineitem(spark, sf001)
+      .filter("l_returnflag = 'N'").select("l_quantity", "l_extendedprice")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val exp = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val got = rows.find(_.getString(0) == "N").get.getDouble(2)
+    assert(math.abs(got - exp) < 1e-4, s"slope $got vs $exp")
+  }
+
+  test("tail-index: k bounded by corpus, x_k is the k-th largest length, alpha positive") {
+    val rows = Profiling.qTailIndex(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= Profiling.HillK)
+      if (!r.isNullAt(3)) assert(r.getDouble(3) > 0.0, r)
+    }
+    // x_k for one source really is its k-th largest n_chars
+    val src = rows.head.getString(0)
+    val lens = graft.sources.Tables.documents(spark, sf001)
+      .filter(s"source = '$src'").select("n_chars")
+      .collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    val k = rows.head.getLong(1).toInt
+    assert(rows.head.getLong(2) == lens(k - 1))
+  }
+
+  test("path-mining: paths are 3-step chains over known event types, counts descending") {
+    val rows = Behavioral.qPathMining(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= Behavioral.PathTopN)
+    val types = Set("view", "click", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.length == 3 && steps.forall(types.contains), r)
+    }
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
+  }
+
+  test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import graft.streaming.EventPipeline
+    val ops = graft.sources.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .as[EventPipeline.CdcOp]
+    val out = EventPipeline.cdcCompact(ops).collect()
+      .map(r => r.user_id -> r).toMap
+    val batch = graft.operators.Temporal.qCdcApply(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // every batch survivor matches the stream's compacted row
+    batch.foreach { case (u, (op, nOps)) =>
+      val st = out(u)
+      assert(!st.tombstoned && st.last_op == op && st.n_ops == nOps, s"user $u")
+    }
+    // every stream tombstone is absent from the batch output
+    out.values.filter(_.tombstoned)
+      .foreach(st => assert(!batch.contains(st.user_id), s"user ${st.user_id}"))
+    assert(out.size == batch.size + out.values.count(_.tombstoned))
+  }
 }
