@@ -760,6 +760,111 @@ object Behavioral {
       .limit(PathTopN)
   }
 
+  /** Shapley-value channel attribution (the game-theoretic answer to
+    * first/last-touch's arbitrariness in [[qAttribution]]): each user's
+    * view history collapses to a 4-channel exposure bitmask (same ch0-3
+    * derivation as q_attribution), the coalition value v(S) is the count
+    * of conversions among users whose exposure set is a NONEMPTY subset
+    * of S, and channel i's credit is Σ_S w(|S|)·(v(S∪i)−v(S)) with the
+    * exact Shapley weights w(s)=s!(3−s)!/4!. Exactness: v is integer;
+    * the weight numerators s!(3−s)! are integers, so each channel's
+    * credit is ONE integer sum divided by 24 at the very end — no double
+    * accumulation anywhere, bit-identical on both engines and immune to
+    * the 8-term summation order. Shape: one user-keyed collapse (map-
+    * side-combined bit_or + max), a ≤16-cell mask aggregate, and every
+    * subsequent frame is 16×16 or 4×8 — constant-sized at ANY corpus
+    * scale. The 100 TB cost is exactly one exchange on user_id.
+    */
+  def qShapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val perUser = e
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+    // presence-exact exposure mask: one row per DISTINCT (user, channel),
+    // then summing the distinct bits IS the bitwise OR
+    val bits = e.filter(col("event_type") === "view")
+      .select(col("user_id"),
+        (get_json_object(col("props"), "$.k").cast("int") % 4).as("ch"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), ch)")).as("mask"))
+    val users = perUser
+      .join(bits.hint("shuffle_hash"), Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"), col("conv"))
+    val cells = users.groupBy(col("mask"))
+      .agg(sum(col("conv")).as("n_conv"))
+      .localCheckpoint() // ≤16 rows
+    val subsets = cells.sparkSession.range(16).select(col("id").as("s"))
+    val v = subsets.join(broadcast(cells),
+        (col("mask").bitwiseAND(col("s")) === col("mask")) &&
+          col("mask") =!= 0, "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("n_conv")), lit(0L)).as("v"))
+      .localCheckpoint() // 16 rows
+    val channels = cells.sparkSession.range(4).select(col("id").as("ch"))
+    val pairs = channels.join(broadcast(v.select(col("s"), col("v"))),
+        col("s").bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), ch)")) === 0)
+      .join(broadcast(v.select(col("s").as("s1"), col("v").as("v1"))),
+        col("s1") === col("s") + expr("shiftleft(CAST(1 AS BIGINT), ch)"))
+    // popcount of s (s ≤ 15): 4 explicit bit terms, integer-exact
+    val pop = (col("s").bitwiseAND(1)) +
+      (col("s").bitwiseAND(2) / 2) + (col("s").bitwiseAND(4) / 4) +
+      (col("s").bitwiseAND(8) / 8)
+    val wNum = when(pop === 0, 6L).when(pop === 1, 2L)
+      .when(pop === 2, 2L).otherwise(6L) // s!(3-s)!
+    pairs
+      .groupBy(col("ch"))
+      .agg(sum(wNum * (col("v1") - col("v"))).as("num24"))
+      .select(concat(lit("ch"), col("ch")).as("channel"),
+        NumFns.roundPortable(col("num24") / 24.0, 4).as("shapley"))
+      .orderBy(col("channel"))
+  }
+
+  val qShapleyAttributionOracle: String =
+    s"""WITH ub AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(props ->> '$$.k' AS INT) % 4 AS ch
+       |  FROM events WHERE event_type = 'view'
+       |),
+       |um AS (
+       |  SELECT user_id, CAST(sum(1 << ch) AS BIGINT) AS mask
+       |  FROM ub GROUP BY user_id
+       |),
+       |uc AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY user_id
+       |),
+       |cells AS (
+       |  SELECT coalesce(mask, 0) AS mask, CAST(sum(conv) AS BIGINT)
+       |    AS n_conv
+       |  FROM uc LEFT JOIN um USING (user_id)
+       |  GROUP BY 1
+       |),
+       |subsets AS (SELECT unnest(range(0, 16)) AS s),
+       |v AS (
+       |  SELECT s, CAST(coalesce(sum(n_conv), 0) AS BIGINT) AS v
+       |  FROM subsets LEFT JOIN cells
+       |    ON (mask & s) = mask AND mask <> 0
+       |  GROUP BY s
+       |),
+       |chs AS (SELECT unnest(range(0, 4)) AS ch),
+       |pairs AS (
+       |  SELECT ch, v0.s AS s, v0.v AS v, v1.v AS v1,
+       |    (v0.s & 1) + (v0.s & 2) // 2 + (v0.s & 4) // 4 + (v0.s & 8) // 8
+       |      AS pop
+       |  FROM chs JOIN v v0 ON (v0.s & (1 << ch)) = 0
+       |  JOIN v v1 ON v1.s = v0.s + (1 << ch)
+       |)
+       |SELECT 'ch' || ch AS channel,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum((CASE WHEN pop = 0 THEN 6 WHEN pop = 3 THEN 6 " +
+            "ELSE 2 END) * (v1 - v)) AS DOUBLE) / 24.0", 4)} AS shapley
+       |FROM pairs
+       |GROUP BY ch
+       |ORDER BY channel""".stripMargin
+
   val qPathMiningOracle: String =
     s"""WITH s AS (
        |  SELECT user_id, event_type,

@@ -841,6 +841,56 @@ object PipelineOps {
       .orderBy(col("arm"))
   }
 
+  /** Difference-in-differences — the quasi-experimental companion to
+    * [[qCuped]]: arm B's post-minus-pre change net of arm A's (parallel-
+    * trends baseline), on per-order spend with custkey-parity arms and
+    * 1996/1997 as pre/post. All four cell means are DECIMAL-stable and
+    * ROUNDED first; the DiD is then scalar arithmetic on four
+    * engine-identical doubles, so the estimate can't pick up a different
+    * 15th digit per engine. Shape: one orders scan into 4 cells, one
+    * 1-row pivot — scan-side at any scale.
+    */
+  def qDiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    val yr = year(col("o_orderdate"))
+    val cells = Tables.orders(s, dir)
+      .filter(yr.isin(1996, 1997))
+      .groupBy((col("o_custkey") % 2).as("arm"),
+        (yr === 1997).cast("int").as("post"))
+      .agg(NumFns.stableMean(col("o_totalprice"), count(lit(1)), 4)
+        .as("m"))
+    def cell(a: Int, p: Int) =
+      max(when(col("arm") === a && col("post") === p, col("m")))
+    cells.agg(
+        cell(0, 0).as("m_a_pre"), cell(0, 1).as("m_a_post"),
+        cell(1, 0).as("m_b_pre"), cell(1, 1).as("m_b_post"))
+      .select(col("m_a_pre"), col("m_a_post"), col("m_b_pre"),
+        col("m_b_post"),
+        NumFns.roundPortable(
+          col("m_b_post") - col("m_b_pre") -
+            (col("m_a_post") - col("m_a_pre")), 4).as("did"))
+  }
+
+  val qDiffInDiffOracle: String =
+    s"""WITH c AS (
+       |  SELECT o_custkey % 2 AS arm,
+       |    CAST(year(o_orderdate) = 1997 AS INT) AS post,
+       |    ${NumFns.stableMeanSql("o_totalprice", "count(*)", 4)} AS m
+       |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+       |  GROUP BY 1, 2
+       |),
+       |w AS (
+       |  SELECT
+       |    max(CASE WHEN arm = 0 AND post = 0 THEN m END) AS m_a_pre,
+       |    max(CASE WHEN arm = 0 AND post = 1 THEN m END) AS m_a_post,
+       |    max(CASE WHEN arm = 1 AND post = 0 THEN m END) AS m_b_pre,
+       |    max(CASE WHEN arm = 1 AND post = 1 THEN m END) AS m_b_post
+       |  FROM c
+       |)
+       |SELECT m_a_pre, m_a_post, m_b_pre, m_b_post,
+       |  ${NumFns.roundPortableSql(
+            "m_b_post - m_b_pre - (m_a_post - m_a_pre)", 4)} AS did
+       |FROM w""".stripMargin
+
   val qCupedOracle: String =
     s"""WITH pc AS (
        |  SELECT o_custkey,

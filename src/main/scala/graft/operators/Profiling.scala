@@ -1064,6 +1064,61 @@ object Profiling {
             "((sxx - sx * sx / n) * (syy - sy * sy / n))", 6)} AS r2
        |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** One-way ANOVA across sources on document length — the k-group
+    * generalization of [[qWelchTtest]]'s two arms: does source identity
+    * explain length variance? F = (SSB/(k−1))/(SSW/(n−k)) plus η² =
+    * SSB/(SSB+SSW) (effect size). Exactness: n_chars is an INTEGER, so
+    * per-group Σx and Σx² are exact int64 sums; the only double terms
+    * are the per-group sx²/n_g ratios, each a deterministic scalar of
+    * exact integers, and their across-group sum goes through
+    * DECIMAL(38,12) so group order can't move F. Shape: one corpus
+    * scan → ≤|sources| cells → one 1-row reduction. Scan-side at any
+    * scale.
+    */
+  def qAnova(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val g = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("ng"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+    val t = g.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum(col("sx")).as("s"), sum(col("sxx")).as("q"),
+        sum((col("sx").cast("double") * col("sx") / col("ng")).cast(D))
+          .cast("double").as("t"))
+    val ssb = col("t") - col("s").cast("double") * col("s") / col("n")
+    val ssw = col("q").cast("double") - col("t")
+    t.select(col("k"), col("n"),
+        NumFns.roundPortable(
+          (ssb / (col("k") - 1.0)) / (ssw / (col("n") - col("k"))), 4)
+          .as("f_stat"),
+        NumFns.roundPortable(ssb / (ssb + ssw), 6).as("eta_sq"))
+  }
+
+  val qAnovaOracle: String =
+    s"""WITH g AS (
+       |  SELECT source, count(*) AS ng,
+       |    CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY source
+       |),
+       |t AS (
+       |  SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+       |    CAST(sum(sx) AS BIGINT) AS s, CAST(sum(sxx) AS BIGINT) AS q,
+       |    CAST(sum(CAST(CAST(sx AS DOUBLE) * sx / ng AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS t
+       |  FROM g
+       |)
+       |SELECT k, n,
+       |  ${NumFns.roundPortableSql(
+            "((t - CAST(s AS DOUBLE) * s / n) / (k - 1.0)) / " +
+            "((CAST(q AS DOUBLE) - t) / (n - k))", 4)} AS f_stat,
+       |  ${NumFns.roundPortableSql(
+            "(t - CAST(s AS DOUBLE) * s / n) / " +
+            "(t - CAST(s AS DOUBLE) * s / n + CAST(q AS DOUBLE) - t)", 6)}
+       |    AS eta_sq
+       |FROM t""".stripMargin
+
   /** Top-order-statistic count for [[qTailIndex]]'s Hill estimator. */
   val HillK = 100
 

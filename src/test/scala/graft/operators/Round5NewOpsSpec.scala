@@ -182,6 +182,36 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
   }
 
+  test("shapley attribution satisfies efficiency: credits sum to the touched conversions") {
+    import org.apache.spark.sql.functions._
+    val rows = Behavioral.qShapleyAttribution(spark, sf001).collect()
+    assert(rows.length == 4)
+    val total = rows.map(_.getDouble(1)).sum
+    // v(full set) = conversions among users with >= 1 view touch
+    val e = graft.sources.Tables.events(spark, sf001)
+    val touchedConv = e.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"),
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("touched"))
+      .filter("conv = 1 AND touched = 1").count()
+    assert(math.abs(total - touchedConv) < 1e-6,
+      s"sum of credits $total != touched conversions $touchedConv")
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0, r))
+  }
+
+  test("anova: F positive, eta squared in [0,1], n and k match the corpus") {
+    val r = Profiling.qAnova(spark, sf001).collect().head
+    assert(r.getLong(0) == 20) // 20 sources
+    assert(r.getLong(1) == graft.sources.Tables.documents(spark, sf001).count())
+    assert(r.getDouble(2) > 0.0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("diff-in-diff equals the four rounded cell means' closed form") {
+    val r = PipelineOps.qDiffInDiff(spark, sf001).collect().head
+    val did = r.getDouble(3) - r.getDouble(2) - (r.getDouble(1) - r.getDouble(0))
+    assert(math.abs(r.getDouble(4) - did) < 1e-4, s"${r.getDouble(4)} vs $did")
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
