@@ -862,4 +862,76 @@ object Analytics {
       |FROM w
       |WHERE best_cheaper IS NULL OR p_size > best_cheaper
       |ORDER BY p_partkey""".stripMargin
+
+  /** Shard fan and per-shard candidate width for [[qTwoPhaseTopk]]. */
+  val TpShards = 8
+  val TpPerShard = 25
+
+  /** Two-phase certified global top-k (the threshold-algorithm pattern
+    * behind every distributed top-k): events are sharded by event_id (so
+    * one user's count is SPLIT across shards — the hard case), each
+    * shard keeps only its local top-[[TpPerShard]] partial counts, the
+    * union of candidates is exactly re-counted, and the result carries
+    * its own soundness certificate: a non-candidate's global count is
+    * ≤ Σ_shards (shard's k-th kept partial), so if the 10th candidate's
+    * exact count beats that threshold sum, the true top-10 is PROVABLY
+    * inside the candidate set. This is how a 1000-executor top-k avoids
+    * shuffling the full (user, count) domain: each executor ships k
+    * rows, the coordinator re-counts |candidates| keys, and the
+    * certificate says whether k was wide enough (if false, rerun with
+    * wider k — the bound is constructive). All counts integer-exact.
+    */
+  def qTwoPhaseTopk(s: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.events(s, dir)
+      .select(col("user_id"), (col("event_id") % TpShards).as("shard"))
+      .groupBy(col("shard"), col("user_id"))
+      .agg(count(lit(1)).as("pc"))
+      .localCheckpoint() // feeds candidates AND thresholds
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("pc").desc, col("user_id"))
+    val kept = partials.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TpPerShard)
+      .localCheckpoint()
+    val candidates = kept.select(col("user_id")).distinct()
+    val thresholds = kept.filter(col("rn") === TpPerShard)
+      .agg(coalesce(sum(col("pc")), lit(0L)).as("tsum"))
+    val exact = Tables.events(s, dir)
+      .join(broadcast(candidates), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+    exact.crossJoin(broadcast(thresholds))
+      .select(col("user_id"), col("n_events"),
+        (col("n_events") >= col("tsum")).as("certified"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  val qTwoPhaseTopkOracle: String =
+    s"""WITH p AS (
+       |  SELECT event_id % $TpShards AS shard, user_id, count(*) AS pc
+       |  FROM events GROUP BY 1, 2
+       |),
+       |k AS (
+       |  SELECT shard, user_id, pc,
+       |    row_number() OVER (PARTITION BY shard
+       |      ORDER BY pc DESC, user_id) AS rn
+       |  FROM p
+       |),
+       |kept AS (SELECT * FROM k WHERE rn <= $TpPerShard),
+       |cand AS (SELECT DISTINCT user_id FROM kept),
+       |th AS (
+       |  SELECT CAST(coalesce(sum(pc), 0) AS BIGINT) AS tsum
+       |  FROM kept WHERE rn = $TpPerShard
+       |),
+       |ex AS (
+       |  SELECT e.user_id, count(*) AS n_events
+       |  FROM events e JOIN cand USING (user_id)
+       |  GROUP BY e.user_id
+       |  ORDER BY n_events DESC, e.user_id
+       |  LIMIT 10
+       |)
+       |SELECT user_id, n_events, n_events >= tsum AS certified
+       |FROM ex, th
+       |ORDER BY n_events DESC, user_id""".stripMargin
 }

@@ -1132,4 +1132,65 @@ object Similarity {
        |    AS gini_impurity
        |FROM g
        |ORDER BY cell""".stripMargin
+
+  /** Vectors per multi-vector document for [[qMaxsimRerank]]. */
+  val MvTokens = 4
+
+  /** ColBERT-style late-interaction (MaxSim) reranking: documents are
+    * MULTI-vector (here: [[MvTokens]] consecutive embedding rows per
+    * doc_id = vec_id / 4), and the score against the query's token
+    * vectors is Σᵢ maxⱼ ⟨qᵢ, dⱼ⟩ — max over doc tokens per query token,
+    * summed over query tokens. This is the retrieval scorer single-vector
+    * cosine (q_ann_topk) can't express: a doc matching each query term
+    * with a DIFFERENT passage wins late interaction but averages away in
+    * one pooled vector. Exactness: each ⟨qᵢ,dⱼ⟩ is one fixed-order fold,
+    * quantized to int64 (×10⁶) BEFORE max/sum, so the per-doc score is
+    * exact integer arithmetic in any execution order. Shape: the 4-row
+    * query is broadcast; per-pair work collapses immediately to
+    * (doc, qtok) maxima then (doc) sums — map-side combined; top-10 over
+    * the doc-sized score frame. At 100 TB the candidate set would come
+    * from q_ann_ivf's cells first; the MaxSim pass itself stays
+    * scan-shaped and never materializes the pairwise matrix.
+    */
+  def qMaxsimRerank(s: SparkSession, dir: String): DataFrame = {
+    val toks = prepared(s, dir)
+      .select(expr(s"vec_id div $MvTokens").as("doc"),
+        (col("vec_id") % MvTokens).as("tok"), col("v"))
+    val query = toks.filter(col("doc") === 0)
+      .select(col("tok").as("qtok"), col("v").as("qv"))
+    val qdot = NumFns.roundAwayLong(
+      VectorFns.dot(col("qv"), col("v")) * lit(1e6))
+    toks.filter(col("doc") =!= 0)
+      .join(broadcast(query))
+      .groupBy(col("doc"), col("qtok"))
+      .agg(max(qdot).as("mx"))
+      .groupBy(col("doc"))
+      .agg(sum(col("mx")).as("score_q"))
+      .select(col("doc"),
+        NumFns.roundPortable(col("score_q") / lit(1e6), 4).as("maxsim"))
+      .orderBy(col("score_q").desc, col("doc"))
+      .limit(10)
+      .select(col("doc"), col("maxsim"))
+  }
+
+  val qMaxsimRerankOracle: String =
+    s"""WITH $preparedSql,
+       |t AS (
+       |  SELECT vec_id // $MvTokens AS doc, vec_id % $MvTokens AS tok, v
+       |  FROM n
+       |),
+       |q AS (SELECT tok AS qtok, v AS qv FROM t WHERE doc = 0),
+       |px AS (
+       |  SELECT t.doc, q.qtok,
+       |    max(CAST(round(${dotSql("q.qv", "t.v")} * 1e6) AS BIGINT)) AS mx
+       |  FROM t CROSS JOIN q WHERE t.doc <> 0
+       |  GROUP BY t.doc, q.qtok
+       |),
+       |sc AS (
+       |  SELECT doc, CAST(sum(mx) AS BIGINT) AS score_q FROM px GROUP BY doc
+       |)
+       |SELECT doc, ${NumFns.roundPortableSql("score_q / 1e6", 4)} AS maxsim
+       |FROM sc
+       |ORDER BY score_q DESC, doc
+       |LIMIT 10""".stripMargin
 }

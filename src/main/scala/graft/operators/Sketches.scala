@@ -211,6 +211,80 @@ object Sketches {
     * certificate bound is generous against their combined drift. */
   val InterBound = 0.05
 
+  /** Equi-join CARDINALITY estimation as a count-min inner product —
+    * |A ⋈ₖ B| = Σₖ c_A(k)·c_B(k), estimated as minⱼ Σ_pos cellsA·cellsB
+    * over [[CmsDepth]] hash rows: the sketch algebra a cost-based
+    * planner uses to choose join order/strategy WITHOUT touching either
+    * fact table's key domain (each side reduces map-side to depth×width
+    * integer cells; the "join" of sketches is a 3K-cell product). The
+    * estimate provably ≥ the true size (hash collisions only add), and
+    * the certificate asserts the Markov bound est − exact ≤
+    * 4·|A|·|B|/width. Everything is integer-exact, so both engines
+    * compute the identical estimate. The exact join count here exists
+    * only to certify — at 100 TB you'd ship ONLY the sketches.
+    */
+  def qJoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    def cells(keys: DataFrame): DataFrame = keys
+      .select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsPos(col("k"), j).as("pos"))): _*))
+        .as("c"))
+      .groupBy(col("c.j").as("j"), col("c.pos").as("pos"))
+      .agg(count(lit(1)).as("n"))
+    val aKeys = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+    val bKeys = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+    val prod = cells(aKeys).as("a")
+      .join(cells(bKeys).as("b"), Seq("j", "pos"))
+      .groupBy(col("j"))
+      .agg(sum(col("a.n") * col("b.n")).as("ip"))
+      .agg(min(col("ip")).as("cms_est"))
+    val counts = aKeys.agg(count(lit(1)).as("n_a"))
+      .crossJoin(bKeys.agg(count(lit(1)).as("n_b")))
+    val exact = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_join"))
+    counts.crossJoin(broadcast(exact)).crossJoin(broadcast(prod))
+      .select(col("n_a"), col("n_b"), col("exact_join"), col("cms_est"),
+        (col("cms_est") >= col("exact_join") &&
+          (col("cms_est") - col("exact_join")).cast("double") <=
+            col("n_a").cast("double") * col("n_b") * 4.0 / CmsWidth)
+          .as("within_bound"))
+  }
+
+  val qJoinSizeEstOracle: String = {
+    val aCells = (0 until CmsDepth).map(j =>
+      s"SELECT $j AS j, ${cmsPosSql("l_orderkey", j)} AS pos FROM lineitem")
+      .mkString("\n|  UNION ALL ")
+    val bCells = (0 until CmsDepth).map(j =>
+      s"SELECT $j AS j, ${cmsPosSql("o_orderkey", j)} AS pos FROM orders")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH ar AS (
+       |  $aCells
+       |),
+       |a AS (SELECT j, pos, count(*) AS n FROM ar GROUP BY j, pos),
+       |br AS (
+       |  $bCells
+       |),
+       |b AS (SELECT j, pos, count(*) AS n FROM br GROUP BY j, pos),
+       |ip AS (
+       |  SELECT a.j, CAST(sum(a.n * b.n) AS BIGINT) AS ip
+       |  FROM a JOIN b ON a.j = b.j AND a.pos = b.pos
+       |  GROUP BY a.j
+       |),
+       |est AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM ip),
+       |c AS (
+       |  SELECT (SELECT count(*) FROM lineitem) AS n_a,
+       |    (SELECT count(*) FROM orders) AS n_b,
+       |    (SELECT count(*) FROM lineitem JOIN orders
+       |      ON l_orderkey = o_orderkey) AS exact_join
+       |)
+       |SELECT n_a, n_b, exact_join, cms_est,
+       |  cms_est >= exact_join AND
+       |    CAST(cms_est - exact_join AS DOUBLE) <=
+       |      CAST(n_a AS DOUBLE) * n_b * 4.0 / $CmsWidth AS within_bound
+       |FROM c, est""".stripMargin
+  }
+
   /** Sketch-space set INTERSECTION via inclusion-exclusion —
     * |A∩B| ≈ hll(A) + hll(B) − hll(A∪B) — between two sources' token
     * vocabularies, the overlap question (shared vocabulary, audience

@@ -212,6 +212,57 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - did) < 1e-4, s"${r.getDouble(4)} vs $did")
   }
 
+  test("two-phase topk: when certified, the result IS the true global top-10") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.qTwoPhaseTopk(spark, sf001).collect()
+    assert(rows.length == 10)
+    val truth = graft.sources.Tables.events(spark, sf001)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    if (rows.forall(_.getBoolean(2))) {
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).sameElements(truth),
+        "certified result diverges from the exact global top-10")
+    }
+    // soundness direction of the certificate: counts descending
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)))
+  }
+
+  test("maxsim rerank matches a driver-side brute-force late-interaction score") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def doc(d: Long) = (0 until Similarity.MvTokens)
+      .flatMap(t => vecs.get(d * Similarity.MvTokens + t))
+    val q = doc(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def score(d: Long) = doc(d).nonEmpty match {
+      case true => q.map(qv => doc(d).map(dv =>
+        math.round(dot(qv, dv) * 1e6)).max).sum / 1e6
+      case false => Double.MinValue
+    }
+    val rows = Similarity.qMaxsimRerank(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val exp = score(r.getLong(0))
+      assert(math.abs(r.getDouble(1) - exp) < 1e-3,
+        s"doc ${r.getLong(0)}: ${r.getDouble(1)} vs $exp")
+    }
+  }
+
+  test("join-size estimate is an upper bound within the Markov certificate") {
+    val r = Sketches.qJoinSizeEst(spark, sf001).collect().head
+    val (na, nb, exact, est) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(est >= exact, s"CMS inner product must overestimate: $est < $exact")
+    assert(r.getBoolean(4))
+    assert(exact == na, "every lineitem joins exactly one order")
+    assert(nb > 0)
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
