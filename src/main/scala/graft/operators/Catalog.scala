@@ -543,4 +543,64 @@ object Catalog {
     val out = fs.create(path, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
+
+  /** Catalog snapshot DIFF — the incremental-discovery primitive the
+    * reference's sensor implies but never materializes (its cursor only
+    * moves forward; an upstream re-listing can also REMOVE or REWRITE
+    * keys): given yesterday's manifest and today's, classify every key
+    * as added / removed / changed / unchanged (changed = same key, new
+    * size — the re-encoded-object case) and report counts + total bytes
+    * moved per class. Snapshots are the usual deterministic synthetic
+    * manifests (old = doc_id%10<8, new = doc_id%10≥2, sizes drift on
+    * doc_id%5=0). Shape: one full-outer join on the key — both sides
+    * are key-pruned before the exchange, the classification is a
+    * projection, and the report is a 4-row aggregate. At 100 TB this is
+    * the nightly manifest reconciliation: one equi-shuffle on the key,
+    * nothing else.
+    */
+  def qManifestDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    // the stem alone repeats every lcm(3,7,4,5)=420 ids — uniquify with
+    // the id suffix so a key names exactly one object per snapshot
+    val key = concat(docStem, lit("."), str(col("doc_id")))
+    val old = base.filter(col("doc_id") % 10 < 8)
+      .select(key.as("key"), col("n_chars").as("old_size"))
+    val neu = base.filter(col("doc_id") % 10 >= 2)
+      .select(key.as("key"),
+        (col("n_chars") + when(col("doc_id") % 5 === 0, 1L).otherwise(0L))
+          .as("new_size"))
+    old.join(neu.hint("shuffle_hash"), Seq("key"), "full_outer")
+      .select(
+        when(col("old_size").isNull, "added")
+          .when(col("new_size").isNull, "removed")
+          .when(col("old_size") =!= col("new_size"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("new_size"), col("old_size")).as("sz"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("sz")).as("bytes"))
+      .orderBy(col("status"))
+  }
+
+  val qManifestDiffOracle: String =
+    s"""WITH o AS (
+       |  SELECT $docStemSql || '.' || CAST(doc_id AS VARCHAR) AS key,
+       |    n_chars AS old_size
+       |  FROM documents WHERE doc_id % 10 < 8
+       |),
+       |n AS (
+       |  SELECT $docStemSql || '.' || CAST(doc_id AS VARCHAR) AS key,
+       |    n_chars + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS new_size
+       |  FROM documents WHERE doc_id % 10 >= 2
+       |),
+       |d AS (
+       |  SELECT CASE WHEN old_size IS NULL THEN 'added'
+       |    WHEN new_size IS NULL THEN 'removed'
+       |    WHEN old_size <> new_size THEN 'changed'
+       |    ELSE 'unchanged' END AS status,
+       |    coalesce(new_size, old_size) AS sz
+       |  FROM o FULL OUTER JOIN n USING (key)
+       |)
+       |SELECT status, count(*) AS n_keys, CAST(sum(sz) AS BIGINT) AS bytes
+       |FROM d GROUP BY status
+       |ORDER BY status""".stripMargin
 }

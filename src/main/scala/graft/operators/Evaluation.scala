@@ -373,4 +373,110 @@ object Evaluation {
        |    THEN ${NumFns.roundPortableSql("2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE)", 6)} END AS f1
        |FROM g
        |ORDER BY threshold""".stripMargin
+
+  /** Youden-optimal operating point + full confusion metrics — the
+    * threshold SELECTION step q_pr_curve (the curve) and q_auc (the
+    * ranking summary) both stop short of: argmax over thresholds of
+    * J = TPR − FPR, then TP/FP/TN/FN, precision, recall, F1 and MCC at
+    * that point. Exactness: the argmax key is the INTEGER numerator
+    * TP·N − FP·P (J's sign-preserving cross-multiplication — comparing
+    * exact integers instead of two float ratios, so the chosen threshold
+    * can never differ between engines), ties to the smallest threshold;
+    * the published ratios are portable-rounded at the end. Shape: the
+    * same ≤1001 permille score cells as q_auc, one DESC running sum for
+    * cumulative TP/FP, a 1-row argmax over the cells frame — nothing
+    * row-scale after the scan.
+    */
+  def qYoudenThreshold(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        floor(lit(1000) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val cells = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    // cumulative predicted-positive counts for threshold t = this score:
+    // everything at score >= t is classified positive
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("np")).as("p"),
+      sum(col("n") - col("np")).as("nn"))
+    val cum = cells
+      .withColumn("tp", sum(col("np")).over(w))
+      .withColumn("fp", sum(col("n") - col("np")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("score").as("threshold"), col("tp"), col("fp"),
+        col("p"), col("nn"),
+        (col("tp") * col("nn") - col("fp") * col("p")).as("jnum"))
+    val best = cum.orderBy(col("jnum").desc, col("threshold")).limit(1)
+    val fn = col("p") - col("tp")
+    val tn = col("nn") - col("fp")
+    val mccDen = sqrt((col("tp") + col("fp")).cast("double")) *
+      sqrt((col("tp") + fn).cast("double")) *
+      sqrt((tn + col("fp")).cast("double")) *
+      sqrt((tn + fn).cast("double"))
+    best.select(col("threshold"), col("tp"), col("fp"),
+        tn.as("tn"), fn.as("fn"),
+        NumFns.roundPortable(
+          col("jnum").cast("double") / (col("p") * col("nn")).cast("double"),
+          6).as("youden_j"),
+        NumFns.roundPortable(
+          col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        NumFns.roundPortable(
+          col("tp").cast("double") / col("p"), 6).as("recall"),
+        NumFns.roundPortable(
+          (col("tp") * tn - col("fp") * fn).cast("double") / mccDen, 6)
+          .as("mcc"))
+  }
+
+  val qYoudenThresholdOracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT CAST(floor(1000 * len(list_filter(toks,
+       |      x -> list_contains([${Curation.stopListSql}], x)))
+       |      / len(toks)) AS BIGINT) AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |cells AS (
+       |  SELECT score, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+       |  FROM sc GROUP BY score
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(np) AS BIGINT) AS p,
+       |    CAST(sum(n - np) AS BIGINT) AS nn
+       |  FROM cells
+       |),
+       |cum AS (
+       |  SELECT score AS threshold,
+       |    CAST(sum(np) OVER w AS BIGINT) AS tp,
+       |    CAST(sum(n - np) OVER w AS BIGINT) AS fp,
+       |    p, nn
+       |  FROM cells, tot
+       |  WINDOW w AS (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |best AS (
+       |  SELECT *, tp * nn - fp * p AS jnum FROM cum
+       |  ORDER BY jnum DESC, threshold LIMIT 1
+       |)
+       |SELECT threshold, tp, fp, nn - fp AS tn, p - tp AS fn,
+       |  ${NumFns.roundPortableSql(
+            "CAST(jnum AS DOUBLE) / (CAST(p AS DOUBLE) * nn)", 6)}
+       |    AS youden_j,
+       |  ${NumFns.roundPortableSql(
+            "CAST(tp AS DOUBLE) / (tp + fp)", 6)} AS precision,
+       |  ${NumFns.roundPortableSql("CAST(tp AS DOUBLE) / p", 6)} AS recall,
+       |  ${NumFns.roundPortableSql(
+            "CAST(tp * (nn - fp) - fp * (p - tp) AS DOUBLE) / " +
+            "(sqrt(CAST(tp + fp AS DOUBLE)) * sqrt(CAST(p AS DOUBLE)) * " +
+            "sqrt(CAST(nn - fp + fp AS DOUBLE)) * " +
+            "sqrt(CAST(nn - fp + p - tp AS DOUBLE)))", 6)} AS mcc
+       |FROM best""".stripMargin
 }

@@ -263,6 +263,42 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(nb > 0)
   }
 
+  test("youden threshold maximizes J over an exhaustive driver-side sweep") {
+    import org.apache.spark.sql.functions._
+    val r = Evaluation.qYoudenThreshold(spark, sf001).collect().head
+    val (tp, fp, tn, fn) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val (p, n) = (tp + fn, tn + fp)
+    // confusion table is consistent
+    assert(p > 0 && n > 0)
+    val jGot = tp.toDouble / p - fp.toDouble / n
+    assert(math.abs(r.getDouble(5) - jGot) < 1e-4)
+    // no other threshold does better (exhaustive over the permille grid)
+    val cells = graft.sources.Tables.documents(spark, sf001)
+      .select(col("lang"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(floor(lit(1000) * size(filter(col("toks"),
+        t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+        / size(col("toks"))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val bestJ = cells.map(_._1).distinct.map { t =>
+      val tpx = cells.filter(c => c._1 >= t).map(_._2).sum
+      val fpx = cells.count(c => c._1 >= t) - tpx
+      tpx.toDouble / p - fpx.toDouble / n
+    }.max
+    assert(math.abs(jGot - bestJ) < 1e-9, s"J $jGot not maximal ($bestJ)")
+  }
+
+  test("manifest diff partitions the key universe and respects the snapshot construction") {
+    val rows = Catalog.qManifestDiff(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // on 500 sequential ids: last digit 8,9 only in the new listing
+    // (added), 0,1 only in the old (removed), 2-7 shared; of the shared,
+    // %5==0 means last digit 5 -> size drift (changed)
+    assert(rows("added") == 100 && rows("removed") == 100, rows.toString)
+    assert(rows("changed") == 50 && rows("unchanged") == 250, rows.toString)
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
