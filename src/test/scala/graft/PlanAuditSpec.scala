@@ -114,6 +114,36 @@ class PlanAuditSpec extends SparkSpec {
       s"q_pca_power_iter plan drifted: ${pca.summary}")
   }
 
+  test("r5 heavy shapes hold their audited plan structure (PlanReport)") {
+    import graft.plans.PlanReport
+    // q_dup_span: the span frame joins the dup-key frame shuffle_hash
+    // (both fact-derived — broadcast would be the r1 cliff) and nothing
+    // is cartesian; the ×8 cover explode happens after the key join.
+    val ds = PlanReport.of(SparkEntry.queries("q_dup_span")(spark, sf001))
+    assert(ds.cartesianProducts == 0, s"q_dup_span: ${ds.summary}")
+    val dsPlan = SparkEntry.queries("q_dup_span")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(dsPlan.contains("ShuffledHashJoin"), "q_dup_span lost shuffle_hash")
+    // q_hits: the 1-row max broadcasts; the edge-frame joins stay
+    // shuffle-side; no cartesian.
+    val ht = PlanReport.of(SparkEntry.queries("q_hits")(spark, sf001))
+    assert(ht.cartesianProducts == 0 && ht.broadcasts <= 2,
+      s"q_hits plan drifted: ${ht.summary}")
+    // q_two_phase_topk: candidates broadcast into the semi join (they
+    // are k·shards rows by construction); the partial-count frame never
+    // broadcasts.
+    val tp = PlanReport.of(SparkEntry.queries("q_two_phase_topk")(spark, sf001))
+    assert(tp.cartesianProducts == 0, s"q_two_phase_topk: ${tp.summary}")
+    val tpPlan = SparkEntry.queries("q_two_phase_topk")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(tpPlan.contains("BroadcastHashJoin"),
+      "q_two_phase_topk candidates must broadcast into the recount semi join")
+    // q_shapley_attribution: after the one user_id exchange every frame
+    // is constant-sized; the mask/conv join is shuffle-side.
+    val sh = PlanReport.of(SparkEntry.queries("q_shapley_attribution")(spark, sf001))
+    assert(sh.cartesianProducts == 0, s"q_shapley_attribution: ${sh.summary}")
+  }
+
   test("centroid averaging partial-aggregates before its single shuffle") {
     val p = plans("q_embed_centroids")
     assert(p.contains("partial_count") || p.contains("partial_avg"),
