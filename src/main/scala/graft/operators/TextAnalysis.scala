@@ -1333,6 +1333,93 @@ object TextAnalysis {
        |FROM g
        |ORDER BY source""".stripMargin
 
+  /** Vocabulary-size thresholds for [[qCoverageCurve]]. */
+  val CoverageNs = Seq(100L, 1000L, 10000L)
+
+  /** Token-mass coverage curve of the top-N vocabulary — "how much of
+    * the corpus does a 100 / 1k / 10k-word vocab cover?", the number
+    * that sizes tokenizer vocab and stopword lists (Zipf makes it
+    * startlingly high). Scale shape: the vocab frame never sees a
+    * global rank window — it collapses to COUNT-OF-COUNTS cells (c,
+    * n_words), ~O(√corpus) rows under Zipf, the cumulative frame runs
+    * over THOSE cells, and each threshold N finds its straddling cell
+    * by join (covered = mass above the cell + (N − words_above)·c —
+    * exact, because every word in a tied block has the same count).
+    * All-integer arithmetic; one share division at the end.
+    */
+  def qCoverageCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val cc = wc.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_words"))
+      .withColumn("mass", col("c") * col("n_words"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cc
+      .withColumn("words_above", coalesce(sum(col("n_words")).over(w), lit(0L)))
+      .withColumn("mass_above", coalesce(sum(col("mass")).over(w), lit(0L)))
+      .localCheckpoint() // cells frame feeds totals AND the straddle join
+    val tot = cum.agg(sum(col("n_words")).as("n_vocab"),
+      sum(col("mass")).as("total_mass"))
+    val ns = cum.sparkSession.createDataFrame(
+      CoverageNs.map(Tuple1.apply)).toDF("n_top")
+    ns.crossJoin(broadcast(tot))
+      .join(broadcast(cum),
+        col("words_above") < col("n_top") &&
+          col("words_above") + col("n_words") >= col("n_top"), "left")
+      .select(col("n_top"), col("n_vocab"),
+        least(col("n_top"), col("n_vocab")).as("n_words_used"),
+        coalesce(col("mass_above") +
+          (col("n_top") - col("words_above")) * col("c"),
+          col("total_mass")).as("covered_tokens"),
+        col("total_mass"))
+      .select(col("n_top"), col("n_vocab"), col("n_words_used"),
+        col("covered_tokens"),
+        NumFns.roundPortable(
+          col("covered_tokens").cast("double") / col("total_mass"), 6)
+          .as("coverage"))
+      .orderBy(col("n_top"))
+  }
+
+  val qCoverageCurveOracle: String =
+    s"""WITH wc AS (
+       |  SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(${TextFns.toksSql}) AS w FROM documents
+       |  ) GROUP BY w
+       |),
+       |cc AS (
+       |  SELECT c, count(*) AS n_words, c * count(*) AS mass
+       |  FROM wc GROUP BY c
+       |),
+       |cum AS (
+       |  SELECT c, n_words, mass,
+       |    CAST(coalesce(sum(n_words) OVER w, 0) AS BIGINT) AS words_above,
+       |    CAST(coalesce(sum(mass) OVER w, 0) AS BIGINT) AS mass_above
+       |  FROM cc
+       |  WINDOW w AS (ORDER BY c DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(n_words) AS BIGINT) AS n_vocab,
+       |    CAST(sum(mass) AS BIGINT) AS total_mass
+       |  FROM cum
+       |),
+       |ns AS (SELECT CAST(unnest([${CoverageNs.mkString(", ")}]) AS BIGINT)
+       |  AS n_top)
+       |SELECT n_top, n_vocab,
+       |  least(n_top, n_vocab) AS n_words_used,
+       |  CAST(coalesce(mass_above + (n_top - words_above) * c, total_mass)
+       |    AS BIGINT) AS covered_tokens,
+       |  ${NumFns.roundPortableSql(
+            "CAST(coalesce(mass_above + (n_top - words_above) * c, " +
+            "total_mass) AS DOUBLE) / total_mass", 6)} AS coverage
+       |FROM ns CROSS JOIN tot
+       |LEFT JOIN cum ON words_above < n_top
+       |  AND words_above + n_words >= n_top
+       |ORDER BY n_top""".stripMargin
+
   /** Absolute discount for [[qKneserNey]] — the textbook 0.75. */
   val KnDiscount = 0.75
 

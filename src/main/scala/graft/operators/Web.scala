@@ -103,4 +103,71 @@ object Web {
        |FROM c
        |GROUP BY canonical_url
        |ORDER BY canonical_url""".stripMargin
+
+  /** Fetch slots emitted by [[qCrawlSchedule]]. */
+  val CrawlSlots = 50
+
+  /** Politeness-scheduled crawl frontier: the deduped URL queue
+    * interleaved so consecutive fetch slots never hit the same host —
+    * wave-based round-robin (slot = wave·n_hosts + host_rank), the
+    * standard one-connection-per-host discipline every crawler needs
+    * BEFORE rate limiting even starts. Shape: host extraction is
+    * scan-side on the deduped frame; per-host ordering is a host-keyed
+    * window (the frontier shuffles once on host); host ranks come from
+    * a ≤|hosts| broadcast dimension. The slot key is pure integer
+    * arithmetic, so the schedule is a total deterministic order any
+    * fetcher fleet can partition by range. First [[CrawlSlots]] slots
+    * surface for the audit.
+    */
+  def qCrawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val urls = Tables.documents(s, dir)
+      .select(col("doc_id"), canonicalUrl(rawUrl).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper"))
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "://([^/:?]+)", 1))
+    val hosts = urls.groupBy(col("host")).agg(count(lit(1)).as("n_urls"))
+    val hw = Window.orderBy(col("host"))
+    val hostRank = hosts
+      .withColumn("host_rank", row_number().over(hw) - 1)
+      .localCheckpoint() // ≤|hosts| rows: feeds the rank join + n_hosts
+    val nHosts = hostRank.agg(count(lit(1)).as("n_hosts"))
+    val uw = Window.partitionBy(col("host"))
+      .orderBy(col("keeper"), col("canonical_url"))
+    urls
+      .withColumn("wave", row_number().over(uw).cast("long") - 1)
+      .join(broadcast(hostRank.select(col("host"), col("host_rank"))),
+        Seq("host"))
+      .crossJoin(broadcast(nHosts))
+      .select((col("wave") * col("n_hosts") + col("host_rank"))
+        .as("slot"), col("host"), col("canonical_url"))
+      .orderBy(col("slot"))
+      .limit(CrawlSlots)
+  }
+
+  val qCrawlScheduleOracle: String =
+    s"""WITH raw AS (SELECT doc_id, $rawUrlSql AS u FROM documents),
+       |c AS (SELECT doc_id, ${canonicalUrlSql("u")} AS canonical_url FROM raw),
+       |urls AS (
+       |  SELECT canonical_url, min(doc_id) AS keeper,
+       |    regexp_extract(canonical_url, '://([^/:?]+)', 1) AS host
+       |  FROM c GROUP BY canonical_url
+       |),
+       |hr AS (
+       |  SELECT host, row_number() OVER (ORDER BY host) - 1 AS host_rank
+       |  FROM (SELECT DISTINCT host FROM urls)
+       |),
+       |nh AS (SELECT count(*) AS n_hosts FROM hr),
+       |sched AS (
+       |  SELECT CAST((row_number() OVER (PARTITION BY u.host
+       |      ORDER BY u.keeper, u.canonical_url) - 1) * n_hosts
+       |      + host_rank AS BIGINT) AS slot,
+       |    u.host, u.canonical_url
+       |  FROM urls u JOIN hr ON u.host = hr.host, nh
+       |)
+       |SELECT slot, host, canonical_url
+       |FROM sched
+       |ORDER BY slot
+       |LIMIT $CrawlSlots""".stripMargin
 }

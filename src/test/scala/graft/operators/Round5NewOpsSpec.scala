@@ -299,6 +299,38 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(rows("changed") == 50 && rows("unchanged") == 250, rows.toString)
   }
 
+  test("coverage curve: monotone in N, exact at a driver-recomputed threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.qCoverageCurve(spark, sf001).collect()
+    assert(rows.length == TextAnalysis.CoverageNs.length)
+    val shares = rows.map(_.getDouble(4))
+    assert(shares.sameElements(shares.sorted))
+    shares.foreach(v => assert(v > 0.0 && v <= 1.0))
+    // exact recomputation at N=100
+    val counts = graft.sources.Tables.documents(spark, sf001)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect().map(_.getLong(1))
+      .sorted(Ordering[Long].reverse)
+    val expected = counts.take(100).sum
+    assert(rows.head.getLong(3) == expected,
+      s"covered at 100: ${rows.head.getLong(3)} vs $expected")
+  }
+
+  test("crawl schedule: consecutive slots never repeat a host within a wave") {
+    val rows = Web.qCrawlSchedule(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= Web.CrawlSlots)
+    val slots = rows.map(_.getLong(0))
+    assert(slots.distinct.length == slots.length)
+    assert(slots.sameElements(slots.sorted))
+    // within any window of n_hosts consecutive slots, hosts are unique
+    val nHosts = rows.map(_.getString(1)).distinct.length
+    rows.grouped(nHosts).foreach { wave =>
+      val hs = wave.map(_.getString(1))
+      assert(hs.distinct.length == hs.length,
+        s"host repeated inside a politeness wave: ${hs.mkString(",")}")
+    }
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
