@@ -616,25 +616,39 @@ object PipelineOps {
     * across engines (caught by the sf0.1 probe) — the per-row portable
     * quantization is immune by construction.
     */
-  def qFeatureStore(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+  def qFeatureStore(s: SparkSession, dir: String): DataFrame = {
+    // THREE countDistincts in one agg plan an Expand (every row tripled
+    // through the aggregate — measured 4.1s at sf0.1). Instead: ONE
+    // customer-keyed exchange, materialized once; each distinct count is
+    // then a dedup + agg that REUSES that partitioning (same-cust rows
+    // are already colocated), and the final joins are co-partitioned —
+    // zero further shuffles anywhere in the plan.
+    val base = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_custkey").as("cust"))
-      .agg(
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_suppliers"),
-        NumFns.roundPortable(
-          sum(NumFns.roundAwayLong(
-            col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1e6)))
-            .cast("double") / lit(1e6), 2).as("total_spend"),
-        max(unix_micros(col("o_orderdate"))).as("last_us"),
-        min(unix_micros(col("o_orderdate"))).as("first_us"))
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("okey"),
+        col("l_partkey").as("pkey"), col("l_suppkey").as("skey"),
+        NumFns.roundAwayLong(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1e6))
+          .as("spend_q"),
+        unix_micros(col("o_orderdate")).as("od_us"))
+      .repartition(col("cust"))
+      .localCheckpoint()
+    def dcount(key: String, as: String) = base.select(col("cust"), col(key))
+      .distinct().groupBy(col("cust")).agg(count(lit(1)).as(as))
+    val m = base.groupBy(col("cust"))
+      .agg(NumFns.roundPortable(
+          sum(col("spend_q")).cast("double") / lit(1e6), 2).as("total_spend"),
+        max(col("od_us")).as("last_us"), min(col("od_us")).as("first_us"))
+    dcount("okey", "n_orders")
+      .join(dcount("pkey", "n_parts"), "cust")
+      .join(dcount("skey", "n_suppliers"), "cust")
+      .join(m, "cust")
       .select(col("cust"), col("n_orders"), col("n_parts"), col("n_suppliers"),
         col("total_spend"),
         NumFns.roundPortable(col("total_spend") / col("n_orders"), 4).as("avg_order_value"),
         ((col("last_us") - col("first_us")) / lit(86400000000L)).as("active_span_days"))
       .orderBy(col("cust"))
+  }
 
   val qFeatureStoreOracle: String =
     s"""WITH f AS (
