@@ -855,6 +855,51 @@ object PipelineOps {
       .orderBy(col("arm"))
   }
 
+  /** Incremental materialized-view maintenance: the (day × event_type)
+    * rollup is kept as partial-aggregate STATE; a new day's delta is
+    * aggregated alone and MERGED (union + re-aggregate over ≤ cells
+    * rows) — the base is never rescanned. The oracle is the full
+    * recompute, so the driver's hash gate itself proves
+    * incremental ≡ full — the invariant every pre-aggregated table
+    * (daily cubes, sketch tables, feature snapshots) depends on.
+    * Mergeability discipline: counts are integers and value sums stay
+    * in DECIMAL(38,12) UNTIL AFTER the merge (a rounded double is not
+    * mergeable — re-adding rounded partials is how incremental
+    * pipelines silently drift from their full recompute); the one
+    * round happens on the merged state. Shape: two scans of disjoint
+    * partitions (= one scan of the full table), cell-sized merge.
+    */
+  def qIncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    def cells(part: DataFrame): DataFrame = part
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("sv"))
+    val e = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"), col("value"),
+        dayofmonth(col("ts")).as("dom"))
+    val state = cells(e.filter(col("dom") <= 24)) // yesterday's rollup
+    val delta = cells(e.filter(col("dom") > 24)) //  today's arrivals
+    state.union(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("sv")).as("svm"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"),
+        NumFns.noNegZero(round(col("svm"), 4).cast("double"))
+          .as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val qIncrementalRollupOracle: String =
+    s"""SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, event_type,
+       |  count(*) AS n_events,
+       |  ${NumFns.noNegZeroSql(
+            "CAST(round(sum(CAST(value AS DECIMAL(38,12))), 4) AS DOUBLE)")}
+       |    AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY day, event_type""".stripMargin
+
   /** Difference-in-differences — the quasi-experimental companion to
     * [[qCuped]]: arm B's post-minus-pre change net of arm A's (parallel-
     * trends baseline), on per-order spend with custkey-parity arms and

@@ -331,6 +331,27 @@ class Round5NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental rollup merge equals the single-pass full recompute") {
+    import org.apache.spark.sql.functions._
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val merged = PipelineOps.qIncrementalRollup(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val full = graft.sources.Tables.events(spark, sf001)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(D)), 4).cast("double").as("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(merged.keySet == full.keySet)
+    merged.foreach { case (k, v) =>
+      assert(v._1 == full(k)._1 && math.abs(v._2 - full(k)._2) == 0.0,
+        s"$k: $v vs ${full(k)} — incremental state drifted from full recompute")
+    }
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
