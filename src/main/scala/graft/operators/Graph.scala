@@ -367,6 +367,157 @@ object Graph {
       |FROM b GROUP BY log2_bucket
       |ORDER BY log2_bucket""".stripMargin
 
+  /** Global clustering coefficient of the nation co-trade graph —
+    * 3·triangles / wedges, the "how cliquish is the trade network"
+    * number beside the raw q_triangle_count: wedges = Σᵥ C(deg v, 2)
+    * from the SAME canonical a<b edge frame (materialized once, feeds
+    * the degree aggregate and the triangle join), triangles from the
+    * ordered 2-path closure. Every input is an integer — the ratio is
+    * the only double, computed once. Dimension-sized throughout (≤25
+    * nation nodes) but the shape is the scalable one: degree counting
+    * and wedge summing are one grouped pass at ANY node count.
+    */
+  def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("nc") =!= col("ns"))
+      .select(least(col("nc"), col("ns")).as("a"),
+        greatest(col("nc"), col("ns")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(sum(col("d") * (col("d") - 1) / 2).as("wedges"))
+    val tri = e.as("ab")
+      .join(e.as("bc"), col("ab.b") === col("bc.a"))
+      .join(e.as("ac"),
+        col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("wedges").cast("long").as("wedges"),
+        NumFns.roundPortable(
+          lit(3.0) * col("n_triangles") / col("wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
+  val qClusteringCoeffOracle: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+       |    greatest(c_nationkey, s_nationkey) AS b
+       |  FROM orders
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey != s_nationkey
+       |),
+       |deg AS (
+       |  SELECT id, count(*) AS d FROM
+       |    (SELECT a AS id FROM e UNION ALL SELECT b FROM e) u
+       |  GROUP BY id
+       |),
+       |w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+       |t AS (
+       |  SELECT count(*) AS n_triangles FROM e ab
+       |  JOIN e bc ON ab.b = bc.a
+       |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+       |)
+       |SELECT n_triangles, wedges,
+       |  ${NumFns.roundPortableSql("3.0 * n_triangles / wedges", 6)}
+       |    AS clustering_coeff
+       |FROM t, w""".stripMargin
+
+  /** Newman modularity of the REGION partition over the nation co-trade
+    * graph — does geography explain the trade communities q_label_prop
+    * finds? Q = Σ_c (e_c/m − (d_c/2m)²), reported per community with
+    * its exact-integer inputs (within-edges e_c, degree mass d_c) and
+    * the contribution term. Exactness: each contribution is
+    * (4·m·e_c − d_c²)/(4m²) — an integer numerator over an integer
+    * denominator, ONE double division per community, no accumulation.
+    * Shape: the edge frame is materialized once; community tagging is
+    * two broadcast nation→region hops; everything after is
+    * ≤|regions|-sized.
+    */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("nc") =!= col("ns"))
+      .select(least(col("nc"), col("ns")).as("a"),
+        greatest(col("nc"), col("ns")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val reg = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val tagged = e
+      .join(broadcast(reg.select(col("n_nationkey").as("a"),
+        col("n_regionkey").as("ra"))), Seq("a"))
+      .join(broadcast(reg.select(col("n_nationkey").as("b"),
+        col("n_regionkey").as("rb"))), Seq("b"))
+      .localCheckpoint()
+    val m = tagged.agg(count(lit(1)).as("m"))
+    val eIn = tagged.filter(col("ra") === col("rb"))
+      .groupBy(col("ra").as("region")).agg(count(lit(1)).as("e_in"))
+    val degMass = tagged
+      .select(col("ra").as("region")).union(tagged.select(col("rb")))
+      .groupBy(col("region")).agg(count(lit(1)).as("d_c"))
+    degMass.join(broadcast(eIn), Seq("region"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("region").cast("long").as("region"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"),
+        NumFns.roundPortable(
+          (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+            col("d_c") * col("d_c")).cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"), 6)
+          .as("contribution"))
+      .orderBy(col("region"))
+  }
+
+  val qModularityOracle: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+       |    greatest(c_nationkey, s_nationkey) AS b
+       |  FROM orders
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey != s_nationkey
+       |),
+       |tg AS (
+       |  SELECT e.a, e.b, na.n_regionkey AS ra, nb.n_regionkey AS rb
+       |  FROM e
+       |  JOIN nation na ON e.a = na.n_nationkey
+       |  JOIN nation nb ON e.b = nb.n_nationkey
+       |),
+       |m AS (SELECT count(*) AS m FROM tg),
+       |ein AS (
+       |  SELECT ra AS region, count(*) AS e_in FROM tg
+       |  WHERE ra = rb GROUP BY ra
+       |),
+       |dm AS (
+       |  SELECT region, count(*) AS d_c FROM
+       |    (SELECT ra AS region FROM tg UNION ALL SELECT rb FROM tg) u
+       |  GROUP BY region
+       |)
+       |SELECT CAST(dm.region AS BIGINT) AS region,
+       |  CAST(coalesce(e_in, 0) AS BIGINT) AS e_in,
+       |  CAST(d_c AS BIGINT) AS d_c,
+       |  ${NumFns.roundPortableSql(
+            "CAST(4 * m * coalesce(e_in, 0) - d_c * d_c AS DOUBLE) / " +
+            "CAST(4 * m * m AS DOUBLE)", 6)} AS contribution
+       |FROM dm LEFT JOIN ein ON dm.region = ein.region, m
+       |ORDER BY region""".stripMargin
+
   /** One HITS iteration (Kleinberg hubs/authorities) over the bipartite
     * supplier↔part edge set from lineitem (distinct pairs): from uniform
     * authority 1, hub(s) = Σ_{s−p} 1 = deg(s), then authority(p) =

