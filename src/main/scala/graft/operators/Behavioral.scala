@@ -728,6 +728,76 @@ object Behavioral {
        |JOIN r ON r.rnk = (t.n_customers * p.pct + 99) // 100
        |ORDER BY pct""".stripMargin
 
+  /** Attribution-window widths (hours) swept by [[qAttributionWindows]]. */
+  val AttribSweepHours = Seq(1L, 6L, 24L, 168L)
+
+  /** Attribution-window sensitivity — the robustness check behind
+    * q_attribution's single fixed lookback: how many purchases have ANY
+    * view touch within 1h / 6h / 24h / 7d, in ONE pass? The range join
+    * runs once at the WIDEST window; each narrower answer is a
+    * conditional aggregate over the observed (purchase, nearest-view
+    * lag) — never four joins. Per purchase only the MINIMUM lag
+    * matters, so the join result collapses immediately to one row per
+    * purchase (map-side combinable min). Integer microsecond lags;
+    * share is the one terminal division. At 100 TB: one user-keyed
+    * exchange, the same as a single-window attribution.
+    */
+  def qAttributionWindows(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("us").as("v_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"))
+    val widest = AttribSweepHours.max * 3600L * 1000000L
+    val lags = purchases
+      .join(views.hint("shuffle_hash"),
+        col("user_id") === col("v_user")
+          && col("v_us") < col("p_us")
+          && col("v_us") >= col("p_us") - lit(widest), "left")
+      .groupBy(col("purchase_id"))
+      .agg(min(col("p_us") - col("v_us")).as("min_lag_us"))
+      .localCheckpoint() // one row per purchase, feeds every window term
+    val windowCounts = AttribSweepHours.map { h =>
+      sum(when(col("min_lag_us") <= h * 3600L * 1000000L, 1L)
+        .otherwise(0L)).as(s"n_${h}h")
+    }
+    val agg = lags.agg(count(lit(1)).as("n_purchases"), windowCounts: _*)
+    agg.select(col("n_purchases") +: AttribSweepHours.flatMap { h =>
+        Seq(col(s"n_${h}h"),
+          NumFns.roundPortable(
+            col(s"n_${h}h").cast("double") / col("n_purchases"), 6)
+            .as(s"share_${h}h"))
+      }: _*)
+  }
+
+  val qAttributionWindowsOracle: String = {
+    val widest = AttribSweepHours.max * 3600L * 1000000L
+    val terms = AttribSweepHours.map { h =>
+      s"""CAST(sum(CASE WHEN min_lag_us <= ${h * 3600L * 1000000L}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_${h}h,
+         |  ${NumFns.roundPortableSql(
+              s"sum(CASE WHEN min_lag_us <= ${h * 3600L * 1000000L} " +
+              s"THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 6)}
+         |    AS share_${h}h""".stripMargin
+    }.mkString(",\n|  ")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+       |),
+       |p AS (SELECT user_id, event_id AS purchase_id, us AS p_us FROM ev
+       |      WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, us AS v_us FROM ev WHERE event_type = 'view'),
+       |lags AS (
+       |  SELECT p.purchase_id, min(p.p_us - v.v_us) AS min_lag_us
+       |  FROM p LEFT JOIN v ON p.user_id = v.user_id
+       |    AND v.v_us < p.p_us AND v.v_us >= p.p_us - $widest
+       |  GROUP BY p.purchase_id
+       |)
+       |SELECT count(*) AS n_purchases,
+       |  $terms
+       |FROM lags""".stripMargin
+  }
+
   /** Result size for [[qPathMining]]. */
   val PathTopN = 15
 

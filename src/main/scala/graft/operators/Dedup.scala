@@ -975,6 +975,51 @@ object Dedup {
        |FROM t a JOIN t b ON a.head_h = b.head_h AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-source duplicate FLOW — which sources copy from which:
+    * 10-token opening fingerprints (the q_dedup_prefix key — exact
+    * whole-document hashes rarely cross source boundaries, templated/
+    * scraped OPENINGS do) present in ≥2 sources, counted per source
+    * pair canonicalized src_a < src_b. The provenance question behind
+    * every mirror/scraper-of-scraper cleanup, and the pair matrix that
+    * drives source-level dedup ordering (dedup the copier against the
+    * origin, not vice versa). Shape: the corpus collapses to the
+    * DISTINCT (fingerprint, source) presence frame first; the pair join
+    * runs fingerprint-keyed over presence rows (≤ sources per
+    * fingerprint, so expansion is bounded by C(|sources|,2) per group,
+    * not by copies); output is ≤ C(20,2) rows. All-integer.
+    */
+  def qDupFlow(s: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.documents(s, dir)
+      .select(TextFns.tokens(col("text")).as("t"), col("source"))
+      .filter(size(col("t")) >= PrefixTokens)
+      .select(TextFns.hash60(
+        concat_ws(" ", slice(col("t"), 1, PrefixTokens))).as("fp"),
+        col("source"))
+      .distinct()
+      .localCheckpoint()
+    pres.as("a")
+      .join(pres.as("b").hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy(col("n_shared_fps").desc, col("src_a"), col("src_b"))
+  }
+
+  val qDupFlowOracle: String =
+    s"""WITH t0 AS (SELECT source, $toksSql AS t FROM documents),
+       |pres AS (
+       |  SELECT DISTINCT
+       |    ${hash60Sql(s"array_to_string(t[1 : $PrefixTokens], ' ')")} AS fp,
+       |    source
+       |  FROM t0 WHERE len(t) >= $PrefixTokens
+       |)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |  count(*) AS n_shared_fps
+       |FROM pres a JOIN pres b
+       |  ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY 1, 2
+       |ORDER BY n_shared_fps DESC, src_a, src_b""".stripMargin
+
   /** Span width for [[qDupSpan]] (word 8-grams, the granularity of the
     * exact-substring train-data dedup literature). */
   val SpanW = 8

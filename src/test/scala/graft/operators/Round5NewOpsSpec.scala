@@ -371,6 +371,30 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(twoM % 2 == 0 && eInTotal <= twoM / 2)
   }
 
+  test("attribution windows: counts monotone in window width, bounded by purchases") {
+    val r = Behavioral.qAttributionWindows(spark, sf001).collect().head
+    val total = r.getLong(0)
+    val counts = Behavioral.AttribSweepHours.indices.map(i => r.getLong(1 + 2 * i))
+    assert(total > 0)
+    counts.foreach(c => assert(c >= 0 && c <= total))
+    assert(counts.sameElements(counts.sorted), "wider window must attribute at least as many")
+    Behavioral.AttribSweepHours.indices.foreach { i =>
+      val share = r.getDouble(2 + 2 * i)
+      assert(math.abs(share - counts(i).toDouble / total) < 1e-5)
+    }
+  }
+
+  test("dup flow: symmetric-free canonical pairs, bounded by each source's prefix-group count") {
+    val rows = Dedup.qDupFlow(spark, sf001).collect()
+    assert(rows.nonEmpty, "test corpus must exhibit cross-source opening overlap")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair must be canonicalized")
+      assert(r.getLong(2) >= 1)
+    }
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
