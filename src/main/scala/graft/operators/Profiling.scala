@@ -1064,6 +1064,78 @@ object Profiling {
             "((sxx - sx * sx / n) * (syy - sy * sy / n))", 6)} AS r2
        |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** k for the [[qKAnonymity]] re-identification threshold. */
+  val AnonK = 5
+
+  /** k-anonymity / l-diversity audit of the customer table — the
+    * privacy gate a dataset release runs BEFORE the quality gates:
+    * quasi-identifier = (market segment, nation, account-balance
+    * kilo-band); a customer in a QI group smaller than k is
+    * re-identifiable, and a group whose sensitive attribute (the order
+    * priorities the customer uses) is uniform leaks it even at size ≥ k
+    * (l-diversity). Reported per segment: group count, at-risk groups
+    * and customers, the minimum group size, and the minimum sensitive
+    * diversity among safe groups. Shape: one customer⋈orders join
+    * (orders pruned to two columns), a QI-grouped aggregate
+    * (countDistinct over custkey and priority ride the same grouped
+    * frame), then a ≤|segments| rollup — integer everywhere, one share
+    * division.
+    */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("segment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"),
+        col("c_custkey"), col("o_orderpriority"))
+    val groups = qi.groupBy(col("segment"), col("c_nationkey"),
+        col("bal_band"))
+      .agg(countDistinct(col("c_custkey")).as("gsize"),
+        countDistinct(col("o_orderpriority")).as("l_div"))
+    groups.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("gsize") < AnonK, 1L).otherwise(0L))
+          .as("groups_at_risk"),
+        sum(when(col("gsize") < AnonK, col("gsize")).otherwise(0L))
+          .as("customers_at_risk"),
+        sum(col("gsize")).as("n_customers"),
+        min(col("gsize")).as("min_group"),
+        min(when(col("gsize") >= AnonK, col("l_div"))).as("min_l_safe"))
+      .select(col("segment"), col("n_groups"), col("groups_at_risk"),
+        col("customers_at_risk"), col("min_group"), col("min_l_safe"),
+        NumFns.roundPortable(
+          col("customers_at_risk").cast("double") / col("n_customers"), 6)
+          .as("share_at_risk"))
+      .orderBy(col("segment"))
+  }
+
+  val qKAnonymityOracle: String =
+    s"""WITH qi AS (
+       |  SELECT c_mktsegment AS segment, c_nationkey,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |    c_custkey, o_orderpriority
+       |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |),
+       |g AS (
+       |  SELECT segment, c_nationkey, bal_band,
+       |    count(DISTINCT c_custkey) AS gsize,
+       |    count(DISTINCT o_orderpriority) AS l_div
+       |  FROM qi GROUP BY 1, 2, 3
+       |)
+       |SELECT segment, count(*) AS n_groups,
+       |  CAST(sum(CASE WHEN gsize < $AnonK THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS groups_at_risk,
+       |  CAST(sum(CASE WHEN gsize < $AnonK THEN gsize ELSE 0 END) AS BIGINT)
+       |    AS customers_at_risk,
+       |  min(gsize) AS min_group,
+       |  min(CASE WHEN gsize >= $AnonK THEN l_div END) AS min_l_safe,
+       |  ${NumFns.roundPortableSql(
+            "sum(CASE WHEN gsize < " + AnonK + " THEN gsize ELSE 0 END) / " +
+            "CAST(sum(gsize) AS DOUBLE)", 6)} AS share_at_risk
+       |FROM g GROUP BY segment
+       |ORDER BY segment""".stripMargin
+
   /** One-way ANOVA across sources on document length — the k-group
     * generalization of [[qWelchTtest]]'s two arms: does source identity
     * explain length variance? F = (SSB/(k−1))/(SSW/(n−k)) plus η² =

@@ -1138,6 +1138,84 @@ object Temporal {
        |FROM r
        |ORDER BY day""".stripMargin
 
+  /** SAX symbolization (Lin et al.) of the daily event-value series —
+    * the time-series-to-text bridge: 7-day PAA means, z-normalized
+    * against the whole series, cut at the N(0,1) quartile breakpoints
+    * (−0.6745, 0, 0.6745) into a 4-letter alphabet. Once a series is a
+    * symbol string, the TEXT machinery (n-gram counts, fingerprints,
+    * dedup) applies to sensor/metric data verbatim — that is the point
+    * of SAX at scale. Exactness: day cells carry micro-quantized int64
+    * value sums; weekly PAA and the global moments are exact-integer
+    * derived; z and the breakpoint comparisons are then identical IEEE
+    * scalars on both engines (breakpoints are exact double literals).
+    * Shape: day cells → ≤weeks frame → 1-row moments broadcast — all
+    * dimension-sized after the one scan.
+    */
+  def qSax(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(NumFns.roundAwayLong(col("value") * lit(1e6))).as("vq"))
+    val weeks = days
+      .groupBy(floor(datediff(col("day"), lit("2024-01-01")) / 7)
+        .cast("long").as("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("vq")).as("wq"))
+      .filter(col("n_days") === 7) // complete weeks only
+      .select(col("week"),
+        (col("wq").cast("double") / lit(7e6)).as("paa"))
+      .localCheckpoint() // weeks frame feeds moments AND the symbols
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val mom = weeks.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("paa").cast(D)).cast("double").as("sx"),
+        sum((col("paa") * col("paa")).cast(D)).cast("double").as("sxx"))
+      .select((col("sx") / col("n")).as("mu"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1.0)).as("sd"))
+    val z = (col("paa") - col("mu")) / col("sd")
+    weeks.crossJoin(broadcast(mom))
+      .select(col("week"),
+        NumFns.roundPortable(col("paa"), 4).as("paa"),
+        NumFns.roundPortable(z, 4).as("z"),
+        when(z < -0.6745, "a").when(z < 0.0, "b")
+          .when(z < 0.6745, "c").otherwise("d").as("symbol"))
+      .orderBy(col("week"))
+  }
+
+  val qSaxOracle: String =
+    s"""WITH days AS (
+       |  SELECT ts::DATE AS day,
+       |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS vq
+       |  FROM events GROUP BY 1
+       |),
+       |weeks AS (
+       |  SELECT CAST(floor(date_diff('day', DATE '2024-01-01', day) / 7)
+       |      AS BIGINT) AS week,
+       |    count(*) AS n_days, CAST(sum(vq) AS BIGINT) AS wq
+       |  FROM days GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT week, CAST(wq AS DOUBLE) / 7e6 AS paa
+       |  FROM weeks WHERE n_days = 7
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(paa AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(paa * paa AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |  FROM w
+       |),
+       |k AS (
+       |  SELECT sx / n AS mu,
+       |    sqrt((sxx - sx * sx / n) / (n - 1.0)) AS sd
+       |  FROM m
+       |)
+       |SELECT week, ${NumFns.roundPortableSql("paa", 4)} AS paa,
+       |  ${NumFns.roundPortableSql("(paa - mu) / sd", 4)} AS z,
+       |  CASE WHEN (paa - mu) / sd < -0.6745 THEN 'a'
+       |       WHEN (paa - mu) / sd < 0.0 THEN 'b'
+       |       WHEN (paa - mu) / sd < 0.6745 THEN 'c'
+       |       ELSE 'd' END AS symbol
+       |FROM w, k
+       |ORDER BY week""".stripMargin
+
   /** CDC log application (the MERGE/upsert-compaction kernel): the event
     * stream is read as a change log — every event is an upsert of the
     * user's profile value and an `error` event is a tombstone — and the

@@ -395,6 +395,36 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)))
   }
 
+  test("k-anonymity: at-risk accounting internally consistent per segment") {
+    val rows = Profiling.qKAnonymity(spark, sf001).collect()
+    assert(rows.length == 5) // five market segments
+    rows.foreach { r =>
+      val (groups, atRisk) = (r.getLong(1), r.getLong(2))
+      assert(atRisk <= groups)
+      assert(r.getLong(4) >= 1) // min group size
+      val share = r.getDouble(6)
+      assert(share >= 0.0 && share <= 1.0)
+      // groups below k contribute < k customers each
+      assert(r.getLong(3) < Profiling.AnonK * (atRisk + 1))
+      if (!r.isNullAt(5)) assert(r.getLong(5) >= 1)
+    }
+  }
+
+  test("sax: symbols follow the z breakpoints and complete weeks only") {
+    val rows = Temporal.qSax(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (z, sym) = (r.getDouble(2), r.getString(3))
+      val expected =
+        if (z < -0.6745) "a" else if (z < 0.0) "b"
+        else if (z < 0.6745) "c" else "d"
+      assert(sym == expected, s"z=$z symbol=$sym")
+    }
+    // z-normalization: mean of z over the series is ~0
+    val zbar = rows.map(_.getDouble(2)).sum / rows.length
+    assert(math.abs(zbar) < 0.01, s"z mean $zbar")
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
