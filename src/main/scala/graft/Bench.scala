@@ -46,6 +46,11 @@ object Bench {
       try exec(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: ${e.getMessage}") }
     }
+    // Measured (r5): per-query unpersist of accumulated localCheckpoint
+    // blocks makes the suite SLOWER (189.7s → 209.6s over 248 queries;
+    // q_item_cf 7s → 25s) — the async block-removal RPC storm costs more
+    // than the storage rent it frees. Leave block-manager hygiene to
+    // Spark's own LRU eviction.
     val results = suite.map { case (name, fn) =>
       try {
         val times = (1 to 2).map { _ =>

@@ -374,6 +374,67 @@ object Evaluation {
        |FROM g
        |ORDER BY threshold""".stripMargin
 
+  /** Samples drawn per task in the [[qPassAtK]] estimator. */
+  val PassK = 5
+
+  /** pass@k (Chen et al., Codex) — THE code/agent eval metric, as a
+    * distributed operator: per task with n samples and c successes, the
+    * unbiased estimator 1 − C(n−c,k)/C(n,k), averaged over tasks (users
+    * stand in as tasks, purchases as successes). The combination ratio
+    * is computed as the k-term telescoping product
+    * Π (n−c−i)/(n−i) — k fixed IEEE factors in a FIXED written order,
+    * identical on both engines (never a factorial, which overflows).
+    * Reported per user-parity cohort so two model variants compare.
+    * Shape: one user collapse (map-side combined), then a ≤2-row
+    * aggregate with the mean DECIMAL-folded. Tasks with n < k have no
+    * unbiased estimate and are excluded, like the reference
+    * implementation.
+    */
+  def qPassAtK(s: SparkSession, dir: String): DataFrame = {
+    val tasks = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c"))
+      .filter(col("n") >= PassK)
+    val term = (0 until PassK).map { i =>
+      (col("n") - col("c") - i).cast("double") / (col("n") - i)
+    }.reduce(_ * _)
+    val passk = when(col("n") - col("c") < PassK, lit(1.0))
+      .otherwise(lit(1.0) - term)
+    tasks
+      .groupBy((col("user_id") % 2).as("cohort"))
+      .agg(count(lit(1)).as("n_tasks"),
+        NumFns.stableMean(passk, count(lit(1)), 6).as("mean_pass_at_k"),
+        NumFns.roundPortable(min(passk), 6).as("min_pass_at_k"),
+        NumFns.roundPortable(max(passk), 6).as("max_pass_at_k"))
+      .orderBy(col("cohort"))
+  }
+
+  val qPassAtKOracle: String = {
+    val term = (0 until PassK).map(i =>
+      s"(CAST(n - c - $i AS DOUBLE) / (n - $i))").mkString(" * ")
+    s"""WITH t AS (
+       |  SELECT user_id, count(*) AS n,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c
+       |  FROM events GROUP BY user_id
+       |  HAVING count(*) >= $PassK
+       |),
+       |p AS (
+       |  SELECT user_id % 2 AS cohort,
+       |    CASE WHEN n - c < $PassK THEN 1.0
+       |         ELSE 1.0 - $term END AS passk
+       |  FROM t
+       |)
+       |SELECT cohort, count(*) AS n_tasks,
+       |  ${NumFns.stableMeanSql("passk", "count(*)", 6)} AS mean_pass_at_k,
+       |  ${NumFns.roundPortableSql("min(passk)", 6)} AS min_pass_at_k,
+       |  ${NumFns.roundPortableSql("max(passk)", 6)} AS max_pass_at_k
+       |FROM p GROUP BY cohort
+       |ORDER BY cohort""".stripMargin
+  }
+
   /** Youden-optimal operating point + full confusion metrics — the
     * threshold SELECTION step q_pr_curve (the curve) and q_auc (the
     * ranking summary) both stop short of: argmax over thresholds of

@@ -1333,6 +1333,71 @@ object TextAnalysis {
        |FROM g
        |ORDER BY source""".stripMargin
 
+  /** Keywords surfaced per source by [[qSourceKeywords]]. */
+  val KeywordsPerSource = 5
+
+  /** Per-source TF-IDF keyword profiles — "what is each source ABOUT":
+    * term frequency at SOURCE grain × inverse source-frequency
+    * (ln(n_sources/df)), top-[[KeywordsPerSource]] per source. The
+    * source-level complement of the per-document q_tfidf: a mix
+    * designer reads this table, not 500k doc vectors. Shape: one
+    * (source, word) grouped count (map-side combined), a word-keyed df
+    * aggregate joined back shuffle-on-word, and the per-source top-k
+    * window lowers to the map-side-heap TopKPerKey operator — the final
+    * exchange carries k rows per source. Determinism: tf and df are
+    * integers, idf is one ln of a rational, the score product is one
+    * IEEE multiply per row, ties fall to the word.
+    */
+  def qSourceKeywords(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds n_sources, df AND the score join
+    val nSources = tf.select(col("source")).distinct()
+      .agg(count(lit(1)).as("ns"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(df.hint("shuffle_hash"), Seq("w"))
+      .crossJoin(broadcast(nSources))
+      .select(col("source"), col("w"), col("tf"), col("df"),
+        (col("tf") * log(col("ns").cast("double") / col("df")))
+          .as("score"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("w"))
+    scored.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= KeywordsPerSource)
+      .select(col("source"), col("rk"), col("w").as("keyword"),
+        col("tf"), col("df"),
+        NumFns.roundPortable(col("score"), 4).as("tfidf"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val qSourceKeywordsOracle: String =
+    s"""WITH tf AS (
+       |  SELECT source, w, count(*) AS tf FROM (
+       |    SELECT source, unnest(${TextFns.toksSql}) AS w FROM documents
+       |  ) GROUP BY source, w
+       |),
+       |ns AS (SELECT count(DISTINCT source) AS ns FROM tf),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+       |sc AS (
+       |  SELECT source, w, tf.tf, df.df,
+       |    tf.tf * ln(CAST(ns AS DOUBLE) / df.df) AS score
+       |  FROM tf JOIN df USING (w), ns
+       |),
+       |rk AS (
+       |  SELECT source, w, tf, df, score,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY score DESC, w) AS rk
+       |  FROM sc
+       |)
+       |SELECT source, CAST(rk AS INT) AS rk, w AS keyword, tf, df,
+       |  ${NumFns.roundPortableSql("score", 4)} AS tfidf
+       |FROM rk WHERE rk <= $KeywordsPerSource
+       |ORDER BY source, rk""".stripMargin
+
   /** Vocabulary-size thresholds for [[qCoverageCurve]]. */
   val CoverageNs = Seq(100L, 1000L, 10000L)
 

@@ -425,6 +425,46 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(math.abs(zbar) < 0.01, s"z mean $zbar")
   }
 
+  test("source keywords: k per source, scores descending, df bounded by source count") {
+    val rows = TextAnalysis.qSourceKeywords(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    assert(bySource.size == 20)
+    bySource.values.foreach { g =>
+      assert(g.length <= TextAnalysis.KeywordsPerSource)
+      val scores = g.sortBy(_.getInt(1)).map(_.getDouble(5))
+      assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+      g.foreach(r => assert(r.getLong(3) > 0 && r.getLong(4) <= 20, r))
+    }
+  }
+
+  test("pass@k matches the unbiased estimator recomputed on the driver") {
+    import org.apache.spark.sql.functions._
+    val rows = Evaluation.qPassAtK(spark, sf001).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (mean, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mean && mean <= mx)
+      assert(mn >= 0.0 && mx <= 1.0)
+    }
+    val tasks = graft.sources.Tables.events(spark, sf001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= Evaluation.PassK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def passk(n: Long, c: Long): Double =
+      if (n - c < Evaluation.PassK) 1.0
+      else 1.0 - (0 until Evaluation.PassK)
+        .map(i => (n - c - i).toDouble / (n - i)).product
+    val exp0 = {
+      val g = tasks.filter(_._1 % 2 == 0)
+      g.map(t => passk(t._2, t._3)).sum / g.length
+    }
+    assert(math.abs(rows.head.getDouble(2) - exp0) < 1e-4,
+      s"cohort 0 mean ${rows.head.getDouble(2)} vs $exp0")
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
