@@ -728,6 +728,100 @@ object Behavioral {
        |JOIN r ON r.rnk = (t.n_customers * p.pct + 99) // 100
        |ORDER BY pct""".stripMargin
 
+  /** Growth accounting (new / retained / resurrected / churned per
+    * week) — the canonical DAU/MAU decomposition every growth team
+    * reports: a user active in week w is NEW (first-ever week),
+    * RETAINED (also active in w−1) or RESURRECTED (active before, but
+    * not w−1); a user counted in w−1 but absent in w CHURNS in w. All
+    * four classes derive from ONE (user, week) presence frame: first
+    * week by a running min, previous-activity flags by lag windows —
+    * user-keyed windows over the presence frame (≤ users × weeks rows,
+    * already collapsed), never over raw events. Churn is the w−1
+    * presence row projected forward one week and anti-counted. Integer
+    * counts; identity n_active(w) = new + retained + resurrected is
+    * spec-asserted.
+    */
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+          .cast("long").as("week"))
+      .distinct()
+      .localCheckpoint() // presence frame feeds both class passes
+    val w = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val classed = pres
+      .withColumn("first_week", min(col("week")).over(
+        Window.partitionBy(col("user_id"))))
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .select(col("week"),
+        when(col("week") === col("first_week"), "new")
+          .when(col("prev_week") === col("week") - 1, "retained")
+          .otherwise("resurrected").as("cls"))
+    val active = classed.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    // churned in w: present in w-1, absent in w — count by projecting
+    // each presence row forward and anti-joining the presence frame
+    val churn = pres.select(col("user_id"), (col("week") + 1).as("week"))
+      .join(pres.hint("shuffle_hash"), Seq("user_id", "week"), "left_anti")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churn.hint("shuffle_hash"), Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  val qGrowthAccountingOracle: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(date_diff('day', DATE '2024-01-01', ts::DATE) / 7)
+      |      AS BIGINT) AS week
+      |  FROM events
+      |),
+      |cl AS (
+      |  SELECT week,
+      |    CASE WHEN week = min(week) OVER (PARTITION BY user_id)
+      |      THEN 'new'
+      |    WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week)
+      |      = week - 1 THEN 'retained'
+      |    ELSE 'resurrected' END AS cls
+      |  FROM pres
+      |),
+      |act AS (
+      |  SELECT week, count(*) AS n_active,
+      |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_resurrected
+      |  FROM cl GROUP BY week
+      |),
+      |ch AS (
+      |  SELECT p.week + 1 AS week, count(*) AS n_churned
+      |  FROM pres p
+      |  WHERE NOT EXISTS (SELECT 1 FROM pres q
+      |    WHERE q.user_id = p.user_id AND q.week = p.week + 1)
+      |  GROUP BY p.week + 1
+      |)
+      |SELECT coalesce(act.week, ch.week) AS week,
+      |  coalesce(n_active, 0) AS n_active,
+      |  coalesce(n_new, 0) AS n_new,
+      |  coalesce(n_retained, 0) AS n_retained,
+      |  coalesce(n_resurrected, 0) AS n_resurrected,
+      |  coalesce(n_churned, 0) AS n_churned
+      |FROM act FULL OUTER JOIN ch ON act.week = ch.week
+      |ORDER BY week""".stripMargin
+
   /** Attribution-window widths (hours) swept by [[qAttributionWindows]]. */
   val AttribSweepHours = Seq(1L, 6L, 24L, 168L)
 

@@ -855,6 +855,57 @@ object PipelineOps {
       .orderBy(col("arm"))
   }
 
+  /** Quantile treatment effects — WHERE in the outcome distribution the
+    * arms differ (a mean shift hides a tail effect; QTE at p10..p90 is
+    * the distributional read the t-test can't give). Per-arm exact
+    * percentiles come from the distributed value-cell engine
+    * (Analytics.exactPercentilesMulti — no per-group row sort), and the
+    * effect is the difference of the two ROUNDED order statistics, so
+    * the published numbers are engine-identical by construction. One
+    * orders scan; everything after the cell shuffle is arm-sized.
+    */
+  def qQte(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.1 -> "p10", 0.25 -> "p25", 0.5 -> "p50",
+      0.75 -> "p75", 0.9 -> "p90")
+    val df = Tables.orders(s, dir)
+      .select((col("o_custkey") % 2).as("arm"), col("o_totalprice"))
+    val wide = Analytics.exactPercentiles(df, "arm", "o_totalprice", ps)
+    val a0 = wide.filter(col("arm") === 0)
+      .select(ps.map { case (_, n) => col(n).as(s"${n}_a") }: _*)
+    val a1 = wide.filter(col("arm") === 1)
+      .select(ps.map { case (_, n) => col(n).as(s"${n}_b") }: _*)
+    a0.crossJoin(broadcast(a1))
+      .select(ps.flatMap { case (_, n) =>
+        Seq(col(s"${n}_a"), col(s"${n}_b"),
+          NumFns.roundPortable(col(s"${n}_b") - col(s"${n}_a"), 4)
+            .as(s"${n}_qte"))
+      }: _*)
+  }
+
+  val qQteOracle: String = {
+    val ps = Seq("0.1" -> "p10", "0.25" -> "p25", "0.5" -> "p50",
+      "0.75" -> "p75", "0.9" -> "p90")
+    val cols = ps.flatMap { case (p, n) =>
+      Seq(
+        s"round(quantile_cont(CASE WHEN arm = 0 THEN o_totalprice END, $p), 4) AS ${n}_a",
+        s"round(quantile_cont(CASE WHEN arm = 1 THEN o_totalprice END, $p), 4) AS ${n}_b")
+    }.mkString(",\n|    ")
+    val qtes = ps.map { case (_, n) =>
+      s"${NumFns.roundPortableSql(s"${n}_b - ${n}_a", 4)} AS ${n}_qte"
+    }.mkString(",\n|  ")
+    s"""WITH a AS (
+       |  SELECT o_custkey % 2 AS arm, o_totalprice FROM orders
+       |),
+       |w AS (
+       |  SELECT
+       |    $cols
+       |  FROM a
+       |)
+       |SELECT ${ps.map { case (_, n) => s"${n}_a, ${n}_b" }.mkString(", ")},
+       |  $qtes
+       |FROM w""".stripMargin
+  }
+
   /** Incremental materialized-view maintenance: the (day × event_type)
     * rollup is kept as partial-aggregate STATE; a new day's delta is
     * aggregated alone and MERGED (union + re-aggregate over ≤ cells

@@ -465,6 +465,34 @@ class Round5NewOpsSpec extends SparkSpec {
       s"cohort 0 mean ${rows.head.getDouble(2)} vs $exp0")
   }
 
+  test("growth accounting: active = new + retained + resurrected each week; churn conserves") {
+    val rows = Behavioral.qGrowthAccounting(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"week ${r.getLong(0)}: active != new+retained+resurrected")
+    }
+    // conservation: prev_active - retained(w) = churned(w)
+    val byWeek = rows.map(r => r.getLong(0) -> r).toMap
+    byWeek.foreach { case (wk, r) =>
+      byWeek.get(wk - 1).foreach { prev =>
+        assert(prev.getLong(1) - r.getLong(3) == r.getLong(5),
+          s"week $wk churn ${r.getLong(5)} != ${prev.getLong(1)} - ${r.getLong(3)}")
+      }
+    }
+  }
+
+  test("qte: treatment effects equal the difference of the per-arm order statistics") {
+    val r = PipelineOps.qQte(spark, sf001).collect().head
+    (0 until 5).foreach { i =>
+      val (a, b, qte) = (r.getDouble(3 * i), r.getDouble(3 * i + 1), r.getDouble(3 * i + 2))
+      assert(math.abs(qte - (b - a)) < 1e-4, s"quantile $i: $qte vs ${b - a}")
+    }
+    // percentiles are monotone within each arm
+    val as = (0 until 5).map(i => r.getDouble(3 * i))
+    assert(as.sameElements(as.sorted))
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
