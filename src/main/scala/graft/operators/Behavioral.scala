@@ -728,6 +728,65 @@ object Behavioral {
        |JOIN r ON r.rnk = (t.n_customers * p.pct + 99) // 100
        |ORDER BY pct""".stripMargin
 
+  /** Step timeout for [[qWindowFunnel]] (microseconds). */
+  val FunnelStepUs: Long = 3600L * 1000000L
+
+  /** Time-bounded window funnel (the ClickHouse `windowFunnel` shape):
+    * view → click → purchase where each NEXT step must land within an
+    * hour of the previous one — q_funnel without the bound overstates
+    * conversion (a purchase a week after the click is not that click's
+    * conversion). Same three chained min-aggregations as q_funnel, each
+    * join carrying the deadline as a post-probe residual; reported as
+    * the stage distribution (stage → users), the form a funnel chart
+    * consumes. At 100 TB: three user-keyed aggregates and two
+    * broadcast-eligible user-frame joins, never a per-user sort.
+    */
+  def qWindowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1.hint("shuffle_hash"), "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + FunnelStepUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2.hint("shuffle_hash"), "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + FunnelStepUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    val staged = t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select((lit(1L)
+        + when(col("t2").isNotNull, 1L).otherwise(0L)
+        + when(col("t3").isNotNull, 1L).otherwise(0L)).as("stage"))
+    staged.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  val qWindowFunnelOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       |),
+       |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+       |       WHERE event_type = 'view' GROUP BY user_id),
+       |t2 AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+       |       JOIN t1 ON e.user_id = t1.user_id
+       |         AND e.us > t1.t1 AND e.us <= t1.t1 + $FunnelStepUs
+       |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+       |t3 AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+       |       JOIN t2 ON e.user_id = t2.user_id
+       |         AND e.us > t2.t2 AND e.us <= t2.t2 + $FunnelStepUs
+       |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+       |SELECT CAST(1 + CASE WHEN t2.user_id IS NULL THEN 0 ELSE 1 END
+       |    + CASE WHEN t3.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |    AS stage,
+       |  count(*) AS n_users
+       |FROM t1
+       |LEFT JOIN t2 ON t1.user_id = t2.user_id
+       |LEFT JOIN t3 ON t1.user_id = t3.user_id
+       |GROUP BY 1
+       |ORDER BY stage""".stripMargin
+
   /** Growth accounting (new / retained / resurrected / churned per
     * week) — the canonical DAU/MAU decomposition every growth team
     * reports: a user active in week w is NEW (first-ever week),

@@ -639,6 +639,52 @@ object RelationalPlus {
        |WHERE rn = 1 AND p_size = 15
        |ORDER BY p_partkey""".stripMargin
 
+  /** Order-to-ship cycle-time profile per priority — the operational
+    * latency read (how long from order to first/complete shipment, by
+    * urgency): per-order first/last ship lag in integer days, then
+    * exact p50/p90 of both metrics per priority via the value-cell
+    * percentile engine (one pass, two melted metrics — never a
+    * per-priority row sort). Integer day lags make every order
+    * statistic engine-identical by construction.
+    */
+  def qCycleTime(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(
+        datediff(min(to_date(col("l_shipdate"))), min(to_date(col("o_orderdate"))))
+          .cast("long").as("first_ship_days"),
+        datediff(max(to_date(col("l_shipdate"))), min(to_date(col("o_orderdate"))))
+          .cast("long").as("full_ship_days"))
+    Analytics.exactPercentilesMulti(perOrder, "o_orderpriority",
+        Seq("first_ship_days" -> Seq(0.5 -> "p50_first", 0.9 -> "p90_first"),
+          "full_ship_days" -> Seq(0.5 -> "p50_full", 0.9 -> "p90_full")),
+        Some("first_ship_days" -> "n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qCycleTimeOracle: String =
+    """WITH po AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(date_diff('day', min(o_orderdate::DATE),
+      |      min(l_shipdate::DATE)) AS BIGINT) AS first_ship_days,
+      |    CAST(date_diff('day', min(o_orderdate::DATE),
+      |      max(l_shipdate::DATE)) AS BIGINT) AS full_ship_days
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey, o_orderpriority
+      |)
+      |SELECT o_orderpriority,
+      |  round(quantile_cont(first_ship_days, 0.5), 4) AS p50_first,
+      |  round(quantile_cont(first_ship_days, 0.9), 4) AS p90_first,
+      |  round(quantile_cont(full_ship_days, 0.5), 4) AS p50_full,
+      |  round(quantile_cont(full_ship_days, 0.9), 4) AS p90_full,
+      |  count(*) AS n_orders
+      |FROM po
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q7 shape (volume shipping): bilateral trade between two named
     * nations by ship year. The supplier→nation and orders→customer→nation
     * legs are both dimension-sized and broadcast; the ONLY shuffle is

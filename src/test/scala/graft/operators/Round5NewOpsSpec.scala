@@ -493,6 +493,33 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(as.sameElements(as.sorted))
   }
 
+  test("window funnel: stages partition the viewers and never exceed the unbounded funnel") {
+    val rows = Behavioral.qWindowFunnel(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val totalViewers = rows.map(_.getLong(1)).sum
+    val unboundedViewers = Behavioral.qFunnel(spark, sf001).count()
+    assert(totalViewers == unboundedViewers,
+      "every viewer lands in exactly one stage")
+    // the time bound can only REDUCE depth: deep-stage population is
+    // bounded by the unbounded funnel's
+    val deepBounded = rows.filter(_.getLong(0) == 3).map(_.getLong(1)).sum
+    val deepUnbounded = Behavioral.qFunnel(spark, sf001)
+      .filter("stage = 3").count()
+    assert(deepBounded <= deepUnbounded)
+  }
+
+  test("cycle time: p50 <= p90 and first-ship never after full-ship per priority") {
+    val rows = RelationalPlus.qCycleTime(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2), "p50_first <= p90_first")
+      assert(r.getDouble(3) <= r.getDouble(4), "p50_full <= p90_full")
+      assert(r.getDouble(1) <= r.getDouble(3),
+        "median first shipment cannot follow median full shipment")
+      assert(r.getLong(5) > 0)
+    }
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
