@@ -728,6 +728,62 @@ object Behavioral {
        |JOIN r ON r.rnk = (t.n_customers * p.pct + 99) // 100
        |ORDER BY pct""".stripMargin
 
+  /** Leaderboard width for [[qTrending]]. */
+  val TrendingK = 5
+
+  /** Sliding trending leaderboard — per day, the top-5 parts by
+    * trailing-7-day order volume (the "trending now" surface): daily
+    * (day, part) cells from one fact pass, the trailing sum as a 7-row
+    * RANGE window over each part's DAY series (cell frame, not rows),
+    * and the per-day top-k through the GroupedTopK-lowered rank window.
+    * The gap subtlety: a part with no orders on a day still has a
+    * trailing total — the cell frame is densified against the day spine
+    * per part ONLY where needed by windowing over day INDEX with a
+    * range frame (rangeBetween on the integer day), which handles gaps
+    * without materializing zeros. Integer volumes end-to-end.
+    */
+  def qTrending(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("day_idx"),
+        col("l_partkey").as("part"))
+      .agg(count(lit(1)).as("vol"))
+    val wTrail = Window.partitionBy(col("part")).orderBy(col("day_idx"))
+      .rangeBetween(-6, 0)
+    val trail = cells.withColumn("vol7", sum(col("vol")).over(wTrail))
+    val wRank = Window.partitionBy(col("day_idx"))
+      .orderBy(col("vol7").desc, col("part"))
+    trail.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= TrendingK)
+      .select(col("day_idx"), col("rk"), col("part"), col("vol7"))
+      .orderBy(col("day_idx"), col("rk"))
+  }
+
+  val qTrendingOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(date_diff('day', DATE '1992-01-01',
+       |      o_orderdate::DATE) AS BIGINT) AS day_idx,
+       |    l_partkey AS part, count(*) AS vol
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |),
+       |t AS (
+       |  SELECT day_idx, part,
+       |    CAST(sum(vol) OVER (PARTITION BY part ORDER BY day_idx
+       |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS vol7
+       |  FROM cells
+       |),
+       |r AS (
+       |  SELECT day_idx, part, vol7,
+       |    row_number() OVER (PARTITION BY day_idx
+       |      ORDER BY vol7 DESC, part) AS rk
+       |  FROM t
+       |)
+       |SELECT day_idx, CAST(rk AS INT) AS rk, part, vol7
+       |FROM r WHERE rk <= $TrendingK
+       |ORDER BY day_idx, rk""".stripMargin
+
   /** Step timeout for [[qWindowFunnel]] (microseconds). */
   val FunnelStepUs: Long = 3600L * 1000000L
 

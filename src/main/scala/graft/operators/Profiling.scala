@@ -1064,6 +1064,89 @@ object Profiling {
             "((sxx - sx * sx / n) * (syy - sy * sy / n))", 6)} AS r2
        |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** z quantiles for [[qPowerAnalysis]]: α=0.05 two-sided and 80 %
+    * power — the textbook constants, spelled to double precision so both
+    * engines hold the identical literals. */
+  val ZAlpha = 1.959963984540054
+  val ZBeta = 0.8416212335729143
+
+  /** A/B power analysis from observed data — "how many users would the
+    * NEXT experiment need": per event type, the observed arm difference
+    * is the minimum detectable effect candidate, the pooled variance
+    * comes from the same DECIMAL-exact moment cells as q_welch_ttest,
+    * and n = 2σ²(z_α+z_β)²/δ² per arm (α=.05 two-sided, 80 % power) with
+    * Cohen's d = δ/σ as the standardized effect. Planning and post-hoc
+    * read in one pass: one events scan → ≤2·types cells → types rows.
+    * All constants are exact double literals; n is ceiled to an integer
+    * so the output is render-identical by construction.
+    */
+  def qPowerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val arms = Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 2).as("arm"), col("value"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).as("sx"),
+        sum((col("value") * col("value")).cast(D)).as("sx2"))
+    def armCol(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+    val wide = arms.groupBy(col("event_type"))
+      .agg(armCol(0, "n").as("n0"), armCol(0, "sx").cast("double").as("sx0"),
+        armCol(0, "sx2").cast("double").as("sq0"),
+        armCol(1, "n").as("n1"), armCol(1, "sx").cast("double").as("sx1"),
+        armCol(1, "sx2").cast("double").as("sq1"))
+    val m0 = col("sx0") / col("n0")
+    val m1 = col("sx1") / col("n1")
+    val v0 = (col("sq0") - col("n0") * (m0 * m0)) / (col("n0") - 1)
+    val v1 = (col("sq1") - col("n1") * (m1 * m1)) / (col("n1") - 1)
+    val pooled = ((col("n0") - 1) * v0 + (col("n1") - 1) * v1) /
+      (col("n0") + col("n1") - 2)
+    val delta = abs(m1 - m0)
+    val z2 = (ZAlpha + ZBeta) * (ZAlpha + ZBeta)
+    wide.select(col("event_type"),
+        NumFns.roundPortable(delta, 6).as("observed_delta"),
+        NumFns.roundPortable(sqrt(pooled), 6).as("pooled_sd"),
+        NumFns.roundPortable(delta / sqrt(pooled), 6).as("cohens_d"),
+        ceil(lit(2.0) * pooled * z2 / (delta * delta)).cast("long")
+          .as("n_per_arm"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPowerAnalysisOracle: String = {
+    val z2 = s"(($ZAlpha + $ZBeta) * ($ZAlpha + $ZBeta))"
+    s"""WITH a AS (
+       |  SELECT event_type, user_id % 2 AS arm, count(*) AS n,
+       |    sum(CAST(value AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(value * value AS DECIMAL(38,12))) AS sx2
+       |  FROM events GROUP BY event_type, user_id % 2
+       |),
+       |w AS (
+       |  SELECT event_type,
+       |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    CAST(max(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sx0,
+       |    CAST(max(CASE WHEN arm = 0 THEN sx2 END) AS DOUBLE) AS sq0,
+       |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    CAST(max(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sx1,
+       |    CAST(max(CASE WHEN arm = 1 THEN sx2 END) AS DOUBLE) AS sq1
+       |  FROM a GROUP BY event_type
+       |),
+       |c AS (
+       |  SELECT event_type,
+       |    abs(sx1 / n1 - sx0 / n0) AS delta,
+       |    (((n0 - 1) * ((sq0 - n0 * ((sx0 / n0) * (sx0 / n0))) / (n0 - 1))
+       |      + (n1 - 1) * ((sq1 - n1 * ((sx1 / n1) * (sx1 / n1))) / (n1 - 1)))
+       |      / (n0 + n1 - 2)) AS pooled
+       |  FROM w
+       |)
+       |SELECT event_type,
+       |  ${NumFns.roundPortableSql("delta", 6)} AS observed_delta,
+       |  ${NumFns.roundPortableSql("sqrt(pooled)", 6)} AS pooled_sd,
+       |  ${NumFns.roundPortableSql("delta / sqrt(pooled)", 6)} AS cohens_d,
+       |  CAST(ceil(2.0 * pooled * $z2 / (delta * delta)) AS BIGINT)
+       |    AS n_per_arm
+       |FROM c
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** k for the [[qKAnonymity]] re-identification threshold. */
   val AnonK = 5
 

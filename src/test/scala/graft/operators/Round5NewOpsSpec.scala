@@ -520,6 +520,33 @@ class Round5NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("power analysis: Cohen's d consistent with delta/sd; n positive and finite") {
+    val rows = Profiling.qPowerAnalysis(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (delta, sd, d, n) = (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(sd > 0.0 && delta >= 0.0)
+      assert(math.abs(d - delta / sd) < 1e-3, s"d $d vs ${delta / sd}")
+      assert(n > 0 && n < Long.MaxValue / 2)
+      // textbook sanity: n ~ 2*(z_a+z_b)^2 / d^2
+      val expected = math.ceil(2.0 * math.pow(
+        (Profiling.ZAlpha + Profiling.ZBeta) / d, 2)).toLong
+      assert(math.abs(n - expected) <= math.max(1L, expected / 100),
+        s"n $n vs $expected")
+    }
+  }
+
+  test("trending: exactly k per day, descending trailing volumes, window never shrinks a volume") {
+    val rows = Behavioral.qTrending(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { day =>
+      assert(day.length <= Behavioral.TrendingK)
+      val vols = day.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(vols.sameElements(vols.sorted(Ordering[Long].reverse)))
+      vols.foreach(v => assert(v >= 1))
+    }
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
