@@ -863,6 +863,78 @@ object Analytics {
       |WHERE best_cheaper IS NULL OR p_size > best_cheaper
       |ORDER BY p_partkey""".stripMargin
 
+  /** ABC inventory classification — parts bucketed A/B/C at the 80 %/
+    * 95 % cumulative-revenue cuts (the classic Pareto operations read;
+    * q_pareto_share reports the curve, this assigns the CLASSES and
+    * their footprint). Revenue is micro-quantized int64 so the running
+    * total and both thresholds are exact integers — a boundary part
+    * cannot flip class between engines; the running sum orders by
+    * (revenue desc, partkey) over the part-sized aggregate. Output is
+    * the 3-row class report: part count, revenue share, count share.
+    */
+  def qAbcClass(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(NumFns.roundAwayLong(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1e6)))
+        .as("rev_q"))
+    val w = Window.orderBy(col("rev_q").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perPart.agg(sum(col("rev_q")).as("tot"),
+      count(lit(1)).as("n_parts"))
+    val classed = perPart
+      .withColumn("cum", sum(col("rev_q")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("rev_q"),
+        when(col("cum") * 5 <= col("tot") * 4, "A")         // 80 % = 4/5
+          .when(col("cum") * 20 <= col("tot") * 19, "B")    // 95 % = 19/20
+          .otherwise("C").as("abc"),
+        col("tot"), col("n_parts"))
+    classed.groupBy(col("abc"))
+      .agg(count(lit(1)).as("n_parts_class"),
+        sum(col("rev_q")).as("rev_class_q"),
+        max(col("tot")).as("tot"), max(col("n_parts")).as("n_parts"))
+      .select(col("abc"), col("n_parts_class"),
+        NumFns.roundPortable(
+          col("rev_class_q").cast("double") / col("tot"), 6)
+          .as("revenue_share"),
+        NumFns.roundPortable(
+          col("n_parts_class").cast("double") / col("n_parts"), 6)
+          .as("count_share"))
+      .orderBy(col("abc"))
+  }
+
+  val qAbcClassOracle: String =
+    s"""WITH pp AS (
+       |  SELECT l_partkey,
+       |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 1e6)
+       |      AS BIGINT)) AS BIGINT) AS rev_q
+       |  FROM lineitem GROUP BY l_partkey
+       |),
+       |t AS (
+       |  SELECT CAST(sum(rev_q) AS BIGINT) AS tot, count(*) AS n_parts
+       |  FROM pp
+       |),
+       |c AS (
+       |  SELECT rev_q,
+       |    CASE WHEN CAST(sum(rev_q) OVER w AS BIGINT) * 5 <= tot * 4
+       |      THEN 'A'
+       |    WHEN CAST(sum(rev_q) OVER w AS BIGINT) * 20 <= tot * 19
+       |      THEN 'B'
+       |    ELSE 'C' END AS abc,
+       |    tot, n_parts
+       |  FROM pp, t
+       |  WINDOW w AS (ORDER BY rev_q DESC, l_partkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT abc, count(*) AS n_parts_class,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(rev_q) AS DOUBLE) / max(tot)", 6)} AS revenue_share,
+       |  ${NumFns.roundPortableSql(
+            "count(*) / CAST(max(n_parts) AS DOUBLE)", 6)} AS count_share
+       |FROM c GROUP BY abc
+       |ORDER BY abc""".stripMargin
+
   /** Shard fan and per-shard candidate width for [[qTwoPhaseTopk]]. */
   val TpShards = 8
   val TpPerShard = 25

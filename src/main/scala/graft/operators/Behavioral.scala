@@ -728,6 +728,69 @@ object Behavioral {
        |JOIN r ON r.rnk = (t.n_customers * p.pct + 99) // 100
        |ORDER BY pct""".stripMargin
 
+  /** Inter-purchase interval regularity per market segment — the
+    * mean/CV of consecutive order gaps: CV ≪ 1 is a subscription-like
+    * regular buyer base, CV ≈ 1 memoryless, CV ≫ 1 bursty (the number
+    * replenishment forecasting and churn horizons key off). Gaps are
+    * integer days from a customer-keyed lag window with a total
+    * (date, orderkey) order; segment moments are DECIMAL-folded
+    * integer sums so mean and CV are engine-identical. One custkey
+    * window + one broadcast customer join + a ≤segments aggregate.
+    */
+  def qPurchaseIntervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("prev", lag(to_date(col("o_orderdate")), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), col("prev")).cast("long")
+          .as("gap_days"))
+    gaps
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_days")).as("sg"),
+        sum(col("gap_days") * col("gap_days")).as("sg2"))
+      .select(col("c_mktsegment"), col("n_gaps"),
+        NumFns.roundPortable(
+          col("sg").cast("double") / col("n_gaps"), 4).as("mean_gap_days"),
+        NumFns.roundPortable(
+          sqrt((col("sg2") - col("sg").cast("double") * col("sg") /
+            col("n_gaps")) / (col("n_gaps") - 1)) /
+            (col("sg").cast("double") / col("n_gaps")), 4).as("cv"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qPurchaseIntervalsOracle: String =
+    s"""WITH g AS (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day',
+       |      lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+       |        ORDER BY o_orderdate, o_orderkey),
+       |      o_orderdate::DATE) AS BIGINT) AS gap_days
+       |  FROM orders
+       |),
+       |gg AS (SELECT * FROM g WHERE gap_days IS NOT NULL),
+       |a AS (
+       |  SELECT c_mktsegment, count(*) AS n_gaps,
+       |    CAST(sum(gap_days) AS BIGINT) AS sg,
+       |    CAST(sum(gap_days * gap_days) AS BIGINT) AS sg2
+       |  FROM gg JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_mktsegment
+       |)
+       |SELECT c_mktsegment, n_gaps,
+       |  ${NumFns.roundPortableSql("CAST(sg AS DOUBLE) / n_gaps", 4)}
+       |    AS mean_gap_days,
+       |  ${NumFns.roundPortableSql(
+            "sqrt((sg2 - CAST(sg AS DOUBLE) * sg / n_gaps) / (n_gaps - 1))" +
+            " / (CAST(sg AS DOUBLE) / n_gaps)", 4)} AS cv
+       |FROM a
+       |ORDER BY c_mktsegment""".stripMargin
+
   /** Leaderboard width for [[qTrending]]. */
   val TrendingK = 5
 

@@ -547,6 +547,28 @@ class Round5NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("abc classification: shares sum to 1, class A dominates revenue with fewest parts") {
+    val abc = Analytics.qAbcClass(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(abc.keySet == Set("A", "B", "C"))
+    val revSum = abc.values.map(_._2).sum
+    val cntSum = abc.values.map(_._3).sum
+    assert(math.abs(revSum - 1.0) < 1e-4 && math.abs(cntSum - 1.0) < 1e-4)
+    // Pareto structure: A holds ~80% of revenue with a minority of parts
+    assert(abc("A")._2 > abc("C")._2)
+    assert(abc("A")._2 <= 0.8 + 1e-9, "running cut must respect the 80% boundary")
+  }
+
+  test("purchase intervals: positive means, CV defined, segments complete") {
+    val rows = Behavioral.qPurchaseIntervals(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) > 0.0)
+      assert(r.getDouble(3) > 0.0, "order gaps must vary")
+    }
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
