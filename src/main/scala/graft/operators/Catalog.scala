@@ -544,6 +544,83 @@ object Catalog {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Catalog completeness check — expected (model × scheme) coverage vs
+    * the keys actually observed: the QA query a catalog build ends with
+    * ("which model runs are missing?"), which the reference's static
+    * model list implies but never materializes. The EXPECTED grid is the
+    * synthetic model/scheme domain (7 × 4); observed combos come from
+    * the parsed key frame; the gap set is a broadcast left-anti of
+    * dimension-sized frames. Reported per model: expected, observed and
+    * missing scheme counts plus the alphabetical list of missing schemes
+    * — the actionable re-ingest ticket. Entirely dimension-sized after
+    * one corpus scan.
+    */
+  def qCatalogGaps(s: SparkSession, dir: String): DataFrame = {
+    val expected = s.range(0, 7)
+      .select(concat(lit("MODEL-"), str(col("id"))).as("model"))
+      .crossJoin(s.range(0, 4).select(
+        pick(col("id"), "historical", "ssp245", "ssp370", "ssp585")
+          .as("scheme")))
+    // observed combos from a deterministically thinned corpus — 29 ≡ 1
+    // (mod 7) and (mod 4), so the admitted ids walk the CRT grid one
+    // cell per id and 18 admitted ids leave exactly 10 REAL gaps
+    val observed = Tables.documents(s, dir)
+      .filter(col("doc_id") % 29 === 0)
+      .select(docModel.as("model"), docScheme.as("scheme"))
+      .distinct()
+    val missing = expected
+      .join(observed.hint("shuffle_hash"), Seq("model", "scheme"),
+        "left_anti")
+    val obsCount = observed.groupBy(col("model"))
+      .agg(count(lit(1)).as("n_observed"))
+    expected.groupBy(col("model")).agg(count(lit(1)).as("n_expected"))
+      .join(obsCount.hint("shuffle_hash"), Seq("model"), "left")
+      .join(missing.groupBy(col("model"))
+        .agg(count(lit(1)).as("n_missing"),
+          sort_array(collect_list(col("scheme"))).as("ms"))
+        .hint("shuffle_hash"), Seq("model"), "left")
+      .select(col("model"), col("n_expected"),
+        coalesce(col("n_observed"), lit(0L)).as("n_observed"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(concat_ws(",", col("ms")), lit("")).as("missing_schemes"))
+      .orderBy(col("model"))
+  }
+
+  val qCatalogGapsOracle: String =
+    s"""WITH expected AS (
+       |  SELECT 'MODEL-' || CAST(m AS VARCHAR) AS model, scheme
+       |  FROM (VALUES (0),(1),(2),(3),(4),(5),(6)) mm(m)
+       |  CROSS JOIN (VALUES ('historical'), ('ssp245'), ('ssp370'),
+       |    ('ssp585')) sc(scheme)
+       |),
+       |observed AS (
+       |  SELECT DISTINCT 'MODEL-' || CAST(doc_id % 7 AS VARCHAR) AS model,
+       |    (['historical','ssp245','ssp370','ssp585'])
+       |      [CAST(doc_id % 4 AS INT) + 1] AS scheme
+       |  FROM documents WHERE doc_id % 29 = 0
+       |),
+       |missing AS (
+       |  SELECT e.model, e.scheme FROM expected e
+       |  WHERE NOT EXISTS (SELECT 1 FROM observed o
+       |    WHERE o.model = e.model AND o.scheme = e.scheme)
+       |),
+       |om AS (SELECT model, count(*) AS n_observed FROM observed
+       |  GROUP BY model),
+       |mm2 AS (
+       |  SELECT model, count(*) AS n_missing,
+       |    array_to_string(list_sort(list(scheme)), ',') AS missing_schemes
+       |  FROM missing GROUP BY model
+       |)
+       |SELECT e.model, count(*) AS n_expected,
+       |  CAST(coalesce(max(om.n_observed), 0) AS BIGINT) AS n_observed,
+       |  CAST(coalesce(max(mm2.n_missing), 0) AS BIGINT) AS n_missing,
+       |  coalesce(max(mm2.missing_schemes), '') AS missing_schemes
+       |FROM expected e
+       |LEFT JOIN om ON e.model = om.model
+       |LEFT JOIN mm2 ON e.model = mm2.model
+       |GROUP BY e.model
+       |ORDER BY e.model""".stripMargin
+
   /** Catalog snapshot DIFF — the incremental-discovery primitive the
     * reference's sensor implies but never materializes (its cursor only
     * moves forward; an upstream re-listing can also REMOVE or REWRITE

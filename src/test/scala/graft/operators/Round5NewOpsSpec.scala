@@ -569,6 +569,21 @@ class Round5NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("catalog gaps: per-model accounting closes and real gaps exist by construction") {
+    val rows = Catalog.qCatalogGaps(spark, sf001).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 4) // 4 schemes expected per model
+      assert(r.getLong(2) + r.getLong(3) == 4,
+        s"${r.getString(0)}: observed + missing != expected")
+      val listed = r.getString(4)
+      if (r.getLong(3) > 0) assert(listed.split(",").length == r.getLong(3))
+      else assert(listed.isEmpty)
+    }
+    // the CRT-thinned corpus leaves exactly 10 missing combos
+    assert(rows.map(_.getLong(3)).sum == 10)
+  }
+
   test("streaming cdc compaction converges to the batch q_cdc_apply answer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, unix_micros}
