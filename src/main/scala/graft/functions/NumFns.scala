@@ -116,4 +116,30 @@ object NumFns {
   def quantMeanSql(x: String, n: String, digits: Int): String =
     roundPortableSql(
       s"CAST(sum(CAST(round(($x) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / ($n)", digits)
+
+  /** Two-sided normal p-value `P(|Z| ≥ |z|) = erfc(|z|/√2)` via the
+    * Abramowitz–Stegun 7.1.26 rational approximation (|ε| < 1.5e-7 —
+    * plenty for significance gating), spelled as the IDENTICAL literal
+    * sequence on both engines so every `+ − × ÷ √` (all correctly
+    * rounded per IEEE 754) lands on the same double. The one
+    * non-portable primitive is `exp` (libm implementations may differ in
+    * the last ulp); consumers must therefore (a) round the emitted p and
+    * (b) never let cross-engine ORDERING depend on p — rank by |z|,
+    * which is monotone in p and bit-identical by construction.
+    */
+  def normTwoSidedP(z: Column): Column = {
+    val x = abs(z) / 1.4142135623730951
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    poly * exp(-(x * x))
+  }
+
+  /** SQL twin of [[normTwoSidedP]] — same literals, same association. */
+  def normTwoSidedPSql(z: String): String = {
+    val x = s"(abs($z) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t" +
+      s" - 0.284496736) * $t + 0.254829592) * $t * exp(-($x * $x)))"
+  }
 }

@@ -1037,4 +1037,132 @@ object PipelineOps {
        |FROM pc, k
        |GROUP BY o_custkey % 2
        |ORDER BY arm""".stripMargin
+
+  /** Sampling stride for [[qTargetEncoding]]'s emitted audit rows. */
+  val TargetEncStride = 97
+
+  /** Leave-one-out target encoding — the categorical-feature encoder
+    * every tabular-ML pipeline ships: encode a high-cardinality category
+    * (here c_mktsegment) by the mean of the target (order total) over
+    * all OTHER rows of the same category, `(S_seg − y_i)/(n_seg − 1)` —
+    * excluding the row's own target so the feature never leaks its
+    * label. All arithmetic is integer-exact until the final division:
+    * targets quantize to cents (exact — prices carry 2 decimals), the
+    * per-segment sums are one tiny aggregate broadcast back onto the
+    * sampled audit rows. Shape at 100 TB: one scan for the segment
+    * moments (≤|segments| cells), one broadcast join to emit encodings —
+    * the encoder itself is a closed-form column, nothing is fit or
+    * stored.
+    */
+  def qTargetEncoding(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        NumFns.roundAwayLong(col("o_totalprice") * 100).as("cents"))
+    val seg = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val j = o.join(seg, col("o_custkey") === col("c_custkey"))
+    val stats = j.groupBy(col("c_mktsegment"))
+      .agg(sum(col("cents")).as("s_cents"), count(lit(1)).as("n_seg"))
+    j.filter(col("o_orderkey") % TargetEncStride === 0)
+      .join(broadcast(stats), Seq("c_mktsegment"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        NumFns.roundPortable(
+          (col("s_cents") - col("cents")).cast("double") /
+            (col("n_seg") - 1) / 100.0, 4).as("loo_enc"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qTargetEncodingOracle: String =
+    s"""WITH j AS (
+       |  SELECT o_orderkey, c_mktsegment,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |), stats AS (
+       |  SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS s_cents,
+       |    count(*) AS n_seg
+       |  FROM j GROUP BY c_mktsegment
+       |)
+       |SELECT o_orderkey, j.c_mktsegment,
+       |  ${NumFns.roundPortableSql(
+             "CAST(s_cents - cents AS DOUBLE) / (n_seg - 1) / 100.0", 4)}
+       |    AS loo_enc
+       |FROM j JOIN stats ON j.c_mktsegment = stats.c_mktsegment
+       |WHERE o_orderkey % $TargetEncStride = 0
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Order-count cut defining [[qWoeIv]]'s binary outcome: a customer
+    * with ≥ this many orders is a "repeat buyer" (the population median
+    * frequency is ~10, so the split is a real mix at every sf). */
+  val WoeGoodMinOrders = 11L
+
+  /** Weight-of-evidence / information-value feature audit — the
+    * credit-scoring standard for "how predictive is this feature":
+    * account balance binned equal-width (floor(bal/1000) — fixed cuts,
+    * deliberately NOT quantile bins, so the binning is one scan-side
+    * expression with no global sort), outcome = repeat buyer
+    * (≥ [[WoeGoodMinOrders]] orders — an integer cut, no float
+    * threshold to diverge on). Per bin WOE = ln(smoothed good share /
+    * smoothed bad share) with +0.5 Laplace smoothing (a zero-count bin
+    * must not emit ±∞), and IV = Σ (pg − pb)·WOE repeated per row from
+    * the ~12-row bins frame. Shape: one map-side-combined order count,
+    * one customer-keyed left join, one grouped agg into ≤12 cells; the
+    * partitionless total window runs over the bin AGGREGATE, never rows.
+    */
+  def qWoeIv(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_ord"))
+    val bins = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bin"))
+      .join(freq, col("c_custkey") === col("o_custkey"), "left")
+      .withColumn("good", coalesce(col("n_ord"), lit(0L)) >= WoeGoodMinOrders)
+      .groupBy(col("bin"))
+      .agg(sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
+        sum(when(!col("good"), 1L).otherwise(0L)).as("n_bad"))
+    val wAll = Window.partitionBy()
+    val tot = bins
+      .withColumn("g_tot", sum(col("n_good")).over(wAll))
+      .withColumn("b_tot", sum(col("n_bad")).over(wAll))
+    val pg = (col("n_good") + 0.5) / col("g_tot")
+    val pb = (col("n_bad") + 0.5) / col("b_tot")
+    val woe = log(pg / pb)
+    tot.withColumn("woe_raw", woe)
+      .withColumn("iv_term", (pg - pb) * col("woe_raw"))
+      .withColumn("iv", sum(col("iv_term")).over(wAll))
+      .select(col("bin"), col("n_good"), col("n_bad"),
+        NumFns.roundPortable(col("woe_raw"), 6).as("woe"),
+        NumFns.roundPortable(col("iv"), 6).as("iv_total"))
+      .orderBy(col("bin"))
+  }
+
+  val qWoeIvOracle: String =
+    s"""WITH cnt AS (
+       |  SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY o_custkey
+       |), f AS (
+       |  SELECT c_custkey,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bin,
+       |    CASE WHEN coalesce(n_ord, 0) >= $WoeGoodMinOrders
+       |      THEN 1 ELSE 0 END AS good
+       |  FROM customer LEFT JOIN cnt ON o_custkey = c_custkey
+       |), bins AS (
+       |  SELECT bin, CAST(sum(good) AS BIGINT) AS n_good,
+       |    CAST(sum(1 - good) AS BIGINT) AS n_bad
+       |  FROM f GROUP BY bin
+       |), t AS (
+       |  SELECT bin, n_good, n_bad,
+       |    CAST(sum(n_good) OVER () AS BIGINT) AS g_tot,
+       |    CAST(sum(n_bad) OVER () AS BIGINT) AS b_tot
+       |  FROM bins
+       |), w AS (
+       |  SELECT bin, n_good, n_bad,
+       |    ln(((n_good + 0.5) / g_tot) / ((n_bad + 0.5) / b_tot)) AS woe_raw,
+       |    ((n_good + 0.5) / g_tot - (n_bad + 0.5) / b_tot) *
+       |      ln(((n_good + 0.5) / g_tot) / ((n_bad + 0.5) / b_tot)) AS iv_term
+       |  FROM t
+       |)
+       |SELECT bin, n_good, n_bad,
+       |  ${NumFns.roundPortableSql("woe_raw", 6)} AS woe,
+       |  ${NumFns.roundPortableSql("sum(iv_term) OVER ()", 6)} AS iv_total
+       |FROM w
+       |ORDER BY bin""".stripMargin
 }

@@ -1335,4 +1335,100 @@ object Profiling {
        |  CASE WHEN s > 0.0 THEN ${NumFns.roundPortableSql("k / s", 4)} END
        |    AS hill_alpha
        |FROM a ORDER BY source""".stripMargin
+
+  /** FDR level for [[qBhFdr]]. */
+  val BhAlpha = 0.05
+
+  /** Benjamini–Hochberg FDR control over a battery of simultaneous
+    * tests — the multiple-comparisons gate the per-test machinery
+    * (q_welch_ttest, q_ab_conversion) needs before anyone acts on 25
+    * p-values at once: per (event_type, cohort) a Welch z for the
+    * arm-parity split, p = erfc(|z|/√2) ([[NumFns.normTwoSidedP]]), then
+    * the step-up rule — rank tests by significance, k* = max{i : p_i ≤
+    * i·α/m}, reject ranks ≤ k*. Cohort = (user_id div 2) mod 5 so it is
+    * independent of the parity arm by construction. Cross-engine
+    * discipline: ranking is by |z| (bit-identical IEEE arithmetic —
+    * never by p, whose libm `exp` may differ in the last ulp), p is
+    * emitted rounded, and the step-up comparison has the measure-zero
+    * boundary argument. Shape: one events scan → ≤ types·cohorts·2
+    * moment cells; every window runs over the 25-row test frame.
+    */
+  def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"), expr("(user_id div 2) % 5").as("cohort"),
+        (col("user_id") % 2).as("arm"), col("value"))
+      .groupBy(col("event_type"), col("cohort"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).as("sx"),
+        sum((col("value") * col("value")).cast(D)).as("sx2"))
+    def armCol(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+    val wide = cells.groupBy(col("event_type"), col("cohort"))
+      .agg(armCol(0, "n").as("n0"), armCol(0, "sx").cast("double").as("sx0"),
+        armCol(0, "sx2").cast("double").as("sq0"),
+        armCol(1, "n").as("n1"), armCol(1, "sx").cast("double").as("sx1"),
+        armCol(1, "sx2").cast("double").as("sq1"))
+    val m0 = col("sx0") / col("n0")
+    val m1 = col("sx1") / col("n1")
+    val v0 = (col("sq0") - col("n0") * (m0 * m0)) / (col("n0") - 1)
+    val v1 = (col("sq1") - col("n1") * (m1 * m1)) / (col("n1") - 1)
+    val z = (m1 - m0) / sqrt(v0 / col("n0") + v1 / col("n1"))
+    val scored = wide.select(col("event_type"), col("cohort"), z.as("z"))
+      .withColumn("p", NumFns.normTwoSidedP(col("z")))
+    val wRank = Window.orderBy(abs(col("z")).desc, col("event_type"), col("cohort"))
+    val wAll = Window.partitionBy()
+    scored
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("pass", col("p") <= col("rnk") * BhAlpha / col("m"))
+      .withColumn("k_star",
+        coalesce(max(when(col("pass"), col("rnk"))).over(wAll), lit(0L)))
+      .select(col("event_type"), col("cohort"),
+        NumFns.roundPortable(col("z"), 6).as("z"),
+        NumFns.roundPortable(col("p"), 6).as("p_value"),
+        col("rnk"), (col("rnk") <= col("k_star")).as("significant"))
+      .orderBy(col("rnk"))
+  }
+
+  val qBhFdrOracle: String =
+    s"""WITH a AS (
+       |  SELECT event_type, (user_id // 2) % 5 AS cohort, user_id % 2 AS arm,
+       |    count(*) AS n,
+       |    sum(CAST(value AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(value * value AS DECIMAL(38,12))) AS sx2
+       |  FROM events GROUP BY 1, 2, 3
+       |), w AS (
+       |  SELECT event_type, cohort,
+       |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    CAST(max(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sx0,
+       |    CAST(max(CASE WHEN arm = 0 THEN sx2 END) AS DOUBLE) AS sq0,
+       |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    CAST(max(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sx1,
+       |    CAST(max(CASE WHEN arm = 1 THEN sx2 END) AS DOUBLE) AS sq1
+       |  FROM a GROUP BY event_type, cohort
+       |), sc AS (
+       |  SELECT event_type, cohort,
+       |    (sx1 / n1 - sx0 / n0) /
+       |      sqrt(((sq0 - n0 * ((sx0 / n0) * (sx0 / n0))) / (n0 - 1)) / n0
+       |         + ((sq1 - n1 * ((sx1 / n1) * (sx1 / n1))) / (n1 - 1)) / n1) AS z
+       |  FROM w
+       |), r AS (
+       |  SELECT event_type, cohort, z,
+       |    ${NumFns.normTwoSidedPSql("z")} AS p,
+       |    CAST(row_number() OVER (ORDER BY abs(z) DESC, event_type, cohort)
+       |      AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM sc
+       |), f AS (
+       |  SELECT *, coalesce(max(CASE WHEN p <= rnk * $BhAlpha / m
+       |    THEN rnk END) OVER (), 0) AS k_star
+       |  FROM r
+       |)
+       |SELECT event_type, cohort,
+       |  ${NumFns.roundPortableSql("z", 6)} AS z,
+       |  ${NumFns.roundPortableSql("p", 6)} AS p_value,
+       |  rnk, (rnk <= k_star) AS significant
+       |FROM f
+       |ORDER BY rnk""".stripMargin
 }

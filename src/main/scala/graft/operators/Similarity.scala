@@ -1193,4 +1193,84 @@ object Similarity {
        |FROM sc
        |ORDER BY score_q DESC, doc
        |LIMIT 10""".stripMargin
+
+  /** Prefix dimensions kept by [[qPrefixRecall]]'s truncated index. */
+  val PrefixDims = 32
+
+  /** Matryoshka truncation audit — recall@3 of a HALF-dimension index
+    * against the full-dimension ground truth: would serving the first 32
+    * of 64 dims (half the memory, half the FLOPs per probe) still return
+    * the right neighbors? The question every embedding-serving stack
+    * asks before adopting MRL-style truncation. Both sides are the
+    * bounded-query brute-force shape of q_ann_topk (queries broadcast,
+    * corpus scanned once per index); the truncated side recomputes norms
+    * over the prefix — a truncated vector is NOT unit even when the full
+    * one is. At 100 TB the truncated probe is the cheap first pass of a
+    * two-stage cascade (prefix scan → full rerank of survivors), and
+    * this operator measures exactly the recall that cascade trades.
+    */
+  def qPrefixRecall(s: SparkSession, dir: String): DataFrame = {
+    val full = prepared(s, dir)
+    val half = full
+      .withColumn("pv", slice(col("v"), 1, PrefixDims))
+      .withColumn("pnsq", VectorFns.normSq(col("pv"), PrefixDims))
+      .select(col("vec_id"), col("pv"), col("pnsq"))
+    def top3(e: DataFrame, vc: String, nc: String): DataFrame = {
+      val q = e.filter(col("vec_id") < 10)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      broadcast(q).as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          round(VectorFns.cosineWithNorms(
+            VectorFns.dot(col(s"a.$vc"), col(s"b.$vc")),
+            col(s"a.$nc"), col(s"b.$nc")), 4).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val truth = top3(full, "v", "nsq")
+    val pref = top3(half, "pv", "pnsq").withColumn("hit", lit(1L))
+    truth.join(pref, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        round(col("n_hit") / col("n_true"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val qPrefixRecallOracle: String =
+    s"""WITH $preparedSql,
+       |h AS (SELECT vec_id, v[1:$PrefixDims] AS pv,
+       |  ${dotSql("v[1:" + PrefixDims + "]", "v[1:" + PrefixDims + "]")} AS pnsq FROM n),
+       |ft AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)), 4)
+       |          DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM n WHERE vec_id < 10) q
+       |    JOIN n c ON c.vec_id != q.vec_id) t
+       |  WHERE rank <= 3
+       |),
+       |pt AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(${dotSql("q.pv", "c.pv")} / (sqrt(q.pnsq) * sqrt(c.pnsq)), 4)
+       |          DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM h WHERE vec_id < 10) q
+       |    JOIN h c ON c.vec_id != q.vec_id) t
+       |  WHERE rank <= 3
+       |)
+       |SELECT ft.query_id, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN pt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  round(CAST(sum(CASE WHEN pt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) / CAST(count(*) AS DOUBLE), 4) AS recall
+       |FROM ft
+       |LEFT JOIN pt ON pt.query_id = ft.query_id
+       |  AND pt.neighbor_id = ft.neighbor_id
+       |GROUP BY ft.query_id
+       |ORDER BY ft.query_id""".stripMargin
 }

@@ -1258,4 +1258,192 @@ object Temporal {
        |FROM r
        |WHERE rn = 1 AND event_type <> 'error'
        |ORDER BY user_id""".stripMargin
+
+  /** Point-in-time (PIT) join — the consumption side of [[qScd2Build]]:
+    * each purchase is joined to the SCD2 "activity state" dimension built
+    * from the user's NON-purchase events (which browsing state was
+    * current when the purchase landed), matching on
+    * `valid_from ≤ ts < valid_to` with the open version unbounded. This
+    * is the lookup every feature store and temporal warehouse serves:
+    * facts against dimension-AS-OF-fact-time, never dimension-as-of-now.
+    * Shape: both sides hash to user_id (one co-located equi-join, the
+    * interval predicate is a cheap residual); per-user dim rows are
+    * bounded by state CHANGES — a sliver of the log — so the probe side
+    * never amplifies. Purchases before the user's first state change
+    * have no dimension row and drop out (inner PIT semantics).
+    */
+  def qPitJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val dim = Tables.events(s, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type").as("state"))
+      .withColumn("prev_state", lag(col("state"), 1).over(w))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+    val fact = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pus"), col("value"))
+    fact.join(dim,
+        fact("user_id") === dim("user_id") &&
+          col("pus") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("pus") < col("valid_to_us")))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        NumFns.stableSum(col("value"), 6).as("sum_value"))
+      .orderBy(col("state"))
+  }
+
+  val qPitJoinOracle: String =
+    s"""WITH d0 AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type AS state,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev_state
+       |  FROM events WHERE event_type <> 'purchase'
+       |), dim AS (
+       |  SELECT user_id, state, us AS valid_from_us,
+       |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |      AS valid_to_us
+       |  FROM d0 WHERE prev_state IS NULL OR prev_state <> state
+       |), fact AS (
+       |  SELECT user_id, epoch_us(ts) AS pus, value
+       |  FROM events WHERE event_type = 'purchase'
+       |)
+       |SELECT dim.state, count(*) AS n_purchases,
+       |  ${NumFns.stableSumSql("fact.value", 6)} AS sum_value
+       |FROM fact JOIN dim ON fact.user_id = dim.user_id
+       |  AND fact.pus >= dim.valid_from_us
+       |  AND (dim.valid_to_us IS NULL OR fact.pus < dim.valid_to_us)
+       |GROUP BY dim.state
+       |ORDER BY dim.state""".stripMargin
+
+  /** Peak concurrency via the endpoint sweep — per region, the maximum
+    * number of simultaneously OPEN orders (open from order date through
+    * the order's last ship date, inclusive) and the first day the peak
+    * is reached. The classic interval-overlap maximum without an
+    * interval self-join: each order contributes +1 at its start day and
+    * −1 the day AFTER its end day, deltas collapse to per-(region, day)
+    * NET cells in one map-side-combined aggregate, and a running sum
+    * over each region's day series reads off the concurrency curve.
+    * Shape at 100 TB: the sweep window runs over (region × active-day)
+    * CELLS — thousands of rows — never raw orders; the only fact-sized
+    * work is one orderkey-keyed aggregate for last-ship and broadcast
+    * dimension hops to region.
+    */
+  def qMaxConcurrent(s: SparkSession, dir: String): DataFrame = {
+    val ends = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("end_date"))
+    val geo = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val spans = Tables.orders(s, dir)
+      .join(ends, col("o_orderkey") === col("l_orderkey"))
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .select(col("r_name"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("start_day"),
+        (datediff(col("end_date"), lit("1992-01-01")) + 1).cast("long").as("stop_day"))
+    val cells = spans.select(col("r_name"), col("start_day").as("day"), lit(1L).as("delta"))
+      .unionAll(spans.select(col("r_name"), col("stop_day").as("day"), lit(-1L).as("delta")))
+      .groupBy(col("r_name"), col("day"))
+      .agg(sum(col("delta")).as("net"))
+    val wRun = Window.partitionBy(col("r_name")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("r_name"))
+    cells.withColumn("open", sum(col("net")).over(wRun))
+      .withColumn("peak", max(col("open")).over(wAll))
+      .filter(col("open") === col("peak"))
+      .groupBy(col("r_name"))
+      .agg(max(col("peak")).as("peak_open"), min(col("day")).as("peak_day"))
+      .orderBy(col("r_name"))
+  }
+
+  val qMaxConcurrentOracle: String =
+    """WITH ends AS (
+      |  SELECT l_orderkey, max(l_shipdate::DATE) AS end_date
+      |  FROM lineitem GROUP BY l_orderkey
+      |), spans AS (
+      |  SELECT r_name,
+      |    CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT) AS start_day,
+      |    CAST(end_date - DATE '1992-01-01' + 1 AS BIGINT) AS stop_day
+      |  FROM orders
+      |  JOIN ends ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |), cells AS (
+      |  SELECT r_name, day, CAST(sum(delta) AS BIGINT) AS net FROM (
+      |    SELECT r_name, start_day AS day, 1 AS delta FROM spans
+      |    UNION ALL
+      |    SELECT r_name, stop_day AS day, -1 AS delta FROM spans
+      |  ) GROUP BY r_name, day
+      |), run0 AS (
+      |  SELECT r_name, day,
+      |    CAST(sum(net) OVER (PARTITION BY r_name ORDER BY day) AS BIGINT) AS open
+      |  FROM cells
+      |), run AS (
+      |  SELECT r_name, day, open,
+      |    CAST(max(open) OVER (PARTITION BY r_name) AS BIGINT) AS peak
+      |  FROM run0
+      |)
+      |SELECT r_name, max(peak) AS peak_open, min(day) AS peak_day
+      |FROM run WHERE open = peak
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** Exact trailing-15-day rolling MEDIAN of daily revenue per region —
+    * the robust companion to q_moving_avg (a mean-based rolling stat
+    * follows one whale order; the median doesn't). Revenue quantizes to
+    * cents (exact — prices carry 2 decimals) so the only non-integer
+    * arithmetic is the even-count midpoint, which is exact in double
+    * (long ± long/2 under 2^53), and both engines share the linear-
+    * interpolation quantile definition. Shape at 100 TB: the median
+    * window slides over per-(region, day) CELLS — one map-side-combined
+    * aggregate collapses the fact table first, then each region's
+    * ≤|days| cells sort once; the RANGE frame on the integer day handles
+    * calendar gaps without zero-densification.
+    */
+  def qRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val geo = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val cells = Tables.orders(s, dir)
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("day"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev_cents"))
+    val wMed = Window.partitionBy(col("r_name")).orderBy(col("day"))
+      .rangeBetween(-14, 0)
+    cells
+      .withColumn("med_cents", percentile(col("rev_cents"), lit(0.5)).over(wMed))
+      .select(col("r_name"), col("day"), col("rev_cents"),
+        NumFns.roundPortable(col("med_cents") / 100.0, 4).as("med_rev"))
+      .orderBy(col("r_name"), col("day"))
+  }
+
+  val qRollingMedianOracle: String =
+    s"""WITH cells AS (
+       |  SELECT r_name,
+       |    CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_cents
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2
+       |), m AS (
+       |  SELECT r_name, day, rev_cents,
+       |    quantile_cont(rev_cents, 0.5) OVER (PARTITION BY r_name
+       |      ORDER BY day RANGE BETWEEN 14 PRECEDING AND CURRENT ROW)
+       |      AS med_cents
+       |  FROM cells
+       |)
+       |SELECT r_name, day, rev_cents,
+       |  ${NumFns.roundPortableSql("med_cents / 100.0", 4)} AS med_rev
+       |FROM m
+       |ORDER BY r_name, day""".stripMargin
 }

@@ -606,4 +606,108 @@ class Round5NewOpsSpec extends SparkSpec {
       .foreach(st => assert(!batch.contains(st.user_id), s"user ${st.user_id}"))
     assert(out.size == batch.size + out.values.count(_.tombstoned))
   }
+
+  test("pit join: purchase mass conserved up to pre-first-state drops; no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val df = Temporal.qPitJoin(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // states are exactly non-purchase event types
+    val states = rows.map(_.getString(0)).toSet
+    assert(!states.contains("purchase") && states.nonEmpty)
+    // half-open intervals partition time: every purchase matches ≤1 dim
+    // row, so joined purchases never exceed the purchase population
+    val nPurch = graft.sources.Tables.events(spark, sf001)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum <= nPurch)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("max concurrent: peak within [1, total orders]; peak day sits in the order date span") {
+    val rows = Temporal.qMaxConcurrent(spark, sf001).collect()
+    assert(rows.length == 5) // one per region
+    val nOrders = graft.sources.Tables.orders(spark, sf001).count()
+    rows.foreach { r =>
+      val (peak, day) = (r.getLong(1), r.getLong(2))
+      assert(peak >= 1L && peak <= nOrders)
+      assert(day >= 0L && day < 3000L)
+    }
+  }
+
+  test("target encoding: LOO never equals the plain segment mean when targets differ") {
+    import org.apache.spark.sql.functions.col
+    val rows = PipelineOps.qTargetEncoding(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // the LOO encodings within a segment differ row to row (each leaves
+    // its own target out), while a leaky mean-encoding would be constant
+    val bySeg = rows.groupBy(_.getString(1)).filter(_._2.length > 1)
+    assert(bySeg.nonEmpty)
+    bySeg.foreach { case (_, rs) =>
+      assert(rs.map(_.getDouble(2)).distinct.length > 1)
+    }
+    // stride sampling really restricted the emitted audit rows
+    assert(rows.forall(_.getLong(0) % PipelineOps.TargetEncStride == 0))
+  }
+
+  test("rolling median: bounded by the window's min/max daily revenue; cells not rows under the window") {
+    import org.apache.spark.sql.functions.col
+    val df = Temporal.qRollingMedian(spark, sf001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // reconstruct each region's day series and re-derive the median bound
+    val byRegion = rows.groupBy(_.getString(0))
+    byRegion.foreach { case (_, rs) =>
+      val series = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      rs.foreach { r =>
+        val (day, med) = (r.getLong(1), r.getDouble(3) * 100)
+        val frame = series.filter { case (d, _) => d >= day - 14 && d <= day }.values
+        assert(med >= frame.min - 0.5 && med <= frame.max + 0.5,
+          s"median $med outside frame [${frame.min}, ${frame.max}]")
+      }
+    }
+    // the window input is the per-(region, day) aggregate, never raw orders
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    df.queryExecution.optimizedPlan.foreach {
+      case w: LWindow =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined)
+      case _ =>
+    }
+  }
+
+  test("bh-fdr: significance is a rank prefix and never below per-test alpha count") {
+    val rows = Profiling.qBhFdr(spark, sf001).collect()
+    assert(rows.length == 25) // 5 types x 5 cohorts
+    val byRank = rows.sortBy(_.getLong(4))
+    // step-up property: significant rows form a prefix of the ranking
+    val sigFlags = byRank.map(_.getBoolean(5))
+    val firstNonSig = sigFlags.indexOf(false)
+    if (firstNonSig >= 0) assert(!sigFlags.drop(firstNonSig).contains(true))
+    // every significant p is at most alpha (BH threshold <= alpha at rank m)
+    byRank.filter(_.getBoolean(5)).foreach(r => assert(r.getDouble(3) <= Profiling.BhAlpha))
+    // p monotone non-decreasing in rank (rank is by |z|, p monotone in |z|)
+    val ps = byRank.map(_.getDouble(3))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b + 1e-9 })
+  }
+
+  test("prefix recall: in [0,1], and truncated index is not spuriously perfect everywhere") {
+    val rows = Similarity.qPrefixRecall(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L)
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("woe/iv: iv_total constant and non-negative; shares reconstruct totals") {
+    val rows = PipelineOps.qWoeIv(spark, sf001).collect()
+    assert(rows.length >= 2)
+    val ivs = rows.map(_.getDouble(4)).distinct
+    assert(ivs.length == 1 && ivs.head >= 0.0)
+    val g = rows.map(_.getLong(1)).sum
+    val b = rows.map(_.getLong(2)).sum
+    val nCust = graft.sources.Tables.customer(spark, sf001).count()
+    assert(g + b == nCust)
+  }
 }
