@@ -540,4 +540,103 @@ object Evaluation {
             "sqrt(CAST(nn - fp + fp AS DOUBLE)) * " +
             "sqrt(CAST(nn - fp + p - tp AS DOUBLE)))", 6)} AS mcc
        |FROM best""".stripMargin
+
+  /** Isotonic (PAV) calibration of the stopword-ratio score against the
+    * English label — the monotone-regression companion to
+    * [[qCalibration]]'s fixed-bin reliability diagram: the raw
+    * per-bucket rate is NOT monotone in the score (small buckets jitter),
+    * and a downstream threshold picked on a non-monotone curve is
+    * unstable. Pool-adjacent-violators is computed in its closed minimax
+    * form — fit(k) = max_{i≤k} min_{j≥k} rate(i..j) — instead of the
+    * textbook sequential pooling loop: pooling is an inherently serial
+    * scan, but the minimax form is three joins over the BUCKET frame.
+    * Shape at 100 TB: one corpus scan collapses to ≤20 score-bucket
+    * cells (integer n/np sums, map-side combined); the O(B³) minimax
+    * triple enumeration runs over that ≤20-row frame (≤1.5k tuples,
+    * broadcast joins, never row-scale). Determinism: interval rates are
+    * single divisions of exact integers (identical doubles on both
+    * engines), min/max over identical doubles is engine-independent, and
+    * outputs round portably.
+    */
+  def qIsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        least(floor(lit(20) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))), lit(19L)).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // contiguous index rn over the nonempty buckets + inclusive prefix
+    // sums: rate(i..j) = (q_j − q_i + np_i) / (c_j − c_i + n_i)
+    val cells = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("bucket"))).cast("long"))
+      .withColumn("c", sum(col("n")).over(w))
+      .withColumn("q", sum(col("np")).over(w))
+    val iSide = cells.select(col("rn").as("ri"), col("n").as("ni"),
+      col("np").as("npi"), col("c").as("ci"), col("q").as("qi"))
+    val jSide = cells.select(col("rn").as("rj"), col("c").as("cj"),
+      col("q").as("qj"))
+    val kSide = cells.select(col("rn").as("rk"), col("bucket"),
+      col("n").as("nk"), col("np").as("npk"))
+    val triples = broadcast(iSide)
+      .join(broadcast(jSide), col("ri") <= col("rj"))
+      .join(broadcast(kSide), col("ri") <= col("rk") && col("rk") <= col("rj"))
+      .select(col("rk"), col("bucket"), col("nk"), col("npk"), col("ri"),
+        ((col("qj") - col("qi") + col("npi")).cast("double")
+          / (col("cj") - col("ci") + col("ni"))).as("rate"))
+    triples.groupBy(col("rk"), col("bucket"), col("nk"), col("npk"), col("ri"))
+      .agg(min(col("rate")).as("minr"))
+      .groupBy(col("rk"), col("bucket"), col("nk"), col("npk"))
+      .agg(max(col("minr")).as("fit"))
+      .select(col("bucket"), col("nk").as("n"), col("npk").as("np"),
+        NumFns.roundPortable(col("npk").cast("double") / col("nk"), 6)
+          .as("raw_rate"),
+        NumFns.roundPortable(col("fit"), 6).as("iso_rate"))
+      .orderBy(col("bucket"))
+  }
+
+  val qIsotonicCalibrationOracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT least(CAST(floor(20 * len(list_filter(toks,
+       |      x -> x IN (${Curation.stopListSql}))) / len(toks)) AS BIGINT),
+       |      19) AS bucket,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |cells AS (
+       |  SELECT bucket, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+       |  FROM sc GROUP BY bucket
+       |),
+       |idx AS (
+       |  SELECT bucket, n, np,
+       |    CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS rn,
+       |    CAST(sum(n) OVER w AS BIGINT) AS c,
+       |    CAST(sum(np) OVER w AS BIGINT) AS q
+       |  FROM cells
+       |  WINDOW w AS (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |tr AS (
+       |  SELECT k.rn AS rk, k.bucket, k.n AS nk, k.np AS npk, i.rn AS ri,
+       |    CAST(j.q - i.q + i.np AS DOUBLE) / (j.c - i.c + i.n) AS rate
+       |  FROM idx i
+       |  JOIN idx j ON i.rn <= j.rn
+       |  JOIN idx k ON i.rn <= k.rn AND k.rn <= j.rn
+       |),
+       |mn AS (
+       |  SELECT rk, bucket, nk, npk, ri, min(rate) AS minr
+       |  FROM tr GROUP BY rk, bucket, nk, npk, ri
+       |)
+       |SELECT bucket, nk AS n, npk AS np,
+       |  ${NumFns.roundPortableSql("CAST(npk AS DOUBLE) / nk", 6)} AS raw_rate,
+       |  ${NumFns.roundPortableSql("max(minr)", 6)} AS iso_rate
+       |FROM mn GROUP BY bucket, nk, npk
+       |ORDER BY bucket""".stripMargin
 }

@@ -1165,4 +1165,81 @@ object PipelineOps {
        |  ${NumFns.roundPortableSql("sum(iv_term) OVER ()", 6)} AS iv_total
        |FROM w
        |ORDER BY bin""".stripMargin
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-part return rates
+    * — the estimator [[qTargetEncoding]]'s additive smoothing
+    * approximates with a hand-picked constant, here with the prior
+    * LEARNED from the data by method of moments: fit Beta(α, β) to the
+    * population of raw rates (α+β = m(1−m)/v − 1), then shrink each
+    * part's rate toward the prior mean proportionally to its evidence:
+    * post = (x + α)/(n + α + β). A part with 3 lineitems and 2 returns
+    * no longer outranks one with 300 and 200. Report: the 15 highest
+    * posterior-rate parts. Shape at 100 TB: one fact scan collapses to
+    * per-part (n, x) integer cells (map-side combined); the prior is a
+    * 1-row moment aggregate over the PART-level frame, broadcast back;
+    * no row-scale work after the first agg. Determinism: moments
+    * accumulate as DECIMAL(38,12) (order-free), the posterior is a
+    * division of identical doubles, and the top-15 order sorts the
+    * rounded posterior with a part-key tiebreak.
+    */
+  def qEbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val parts = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_returnflag") === "R").cast("long")).as("x"))
+      .withColumn("rate", col("x").cast("double") / col("n"))
+    val prior = parts.agg(
+        count(lit(1)).as("p_cnt"),
+        sum(col("rate").cast(D)).as("sr"),
+        sum((col("rate") * col("rate")).cast(D)).as("sr2"))
+      .select(
+        (col("sr").cast("double") / col("p_cnt")).as("m"),
+        ((col("sr2").cast("double")
+          - col("p_cnt") * (col("sr").cast("double") / col("p_cnt"))
+            * (col("sr").cast("double") / col("p_cnt")))
+          / (col("p_cnt") - 1)).as("v"))
+      .select(col("m"), (col("m") * (lit(1.0) - col("m")) / col("v") - 1.0)
+        .as("k"))
+      .select((col("m") * col("k")).as("alpha"),
+        ((lit(1.0) - col("m")) * col("k")).as("beta"))
+    parts.crossJoin(broadcast(prior))
+      .select(col("l_partkey"), col("n"), col("x"),
+        NumFns.roundPortable(col("rate"), 6).as("raw_rate"),
+        NumFns.roundPortable(
+          (col("x") + col("alpha")) / (col("n") + col("alpha") + col("beta")),
+          6).as("post_rate"))
+      .orderBy(col("post_rate").desc, col("l_partkey"))
+      .limit(15)
+  }
+
+  val qEbShrinkageOracle: String =
+    s"""WITH parts AS (
+       |  SELECT l_partkey, count(*) AS n,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / count(*) AS rate
+       |  FROM lineitem GROUP BY l_partkey
+       |), mom AS (
+       |  SELECT count(*) AS p_cnt,
+       |    CAST(sum(CAST(rate AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+       |    CAST(sum(CAST(rate * rate AS DECIMAL(38,12))) AS DOUBLE) AS sr2
+       |  FROM parts
+       |), mv AS (
+       |  SELECT sr / p_cnt AS m,
+       |    (sr2 - p_cnt * (sr / p_cnt) * (sr / p_cnt)) / (p_cnt - 1) AS v
+       |  FROM mom
+       |), pr AS (
+       |  SELECT m * (m * (1.0 - m) / v - 1.0) AS alpha,
+       |    (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+       |  FROM mv
+       |)
+       |SELECT l_partkey, n, x,
+       |  ${NumFns.roundPortableSql("rate", 6)} AS raw_rate,
+       |  ${NumFns.roundPortableSql("(x + alpha) / (n + alpha + beta)", 6)}
+       |    AS post_rate
+       |FROM parts, pr
+       |ORDER BY post_rate DESC, l_partkey
+       |LIMIT 15""".stripMargin
 }

@@ -1431,4 +1431,67 @@ object Profiling {
        |  rnk, (rnk <= k_star) AS significant
        |FROM f
        |ORDER BY rnk""".stripMargin
+
+  /** Robust per-source outlier detection on document length via
+    * median/MAD — the companion to q_anomaly_zscore's mean/stddev gate:
+    * one pathological 100 MB document shifts a source's mean and stddev
+    * enough to mask OTHER outliers (masking), while the median and the
+    * median absolute deviation have a 50% breakdown point. Flag
+    * |x − med| > 3 · 1.4826 · MAD (1.4826 = 1/Φ⁻¹(3/4) makes MAD a
+    * consistent σ estimate under normality). Shape at 100 TB: both
+    * medians come from [[Analytics.exactPercentilesMulti]]'s
+    * rank-from-CELLS machinery — the corpus collapses to per-(source,
+    * length) cells first, so the order statistics cost value-domain
+    * work; the med/MAD frame (one row per source) broadcasts back for
+    * the final one-scan outlier count. Determinism: med/MAD are emitted
+    * rounded (both engines share the quantile_cont definition), the
+    * threshold compare runs on identical doubles.
+    */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val med = Analytics.exactPercentiles(docs, "source", "n_chars",
+      Seq(0.5 -> "med"))
+    val dev = docs.join(broadcast(med), Seq("source"))
+      .select(col("source"), col("med"),
+        abs(col("n_chars") - col("med")).as("adev"))
+    val mad = Analytics.exactPercentiles(
+      dev.select(col("source"), col("adev")), "source", "adev",
+      Seq(0.5 -> "mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum((col("adev") > lit(3.0) * 1.4826 * col("mad")).cast("long"))
+          .as("n_out"))
+      .select(col("source"), col("n_docs"), col("med"), col("mad"),
+        col("n_out"),
+        NumFns.roundPortable(col("n_out").cast("double") / col("n_docs"), 6)
+          .as("out_rate"))
+      .orderBy(col("source"))
+  }
+
+  val qMadOutliersOracle: String =
+    s"""WITH med AS (
+       |  SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS med
+       |  FROM documents GROUP BY source
+       |),
+       |dev AS (
+       |  SELECT d.source, abs(d.n_chars - m.med) AS adev, m.med
+       |  FROM documents d JOIN med m ON d.source = m.source
+       |),
+       |mad AS (
+       |  SELECT source, round(quantile_cont(adev, 0.5), 4) AS mad
+       |  FROM dev GROUP BY source
+       |)
+       |SELECT dev.source, count(*) AS n_docs, max(dev.med) AS med,
+       |  max(mad.mad) AS mad,
+       |  CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad.mad
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad.mad " +
+            "THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS out_rate
+       |FROM dev JOIN mad ON dev.source = mad.source
+       |GROUP BY dev.source
+       |ORDER BY dev.source""".stripMargin
 }

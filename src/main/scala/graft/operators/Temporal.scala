@@ -1446,4 +1446,78 @@ object Temporal {
        |  ${NumFns.roundPortableSql("med_cents / 100.0", 4)} AS med_rev
        |FROM m
        |ORDER BY r_name, day""".stripMargin
+
+  /** Lagged cross-correlation (CCF) between the daily view-count and
+    * daily purchase-count series — the lead/lag discovery companion to
+    * q_autocorr's single-series form: the lag whose |r| peaks is the
+    * empirical view→purchase delay, the number a attribution window or a
+    * forecast feature offset should come from, measured instead of
+    * guessed. For each lag ℓ ∈ [−7, 7], Pearson r between view(d) and
+    * purchase(d+ℓ) over the days where both exist. Shape at 100 TB: the
+    * event stream collapses to per-(type, day) COUNT cells first
+    * (map-side combined, |days| rows), the 15-lag sweep is a hash
+    * equi-join of that tiny frame against itself shifted (day+ℓ is a
+    * join KEY, not a window), and every moment is an exact integer sum —
+    * the only doubles are the 15 final divisions. Determinism: integer
+    * moments are order-free; identical division/sqrt inputs give
+    * identical doubles on both engines; r is emitted rounded.
+    */
+  def qCrossCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2020-01-01")).cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val views = daily.filter(col("event_type") === "view")
+      .select(col("day"), col("cnt").as("a"))
+    val buys = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("bday"), col("cnt").as("b"))
+    val lags = s.range(-7, 8).select(col("id").as("lag"))
+    val matched = views.crossJoin(broadcast(lags))
+      .join(buys, col("bday") === col("day") + col("lag"))
+    matched.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+      .select(col("lag"), col("n_days"),
+        NumFns.roundPortable(
+          (col("n_days") * col("sab") - col("sa") * col("sb")).cast("double")
+            / (sqrt((col("n_days") * col("saa") - col("sa") * col("sa"))
+                .cast("double"))
+              * sqrt((col("n_days") * col("sbb") - col("sb") * col("sb"))
+                .cast("double"))), 6).as("r"))
+      .orderBy(col("lag"))
+  }
+
+  val qCrossCorrOracle: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS day,
+       |    count(*) AS cnt
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY 1, 2
+       |), v AS (SELECT day, cnt AS a FROM daily WHERE event_type = 'view'),
+       |b AS (SELECT day AS bday, cnt AS b FROM daily
+       |  WHERE event_type = 'purchase'),
+       |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+       |m AS (
+       |  SELECT lag, a, b FROM v CROSS JOIN lags
+       |  JOIN b ON bday = day + lag
+       |), ag AS (
+       |  SELECT lag, count(*) AS n_days,
+       |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+       |    CAST(sum(a * b) AS BIGINT) AS sab,
+       |    CAST(sum(a * a) AS BIGINT) AS saa,
+       |    CAST(sum(b * b) AS BIGINT) AS sbb
+       |  FROM m GROUP BY lag
+       |)
+       |SELECT lag, n_days,
+       |  ${NumFns.roundPortableSql(
+            "CAST(n_days * sab - sa * sb AS DOUBLE) / " +
+            "(sqrt(CAST(n_days * saa - sa * sa AS DOUBLE)) * " +
+            "sqrt(CAST(n_days * sbb - sb * sb AS DOUBLE)))", 6)} AS r
+       |FROM ag
+       |ORDER BY lag""".stripMargin
 }

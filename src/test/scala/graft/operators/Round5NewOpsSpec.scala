@@ -710,4 +710,88 @@ class Round5NewOpsSpec extends SparkSpec {
     val nCust = graft.sources.Tables.customer(spark, sf001).count()
     assert(g + b == nCust)
   }
+
+  test("isotonic calibration: fit monotone, bounded by [0,1], pool-mass conserved") {
+    val rows = Evaluation.qIsotonicCalibration(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val fits = rows.map(_.getDouble(4))
+    // PAV output is monotone non-decreasing in the score bucket
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b + 1e-9 },
+      fits.mkString(","))
+    fits.foreach(f => assert(f >= 0.0 && f <= 1.0))
+    // PAV preserves total positive mass: sum n_k * fit_k == sum np_k
+    val mass = rows.map(r => r.getLong(1) * r.getDouble(4)).sum
+    val np = rows.map(_.getLong(2)).sum
+    assert(math.abs(mass - np) < 1e-3 * np + 1.0, s"$mass vs $np")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("mad outliers: median/MAD reproduce a driver-side exact recomputation for one source") {
+    val rows = Profiling.qMadOutliers(spark, sf001).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0) // MAD
+      assert(r.getLong(4) <= r.getLong(1)) // outliers bounded by docs
+    }
+    val src = rows.head.getString(0)
+    val lens = graft.sources.Tables.documents(spark, sf001)
+      .filter(s"source = '$src'").select("n_chars")
+      .collect().map(_.getLong(0).toDouble).sorted
+    def q50(xs: Array[Double]): Double = {
+      val h = (xs.length - 1) * 0.5
+      val lo = xs(h.toInt)
+      val hi = xs(math.ceil(h).toInt)
+      lo + (h - h.toInt) * (hi - lo)
+    }
+    val med = math.round(q50(lens) * 1e4) / 1e4
+    assert(rows.head.getDouble(2) == med, s"${rows.head.getDouble(2)} vs $med")
+    val mad = math.round(q50(lens.map(x => math.abs(x - med)).sorted) * 1e4) / 1e4
+    assert(rows.head.getDouble(3) == mad, s"${rows.head.getDouble(3)} vs $mad")
+  }
+
+  test("eb shrinkage: posterior sits between the raw rate and the learned prior mean") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineOps.qEbShrinkage(spark, sf001).collect()
+    assert(rows.length == 15)
+    // prior mean recomputed on the driver from the same part-level rates
+    val rates = graft.sources.Tables.lineitem(spark, sf001)
+      .groupBy(col("l_partkey"))
+      .agg((sum((col("l_returnflag") === "R").cast("long")).cast("double")
+        / count(lit(1))).as("r"))
+      .collect().map(_.getDouble(1))
+    val m = rates.sum / rates.length
+    rows.foreach { r =>
+      val (raw, post) = (r.getDouble(3), r.getDouble(4))
+      assert(post >= math.min(raw, m) - 1e-6 && post <= math.max(raw, m) + 1e-6,
+        s"posterior $post not between raw $raw and prior mean $m")
+    }
+    // small-n parts shrink harder: output ordered by posterior descending
+    val posts = rows.map(_.getDouble(4))
+    assert(posts.sameElements(posts.sorted(Ordering[Double].reverse)))
+  }
+
+  test("cross-correlation: full lag sweep, r bounded, lag-0 matches an exact recomputation") {
+    import org.apache.spark.sql.functions._
+    val rows = Temporal.qCrossCorr(spark, sf001).collect()
+    assert(rows.length == 15)
+    assert(rows.map(_.getLong(0)).sameElements(-7L to 7L))
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, r))
+    val daily = graft.sources.Tables.events(spark, sf001)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => r.getDate(1).toString -> r.getLong(2)).toMap }
+    val common = daily("view").keySet intersect daily("purchase").keySet
+    val xs = common.toSeq.map(d => (daily("view")(d).toDouble, daily("purchase")(d).toDouble))
+    val n = xs.length
+    val (sa, sb) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sab = xs.map(p => p._1 * p._2).sum
+    val saa = xs.map(p => p._1 * p._1).sum
+    val sbb = xs.map(p => p._2 * p._2).sum
+    val exp = (n * sab - sa * sb) /
+      (math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb))
+    val got = rows.find(_.getLong(0) == 0L).get.getDouble(2)
+    assert(math.abs(got - exp) < 1e-4, s"lag0 r $got vs $exp")
+  }
 }
