@@ -639,4 +639,171 @@ object Evaluation {
        |  ${NumFns.roundPortableSql("max(minr)", 6)} AS iso_rate
        |FROM mn GROUP BY bucket, nk, npk
        |ORDER BY bucket""".stripMargin
+
+  /** Marginal coverage target for [[qConformal]]. */
+  val ConformalLevel = 0.9
+
+  /** Split-conformal prediction intervals around a per-priority mean
+    * predictor of order value — the distribution-free coverage guarantee
+    * a pipeline's point predictions should ship with: on a
+    * content-addressed calibration half, the nonconformity score
+    * |y − ŷ| at the ⌈(n+1)·0.9⌉-th order statistic gives q̂ such that
+    * P(|y_new − ŷ| ≤ q̂) ≥ 0.9, verified here by MEASURING the held-out
+    * coverage. Shape at 100 TB: the split is a scan-side md5 hash (same
+    * discipline as train/test split — reproducible on any engine and
+    * shard order), the predictor is a 5-row broadcast aggregate, and the
+    * order statistic comes from residual CELLS with a running-count
+    * window — per-priority work scales with the residual value domain.
+    * Determinism: residuals are |long − exact-division double| (identical
+    * doubles on both engines), the order-statistic rank is exact integer
+    * arithmetic, and coverage compares identical doubles.
+    */
+  def qConformal(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.orders(s, dir).select(
+      col("o_orderpriority").as("prio"),
+      NumFns.roundAwayLong(col("o_totalprice") * 100).as("yc"),
+      (TextFns.hash28(concat(lit("cp:"), col("o_orderkey").cast("string")))
+        % 2 === 0).as("is_cal"))
+    val calAgg = keyed.filter(col("is_cal"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_cal"), sum(col("yc")).as("sy"))
+      .select(col("prio"), col("n_cal"),
+        (col("sy").cast("double") / col("n_cal")).as("yhat_c"))
+    val resid = keyed.join(broadcast(calAgg), Seq("prio"))
+      .select(col("prio"), col("is_cal"), col("n_cal"), col("yhat_c"),
+        abs(col("yc") - col("yhat_c")).as("res"))
+    // q̂ = the k-th smallest calibration residual, k = ⌈(n+1)·level⌉
+    // (clamped): the smallest cell whose running count reaches k
+    val wCum = Window.partitionBy(col("prio")).orderBy(col("res"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = resid.filter(col("is_cal"))
+      .groupBy(col("prio"), col("n_cal"), col("res"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("k", least(
+        ceil(lit(ConformalLevel) * (col("n_cal") + 1)), col("n_cal")))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("prio")).agg(min(col("res")).as("qh"))
+    resid.filter(!col("is_cal"))
+      .join(broadcast(qhat), Seq("prio"))
+      .groupBy(col("prio"), col("n_cal"), col("yhat_c"), col("qh"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("res") <= col("qh")).cast("long")).as("n_in"))
+      .select(col("prio"), col("n_cal"), col("n_test"),
+        NumFns.roundPortable(col("yhat_c") / 100.0, 4).as("yhat"),
+        NumFns.roundPortable(col("qh") / 100.0, 4).as("qhat"),
+        NumFns.roundPortable(col("n_in").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+      .orderBy(col("prio"))
+  }
+
+  val qConformalOracle: String =
+    s"""WITH keyed AS (
+       |  SELECT o_orderpriority AS prio,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS yc,
+       |    ${TextFns.hash28Sql("'cp:' || CAST(o_orderkey AS VARCHAR)")} % 2 = 0
+       |      AS is_cal
+       |  FROM orders
+       |), ca AS (
+       |  SELECT prio, count(*) AS n_cal,
+       |    CAST(sum(yc) AS DOUBLE) / count(*) AS yhat_c
+       |  FROM keyed WHERE is_cal GROUP BY prio
+       |), resid AS (
+       |  SELECT k.prio, k.is_cal, ca.n_cal, ca.yhat_c,
+       |    abs(k.yc - ca.yhat_c) AS res
+       |  FROM keyed k JOIN ca ON k.prio = ca.prio
+       |), cells AS (
+       |  SELECT prio, n_cal, res, count(*) AS c
+       |  FROM resid WHERE is_cal GROUP BY prio, n_cal, res
+       |), qh AS (
+       |  SELECT prio, min(res) AS qh FROM (
+       |    SELECT prio, res,
+       |      sum(c) OVER (PARTITION BY prio ORDER BY res
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |      least(ceil($ConformalLevel * (n_cal + 1)), n_cal) AS k
+       |    FROM cells
+       |  ) WHERE cum >= k GROUP BY prio
+       |)
+       |SELECT r.prio, max(r.n_cal) AS n_cal, count(*) AS n_test,
+       |  ${NumFns.roundPortableSql("max(r.yhat_c) / 100.0", 4)} AS yhat,
+       |  ${NumFns.roundPortableSql("max(qh.qh) / 100.0", 4)} AS qhat,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CASE WHEN r.res <= qh.qh THEN 1 ELSE 0 END) " +
+            "AS DOUBLE) / count(*)", 6)} AS coverage
+       |FROM resid r JOIN qh ON r.prio = qh.prio
+       |WHERE NOT r.is_cal
+       |GROUP BY r.prio
+       |ORDER BY r.prio""".stripMargin
+
+  /** Cumulative gains / lift table of the stopword-ratio classifier —
+    * the campaign-targeting view of the same ranking [[qAuc]] scores
+    * globally: walking score buckets best-first, what fraction of all
+    * positives is captured (gain) and at what multiple of the base rate
+    * (lift). The operating question "score the corpus, keep the top 20%"
+    * is answered by this table, not by AUC. Shape: the qAuc cell
+    * machinery bucketed to ≤20 rows; cumulative sums run best-bucket-
+    * first over that frame; base rate is one more cell aggregate.
+    * All counts are exact integers; ratios are final-step doubles.
+    */
+  def qLiftDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        least(floor(lit(20) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))), lit(19L)).as("bucket"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val cells = scored.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+    val tot = cells.agg(sum(col("n")).as("nt"), sum(col("np")).as("pt"))
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_n", sum(col("n")).over(wDesc))
+      .withColumn("cum_np", sum(col("np")).over(wDesc))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("np"), col("cum_n"), col("cum_np"),
+        NumFns.roundPortable(
+          col("cum_np").cast("double") / col("pt"), 6).as("gain"),
+        NumFns.roundPortable(
+          (col("cum_np").cast("double") / col("cum_n"))
+            / (col("pt").cast("double") / col("nt")), 6).as("lift"))
+      .orderBy(col("bucket").desc)
+  }
+
+  val qLiftDecilesOracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT least(CAST(floor(20 * len(list_filter(toks,
+       |      x -> x IN (${Curation.stopListSql}))) / len(toks)) AS BIGINT),
+       |      19) AS bucket,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |cells AS (
+       |  SELECT bucket, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+       |  FROM sc GROUP BY bucket
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(np) AS BIGINT) AS pt
+       |  FROM cells
+       |),
+       |cum AS (
+       |  SELECT bucket, n, np,
+       |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+       |    CAST(sum(np) OVER w AS BIGINT) AS cum_np
+       |  FROM cells
+       |  WINDOW w AS (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT bucket, n, np, cum_n, cum_np,
+       |  ${NumFns.roundPortableSql("CAST(cum_np AS DOUBLE) / pt", 6)} AS gain,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(cum_np AS DOUBLE) / cum_n) / (CAST(pt AS DOUBLE) / nt)",
+            6)} AS lift
+       |FROM cum, tot
+       |ORDER BY bucket DESC""".stripMargin
 }

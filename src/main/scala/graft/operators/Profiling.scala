@@ -1494,4 +1494,153 @@ object Profiling {
        |FROM dev JOIN mad ON dev.source = mad.source
        |GROUP BY dev.source
        |ORDER BY dev.source""".stripMargin
+
+  /** Kendall tau-b rank correlation between the monthly order-count and
+    * monthly revenue series — the third rank-association measure beside
+    * q_corr (Pearson, linear) and q_spearman (rank, but tie-fragile):
+    * tau-b counts concordant/discordant PAIRS with explicit tie
+    * normalization, so it is exact integer arithmetic end to end — no
+    * midrank averaging, no moment accumulation — and robust to the
+    * monotone-but-nonlinear relation between volume and revenue. Shape
+    * at 100 TB: the fact table collapses to per-month (count,
+    * revenue-cents) cells first (map-side combined, |months| rows);
+    * the O(M²) pair classification runs as a broadcast self-join of
+    * that ≤100-row frame (≤5k pairs). Every count is exact; the only
+    * double is the final normalized ratio.
+    */
+  def qKendallTau(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mth"))
+      .agg(count(lit(1)).as("x"),
+        sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("y"))
+    val a = monthly.select(col("mth").as("ma"), col("x").as("xa"), col("y").as("ya"))
+    val b = monthly.select(col("mth").as("mb"), col("x").as("xb"), col("y").as("yb"))
+    val pairs = a.join(broadcast(b), col("ma") < col("mb"))
+      .select(
+        signum(col("xa") - col("xb")).as("sx"),
+        signum(col("ya") - col("yb")).as("sy"))
+    pairs.agg(
+        count(lit(1)).as("n0"),
+        sum((col("sx") * col("sy") > 0).cast("long")).as("concordant"),
+        sum((col("sx") * col("sy") < 0).cast("long")).as("discordant"),
+        sum((col("sx") === 0).cast("long")).as("ties_x"),
+        sum((col("sy") === 0).cast("long")).as("ties_y"))
+      .select(col("n0"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"),
+        NumFns.roundPortable(
+          (col("concordant") - col("discordant")).cast("double")
+            / (sqrt((col("n0") - col("ties_x")).cast("double"))
+              * sqrt((col("n0") - col("ties_y")).cast("double"))), 6)
+          .as("tau_b"))
+  }
+
+  val qKendallTauOracle: String =
+    s"""WITH monthly AS (
+       |  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+       |      AS mth,
+       |    count(*) AS x,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM orders GROUP BY 1
+       |), p AS (
+       |  SELECT sign(a.x - b.x) AS sx, sign(a.y - b.y) AS sy
+       |  FROM monthly a JOIN monthly b ON a.mth < b.mth
+       |), ag AS (
+       |  SELECT count(*) AS n0,
+       |    CAST(sum(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS concordant,
+       |    CAST(sum(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS discordant,
+       |    CAST(sum(CASE WHEN sx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+       |    CAST(sum(CASE WHEN sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+       |  FROM p
+       |)
+       |SELECT n0, concordant, discordant, ties_x, ties_y,
+       |  ${NumFns.roundPortableSql(
+            "CAST(concordant - discordant AS DOUBLE) / " +
+            "(sqrt(CAST(n0 - ties_x AS DOUBLE)) * " +
+            "sqrt(CAST(n0 - ties_y AS DOUBLE)))", 6)} AS tau_b
+       |FROM ag""".stripMargin
+
+  /** Simpson's-paradox audit of the discount→quantity association: the
+    * pooled Pearson correlation vs the within-stratum correlations (by
+    * returnflag) — when a stratum's sign disagrees with the pooled sign,
+    * any "discounts drive volume" conclusion read off the pooled number
+    * is an aggregation artifact, the canonical trap of analyzing a
+    * merged 100 TB corpus without conditioning on the mixture variable.
+    * One scan computes BOTH levels: per-stratum moment cells (six
+    * DECIMAL sums each, map-side combined) roll up to the pooled moments
+    * by re-aggregation of the ≤3-row cell frame — the fact table is
+    * never read twice. Determinism: decimal moments are order-free; the
+    * correlation divisions run on identical doubles; flip flags compare
+    * exact signs of rounded values.
+    */
+  def qSimpson(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_discount").cast(D)).as("sx"),
+        sum(col("l_quantity").cast(D)).as("sy"),
+        sum((col("l_discount") * col("l_quantity")).cast(D)).as("sxy"),
+        sum((col("l_discount") * col("l_discount")).cast(D)).as("sxx"),
+        sum((col("l_quantity") * col("l_quantity")).cast(D)).as("syy"))
+    def corr(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column,
+        syy: Column): Column =
+      (n.cast("double") * sxy.cast("double")
+        - sx.cast("double") * sy.cast("double")) /
+        (sqrt(n.cast("double") * sxx.cast("double")
+          - sx.cast("double") * sx.cast("double"))
+          * sqrt(n.cast("double") * syy.cast("double")
+            - sy.cast("double") * sy.cast("double")))
+    val pooled = cells.agg(
+        sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sy")).as("sy"), sum(col("sxy")).as("sxy"),
+        sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"))
+      .select(NumFns.roundPortable(corr(col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy")), 6).as("r_pooled"))
+    cells
+      .select(col("l_returnflag"), col("n").as("n_rows"),
+        NumFns.roundPortable(corr(col("n"), col("sx"), col("sy"), col("sxy"),
+          col("sxx"), col("syy")), 6).as("r_stratum"))
+      .crossJoin(broadcast(pooled))
+      .select(col("l_returnflag"), col("n_rows"), col("r_stratum"),
+        col("r_pooled"),
+        (col("r_stratum") * col("r_pooled") < 0).as("sign_flip"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qSimpsonOracle: String = {
+    def corrSql(p: String) =
+      s"(CAST(${p}n AS DOUBLE) * CAST(${p}sxy AS DOUBLE) - " +
+        s"CAST(${p}sx AS DOUBLE) * CAST(${p}sy AS DOUBLE)) / " +
+        s"(sqrt(CAST(${p}n AS DOUBLE) * CAST(${p}sxx AS DOUBLE) - " +
+        s"CAST(${p}sx AS DOUBLE) * CAST(${p}sx AS DOUBLE)) * " +
+        s"sqrt(CAST(${p}n AS DOUBLE) * CAST(${p}syy AS DOUBLE) - " +
+        s"CAST(${p}sy AS DOUBLE) * CAST(${p}sy AS DOUBLE)))"
+    s"""WITH cells AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    sum(CAST(l_discount AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(l_quantity AS DECIMAL(38,12))) AS sy,
+       |    sum(CAST(l_discount * l_quantity AS DECIMAL(38,12))) AS sxy,
+       |    sum(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS sxx,
+       |    sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS syy
+       |  FROM lineitem GROUP BY l_returnflag
+       |), pooled AS (
+       |  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy,
+       |    sum(sxx) AS sxx, sum(syy) AS syy
+       |  FROM cells
+       |), pr AS (
+       |  SELECT ${NumFns.roundPortableSql(corrSql(""), 6)} AS r_pooled
+       |  FROM pooled
+       |)
+       |SELECT l_returnflag, n AS n_rows,
+       |  ${NumFns.roundPortableSql(corrSql(""), 6)} AS r_stratum,
+       |  r_pooled,
+       |  (${NumFns.roundPortableSql(corrSql(""), 6)} * r_pooled < 0)
+       |    AS sign_flip
+       |FROM cells, pr
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
 }

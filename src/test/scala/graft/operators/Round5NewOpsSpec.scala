@@ -794,4 +794,66 @@ class Round5NewOpsSpec extends SparkSpec {
     val got = rows.find(_.getLong(0) == 0L).get.getDouble(2)
     assert(math.abs(got - exp) < 1e-4, s"lag0 r $got vs $exp")
   }
+
+  test("kendall tau-b: pair accounting closes and matches a driver-side exact recomputation") {
+    import org.apache.spark.sql.functions._
+    val r = Profiling.qKendallTau(spark, sf001).collect().head
+    val (n0, c, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(c + d <= n0)
+    assert(math.abs(r.getDouble(5)) <= 1.0)
+    val series = graft.sources.Tables.orders(spark, sf001)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .agg(count(lit(1)).as("x"),
+        sum(graft.functions.NumFns.roundAwayLong(col("o_totalprice") * 100)).as("y"))
+      .collect().map(row => (row.getInt(0), row.getLong(1), row.getLong(2)))
+      .sortBy(_._1)
+    val pairs = for {
+      i <- series.indices; j <- (i + 1) until series.length
+    } yield (series(i), series(j))
+    assert(n0 == pairs.length)
+    val cExp = pairs.count { case (a, b) =>
+      (a._2 - b._2).sign * (a._3 - b._3).sign > 0 }
+    val dExp = pairs.count { case (a, b) =>
+      (a._2 - b._2).sign * (a._3 - b._3).sign < 0 }
+    assert(c == cExp && d == dExp, s"($c,$d) vs ($cExp,$dExp)")
+  }
+
+  test("simpson audit: pooled r constant across strata, correlations bounded") {
+    val rows = Profiling.qSimpson(spark, sf001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0)
+      assert(math.abs(r.getDouble(3)) <= 1.0)
+      assert(r.getBoolean(4) == (r.getDouble(2) * r.getDouble(3) < 0))
+    }
+    assert(rows.map(_.getDouble(3)).distinct.length == 1)
+  }
+
+  test("conformal: split partitions orders; held-out coverage near the nominal level") {
+    val rows = Evaluation.qConformal(spark, sf001).collect()
+    assert(rows.length == 5)
+    val nOrders = graft.sources.Tables.orders(spark, sf001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == nOrders)
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0.0, "interval half-width must be positive")
+      val cov = r.getDouble(5)
+      // finite-sample guarantee: coverage >= level in expectation; allow
+      // sampling slack below, and it can never exceed 1
+      assert(cov >= Evaluation.ConformalLevel - 0.08 && cov <= 1.0, s"$cov")
+    }
+  }
+
+  test("lift table: gains monotone to 1, totals reconstruct, top bucket lift >= 1") {
+    val rows = Evaluation.qLiftDeciles(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // rows come best-bucket-first: gain non-decreasing, ends at 1
+    val gains = rows.map(_.getDouble(5))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(math.abs(gains.last - 1.0) < 1e-9)
+    val np = rows.map(_.getLong(2)).sum
+    assert(rows.last.getLong(4) == np, "cumulative positives must close")
+    // over the whole table the cumulative rate IS the base rate: lift = 1
+    assert(math.abs(rows.last.getDouble(6) - 1.0) < 1e-9)
+    rows.foreach(r => assert(r.getDouble(6) >= 0.0))
+  }
 }
