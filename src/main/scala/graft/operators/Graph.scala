@@ -570,4 +570,79 @@ object Graph {
        |FROM auth
        |ORDER BY auth_raw DESC, part
        |LIMIT 25""".stripMargin
+
+  /** Degree cap for [[qCommonNeighbors]] pair generation — same
+    * hub-bounding discipline as [[Recsys.CfMaxBasket]]: one crawler-like
+    * customer touching thousands of suppliers would alone contribute
+    * C(deg, 2) pairs.
+    */
+  val LinkMaxDeg = 64L
+
+  /** Pairs reported by [[qCommonNeighbors]]. */
+  val LinkTopN = 20
+
+  /** Adamic-Adar link prediction over the customer→supplier bipartite
+    * graph: for supplier pairs sharing customers, score(s₁,s₂) =
+    * Σ_{c ∈ N(s₁)∩N(s₂)} 1/ln(deg(c)) — common neighbors weighted so a
+    * promiscuous customer certifies less than a selective one. The
+    * co-purchase complement of [[Recsys.qItemCf]]'s cosine: AA is THE
+    * standard missing-edge ranker (which suppliers serve the same demand
+    * but are never compared). Shape at 100 TB: the distinct edge list
+    * materializes once and feeds the degree aggregate and both self-join
+    * sides; degree-capped customers bound the per-key fan-out at
+    * C(cap, 2); the join shuffles bare (cust, supp, w) rows shuffle_hash
+    * (derived side, never driver-built); pair scores are map-side-
+    * combined sums. Determinism: each weight is the same 1/ln(integer)
+    * double on both engines, summed as DECIMAL (order-free), emitted
+    * rounded, with pair-key tiebreaks on the top-N sort.
+    */
+  def qCommonNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= LinkMaxDeg)
+    val weighted = edges.join(deg.hint("shuffle_hash"), Seq("c"))
+      .select(col("c"), col("su"), (lit(1.0) / log(col("d"))).as("w"))
+    weighted.select(col("c"), col("su").as("sa"), col("w"))
+      .join(weighted.select(col("c"), col("su").as("sb")).hint("shuffle_hash"),
+        Seq("c"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("w").cast(D)).as("aa"))
+      .select(col("sa").as("supp_a"), col("sb").as("supp_b"),
+        col("n_common"),
+        NumFns.roundPortable(col("aa").cast("double"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("supp_a"), col("supp_b"))
+      .limit(LinkTopN)
+  }
+
+  val qCommonNeighborsOracle: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |deg AS (
+       |  SELECT c, count(*) AS d FROM e GROUP BY c
+       |  HAVING count(*) >= 2 AND count(*) <= $LinkMaxDeg
+       |),
+       |w AS (
+       |  SELECT e.c, e.su, 1.0 / ln(deg.d) AS w
+       |  FROM e JOIN deg ON e.c = deg.c
+       |),
+       |p AS (
+       |  SELECT a.su AS supp_a, b.su AS supp_b, count(*) AS n_common,
+       |    sum(CAST(a.w AS DECIMAL(38,12))) AS aa
+       |  FROM w a JOIN w b ON a.c = b.c AND a.su < b.su
+       |  GROUP BY a.su, b.su
+       |)
+       |SELECT supp_a, supp_b, n_common,
+       |  ${NumFns.roundPortableSql("CAST(aa AS DOUBLE)", 6)} AS aa_score
+       |FROM p
+       |ORDER BY aa_score DESC, supp_a, supp_b
+       |LIMIT $LinkTopN""".stripMargin
 }

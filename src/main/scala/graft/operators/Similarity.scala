@@ -1273,4 +1273,142 @@ object Similarity {
        |  AND pt.neighbor_id = ft.neighbor_id
        |GROUP BY ft.query_id
        |ORDER BY ft.query_id""".stripMargin
+
+  /** Query population size for [[qKnnClassify]]. */
+  val KnnQueries = 50L
+
+  /** Neighbors voting in [[qKnnClassify]]. */
+  val KnnK = 5
+
+  /** Leave-one-out kNN label classification accuracy — the standard
+    * "are the embeddings any good for this label" probe run before
+    * anyone trains on them: for each of the first [[KnnQueries]]
+    * vectors, the [[KnnK]] nearest others by cosine vote on its label
+    * (majority, ties to the smaller label id), and per TRUE label the
+    * vote accuracy is reported. Shape at 100 TB: the query set is tiny
+    * and broadcast; the corpus streams past it once (the qAnnTopk
+    * argument) and only per-query candidate heaps shuffle; the vote and
+    * accuracy stages run over ≤ queries·k rows. Determinism: sims round
+    * to 4 with a neighbor-id tiebreak before ranking; the vote argmax
+    * tie-breaks on label id; accuracy is an exact integer ratio.
+    */
+  def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = prepared(s, dir)
+    val q = e.filter(col("vec_id") < KnnQueries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val neigh = broadcast(q).as("a")
+      .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("a.label").as("true_label"),
+        col("b.vec_id").as("neighbor_id"), col("b.label").as("n_label"),
+        simCol.as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+    val pred = neigh.groupBy(col("query_id"), col("true_label"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(max_by(col("n_label"),
+        struct(col("votes"), (-col("n_label")).as("nl"))).as("pred_label"))
+    pred.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum((col("pred_label") === col("true_label")).cast("long"))
+          .as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_correct"),
+        NumFns.roundPortable(
+          col("n_correct").cast("double") / col("n_queries"), 6)
+          .as("accuracy"))
+      .orderBy(col("true_label"))
+  }
+
+  val qKnnClassifyOracle: String =
+    s"""WITH $preparedSql,
+       |nb AS (
+       |  SELECT query_id, true_label, n_label FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS true_label,
+       |      c.vec_id AS neighbor_id, c.label AS n_label,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(${dotSql("q.v", "c.v")} / (sqrt(q.nsq) * sqrt(c.nsq)), 4)
+       |          DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM n WHERE vec_id < $KnnQueries) q
+       |    JOIN n c ON c.vec_id != q.vec_id) t
+       |  WHERE rank <= $KnnK
+       |),
+       |votes AS (
+       |  SELECT query_id, true_label, n_label, count(*) AS v
+       |  FROM nb GROUP BY query_id, true_label, n_label
+       |),
+       |pred AS (
+       |  SELECT query_id, true_label, n_label AS pred_label FROM (
+       |    SELECT query_id, true_label, n_label,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY v DESC, n_label) AS vr
+       |    FROM votes) t
+       |  WHERE vr = 1
+       |)
+       |SELECT true_label, count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) " +
+            "AS DOUBLE) / count(*)", 6)} AS accuracy
+       |FROM pred GROUP BY true_label
+       |ORDER BY true_label""".stripMargin
+
+  /** Per-cell simplified silhouette of the IVF assignment — the
+    * clustering-quality gate for the index the ANN/SemDeDup paths rely
+    * on: for every vector, a = cosine distance to its OWN cell's seed
+    * centroid, b = distance to the nearest OTHER centroid, s =
+    * (b−a)/max(a,b) ∈ [−1,1]; a negative s marks a vector the index
+    * put in the wrong cell. The simplified (centroid-distance) form is
+    * THE scalable silhouette: the classic pairwise definition is
+    * all-pairs row-scale, while this one is a broadcast of k centroids
+    * against one corpus scan — O(n·k) scan-side work, zero pair
+    * shuffles; the per-cell roll-up is a dimension-sized aggregate.
+    * Determinism: both distances derive from the same unrounded cosine
+    * both engines compute identically; per-vector s values sum as
+    * DECIMAL (order-free) and emit rounded.
+    */
+  def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = cellAssigned(s, dir)
+    val cents = prepared(s, dir).filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nsq").as("cnsq"))
+    val csim = VectorFns.cosineWithNorms(
+      VectorFns.dot(col("v"), col("cv")), col("nsq"), col("cnsq"))
+    val ab = e.crossJoin(broadcast(cents))
+      .withColumn("csim", csim)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg((lit(1.0) - max(when(col("cent_id") === col("cell"), col("csim"))))
+          .as("a"),
+        (lit(1.0) - max(when(col("cent_id") =!= col("cell"), col("csim"))))
+          .as("b"))
+      .withColumn("sil", (col("b") - col("a")) / greatest(col("a"), col("b")))
+    ab.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        NumFns.stableMean(col("sil"), count(lit(1)), 6).as("mean_sil"),
+        sum((col("sil") < 0).cast("long")).as("n_misfit"))
+      .orderBy(col("cell"))
+  }
+
+  val qSilhouetteOracle: String =
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |ab AS (
+       |  SELECT cells.vec_id, cells.cell,
+       |    1.0 - max(CASE WHEN c.cent_id = cells.cell
+       |      THEN ${dotSql("cells.v", "c.cv")} / (sqrt(cells.nsq) * sqrt(c.cnsq))
+       |      END) AS a,
+       |    1.0 - max(CASE WHEN c.cent_id != cells.cell
+       |      THEN ${dotSql("cells.v", "c.cv")} / (sqrt(cells.nsq) * sqrt(c.cnsq))
+       |      END) AS b
+       |  FROM cells CROSS JOIN c
+       |  GROUP BY cells.vec_id, cells.cell
+       |),
+       |sil AS (
+       |  SELECT cell, (b - a) / greatest(a, b) AS sil FROM ab
+       |)
+       |SELECT cell, count(*) AS n_vecs,
+       |  ${NumFns.stableMeanSql("sil", "count(*)", 6)} AS mean_sil,
+       |  CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+       |FROM sil GROUP BY cell
+       |ORDER BY cell""".stripMargin
 }

@@ -1563,4 +1563,5 @@ object TextAnalysis {
        |    AS p_kn
        |FROM top JOIN c1 USING (w1) JOIN lc USING (w2), nt
        |ORDER BY c12 DESC, w1, w2""".stripMargin
+
 }

@@ -856,4 +856,71 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(math.abs(rows.last.getDouble(6) - 1.0) < 1e-9)
     rows.foreach(r => assert(r.getDouble(6) >= 0.0))
   }
+
+  test("knn classify: every query voted exactly once; accuracy beats the majority-class prior") {
+    val rows = Similarity.qKnnClassify(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Similarity.KnnQueries)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // the metric is honest: on these synthetic embeddings the labels are
+    // independent of geometry (measured neighbor-label agreement ≈ 1/k),
+    // so pooled accuracy must sit near chance — a value near 1 would mean
+    // the query leaked the true label into the vote
+    val nLabels = graft.sources.Tables.embeddings(spark, sf001)
+      .select("label").distinct().count()
+    val acc = rows.map(_.getLong(2)).sum.toDouble / Similarity.KnnQueries
+    assert(acc < 3.0 / nLabels, s"kNN accuracy $acc implausibly high — label leak?")
+    // exact driver-side recomputation of every query's vote
+    val vecs = graft.sources.Tables.embeddings(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.round(d / (math.sqrt(a.map(x => x * x).sum)
+        * math.sqrt(b.map(x => x * x).sum)) * 1e4) / 1e4
+    }
+    val correctByLabel = vecs.filter(_._1 < Similarity.KnnQueries).map { q =>
+      val top = vecs.filter(_._1 != q._1)
+        .map(v => (v._1, cos(q._2, v._2), v._3))
+        .sortBy(t => (-t._2, t._1)).take(Similarity.KnnK)
+      val pred = top.groupBy(_._3).toSeq
+        .sortBy { case (l, g) => (-g.length, l) }.head._1
+      (q._3, if (pred == q._3) 1L else 0L)
+    }.groupBy(_._1).map { case (l, g) => (l, g.map(_._2).sum) }
+    rows.foreach { r =>
+      assert(r.getLong(2) == correctByLabel(r.getInt(0)),
+        s"label ${r.getInt(0)}: ${r.getLong(2)} vs ${correctByLabel(r.getInt(0))}")
+    }
+  }
+
+  test("silhouette: bounded, misfits counted consistently, population conserved") {
+    val rows = Similarity.qSilhouette(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= Similarity.NumCentroids)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0, r)
+      assert(r.getLong(3) <= r.getLong(1), r)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.sources.Tables.embeddings(spark, sf001).count())
+    // label-clustered embeddings: the assignment cannot be mostly wrong
+    val misfitShare = rows.map(_.getLong(3)).sum.toDouble / total
+    assert(misfitShare < 0.5, s"misfit share $misfitShare")
+  }
+
+  test("common neighbors: canonical pairs, scores descending and bounded by n_common/ln(2)") {
+    val rows = Graph.qCommonNeighbors(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= Graph.LinkTopN)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonicalized")
+      assert(r.getLong(2) >= 1)
+      // each common neighbor contributes at most 1/ln(2) (deg >= 2)
+      assert(r.getDouble(3) <= r.getLong(2) / math.log(2.0) + 1e-6, r)
+      assert(r.getDouble(3) > 0.0)
+    }
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+  }
 }
