@@ -645,4 +645,116 @@ object Graph {
        |FROM p
        |ORDER BY aa_score DESC, supp_a, supp_b
        |LIMIT $LinkTopN""".stripMargin
+
+  /** Core order for [[qKcore]]. */
+  val CoreK = 3
+
+  /** Peel rounds unrolled on BOTH engines. Peeling is idempotent at the
+    * fixpoint, so extra rounds never change a converged answer; the
+    * `converged` output column certifies whether the fixpoint was
+    * reached within the budget (the sketches' self-certification
+    * discipline — the operator's semantics are exactly "peel R rounds",
+    * identical on both engines at any scale).
+    */
+  val CoreRounds = 8
+
+  /** Hub cap on a part's supplier fan-out when building the co-supply
+    * edge set (same bounding discipline as [[LinkMaxDeg]]).
+    */
+  val CoreMaxFanout = 64L
+
+  /** k-core extraction over the supplier co-supply graph (suppliers
+    * linked when they ship the same part): iteratively peel nodes of
+    * degree < k until fixpoint — the standard dense-subgraph primitive
+    * (spam-cluster mining, community cores, graph sparsification). The
+    * loop is [[CoreRounds]] bounded peels, each one degree-aggregate +
+    * two semi-joins over the CURRENT edge frame (monotonically
+    * shrinking, `localCheckpoint`ed per round so round r never re-runs
+    * rounds 1..r−1 and plan size is constant); nothing but bare (a, b)
+    * key pairs ever shuffles. Output is the one-row core summary with
+    * the convergence certificate: `n_removed_last` > 0 ⇒ not converged
+    * (never observed at the tested scales; at 100 TB you raise
+    * [[CoreRounds]] — cost is linear in rounds).
+    */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("su")).distinct()
+      .localCheckpoint()
+    val fan = li.groupBy(col("p")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= CoreMaxFanout)
+    val capped = li.join(fan.hint("shuffle_hash"), Seq("p"))
+    var edges = capped.select(col("p"), col("su").as("sa"))
+      .join(capped.select(col("p"), col("su").as("sb")).hint("shuffle_hash"),
+        Seq("p"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+      .localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("sa").as("id")).union(e.select(col("sb").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    for (_ <- 1 to CoreRounds) {
+      val keep = degrees(edges).filter(col("d") >= CoreK).select(col("id"))
+      edges = edges
+        .join(keep.select(col("id").as("sa")).hint("shuffle_hash"),
+          Seq("sa"), "left_semi")
+        .join(keep.select(col("id").as("sb")).hint("shuffle_hash"),
+          Seq("sb"), "left_semi")
+        .select(col("sa"), col("sb"))
+        .localCheckpoint()
+    }
+    // fixpoint certificate from the FINAL frame alone: the result IS the
+    // k-core iff no surviving node still has degree < k
+    val finalDeg = degrees(edges)
+    finalDeg.agg(count(lit(1)).as("n_core_nodes"),
+        coalesce((sum(col("d")) / 2).cast("long"), lit(0L)).as("n_core_edges"),
+        coalesce(sum((col("d") < CoreK).cast("long")) === 0L, lit(true))
+          .as("converged"))
+      .select(lit(CoreK).cast("long").as("k"),
+        lit(CoreRounds).cast("long").as("rounds"),
+        col("n_core_nodes"), col("n_core_edges"), col("converged"))
+  }
+
+  /** Every peel CTE is `AS MATERIALIZED`: DuckDB inlines plain CTEs, and
+    * each level references its predecessor four times — an un-pinned
+    * chain re-expands the base scan 4^rounds times.
+    */
+  val qKcoreOracle: String = {
+    val peels = (0 until CoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT sa AS id FROM e$r UNION ALL SELECT sb FROM e$r
+         |  ) GROUP BY id
+         |),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT sa, sb FROM e$r
+         |  WHERE sa IN (SELECT id FROM d$r WHERE d >= $CoreK)
+         |    AND sb IN (SELECT id FROM d$r WHERE d >= $CoreK)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem
+       |),
+       |fan AS (
+       |  SELECT p FROM li GROUP BY p HAVING count(*) <= $CoreMaxFanout
+       |),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.su AS sa, b.su AS sb
+       |  FROM li a JOIN li b ON a.p = b.p AND a.su < b.su
+       |  JOIN fan ON fan.p = a.p
+       |),
+       |$peels,
+       |df AS (
+       |  SELECT id, count(*) AS d FROM (
+       |    SELECT sa AS id FROM e$CoreRounds
+       |    UNION ALL SELECT sb FROM e$CoreRounds
+       |  ) GROUP BY id
+       |)
+       |SELECT CAST($CoreK AS BIGINT) AS k,
+       |  CAST($CoreRounds AS BIGINT) AS rounds,
+       |  count(*) AS n_core_nodes,
+       |  COALESCE(CAST(sum(d) // 2 AS BIGINT), 0) AS n_core_edges,
+       |  COALESCE(CAST(sum(CASE WHEN d < $CoreK THEN 1 ELSE 0 END)
+       |    AS BIGINT) = 0, TRUE) AS converged
+       |FROM df""".stripMargin
+  }
 }

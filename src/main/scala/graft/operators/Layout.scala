@@ -101,6 +101,107 @@ object Layout {
        |ORDER BY z""".stripMargin
   }
 
+  /** One peel of the Hilbert xy→d state machine at scale `s` (the
+    * standard rx/ry quadrant + rotate step), emitted as (name, SQL
+    * expression) pairs over the level-`lev` state columns — the ONE
+    * definition both engines evaluate: Spark applies the pairs as a
+    * `withColumn` chain (`divOp = "div"`), the oracle joins them into a
+    * CTE chain (`divOp = "//"`). Quadrant value (3·rx) XOR ry is spelled
+    * branch-free as 2·rx + ((rx+ry) % 2); the rotate-and-reflect step
+    * keeps everything in exact int64.
+    */
+  def hilbertStep(lev: Int, s: Long, divOp: String): Seq[(String, String)] = {
+    val (x, y, d) = (s"hx$lev", s"hy$lev", s"hd$lev")
+    val rx = s"(($x $divOp $s) % 2)"
+    val ry = s"(($y $divOp $s) % 2)"
+    // reflection is against the FULL side (n−1−v), not the subsquare:
+    // coordinates are never reduced mod s between levels, so an s−1−v
+    // reflection of a value carrying higher bits would go negative (and
+    // integer div/mod on negatives then derails the bit extraction);
+    // flipping all n bits flips the not-yet-consumed low bits correctly
+    // and only perturbs already-consumed high ones
+    val n1 = (1L << ZBits) - 1
+    Seq(
+      s"hd${lev + 1}" -> s"($d + ${s * s} * (2 * $rx + (($rx + $ry) % 2)))",
+      s"hx${lev + 1}" -> (s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1" +
+        s" THEN $n1 - $y ELSE $y END) ELSE $x END)"),
+      s"hy${lev + 1}" -> (s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1" +
+        s" THEN $n1 - $x ELSE $x END) ELSE $y END)"))
+  }
+
+  /** Hilbert-curve layout audit — the locality-optimal sibling of
+    * [[qZorderLayout]]: the same 16×16 grid bucketization, keyed by the
+    * Hilbert index instead of the Morton interleave. Why offer both:
+    * consecutive Morton codes can jump 2^k grid cells apart (the
+    * "Z seam"), so a contiguous file of Morton range [m, m+c) can span a
+    * wide box; consecutive HILBERT codes are always edge-adjacent cells
+    * (unit Manhattan step — spec-asserted over the full grid), so every
+    * contiguous file covers a genuinely compact region and min/max
+    * footer stats stay tight on both dimensions even across file
+    * boundaries. Cost identity: the curve evaluates scan-side as a
+    * 4-level integer state machine (one projection per level, no UDF,
+    * codegen'd), and the audit is the same ≤256-cell aggregate as the
+    * Morton one.
+    */
+  def qHilbertLayout(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .withColumn("x", expr(grid("cents", XOriginCents, XSpanCents)))
+      .withColumn("y", expr(grid("p_size", YOriginSize, YSpanSize)))
+    val keyed = hilbert(base, "x", "y")
+    keyed.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        min(col("p_size")).as("min_size"), max(col("p_size")).as("max_size"))
+      .orderBy(col("h"))
+  }
+
+  /** Append Hilbert index column `h` computed from grid columns already
+    * in [0, 2^[[ZBits]]): the [[hilbertStep]] chain applied as level
+    * projections, then the final distance column renamed.
+    */
+  def hilbert(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val seeded = df
+      .withColumn("hx0", col(xCol).cast("long"))
+      .withColumn("hy0", col(yCol).cast("long"))
+      .withColumn("hd0", lit(0L))
+    val stepped = (0 until ZBits).foldLeft(seeded) { (acc, lev) =>
+      hilbertStep(lev, 1L << (ZBits - 1 - lev), "div")
+        .foldLeft(acc) { case (a, (name, e)) => a.withColumn(name, expr(e)) }
+    }
+    stepped.withColumn("h", col(s"hd$ZBits"))
+      .drop((0 to ZBits).flatMap(l => Seq(s"hx$l", s"hy$l", s"hd$l")): _*)
+  }
+
+  val qHilbertLayoutOracle: String = {
+    def gridSql(v: String, origin: Long, span: Long): String =
+      s"least(${(1L << ZBits) - 1}, (($v - $origin) * ${1L << ZBits}) // $span)"
+    val levels = (0 until ZBits).map { lev =>
+      val cols = hilbertStep(lev, 1L << (ZBits - 1 - lev), "//")
+        .map { case (name, e) => s"$e AS $name" }.mkString(",\n|    ")
+      s"h${lev + 1} AS (SELECT *, $cols FROM h$lev)"
+    }.mkString(",\n|")
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_size, CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+       |  FROM part
+       |), h0 AS (
+       |  SELECT p_partkey, p_size, cents,
+       |    ${gridSql("cents", XOriginCents, XSpanCents)} AS hx0,
+       |    ${gridSql("CAST(p_size AS BIGINT)", YOriginSize, YSpanSize)} AS hy0,
+       |    CAST(0 AS BIGINT) AS hd0
+       |  FROM p
+       |),
+       |$levels
+       |SELECT hd$ZBits AS h,
+       |  count(*) AS n_parts,
+       |  min(cents) AS min_cents, max(cents) AS max_cents,
+       |  min(p_size) AS min_size, max(p_size) AS max_size
+       |FROM h$ZBits
+       |GROUP BY h
+       |ORDER BY h""".stripMargin
+  }
+
   /** Z-order clustered write: append the Morton key over the two given
     * pre-bucketized grid columns and delegate to [[CloudOptimize.write]]
     * with the Morton key as the sort contract — range-shuffled (skew

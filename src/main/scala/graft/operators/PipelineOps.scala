@@ -1242,4 +1242,56 @@ object PipelineOps {
        |FROM parts, pr
        |ORDER BY post_rate DESC, l_partkey
        |LIMIT 15""".stripMargin
+
+  /** UCB1 allocation scores over the event-type arms — the adaptive
+    * companion to the fixed-split A/B machinery (q_ab_conversion,
+    * q_power_analysis): treat each event type as a bandit arm with
+    * `value` as reward; UCB1 = mean + √(2·ln N / n) is the optimism
+    * bonus that tells the next traffic allocator which arm to pull.
+    * Emitted as the ranked allocation table. Shape: one fact scan →
+    * |arms| moment cells (map-side combined); the score arithmetic runs
+    * on the arms frame. Determinism: means are DECIMAL-stable sums; the
+    * bonus is the same √/ln expression of exact integers on both
+    * engines; ranking sorts the unrounded score with an arm-name
+    * tiebreak.
+    */
+  def qUcbRank(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val arms = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D)).as("sv"))
+    val tot = arms.agg(sum(col("n")).as("big_n"))
+    val meanC = col("sv").cast("double") / col("n")
+    val ucbC = meanC +
+      sqrt(lit(2.0) * log(col("big_n").cast("double")) / col("n"))
+    arms.crossJoin(broadcast(tot))
+      .withColumn("ucb_raw", ucbC)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("ucb_raw").desc, col("event_type"))).cast("long"))
+      .select(col("rk"), col("event_type"), col("n"),
+        NumFns.roundPortable(meanC, 6).as("mean_reward"),
+        NumFns.roundPortable(col("ucb_raw"), 6).as("ucb"))
+      .orderBy(col("rk"))
+  }
+
+  val qUcbRankOracle: String =
+    s"""WITH arms AS (
+       |  SELECT event_type, count(*) AS n,
+       |    sum(CAST(value AS DECIMAL(38,12))) AS sv
+       |  FROM events GROUP BY event_type
+       |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM arms),
+       |sc AS (
+       |  SELECT event_type, n,
+       |    CAST(sv AS DOUBLE) / n AS mean_raw,
+       |    CAST(sv AS DOUBLE) / n
+       |      + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / n) AS ucb_raw
+       |  FROM arms, tot
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY ucb_raw DESC, event_type)
+       |    AS BIGINT) AS rk,
+       |  event_type, n,
+       |  ${NumFns.roundPortableSql("mean_raw", 6)} AS mean_reward,
+       |  ${NumFns.roundPortableSql("ucb_raw", 6)} AS ucb
+       |FROM sc
+       |ORDER BY rk""".stripMargin
 }

@@ -1520,4 +1520,99 @@ object Temporal {
             "sqrt(CAST(n_days * sbb - sb * sb AS DOUBLE)))", 6)} AS r
        |FROM ag
        |ORDER BY lag""".stripMargin
+
+  /** Train/test calendar cutoff for [[qPinballLoss]] (fixed date, not a
+    * computed split — a forecast backtest that derives its cutoff from
+    * the data leaks the future into the training window).
+    */
+  val PinballCutoff = "1999-01-01"
+
+  /** The quantile levels scored by [[qPinballLoss]]. */
+  val PinballTaus: Seq[(String, Double)] =
+    Seq(("p10", 0.1), ("p50", 0.5), ("p90", 0.9))
+
+  /** Pinball (quantile) loss backtest of a per-region quantile forecast
+    * — the eval that q_forecast_eval's point metrics (MAE/MAPE) cannot
+    * express: a daily-revenue P90 used for capacity planning is only
+    * right if it loses under the ASYMMETRIC check L_τ(y,ŷ) =
+    * max(τ(y−ŷ), (τ−1)(y−ŷ)), the strictly proper score for quantiles.
+    * Train = days before [[PinballCutoff]], model = the region's exact
+    * training q10/q50/q90 (the [[Analytics.exactPercentilesMulti]]
+    * rank-from-cells machinery), test = the rest. Shape at 100 TB: the
+    * fact table collapses once to (region, day) revenue cells; the
+    * quantile frame is |regions|-rows and broadcasts back; the τ sweep
+    * melts scan-side (3× the CELL frame, not the fact table);
+    * per-(region, τ) means are DECIMAL-stable sums.
+    */
+  def qPinballLoss(s: SparkSession, dir: String): DataFrame = {
+    val geo = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val cells = Tables.orders(s, dir)
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("day"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev_cents"))
+    val cut = datediff(to_date(lit(PinballCutoff)), to_date(lit("1992-01-01")))
+    val train = cells.filter(col("day") < cut)
+    val test = cells.filter(col("day") >= cut)
+    val qs = Analytics.exactPercentiles(train, "r_name", "rev_cents",
+      PinballTaus.map { case (name, p) => p -> name })
+    val melted = test.join(broadcast(qs), Seq("r_name"))
+      .select(col("r_name"), col("rev_cents"),
+        explode(array(PinballTaus.map { case (name, p) =>
+          struct(lit(name).as("tau"), lit(p).as("t"), col(name).as("qhat"))
+        }: _*)).as("x"))
+      .select(col("r_name"), col("rev_cents"), col("x.tau").as("tau"),
+        col("x.t").as("t"), col("x.qhat").as("qhat"))
+    val diff = col("rev_cents") - col("qhat")
+    melted
+      .withColumn("loss", greatest(col("t") * diff, (col("t") - 1) * diff))
+      .groupBy(col("r_name"), col("tau"))
+      .agg(count(lit(1)).as("n_test"),
+        NumFns.roundPortable(max(col("qhat")) / 100.0, 4).as("q_forecast"),
+        NumFns.stableMean(col("loss") / 100.0, count(lit(1)), 6).as("pinball"))
+      .orderBy(col("r_name"), col("tau"))
+  }
+
+  val qPinballLossOracle: String = {
+    val melt = PinballTaus.map { case (name, p) =>
+      s"""SELECT te.r_name, te.rev_cents, '$name' AS tau, $p AS t,
+         |    q.$name AS qhat FROM te JOIN q USING (r_name)""".stripMargin
+    }.mkString("\n|  UNION ALL\n|  ")
+    val qCols = PinballTaus.map { case (name, p) =>
+      s"round(quantile_cont(rev_cents, $p), 4) AS $name" }.mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT r_name,
+       |    CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev_cents
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  GROUP BY 1, 2
+       |),
+       |tr AS (SELECT * FROM cells
+       |  WHERE day < DATE '$PinballCutoff' - DATE '1992-01-01'),
+       |te AS (SELECT * FROM cells
+       |  WHERE day >= DATE '$PinballCutoff' - DATE '1992-01-01'),
+       |q AS (SELECT r_name, $qCols FROM tr GROUP BY r_name),
+       |m AS (
+       |  $melt
+       |),
+       |l AS (
+       |  SELECT r_name, tau,
+       |    greatest(t * (rev_cents - qhat), (t - 1) * (rev_cents - qhat))
+       |      AS loss, qhat
+       |  FROM m
+       |)
+       |SELECT r_name, tau, count(*) AS n_test,
+       |  ${NumFns.roundPortableSql("max(qhat) / 100.0", 4)} AS q_forecast,
+       |  ${NumFns.stableMeanSql("loss / 100.0", "count(*)", 6)} AS pinball
+       |FROM l
+       |GROUP BY r_name, tau
+       |ORDER BY r_name, tau""".stripMargin
+  }
 }

@@ -923,4 +923,58 @@ class Round5NewOpsSpec extends SparkSpec {
     val scores = rows.map(_.getDouble(3))
     assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
   }
+
+  test("hilbert curve: bijective on the grid and consecutive codes are edge-adjacent cells") {
+    import org.apache.spark.sql.functions._
+    val side = 1 << Layout.ZBits
+    val grid = spark.range(side.toLong * side)
+      .select((col("id") % side).as("x"), (col("id") / side).cast("long").as("y"))
+    val cells = Layout.hilbert(grid, "x", "y").collect()
+      .map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    // bijection: 256 distinct codes covering exactly 0..255
+    assert(cells.size == side * side)
+    assert(cells.keySet == (0L until side.toLong * side).toSet)
+    // THE Hilbert property Z-order lacks: successive codes are unit
+    // Manhattan steps — no seams, so contiguous files cover compact boxes
+    (0L until side.toLong * side - 1).foreach { d =>
+      val (x1, y1) = cells(d)
+      val (x2, y2) = cells(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // the audit query groups the same key space
+    val audit = Layout.qHilbertLayout(spark, sf001).collect()
+    assert(audit.nonEmpty && audit.forall(r =>
+      r.getLong(0) >= 0 && r.getLong(0) < side.toLong * side))
+  }
+
+  test("k-core: fixpoint certified, handshake closes, core denser than k/2 per node") {
+    val r = Graph.qKcore(spark, sf001).collect().head
+    assert(r.getLong(0) == Graph.CoreK && r.getLong(1) == Graph.CoreRounds)
+    val (nodes, edges) = (r.getLong(2), r.getLong(3))
+    assert(r.getBoolean(4), "peel did not converge within the round budget")
+    // min degree >= k in a converged core implies e >= n*k/2
+    assert(2 * edges >= nodes * Graph.CoreK, s"core too sparse: $nodes/$edges")
+  }
+
+  test("pinball loss: quantile forecasts ordered, losses non-negative, q50 beats flipped quantiles on MAE") {
+    val rows = Temporal.qPinballLoss(spark, sf001).collect()
+    assert(rows.length == 15) // 5 regions x 3 taus
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0, r))
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val byTau = g.map(r => r.getString(1) -> r.getDouble(3)).toMap
+      assert(byTau("p10") <= byTau("p50") && byTau("p50") <= byTau("p90"),
+        s"quantile crossing: $byTau")
+    }
+  }
+
+  test("ucb rank: optimism bonus strictly positive, ranking consistent with scores") {
+    val rows = PipelineOps.qUcbRank(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getDouble(4) > r.getDouble(3),
+      "UCB must exceed the empirical mean"))
+    assert(rows.map(_.getLong(0)).sameElements(1L to 5L))
+    val ucbs = rows.map(_.getDouble(4))
+    assert(ucbs.sameElements(ucbs.sorted(Ordering[Double].reverse)))
+  }
 }
