@@ -806,4 +806,91 @@ object Evaluation {
             6)} AS lift
        |FROM cum, tot
        |ORDER BY bucket DESC""".stripMargin
+
+  /** RBO persistence parameter (weight decay per depth). */
+  val RboP = 0.9
+
+  /** Ranking depth compared by [[qRbo]] (the IVF path returns top-3). */
+  val RboDepth = 3
+
+  /** Truncated rank-biased overlap between the exact cosine ranking and
+    * the IVF ranking, per query — the third retrieval-quality lens
+    * beside set recall (q_ann_recall) and graded NDCG (q_ndcg): RBO is
+    * top-weighted (disagreement at rank 1 costs more than at rank 3) and
+    * needs no relevance grades, only the two rankings. Truncated form
+    * (1−p)·Σ_{i≤d} p^{i−1}·|A_{:i} ∩ B_{:i}|/i, p = [[RboP]] — the
+    * RBO-MIN lower bound, the honest number when both lists are depth-
+    * bounded. Shape: both inputs are already per-query top-k frames;
+    * the depth sweep is a ≤d× expansion of their join (never corpus-
+    * scale); agreement counts are exact integers and every p-power is
+    * the same literal multiplication chain on both engines.
+    */
+  def qRbo(s: SparkSession, dir: String): DataFrame = {
+    val exact = Similarity.qAnnTopk(s, dir)
+      .filter(col("rank") <= RboDepth)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
+    val ivf = Similarity.qAnnIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+    val matched = exact.join(ivf, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("joined_at"))
+    val depths = s.range(1, RboDepth + 1).select(col("id").as("depth"))
+    // A_i = matches whose BOTH ranks are <= i, per query and depth
+    val agree = matched.crossJoin(broadcast(depths))
+      .filter(col("joined_at") <= col("depth"))
+      .groupBy(col("query_id"), col("depth"))
+      .agg(count(lit(1)).as("a"))
+    val wExpr = (1 to RboDepth).map { i =>
+      val pPow = (1 until i).foldLeft(lit(1.0))((acc, _) => acc * RboP)
+      when(col("depth") === i, pPow * col("a") / i).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val queries = exact.select(col("query_id")).distinct()
+    queries.join(
+        agree.withColumn("term", wExpr)
+          .groupBy(col("query_id"))
+          .agg(max(when(col("depth") === RboDepth, col("a"))).as("a_d"),
+            sum(col("term").cast(DecimalType(38, 12))).as("terms")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("a_d"), lit(0L)).as("overlap_at_depth"),
+        NumFns.roundPortable(
+          lit(1.0 - RboP) * coalesce(col("terms").cast("double"), lit(0.0)),
+          6).as("rbo"))
+      .orderBy(col("query_id"))
+  }
+
+  val qRboOracle: String = {
+    val terms = (1 to RboDepth).map { i =>
+      val pPow = Seq.fill(i - 1)(RboP.toString).mkString(" * ")
+      val p = if (i == 1) "1.0" else s"($pPow)"
+      s"CASE WHEN depth = $i THEN $p * a / $i ELSE 0.0 END"
+    }.mkString(" + ")
+    s"""WITH ex AS (${Similarity.qAnnTopkOracle}),
+       |iv AS (${Similarity.qAnnIvfOracle}),
+       |m AS (
+       |  SELECT ex.query_id, greatest(ex.rank, iv.rank) AS joined_at
+       |  FROM ex JOIN iv ON ex.query_id = iv.query_id
+       |    AND ex.neighbor_id = iv.neighbor_id
+       |  WHERE ex.rank <= $RboDepth
+       |),
+       |ag AS (
+       |  SELECT query_id, CAST(depth AS BIGINT) AS depth, count(*) AS a
+       |  FROM m CROSS JOIN (SELECT unnest(range(1, ${RboDepth + 1})) AS depth)
+       |  WHERE joined_at <= depth
+       |  GROUP BY query_id, depth
+       |),
+       |t AS (
+       |  SELECT query_id,
+       |    max(CASE WHEN depth = $RboDepth THEN a END) AS a_d,
+       |    sum(CAST($terms AS DECIMAL(38,12))) AS terms
+       |  FROM ag GROUP BY query_id
+       |),
+       |q AS (SELECT DISTINCT query_id FROM ex)
+       |SELECT q.query_id,
+       |  COALESCE(a_d, 0) AS overlap_at_depth,
+       |  ${NumFns.roundPortableSql(
+            s"${1.0 - RboP} * COALESCE(CAST(terms AS DOUBLE), 0.0)", 6)}
+       |    AS rbo
+       |FROM q LEFT JOIN t ON t.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
 }

