@@ -300,6 +300,77 @@ object EventPipeline {
       }
   }
 
+  case class DayVisit(day: Long, user_id: Long)
+  case class HllState(regs: Array[Byte])
+  case class WauEstimate(day: Long, wau_est: Long)
+
+  /** HLL precision for [[wauStream]]: 2^12 registers ≈ 1.6% rsd. */
+  val WauHllP = 12
+
+  /** Window width in days (matches the batch op). */
+  val WauWindow = 7
+
+  /** splitmix64 — the deterministic 64-bit avalanche both the index and
+    * rank bits come from. Pure integer arithmetic, no library hash whose
+    * seed could differ between runs.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Streaming trailing-[[WauWindow]]-day distinct actives — the
+    * unbounded-input form of the exact batch
+    * [[graft.operators.Temporal.qSlidingDistinct]]: each (day, user)
+    * visit fans out to the ≤7 anchor days it serves (the same cell
+    * fan-out the batch op uses — streaming or not, sliding distinctness
+    * only decomposes by registering the visit with every window it
+    * belongs to), and per anchor day the state is a fixed 4 KB
+    * HyperLogLog register array, NOT a user set: state size is constant
+    * per key at any traffic volume, which is the whole reason WAU at
+    * 100 TB is an HLL and not a distinct-set. Updates emit the anchor's
+    * current estimate; standard HLL bias correction with the
+    * linear-counting small-range regime. Parity gate (spec): final
+    * estimates land within 5% (≈3σ) of the exact batch WAU.
+    */
+  def wauStream(visits: Dataset[DayVisit]): Dataset[WauEstimate] = {
+    import visits.sparkSession.implicits._
+    val m = 1 << WauHllP
+    visits
+      .flatMap(v => (0 until WauWindow).map(o => DayVisit(v.day + o, v.user_id)))
+      .groupByKey(_.day)
+      .flatMapGroupsWithState[HllState, WauEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (anchor, vs, state: GroupState[HllState]) =>
+          val regs = state.getOption.map(_.regs).getOrElse(new Array[Byte](m))
+          vs.foreach { v =>
+            val h = mix64(v.user_id)
+            val idx = (h >>> (64 - WauHllP)).toInt
+            val rank = (java.lang.Long.numberOfLeadingZeros(h << WauHllP | 1L)
+              + 1).toByte
+            if (rank > regs(idx)) regs(idx) = rank
+          }
+          state.update(HllState(regs))
+          // alpha_m * m^2 / sum(2^-reg), linear counting when small
+          val alpha = 0.7213 / (1.0 + 1.079 / m)
+          var sum = 0.0
+          var zeros = 0
+          var i = 0
+          while (i < m) {
+            sum += math.pow(2.0, -regs(i).toDouble)
+            if (regs(i) == 0) zeros += 1
+            i += 1
+          }
+          val raw = alpha * m.toDouble * m / sum
+          val est =
+            if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+            else raw
+          Iterator.single(WauEstimate(anchor, math.round(est)))
+      }
+  }
+
   /** Batch-equivalent entry used by tests: stream the events parquet
     * through a file source (raw on-disk schema — ts arrives as a ns Long
     * under nanosAsLong and is normalized to a µs timestamp, mirroring

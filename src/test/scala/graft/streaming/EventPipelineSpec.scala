@@ -184,4 +184,30 @@ class EventPipelineSpec extends SparkSpec {
         ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))).toMap
     assert(out == expected)
   }
+  test("streaming HLL WAU lands within the sketch bound of the exact batch sliding distinct") {
+    import spark.implicits._
+    val stream = EventPipeline.streamEventsFrom(spark, sf001)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2020-01-01")).cast("long").as("day"))
+      .as[EventPipeline.DayVisit]
+    val q = EventPipeline.wauStream(stream)
+      .writeStream.format("memory").queryName("wau_test")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // Update mode re-emits per batch; keep the LAST estimate per day
+      val est = spark.sql("SELECT day, wau_est FROM wau_test")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = graft.operators.Temporal.qSlidingDistinct(spark, sf001)
+        .select(col("day"), col("wau")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(exact.nonEmpty)
+      // every real anchor day has an estimate within 5% (~3 sigma at p=12)
+      exact.foreach { case (d, n) =>
+        val e = est.getOrElse(d, fail(s"day $d missing from stream"))
+        assert(math.abs(e - n) <= math.max(1L, math.round(n * 0.05)),
+          s"day $d: est $e vs exact $n")
+      }
+    } finally q.stop()
+  }
 }
