@@ -1222,4 +1222,65 @@ object Behavioral {
        |GROUP BY 1
        |ORDER BY n_paths DESC, path
        |LIMIT $PathTopN""".stripMargin
+
+  /** The two calendar years compared by [[qDecileTransition]]. */
+  val TransitionYears: (Int, Int) = (1997, 1998)
+
+  /** Customer revenue-decile transition matrix between two years — the
+    * migration view behind every "are our best customers staying on
+    * top" question (RFM segments q_rfm_segments freeze ONE period; this
+    * is the period-over-period flow). Per year, a customer's decile
+    * comes from their revenue rank among that year's active customers
+    * (rank-from-the-customer-AGGREGATE: the partitionless row_number
+    * runs over the per-customer yearly revenue frame — entity-bounded,
+    * never row-scale — the PlanAuditSpec-sanctioned window-over-
+    * Aggregate shape, tie-broken by custkey); customers active in both
+    * years join on the key and the ≤100 (from, to) counts aggregate
+    * map-side. Revenue quantizes to exact cents, ranks are exact
+    * integers — the whole matrix is integer-exact.
+    */
+  def qDecileTransition(s: SparkSession, dir: String): DataFrame = {
+    def yearly(y: Int, rankCol: String, decCol: String): DataFrame = {
+      val rev = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey"))
+        .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+      rev.withColumn(rankCol, row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .select(col("o_custkey"),
+          expr(s"(($rankCol - 1) * 10) div n").as(decCol))
+    }
+    val (y1, y2) = TransitionYears
+    yearly(y1, "r1", "decile_from")
+      .join(yearly(y2, "r2", "decile_to"), Seq("o_custkey"))
+      .groupBy(col("decile_from"), col("decile_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("decile_from"), col("decile_to"))
+  }
+
+  val qDecileTransitionOracle: String = {
+    def yearlySql(y: Int) =
+      s"""SELECT o_custkey,
+         |    ((CAST(row_number() OVER (ORDER BY rev DESC, o_custkey)
+         |      AS BIGINT) - 1) * 10) // CAST(count(*) OVER () AS BIGINT)
+         |      AS dec
+         |  FROM (
+         |    SELECT o_custkey,
+         |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |        AS rev
+         |    FROM orders WHERE year(o_orderdate) = $y GROUP BY o_custkey
+         |  )""".stripMargin
+    val (y1, y2) = TransitionYears
+    s"""WITH a AS (
+       |  ${yearlySql(y1)}
+       |), b AS (
+       |  ${yearlySql(y2)}
+       |)
+       |SELECT a.dec AS decile_from, b.dec AS decile_to,
+       |  count(*) AS n_customers
+       |FROM a JOIN b ON a.o_custkey = b.o_custkey
+       |GROUP BY a.dec, b.dec
+       |ORDER BY decile_from, decile_to""".stripMargin
+  }
 }

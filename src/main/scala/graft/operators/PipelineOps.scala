@@ -1294,4 +1294,142 @@ object PipelineOps {
        |  ${NumFns.roundPortableSql("ucb_raw", 6)} AS ucb
        |FROM sc
        |ORDER BY rk""".stripMargin
+
+  /** Matching caliper in account-balance cents. */
+  val CaliperCents = 5000L
+
+  /** Caliper nearest-neighbor matching ATT — the observational-causal
+    * estimator beside CUPED/diff-in-diff/QTE: treated customers (odd
+    * key, the repo's deterministic arm) are each matched to the nearest
+    * CONTROL by account balance within a [[CaliperCents]] caliper, and
+    * ATT = mean(treated outcome − matched control outcome). The naive
+    * nearest-neighbor is an all-pairs scan; the scalable form here is
+    * the sort-merge trick the asof join uses: one segment-partitioned
+    * sort of the customer frame interleaves both arms, a running
+    * CONTROL counter gives every treated row the INDEX of its
+    * predecessor control (and thus successor), and two equi-joins on
+    * that index fetch the only two candidates the nearest-within-
+    * caliper can be — O(n log n) total, no pair blow-up, ties broken
+    * toward the predecessor then lower key (documented, both engines).
+    * Balances quantize to exact cents and outcomes to cent sums, so
+    * candidate choice is exact integer comparison; only the final ATT
+    * mean is a (DECIMAL-stable) double.
+    */
+  def qCaliperMatching(s: SparkSession, dir: String): DataFrame = {
+    val outcomes = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        NumFns.roundAwayLong(col("c_acctbal") * 100).as("bal"),
+        (col("c_custkey") % 2 === 1).as("treated"))
+      .join(outcomes, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("seg"), col("bal"), col("treated"),
+        coalesce(col("rev"), lit(0L)).as("y"))
+    val wSeq = Window.partitionBy(col("seg"))
+      .orderBy(col("bal"), col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seq = cust.withColumn("cidx",
+      sum((!col("treated")).cast("long")).over(wSeq))
+    val ctrlIdx = seq.filter(!col("treated"))
+      .select(col("seg"), col("cidx").as("ci"),
+        col("bal").as("cbal"), col("y").as("cy"))
+    val prevSide = ctrlIdx.select(col("seg"), col("ci").as("pi"),
+      col("cbal").as("pbal"), col("cy").as("py"))
+    val nextSide = ctrlIdx.select(col("seg"), col("ci").as("xi"),
+      col("cbal").as("xbal"), col("cy").as("xy"))
+    val prevK = prevSide.withColumnRenamed("seg", "pseg")
+    val nextK = nextSide.withColumnRenamed("seg", "xseg")
+    val matched = seq.filter(col("treated"))
+      .join(prevK.hint("shuffle_hash"),
+        col("seg") === col("pseg") && col("cidx") === col("pi"), "left")
+      .join(nextK.hint("shuffle_hash"),
+        col("seg") === col("xseg") && col("cidx") + 1 === col("xi"), "left")
+    val dPrev = when(col("pbal").isNotNull, abs(col("bal") - col("pbal")))
+    val dNext = when(col("xbal").isNotNull, abs(col("xbal") - col("bal")))
+    val usePrev = col("pbal").isNotNull &&
+      (col("xbal").isNull || dPrev <= dNext)
+    val chosen = matched
+      .withColumn("mdist",
+        when(usePrev, dPrev).otherwise(dNext))
+      .withColumn("my", when(usePrev, col("py")).otherwise(col("xy")))
+      .filter(col("mdist").isNotNull && col("mdist") <= CaliperCents)
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val nTreatedBySeg = seq.filter(col("treated"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n_treated"))
+    chosen.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_matched"),
+        (sum(((col("y") - col("my")).cast("double") / 100.0).cast(D))
+          .cast("double") / count(lit(1))).as("att_raw"),
+        (sum((col("mdist").cast("double") / 100.0).cast(D)).cast("double")
+          / count(lit(1))).as("gap_raw"))
+      .join(broadcast(nTreatedBySeg), Seq("seg"))
+      .select(col("seg"), col("n_treated"), col("n_matched"),
+        NumFns.roundPortable(col("att_raw"), 4).as("att"),
+        NumFns.roundPortable(col("gap_raw"), 4).as("mean_bal_gap"))
+      .orderBy(col("seg"))
+  }
+
+  val qCaliperMatchingOracle: String =
+    s"""WITH outc AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY o_custkey
+       |),
+       |cust AS (
+       |  SELECT c_custkey, c_mktsegment AS seg,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       |    c_custkey % 2 = 1 AS treated,
+       |    COALESCE(rev, 0) AS y
+       |  FROM customer LEFT JOIN outc ON c_custkey = o_custkey
+       |),
+       |sq AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) OVER (
+       |      PARTITION BY seg ORDER BY bal, c_custkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cidx
+       |  FROM cust
+       |),
+       |ctl AS (
+       |  SELECT seg, cidx AS ci, bal AS cbal, y AS cy
+       |  FROM sq WHERE NOT treated
+       |),
+       |m AS (
+       |  SELECT t.seg, t.bal, t.y,
+       |    p.cbal AS pbal, p.cy AS py, x.cbal AS xbal, x.cy AS xy
+       |  FROM sq t
+       |  LEFT JOIN ctl p ON p.seg = t.seg AND p.ci = t.cidx
+       |  LEFT JOIN ctl x ON x.seg = t.seg AND x.ci = t.cidx + 1
+       |  WHERE t.treated
+       |),
+       |ch AS (
+       |  SELECT seg, y,
+       |    CASE WHEN pbal IS NOT NULL AND (xbal IS NULL
+       |        OR abs(bal - pbal) <= abs(xbal - bal))
+       |      THEN abs(bal - pbal) ELSE abs(xbal - bal) END AS mdist,
+       |    CASE WHEN pbal IS NOT NULL AND (xbal IS NULL
+       |        OR abs(bal - pbal) <= abs(xbal - bal))
+       |      THEN py ELSE xy END AS my
+       |  FROM m
+       |),
+       |ag AS (
+       |  SELECT seg, count(*) AS n_matched,
+       |    CAST(sum(CAST(CAST(y - my AS DOUBLE) / 100.0 AS DECIMAL(38,12)))
+       |      AS DOUBLE) / count(*) AS att_raw,
+       |    CAST(sum(CAST(CAST(mdist AS DOUBLE) / 100.0 AS DECIMAL(38,12)))
+       |      AS DOUBLE) / count(*) AS gap_raw
+       |  FROM ch
+       |  WHERE mdist IS NOT NULL AND mdist <= $CaliperCents
+       |  GROUP BY seg
+       |),
+       |nt AS (
+       |  SELECT seg, count(*) AS n_treated FROM sq WHERE treated GROUP BY seg
+       |)
+       |SELECT ag.seg, n_treated, n_matched,
+       |  ${NumFns.roundPortableSql("att_raw", 4)} AS att,
+       |  ${NumFns.roundPortableSql("gap_raw", 4)} AS mean_bal_gap
+       |FROM ag JOIN nt ON ag.seg = nt.seg
+       |ORDER BY ag.seg""".stripMargin
 }

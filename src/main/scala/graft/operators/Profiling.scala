@@ -1643,4 +1643,89 @@ object Profiling {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Theil T inequality index of document length, decomposed into
+    * within-source and between-source components — the decomposition
+    * q_gini cannot give (Gini does not decompose additively): T_total =
+    * T_within + T_between tells WHERE the length inequality lives. If
+    * T_between dominates, sources differ wholesale (fix the mix); if
+    * T_within, a few giant docs inside each source (fix the caps).
+    * Shape at 100 TB: the corpus collapses to (source, n_chars) VALUE
+    * CELLS (map-side combined); every Σ x·ln(x/μ) term is a cell-frame
+    * aggregate weighted by the cell count; the decomposition identity
+    * is arithmetic over the |sources|-row frame. Determinism: means are
+    * ratios of exact integer sums; ln runs on identical doubles; the
+    * weighted ln-sums accumulate as DECIMAL (order-free). Zero-length
+    * docs are excluded (x·ln x needs x > 0), mirrored in the oracle.
+    */
+  def qTheilIndex(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .groupBy(col("source"), col("n_chars").as("x"))
+      .agg(count(lit(1)).as("c"))
+    val grp = cells.groupBy(col("source"))
+      .agg(sum(col("c")).as("ng"), sum(col("x") * col("c")).as("sg"))
+    val tot = grp.agg(sum(col("ng")).as("n"), sum(col("sg")).as("st"))
+    // per-group Theil over its cells: T_g = Σ c·(x/μg)·ln(x/μg) / n_g
+    val tg = cells.join(broadcast(grp), Seq("source"))
+      .select(col("source"), col("ng"), col("sg"),
+        ((col("x") * col("ng")).cast("double") / col("sg")).as("ratio"),
+        col("c"))
+      .groupBy(col("source"), col("ng"), col("sg"))
+      .agg((sum((col("c") * col("ratio") * log(col("ratio"))).cast(D))
+        .cast("double") / col("ng")).as("t_g"))
+    tg.crossJoin(broadcast(tot))
+      .select(col("source"), col("ng"), col("sg"), col("st"), col("t_g"),
+        // μg/μ as a ratio of double means — the integer cross-product
+        // form sg·n/(st·ng) would overflow int64 at corpus scale
+        ((col("sg").cast("double") / col("ng"))
+          / (col("st").cast("double") / col("n"))).as("mu_ratio"))
+      .agg(
+        sum((col("sg").cast("double") / col("st") * col("t_g")).cast(D))
+          .cast("double").as("t_within"),
+        sum((col("sg").cast("double") / col("st") * log(col("mu_ratio")))
+          .cast(D)).cast("double").as("t_between"))
+      .select(
+        NumFns.roundPortable(col("t_within") + col("t_between"), 6)
+          .as("theil_total"),
+        NumFns.roundPortable(col("t_within"), 6).as("theil_within"),
+        NumFns.roundPortable(col("t_between"), 6).as("theil_between"))
+  }
+
+  val qTheilIndexOracle: String =
+    s"""WITH cells AS (
+       |  SELECT source, n_chars AS x, count(*) AS c
+       |  FROM documents WHERE n_chars > 0 GROUP BY source, n_chars
+       |),
+       |grp AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS ng,
+       |    CAST(sum(x * c) AS BIGINT) AS sg
+       |  FROM cells GROUP BY source
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS st
+       |  FROM grp
+       |),
+       |tg AS (
+       |  SELECT cells.source, grp.ng, grp.sg,
+       |    CAST(sum(CAST(c * (CAST(x * ng AS DOUBLE) / sg)
+       |      * ln(CAST(x * ng AS DOUBLE) / sg) AS DECIMAL(38,12)))
+       |      AS DOUBLE) / grp.ng AS t_g
+       |  FROM cells JOIN grp ON cells.source = grp.source
+       |  GROUP BY cells.source, grp.ng, grp.sg
+       |),
+       |ag AS (
+       |  SELECT
+       |    CAST(sum(CAST(CAST(sg AS DOUBLE) / st * t_g AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS t_within,
+       |    CAST(sum(CAST(CAST(sg AS DOUBLE) / st
+       |      * ln((CAST(sg AS DOUBLE) / ng) / (CAST(st AS DOUBLE) / n))
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS t_between
+       |  FROM tg, tot
+       |)
+       |SELECT
+       |  ${NumFns.roundPortableSql("t_within + t_between", 6)} AS theil_total,
+       |  ${NumFns.roundPortableSql("t_within", 6)} AS theil_within,
+       |  ${NumFns.roundPortableSql("t_between", 6)} AS theil_between
+       |FROM ag""".stripMargin
 }

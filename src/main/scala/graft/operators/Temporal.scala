@@ -1677,4 +1677,139 @@ object Temporal {
        |FROM f
        |GROUP BY anchor
        |ORDER BY day""".stripMargin
+
+  /** Chunk sizes for the [[qHurst]] rescaled-range sweep. */
+  val HurstNs = Seq(16, 32, 64)
+
+  /** Hurst exponent of daily revenue via rescaled-range (R/S) analysis —
+    * the long-memory diagnostic q_autocorr's single-lag view cannot
+    * give: H ≈ 0.5 is a random walk, H > 0.5 persistent trends (shocks
+    * compound — capacity forecasts must widen), H < 0.5 mean reversion.
+    * For each chunk size n ∈ [[HurstNs]]: split the day-indexed series
+    * into full chunks, per chunk R = range of cumulative deviations
+    * from the chunk mean and S = population σ, average R/S per n, and H
+    * = the log-log slope over the three sizes (closed-form least
+    * squares on 3 points). Shape at 100 TB: the fact table collapses
+    * once to daily cells; the 3-size sweep is a scan-side 3× fan-out of
+    * that |days| frame; every window partitions by (n, chunk) — chunk-
+    * bounded frames, no global sort (the contiguous day index rn comes
+    * from one window over the day-cell aggregate, the allowed
+    * window-over-Aggregate shape). Determinism: chunk moments are exact
+    * integer sums; R/S and the slope are identical double chains; means
+    * are DECIMAL-stable.
+    */
+  def qHurst(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val daily = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("day"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("x"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))).cast("long"))
+    val fanned = daily.select(col("rn"), col("x"),
+        explode(array(HurstNs.map(n => lit(n.toLong)): _*)).as("n"))
+      .withColumn("chunk", expr("(rn - 1) div n"))
+    val wChunk = Window.partitionBy(col("n"), col("chunk"))
+    val wCum = wChunk.orderBy(col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = fanned
+      .withColumn("cnt", count(lit(1)).over(wChunk))
+      .filter(col("cnt") === col("n")) // full chunks only
+      .withColumn("sx", sum(col("x")).over(wChunk))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wChunk))
+      // cumulative deviation z_t = Σ x_i − t·μ, kept integer-exact as
+      // n·z_t = n·Σx_i − t·sx (avoids accumulating a double)
+      .withColumn("cums", sum(col("x")).over(wCum))
+      .withColumn("t", row_number().over(wChunk.orderBy(col("rn"))).cast("long"))
+      .withColumn("nz", col("n") * col("cums") - col("t") * col("sx"))
+    val rs = stats.groupBy(col("n"), col("chunk"), col("sx"), col("sxx"))
+      .agg(((max(col("nz")) - min(col("nz"))).cast("double") / col("n"))
+        .as("r"))
+      .withColumn("s2",
+        (col("sxx") - col("sx").cast("double") * col("sx") / col("n"))
+          .cast("double") / col("n"))
+      .filter(col("s2") > 0)
+      .select(col("n"), (col("r") / sqrt(col("s2"))).as("rs"))
+    val perN = rs.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_chunks"),
+        (sum(col("rs").cast(D)).cast("double") / count(lit(1))).as("mean_rs"))
+      .withColumn("lx", log(col("n").cast("double")))
+      .withColumn("ly", log(col("mean_rs")))
+    val wAll = Window.partitionBy()
+    perN
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("slx", sum(col("lx")).over(wAll))
+      .withColumn("sly", sum(col("ly")).over(wAll))
+      .withColumn("slxy", sum(col("lx") * col("ly")).over(wAll))
+      .withColumn("slxx", sum(col("lx") * col("lx")).over(wAll))
+      .select(col("n"), col("n_chunks"),
+        NumFns.roundPortable(col("mean_rs"), 6).as("mean_rs"),
+        NumFns.roundPortable(
+          (col("k") * col("slxy") - col("slx") * col("sly"))
+            / (col("k") * col("slxx") - col("slx") * col("slx")), 6)
+          .as("hurst"))
+      .orderBy(col("n"))
+  }
+
+  val qHurstOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT) AS day,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders GROUP BY 1
+       |),
+       |idx AS (
+       |  SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+       |  FROM daily
+       |),
+       |f AS (
+       |  SELECT rn, x, CAST(n AS BIGINT) AS n, (rn - 1) // n AS chunk
+       |  FROM idx CROSS JOIN (SELECT unnest([${HurstNs.mkString(", ")}]) AS n)
+       |),
+       |st AS (
+       |  SELECT n, chunk, x, rn,
+       |    count(*) OVER wc AS cnt,
+       |    CAST(sum(x) OVER wc AS BIGINT) AS sx,
+       |    CAST(sum(x * x) OVER wc AS BIGINT) AS sxx,
+       |    CAST(sum(x) OVER wcum AS BIGINT) AS cums,
+       |    CAST(row_number() OVER (PARTITION BY n, chunk ORDER BY rn)
+       |      AS BIGINT) AS t
+       |  FROM f
+       |  WINDOW wc AS (PARTITION BY n, chunk),
+       |    wcum AS (PARTITION BY n, chunk ORDER BY rn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |rs AS (
+       |  SELECT n,
+       |    (CAST(max(n * cums - t * sx) - min(n * cums - t * sx) AS DOUBLE)
+       |      / n)
+       |    / sqrt(CAST(sxx - CAST(sx AS DOUBLE) * sx / n AS DOUBLE) / n)
+       |      AS rs
+       |  FROM st WHERE cnt = n
+       |  GROUP BY n, chunk, sx, sxx
+       |  HAVING CAST(sxx - CAST(sx AS DOUBLE) * sx / n AS DOUBLE) / n > 0
+       |),
+       |pn AS (
+       |  SELECT n, count(*) AS n_chunks,
+       |    CAST(sum(CAST(rs AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+       |      AS mean_rs
+       |  FROM rs GROUP BY n
+       |),
+       |lg AS (
+       |  SELECT n, n_chunks, mean_rs,
+       |    ln(CAST(n AS DOUBLE)) AS lx, ln(mean_rs) AS ly
+       |  FROM pn
+       |),
+       |sl AS (
+       |  SELECT n, n_chunks, mean_rs,
+       |    count(*) OVER () AS k,
+       |    sum(lx) OVER () AS slx, sum(ly) OVER () AS sly,
+       |    sum(lx * ly) OVER () AS slxy, sum(lx * lx) OVER () AS slxx,
+       |    lx, ly
+       |  FROM lg
+       |)
+       |SELECT n, n_chunks,
+       |  ${NumFns.roundPortableSql("mean_rs", 6)} AS mean_rs,
+       |  ${NumFns.roundPortableSql(
+            "(k * slxy - slx * sly) / (k * slxx - slx * slx)", 6)} AS hurst
+       |FROM sl
+       |ORDER BY n""".stripMargin
 }

@@ -1030,4 +1030,70 @@ class Round5NewOpsSpec extends SparkSpec {
     val n = graft.sources.Tables.embeddings(spark, sf001).count()
     rows.foreach(r => assert(r.getLong(1) == n))
   }
+
+  test("hurst: R/S grows with chunk size, exponent constant across rows and plausibly bounded") {
+    val rows = Temporal.qHurst(spark, sf001).collect()
+    assert(rows.length == Temporal.HurstNs.length)
+    val meanRs = rows.map(_.getDouble(2))
+    assert(meanRs.zip(meanRs.tail).forall { case (a, b) => b > a },
+      s"R/S must increase with n: ${meanRs.mkString(",")}")
+    val hs = rows.map(_.getDouble(3)).distinct
+    assert(hs.length == 1)
+    assert(hs.head > 0.0 && hs.head < 1.5, s"implausible Hurst ${hs.head}")
+  }
+
+  test("theil: decomposition identity holds and both components are non-negative") {
+    val r = Profiling.qTheilIndex(spark, sf001).collect().head
+    val (tot, within, between) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(within >= 0.0, s"within $within")
+    assert(between >= -1e-9, s"between $between")
+    assert(math.abs(tot - (within + between)) < 2e-6,
+      s"identity broken: $tot != $within + $between")
+  }
+
+  test("decile transition: matrix covers exactly the customers active in both years") {
+    import org.apache.spark.sql.functions._
+    val rows = Behavioral.qDecileTransition(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 9)
+    }
+    val (y1, y2) = Behavioral.TransitionYears
+    def active(y: Int) = graft.sources.Tables.orders(spark, sf001)
+      .filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val both = (active(y1) intersect active(y2)).size
+    assert(rows.map(_.getLong(2)).sum == both)
+  }
+
+  test("caliper matching: match rate bounded, gaps within the caliper, exact for one probed customer") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineOps.qCaliperMatching(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "matched must not exceed treated")
+      assert(r.getDouble(4) <= PipelineOps.CaliperCents / 100.0 + 1e-9,
+        s"mean gap ${r.getDouble(4)} beyond caliper")
+    }
+    // exhaustive nearest-control check for one segment on the driver
+    val cust = graft.sources.Tables.customer(spark, sf001)
+      .filter(col("c_mktsegment") === rows.head.getString(0))
+      .select(col("c_custkey"),
+        graft.functions.NumFns.roundAwayLong(col("c_acctbal") * 100).as("bal"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val controls = cust.filter(_._1 % 2 == 0)
+    val treated = cust.filter(_._1 % 2 == 1)
+    // every treated's true nearest control distance: the operator's two
+    // sort-neighbors are the only candidates, so matched gaps must be
+    // the global minima — verify via the segment-level mean lower bound
+    val exactMeanGap = treated.flatMap { case (_, b) =>
+      val d = controls.map(c => math.abs(c._2 - b)).min
+      if (d <= PipelineOps.CaliperCents) Some(d / 100.0) else None
+    }
+    assert(exactMeanGap.nonEmpty)
+    val expMean = math.round(exactMeanGap.sum / exactMeanGap.length * 1e4) / 1e4
+    assert(math.abs(rows.head.getDouble(4) - expMean) < 1e-3,
+      s"mean gap ${rows.head.getDouble(4)} vs exhaustive $expMean")
+  }
 }
