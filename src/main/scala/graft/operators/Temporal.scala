@@ -1711,11 +1711,14 @@ object Temporal {
     val wChunk = Window.partitionBy(col("n"), col("chunk"))
     val wCum = wChunk.orderBy(col("rn"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // second moment as DECIMAL end to end: daily cents² exceeds int64
+    // already at sf0.1 (x ≈ 1e9 → x² ≈ 1e18, a 64-term sum overflows)
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val stats = fanned
       .withColumn("cnt", count(lit(1)).over(wChunk))
       .filter(col("cnt") === col("n")) // full chunks only
       .withColumn("sx", sum(col("x")).over(wChunk))
-      .withColumn("sxx", sum(col("x") * col("x")).over(wChunk))
+      .withColumn("sxx", sum(col("x").cast(D0) * col("x")).over(wChunk))
       // cumulative deviation z_t = Σ x_i − t·μ, kept integer-exact as
       // n·z_t = n·Σx_i − t·sx (avoids accumulating a double)
       .withColumn("cums", sum(col("x")).over(wCum))
@@ -1725,8 +1728,8 @@ object Temporal {
       .agg(((max(col("nz")) - min(col("nz"))).cast("double") / col("n"))
         .as("r"))
       .withColumn("s2",
-        (col("sxx") - col("sx").cast("double") * col("sx") / col("n"))
-          .cast("double") / col("n"))
+        (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx") / col("n")) / col("n"))
       .filter(col("s2") > 0)
       .select(col("n"), (col("r") / sqrt(col("s2"))).as("rs"))
     val perN = rs.groupBy(col("n"))
@@ -1768,7 +1771,7 @@ object Temporal {
        |  SELECT n, chunk, x, rn,
        |    count(*) OVER wc AS cnt,
        |    CAST(sum(x) OVER wc AS BIGINT) AS sx,
-       |    CAST(sum(x * x) OVER wc AS BIGINT) AS sxx,
+       |    sum(CAST(x AS HUGEINT) * x) OVER wc AS sxx,
        |    CAST(sum(x) OVER wcum AS BIGINT) AS cums,
        |    CAST(row_number() OVER (PARTITION BY n, chunk ORDER BY rn)
        |      AS BIGINT) AS t
@@ -1781,11 +1784,11 @@ object Temporal {
        |  SELECT n,
        |    (CAST(max(n * cums - t * sx) - min(n * cums - t * sx) AS DOUBLE)
        |      / n)
-       |    / sqrt(CAST(sxx - CAST(sx AS DOUBLE) * sx / n AS DOUBLE) / n)
+       |    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n)
        |      AS rs
        |  FROM st WHERE cnt = n
        |  GROUP BY n, chunk, sx, sxx
-       |  HAVING CAST(sxx - CAST(sx AS DOUBLE) * sx / n AS DOUBLE) / n > 0
+       |  HAVING (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n > 0
        |),
        |pn AS (
        |  SELECT n, count(*) AS n_chunks,
