@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{NumFns, TextFns}
 import graft.sources.Tables
 
 /** Deduplication operators (SURVEY.md §2, table 3).
@@ -195,7 +195,12 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val qDedupMinhashOracle: String = {
+  /** Oracle CTE chain `m, bands, cand` over an existing `s(doc_id, hs)`
+    * — the SQL twin of [[bandFrame]] + the band self-join, shared by the
+    * minhash dedup oracle and the recall-eval oracle (splice, never
+    * copy).
+    */
+  private val minhashCandCteSql: String = {
     val ms = (0 until NumPerms).map { j =>
       val a = 2L * j + 3L
       val b = 101L * j + 7L
@@ -207,8 +212,7 @@ object Dedup {
         .mkString(" || '-' || ")
       s"SELECT doc_id, $bnd AS band, md5($key) AS bkey FROM m"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $shingledSql,
-       |m AS (
+    s"""m AS (
        |  SELECT doc_id,
        |    $ms
        |  FROM s
@@ -220,14 +224,99 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  val qDedupMinhashOracle: String =
+    s"""WITH $shingledSql,
+       |$minhashCandCteSql
        |SELECT doc_a, doc_b, $jaccardOutSql AS jaccard
        |FROM cand
        |JOIN s x ON x.doc_id = doc_a
        |JOIN s y ON y.doc_id = doc_b
        |WHERE $jaccardOutSql >= $JaccardThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Measured precision/recall of the MinHash-LSH candidate generator
+    * against the exact-Jaccard truth — the dedup counterpart of
+    * q_ann_recall: q_lsh_tune PREDICTS the S-curve from the similarity
+    * histogram, this op MEASURES what the deployed 8×4 band config
+    * actually catches. Precision = candidates that verify at the
+    * Jaccard threshold / all candidates (the wasted-verification rate);
+    * recall = verified candidates ∩ blocked-exact truth / truth (what
+    * the bands miss). Shape: both sides reuse the audited index frames
+    * — the band self-join and the (mn, mx)-blocked exact pair set —
+    * and the eval itself is two key-joins + a one-row count aggregate;
+    * nothing new shuffles at corpus scale. All counts exact integers.
+    */
+  def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir).localCheckpoint()
+    val bands = bandFrame(base)
+    val cand = bands.as("a")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+        .hint("shuffle_hash"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (jaccardOut >= JaccardThreshold).as("is_true"))
+    val truth = jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_truth"))
+    val joined = verified.join(truth.hint("shuffle_hash"),
+      Seq("doc_a", "doc_b"), "left")
+    val candAgg = joined.agg(
+      count(lit(1)).as("n_cand"),
+      sum(col("is_true").cast("long")).as("n_verified"),
+      sum(when(col("in_truth").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+    val truthAgg = truth.agg(count(lit(1)).as("n_truth"))
+    candAgg.crossJoin(broadcast(truthAgg))
+      .select(col("n_truth"), col("n_cand"), col("n_verified"), col("n_hits"),
+        NumFns.roundPortable(
+          col("n_verified").cast("double") / col("n_cand"), 6).as("precision"),
+        NumFns.roundPortable(
+          col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
   }
+
+  val qMinhashRecallOracle: String =
+    s"""WITH $shingledSql,
+       |$minhashCandCteSql,
+       |jb AS (
+       |  SELECT doc_id, hs, list_min(hs) AS mn, list_max(hs) AS mx
+       |  FROM s
+       |),
+       |pj AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM jb x JOIN jb y ON x.mn = y.mn AND x.mx = y.mx
+       |    AND x.doc_id < y.doc_id
+       |  WHERE $jaccardOutSql >= $JaccardThreshold
+       |),
+       |v AS (
+       |  SELECT cand.doc_a, cand.doc_b,
+       |    ($jaccardOutSql >= $JaccardThreshold) AS is_true
+       |  FROM cand
+       |  JOIN s x ON x.doc_id = cand.doc_a
+       |  JOIN s y ON y.doc_id = cand.doc_b
+       |),
+       |ca AS (
+       |  SELECT count(*) AS n_cand,
+       |    CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_verified,
+       |    CAST(sum(CASE WHEN pj.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM v LEFT JOIN pj ON pj.doc_a = v.doc_a AND pj.doc_b = v.doc_b
+       |),
+       |ta AS (SELECT count(*) AS n_truth FROM pj)
+       |SELECT n_truth, n_cand, n_verified, n_hits,
+       |  ${NumFns.roundPortableSql("CAST(n_verified AS DOUBLE) / n_cand", 6)}
+       |    AS precision,
+       |  ${NumFns.roundPortableSql("CAST(n_hits AS DOUBLE) / n_truth", 6)}
+       |    AS recall
+       |FROM ca, ta""".stripMargin
 
   val ContainmentThreshold = 0.8
 

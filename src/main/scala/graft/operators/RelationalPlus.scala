@@ -819,4 +819,93 @@ object RelationalPlus {
       |    SELECT s_suppkey FROM supplier WHERE s_nationkey >= 20)
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** The two calendar years decomposed by [[qRevenueBridge]]. */
+  val BridgeYears: (Int, Int) = (1997, 1998)
+
+  /** Revenue bridge — the year-over-year decomposition every revenue
+    * review starts from: per region, ΔR splits EXACTLY into a volume
+    * effect (ΔV · P₁: how much of the change is selling more units at
+    * last year's realized price) and a price effect (ΔP · V₂: how much
+    * is price/mix on this year's volume) — (V₂−V₁)P₁ + (P₂−P₁)V₂ ≡
+    * R₂−R₁ by telescoping, so the bridge always closes (spec-asserted).
+    * Shape: one fact scan collapses to (region, year) cells of exact
+    * integer cent/quantity sums (map-side combined through the
+    * broadcast dimension chain); the decomposition is arithmetic on the
+    * 5-row frame. Determinism: realized prices are single divisions of
+    * exact integers; effects round portably.
+    */
+  def qRevenueBridge(s: SparkSession, dir: String): DataFrame = {
+    val (y1, y2) = BridgeYears
+    val geo = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val cells = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(y1, y2))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(geo, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(NumFns.roundAwayLong(col("l_extendedprice") * 100)).as("rev"),
+        sum(NumFns.roundAwayLong(col("l_quantity"))).as("vol"))
+    def pick(y: Int, c: String) = max(when(col("yr") === y, col(c)))
+    val wide = cells.groupBy(col("r_name"))
+      .agg(pick(y1, "rev").as("r1"), pick(y1, "vol").as("v1"),
+        pick(y2, "rev").as("r2"), pick(y2, "vol").as("v2"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull)
+    val p1 = col("r1").cast("double") / col("v1")
+    val p2 = col("r2").cast("double") / col("v2")
+    wide.select(col("r_name"),
+        NumFns.roundPortable(col("r1").cast("double") / 100.0, 2).as("rev_y1"),
+        NumFns.roundPortable(col("r2").cast("double") / 100.0, 2).as("rev_y2"),
+        NumFns.roundPortable(
+          (col("r2") - col("r1")).cast("double") / 100.0, 2).as("delta"),
+        NumFns.roundPortable(
+          (col("v2") - col("v1")).cast("double") * p1 / 100.0, 2)
+          .as("volume_effect"),
+        NumFns.roundPortable(
+          (p2 - p1) * col("v2") / 100.0, 2).as("price_effect"))
+      .orderBy(col("r_name"))
+  }
+
+  val qRevenueBridgeOracle: String = {
+    val (y1, y2) = BridgeYears
+    s"""WITH cells AS (
+       |  SELECT r_name, year(o_orderdate) AS yr,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev,
+       |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS vol
+       |  FROM orders
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE year(o_orderdate) IN ($y1, $y2)
+       |  GROUP BY 1, 2
+       |),
+       |w AS (
+       |  SELECT r_name,
+       |    max(CASE WHEN yr = $y1 THEN rev END) AS r1,
+       |    max(CASE WHEN yr = $y1 THEN vol END) AS v1,
+       |    max(CASE WHEN yr = $y2 THEN rev END) AS r2,
+       |    max(CASE WHEN yr = $y2 THEN vol END) AS v2
+       |  FROM cells GROUP BY r_name
+       |  HAVING r1 IS NOT NULL AND r2 IS NOT NULL
+       |)
+       |SELECT r_name,
+       |  ${NumFns.roundPortableSql("CAST(r1 AS DOUBLE) / 100.0", 2)} AS rev_y1,
+       |  ${NumFns.roundPortableSql("CAST(r2 AS DOUBLE) / 100.0", 2)} AS rev_y2,
+       |  ${NumFns.roundPortableSql("CAST(r2 - r1 AS DOUBLE) / 100.0", 2)}
+       |    AS delta,
+       |  ${NumFns.roundPortableSql(
+            "CAST(v2 - v1 AS DOUBLE) * (CAST(r1 AS DOUBLE) / v1) / 100.0", 2)}
+       |    AS volume_effect,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(r2 AS DOUBLE) / v2 - CAST(r1 AS DOUBLE) / v1) * v2 / 100.0",
+            2)} AS price_effect
+       |FROM w
+       |ORDER BY r_name""".stripMargin
+  }
 }

@@ -1564,4 +1564,64 @@ object TextAnalysis {
        |FROM top JOIN c1 USING (w1) JOIN lc USING (w2), nt
        |ORDER BY c12 DESC, w1, w2""".stripMargin
 
+  /** Words profiled by [[qBurstiness]]. */
+  val BurstTopWords = 20
+
+  /** Term burstiness (variance-to-mean ratio of per-document counts,
+    * Church & Gale) for the top corpus words — the dispersion statistic
+    * the bag-of-frequencies views (Zipf, TF-IDF) cannot see: a function
+    * word and a topical word can share total frequency, but the topical
+    * one CLUMPS (VMR ≫ 1: absent from most docs, dense where present)
+    * while the function word spreads Poisson-like (VMR ≈ 1). This is
+    * the statistic behind stop-word induction and keyword scoring at
+    * corpus scale. Shape: one explode pass → (doc, word) count cells
+    * (map-side combined), then a per-word aggregate of exact integer
+    * moments over the cells; zero-occurrence docs enter the moments
+    * through N without materializing zeros. Output: top
+    * [[BurstTopWords]] by total frequency.
+    */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val cells = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val words = cells.groupBy(col("w"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c") * col("c")).as("sq"))
+    val mean = col("tf").cast("double") / col("n_docs")
+    words.crossJoin(broadcast(nDocs))
+      .select(col("w"), col("df"), col("tf"),
+        NumFns.roundPortable(mean, 6).as("mean_per_doc"),
+        NumFns.roundPortable(
+          (col("sq").cast("double") / col("n_docs") - mean * mean) / mean, 6)
+          .as("vmr"))
+      .orderBy(col("tf").desc, col("w"))
+      .limit(BurstTopWords)
+  }
+
+  val qBurstinessOracle: String =
+    s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+       |cells AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest($toksSql) AS w FROM documents
+       |  ) WHERE length(w) > 0
+       |  GROUP BY doc_id, w
+       |),
+       |words AS (
+       |  SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS tf,
+       |    CAST(sum(c * c) AS BIGINT) AS sq
+       |  FROM cells GROUP BY w
+       |)
+       |SELECT w, df, tf,
+       |  ${NumFns.roundPortableSql("CAST(tf AS DOUBLE) / n_docs", 6)}
+       |    AS mean_per_doc,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(sq AS DOUBLE) / n_docs " +
+            "- (CAST(tf AS DOUBLE) / n_docs) * (CAST(tf AS DOUBLE) / n_docs))" +
+            " / (CAST(tf AS DOUBLE) / n_docs)", 6)} AS vmr
+       |FROM words, nd
+       |ORDER BY tf DESC, w
+       |LIMIT $BurstTopWords""".stripMargin
 }

@@ -1096,4 +1096,41 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(math.abs(rows.head.getDouble(4) - expMean) < 1e-3,
       s"mean gap ${rows.head.getDouble(4)} vs exhaustive $expMean")
   }
+
+  test("burstiness: moments close, VMR positive, stop-like words least bursty") {
+    val rows = TextAnalysis.qBurstiness(spark, sf001).collect()
+    assert(rows.length == TextAnalysis.BurstTopWords)
+    val tfs = rows.map(_.getLong(2))
+    assert(tfs.sameElements(tfs.sorted(Ordering[Long].reverse)))
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "df <= tf")
+      assert(r.getDouble(4) > 0.0, s"VMR must be positive: $r")
+      // VMR >= 1 - mean always (variance >= mean*(1-mean) for ints >= 0)
+      assert(r.getDouble(4) >= 1.0 - r.getDouble(3) - 1e-6, r)
+    }
+  }
+
+  test("revenue bridge always closes: delta = volume effect + price effect") {
+    val rows = RelationalPlus.qRevenueBridge(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (delta, ve, pe) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(delta - (ve + pe)) < 0.05,
+        s"${r.getString(0)}: bridge gap ${delta - (ve + pe)}")
+      assert(math.abs(delta - (r.getDouble(2) - r.getDouble(1))) < 0.05)
+    }
+  }
+
+  test("minhash recall: counting identities hold and the measured rates are probabilities") {
+    val r = Dedup.qMinhashRecall(spark, sf001).collect().head
+    val (nTruth, nCand, nVer, nHits) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nVer <= nCand && nHits <= nCand)
+    assert(nHits <= nTruth, "cannot hit more truth pairs than exist")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    // the corpus contains planted near-dups: the eval must see a
+    // non-trivial truth set and the bands must catch some of it
+    assert(nTruth > 0 && nHits > 0)
+  }
 }
