@@ -151,4 +151,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CollectList") && !p.contains("collect_list"),
       "centroids must aggregate cells, not collect vectors")
   }
+
+  test("round-5 continuation heavy shapes hold their audited structure (PlanReport)") {
+    import graft.plans.PlanReport
+    // q_common_neighbors: the weighted incidence frame self-joins
+    // shuffle_hash (fact-derived — broadcast would drive the pair
+    // generation through the driver); no cartesian anywhere.
+    val cn = PlanReport.of(SparkEntry.queries("q_common_neighbors")(spark, sf001))
+    assert(cn.cartesianProducts == 0, s"q_common_neighbors: ${cn.summary}")
+    assert(plans("q_common_neighbors").contains("ShuffledHashJoin"),
+      "q_common_neighbors lost its shuffle_hash pair join")
+    // q_minhash_recall: both index frames (bands, blocked-exact) join
+    // shuffle-side; the only broadcast is the 1-row truth count.
+    val mr = PlanReport.of(SparkEntry.queries("q_minhash_recall")(spark, sf001))
+    assert(mr.cartesianProducts == 0 && mr.broadcasts <= 1,
+      s"q_minhash_recall: ${mr.summary}")
+    assert(plans("q_minhash_recall").contains("ShuffledHashJoin"),
+      "q_minhash_recall lost its shuffle_hash index joins")
+    // q_caliper_matching: the control-index joins are key-equi joins of
+    // entity-bounded frames — no pair blow-up, no cartesian.
+    val cm = PlanReport.of(SparkEntry.queries("q_caliper_matching")(spark, sf001))
+    assert(cm.cartesianProducts == 0, s"q_caliper_matching: ${cm.summary}")
+    // q_silhouette / q_elbow_sse: centroid frames broadcast; the corpus
+    // is never on a broadcast side.
+    Seq("q_silhouette", "q_elbow_sse").foreach { q =>
+      val p = plans(q)
+      p.split("BroadcastExchange").drop(1).foreach { b =>
+        val firstScan = b.split("FileScan parquet").drop(1).headOption
+          .getOrElse("").linesIterator.take(1).mkString
+        assert(!firstScan.contains("embeddings.parquet") ||
+          b.contains("LessThan(vec_id,"),
+          s"$q broadcasts the full embedding corpus")
+      }
+    }
+  }
 }
