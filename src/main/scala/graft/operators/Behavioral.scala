@@ -1283,4 +1283,105 @@ object Behavioral {
        |GROUP BY a.dec, b.dec
        |ORDER BY decile_from, decile_to""".stripMargin
   }
+
+  /** Day offsets fitted by [[qRetentionHalflife]]. */
+  val HalflifeMaxOffset = 14
+
+  /** Retention half-life — the single number the q_retention_cohort
+    * triangle is read FOR: pooled day-k retention r_k (right-censoring
+    * corrected: only users whose first day is ≥ k days before the
+    * stream's end are eligible at offset k), an exponential fit
+    * ln r_k = a + b·k by closed-form OLS over k = 1..[[HalflifeMaxOffset]],
+    * and half-life = −ln 2 / b. This is how LTV models and churn
+    * alarms consume retention — a decay constant, not a matrix. Shape:
+    * one pass builds per-user first days; eligibility is a broadcast of
+    * the 1-row max-date frame fanned over ≤14 offsets; retained counts
+    * come from the (user, offset) distinct frame; the OLS runs over the
+    * ≤14-row curve. Exact integers until the log-linear fit.
+    */
+  def qRetentionHalflife(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+      .localCheckpoint()
+    val maxD = act.agg(max(col("d")).as("max_d"))
+    val ks = s.range(1, HalflifeMaxOffset + 1).select(col("id").as("k"))
+    val eligible = first.crossJoin(broadcast(maxD))
+      .crossJoin(broadcast(ks))
+      .filter(datediff(col("max_d"), col("cohort_d")) >= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_eligible"))
+    val retained = act.join(first.hint("shuffle_hash"), Seq("user_id"))
+      .select(col("user_id"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("k"))
+      .filter(col("k") >= 1 && col("k") <= HalflifeMaxOffset)
+      .distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("n_retained"))
+    val curve = eligible.join(retained, Seq("k"), "left")
+      .select(col("k"), col("n_eligible"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .filter(col("n_retained") > 0)
+      .withColumn("r", col("n_retained").cast("double") / col("n_eligible"))
+      .withColumn("lr", log(col("r")))
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val wAll = Window.partitionBy()
+    curve
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("sk", sum(col("k")).over(wAll))
+      // log-sums as DECIMAL: an unordered whole-frame double sum is
+      // accumulation-order-dependent; the decimal sum is not
+      .withColumn("sl", sum(col("lr").cast(D)).over(wAll).cast("double"))
+      .withColumn("skl",
+        sum((col("k") * col("lr")).cast(D)).over(wAll).cast("double"))
+      .withColumn("skk", sum(col("k") * col("k")).over(wAll))
+      .withColumn("b",
+        (col("cnt") * col("skl") - col("sk") * col("sl"))
+          / (col("cnt") * col("skk") - col("sk") * col("sk")))
+      .select(col("k"), col("n_eligible"), col("n_retained"),
+        NumFns.roundPortable(col("r"), 6).as("retention"),
+        NumFns.roundPortable(-log(lit(2.0)) / col("b"), 4).as("halflife_days"))
+      .orderBy(col("k"))
+  }
+
+  val qRetentionHalflifeOracle: String =
+    s"""WITH act AS (SELECT user_id, ts::DATE AS d FROM events),
+       |f AS (SELECT user_id, min(d) AS cohort_d FROM act GROUP BY user_id),
+       |mx AS (SELECT max(d) AS max_d FROM act),
+       |ks AS (SELECT CAST(unnest(range(1, ${HalflifeMaxOffset + 1})) AS BIGINT) AS k),
+       |el AS (
+       |  SELECT k, count(*) AS n_eligible
+       |  FROM f, mx, ks
+       |  WHERE date_diff('day', cohort_d, max_d) >= k
+       |  GROUP BY k
+       |),
+       |re AS (
+       |  SELECT k, count(*) AS n_retained FROM (
+       |    SELECT DISTINCT act.user_id,
+       |      CAST(date_diff('day', f.cohort_d, act.d) AS BIGINT) AS k
+       |    FROM act JOIN f ON act.user_id = f.user_id
+       |  ) WHERE k >= 1 AND k <= $HalflifeMaxOffset
+       |  GROUP BY k
+       |),
+       |curve AS (
+       |  SELECT el.k, n_eligible, COALESCE(n_retained, 0) AS n_retained,
+       |    CAST(COALESCE(n_retained, 0) AS DOUBLE) / n_eligible AS r
+       |  FROM el LEFT JOIN re ON re.k = el.k
+       |  WHERE COALESCE(n_retained, 0) > 0
+       |),
+       |ols AS (
+       |  SELECT k, n_eligible, n_retained, r,
+       |    count(*) OVER () AS cnt,
+       |    sum(k) OVER () AS sk,
+       |    CAST(sum(CAST(ln(r) AS DECIMAL(38,12))) OVER () AS DOUBLE) AS sl,
+       |    CAST(sum(CAST(k * ln(r) AS DECIMAL(38,12))) OVER () AS DOUBLE)
+       |      AS skl,
+       |    sum(k * k) OVER () AS skk
+       |  FROM curve
+       |)
+       |SELECT k, n_eligible, n_retained,
+       |  ${NumFns.roundPortableSql("r", 6)} AS retention,
+       |  ${NumFns.roundPortableSql(
+            "-ln(2.0) / ((cnt * skl - sk * sl) / (cnt * skk - sk * sk))", 4)}
+       |    AS halflife_days
+       |FROM ols
+       |ORDER BY k""".stripMargin
 }

@@ -906,7 +906,12 @@ object Temporal {
     * identical IEEE doubles on both engines and every cross-row mean
     * DECIMAL-sums them.
     */
-  def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+  /** Shared decomposition frame `(di, dow, rev, trend, seasonal)` —
+    * UNROUNDED, consumed by [[qSeasonalDecompose]] (rounded emission)
+    * and [[qSeasonalStrength]] (variance ratios). One definition, like
+    * the oracle's shared CTE chain.
+    */
+  private def decomposed(s: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
     val days = Tables.orders(s, dir)
       .select(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"),
@@ -927,16 +932,14 @@ object Temporal {
       .agg((sum((col("rev") - col("trend")).cast(D)).cast("double")
         / count(lit(1))).as("seasonal"))
     trended.join(broadcast(seasonal), Seq("dow"))
-      .select(col("di"), col("dow"), col("rev").as("rev_cents"),
-        NumFns.roundPortable(col("trend"), 6).as("trend"),
-        NumFns.roundPortable(col("seasonal"), 6).as("seasonal"),
-        NumFns.roundPortable(
-          col("rev") - col("trend") - col("seasonal"), 6).as("residual"))
-      .orderBy(col("di"))
   }
 
-  val qSeasonalDecomposeOracle: String =
-    s"""WITH days AS (
+  /** Oracle CTE chain ending in `t2(di, rev, trend, dow)` and
+    * `se(dow, seasonal)` — the SQL twin of [[decomposed]], shared by
+    * both consumers' oracles.
+    */
+  private val decomposeCteSql: String =
+    s"""days AS (
        |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
        |  FROM orders GROUP BY di
@@ -956,13 +959,90 @@ object Temporal {
        |    CAST(sum(CAST(rev - trend AS DECIMAL(38,12))) AS DOUBLE) / count(*)
        |      AS seasonal
        |  FROM t2 GROUP BY dow
-       |)
+       |)""".stripMargin
+
+  def qSeasonalDecompose(s: SparkSession, dir: String): DataFrame =
+    decomposed(s, dir)
+      .select(col("di"), col("dow"), col("rev").as("rev_cents"),
+        NumFns.roundPortable(col("trend"), 6).as("trend"),
+        NumFns.roundPortable(col("seasonal"), 6).as("seasonal"),
+        NumFns.roundPortable(
+          col("rev") - col("trend") - col("seasonal"), 6).as("residual"))
+      .orderBy(col("di"))
+
+  val qSeasonalDecomposeOracle: String =
+    s"""WITH $decomposeCteSql
        |SELECT CAST(di AS INTEGER) AS di, CAST(t2.dow AS INTEGER) AS dow, CAST(rev AS BIGINT) AS rev_cents,
        |  ${NumFns.roundPortableSql("trend", 6)} AS trend,
        |  ${NumFns.roundPortableSql("seasonal", 6)} AS seasonal,
        |  ${NumFns.roundPortableSql("rev - trend - seasonal", 6)} AS residual
        |FROM t2 JOIN se ON se.dow = t2.dow
        |ORDER BY di""".stripMargin
+
+  /** Seasonal and trend STRENGTH of the decomposition (Hyndman's
+    * F-statistics): F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) — the one-number answers to
+    * "is the weekday pattern worth modeling at all" that reading
+    * q_seasonal_decompose's 2000 component rows cannot give. Both
+    * variances are population moments of the SAME shared decomposition
+    * frame ([[decomposed]] — one definition, one oracle CTE chain), so
+    * the strengths are exactly consistent with the emitted components.
+    * Shape: the decomposition is day-frame work; the strengths are one
+    * more aggregate over it (DECIMAL-stable moment sums, doubles only
+    * in the final ratios).
+    */
+  def qSeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val f = decomposed(s, dir)
+      .select(col("di"),
+        (col("rev") - col("trend") - col("seasonal")).as("r"),
+        (col("rev") - col("trend")).as("sr"), // S + R
+        (col("rev") - col("seasonal")).as("tr")) // T + R
+    def popVar(sx: org.apache.spark.sql.Column, sxx: org.apache.spark.sql.Column) =
+      (sxx.cast("double") / col("n")) -
+        (sx.cast("double") / col("n")) * (sx.cast("double") / col("n"))
+    val m = f.agg(count(lit(1)).as("n"),
+      sum(col("r").cast(D)).as("s_r"), sum((col("r") * col("r")).cast(D)).as("q_r"),
+      sum(col("sr").cast(D)).as("s_sr"), sum((col("sr") * col("sr")).cast(D)).as("q_sr"),
+      sum(col("tr").cast(D)).as("s_tr"), sum((col("tr") * col("tr")).cast(D)).as("q_tr"))
+    val vR = popVar(col("s_r"), col("q_r"))
+    val vSR = popVar(col("s_sr"), col("q_sr"))
+    val vTR = popVar(col("s_tr"), col("q_tr"))
+    m.select(col("n").as("n_days"),
+      NumFns.roundPortable(greatest(lit(0.0), lit(1.0) - vR / vSR), 6)
+        .as("f_seasonal"),
+      NumFns.roundPortable(greatest(lit(0.0), lit(1.0) - vR / vTR), 6)
+        .as("f_trend"))
+  }
+
+  val qSeasonalStrengthOracle: String = {
+    def varSql(s: String, q: String) =
+      s"(CAST($q AS DOUBLE) / n - (CAST($s AS DOUBLE) / n) * (CAST($s AS DOUBLE) / n))"
+    s"""WITH $decomposeCteSql,
+       |comp AS (
+       |  SELECT di, rev - trend - se.seasonal AS r,
+       |    rev - trend AS sr, rev - se.seasonal AS tr2
+       |  FROM t2 JOIN se ON se.dow = t2.dow
+       |),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(r AS DECIMAL(38,12))) AS s_r,
+       |    sum(CAST(r * r AS DECIMAL(38,12))) AS q_r,
+       |    sum(CAST(sr AS DECIMAL(38,12))) AS s_sr,
+       |    sum(CAST(sr * sr AS DECIMAL(38,12))) AS q_sr,
+       |    sum(CAST(tr2 AS DECIMAL(38,12))) AS s_tr,
+       |    sum(CAST(tr2 * tr2 AS DECIMAL(38,12))) AS q_tr
+       |  FROM comp
+       |)
+       |SELECT n AS n_days,
+       |  ${NumFns.roundPortableSql(
+            s"greatest(0.0, 1.0 - ${varSql("s_r", "q_r")} / ${varSql("s_sr", "q_sr")})",
+            6)} AS f_seasonal,
+       |  ${NumFns.roundPortableSql(
+            s"greatest(0.0, 1.0 - ${varSql("s_r", "q_r")} / ${varSql("s_tr", "q_tr")})",
+            6)} AS f_trend
+       |FROM m""".stripMargin
+  }
 
   /** Backtest of the two zero-parameter forecasting baselines every
     * real model must beat — naive (ŷ_t = y_{t−1}) and seasonal-naive
