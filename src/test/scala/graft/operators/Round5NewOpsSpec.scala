@@ -1133,4 +1133,43 @@ class Round5NewOpsSpec extends SparkSpec {
     // non-trivial truth set and the bands must catch some of it
     assert(nTruth > 0 && nHits > 0)
   }
+
+  test("seasonal strength: F-statistics in [0,1] and consistent with the emitted components") {
+    val r = Temporal.qSeasonalStrength(spark, sf001).collect().head
+    val (fs, ft) = (r.getDouble(1), r.getDouble(2))
+    assert(fs >= 0.0 && fs <= 1.0, s"f_seasonal $fs")
+    assert(ft >= 0.0 && ft <= 1.0, s"f_trend $ft")
+    // recompute from the decomposition output itself (rounded components)
+    val comp = Temporal.qSeasonalDecompose(spark, sf001).collect()
+    assert(r.getLong(0) == comp.length)
+    def popVar(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val res = comp.map(_.getDouble(5))
+    val sPlusR = comp.map(c => c.getDouble(4) + c.getDouble(5))
+    val expFs = math.max(0.0, 1.0 - popVar(res) / popVar(sPlusR))
+    assert(math.abs(fs - expFs) < 1e-3, s"f_seasonal $fs vs recomputed $expFs")
+  }
+
+  test("retention halflife: curve monotone-ish decaying, halflife consistent with the fitted slope") {
+    val rows = Behavioral.qRetentionHalflife(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= Behavioral.HalflifeMaxOffset)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "retained <= eligible")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val hl = rows.map(_.getDouble(4)).distinct
+    assert(hl.length == 1, "halflife must be one pooled constant")
+    // closed-form OLS recomputation from the emitted curve
+    val pts = rows.map(r => (r.getLong(0).toDouble, math.log(r.getDouble(3))))
+    val n = pts.length
+    val (sk, sl) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val skl = pts.map(p => p._1 * p._2).sum
+    val skk = pts.map(p => p._1 * p._1).sum
+    val b = (n * skl - sk * sl) / (n * skk - sk * sk)
+    val expHl = -math.log(2.0) / b
+    assert(math.abs(hl.head - expHl) < math.abs(expHl) * 0.01 + 0.01,
+      s"halflife ${hl.head} vs recomputed $expHl")
+  }
 }
