@@ -137,4 +137,59 @@ object Recsys {
        |SELECT pa AS part, CAST(rk AS INTEGER) AS rk, pb AS neighbor, c_ab, c_a, c_b, cosine
        |FROM r WHERE rk <= $CfTopK
        |ORDER BY part, rk""".stripMargin
+
+  /** Catalog coverage and exposure concentration of the CF
+    * recommendations — the recsys health check beside relevance: a CF
+    * table can be accurate AND recommend 4% of the catalog in an
+    * endless popularity loop. Coverage = share of cataloged parts that
+    * appear as a neighbor at all; exposure Gini = inequality of how
+    * often each recommended part appears across lists (1 → a few items
+    * absorb all exposure). Shape: the rec table is item-domain-sized by
+    * construction (≤ 5 rows per part); the catalog size is one distinct
+    * count off the fact table; the Gini is the rank-from-counts form
+    * over the ≤|parts| exposure frame (window-over-aggregate). All
+    * counts exact; ratios are final-step doubles.
+    */
+  def qCfCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recs = qItemCf(s, dir).select(col("neighbor")).localCheckpoint()
+    val catalog = Tables.lineitem(s, dir)
+      .select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("n_items"))
+    val exposure = recs.groupBy(col("neighbor")).agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("neighbor"))
+    val giniF = exposure.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_rec"), sum(col("x")).as("n_slots"),
+        sum(col("i") * col("x")).as("s1"))
+    giniF.crossJoin(broadcast(catalog))
+      .select(col("n_items"), col("n_rec"), col("n_slots"),
+        NumFns.roundPortable(
+          col("n_rec").cast("double") / col("n_items"), 6).as("coverage"),
+        NumFns.roundPortable(
+          lit(2.0) * col("s1") / (col("n_rec") * col("n_slots")).cast("double")
+            - (col("n_rec") + 1) / col("n_rec").cast("double"), 6)
+          .as("exposure_gini"))
+  }
+
+  val qCfCoverageOracle: String =
+    s"""WITH cf AS ($qItemCfOracle),
+       |cat AS (SELECT count(DISTINCT l_partkey) AS n_items FROM lineitem),
+       |ex AS (SELECT neighbor, count(*) AS x FROM cf GROUP BY neighbor),
+       |rk2 AS (
+       |  SELECT x, CAST(row_number() OVER (ORDER BY x, neighbor) AS BIGINT)
+       |    AS i
+       |  FROM ex
+       |),
+       |g AS (
+       |  SELECT count(*) AS n_rec, CAST(sum(x) AS BIGINT) AS n_slots,
+       |    CAST(sum(i * x) AS BIGINT) AS s1
+       |  FROM rk2
+       |)
+       |SELECT n_items, n_rec, n_slots,
+       |  ${NumFns.roundPortableSql("CAST(n_rec AS DOUBLE) / n_items", 6)}
+       |    AS coverage,
+       |  ${NumFns.roundPortableSql(
+            "2.0 * s1 / CAST(n_rec * n_slots AS DOUBLE) " +
+            "- (n_rec + 1) / CAST(n_rec AS DOUBLE)", 6)} AS exposure_gini
+       |FROM g, cat""".stripMargin
 }

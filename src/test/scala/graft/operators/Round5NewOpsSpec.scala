@@ -1172,4 +1172,15 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(math.abs(hl.head - expHl) < math.abs(expHl) * 0.01 + 0.01,
       s"halflife ${hl.head} vs recomputed $expHl")
   }
+
+  test("cf coverage: accounting consistent with the CF table and the catalog") {
+    val r = Recsys.qCfCoverage(spark, sf001).collect().head
+    val (nItems, nRec, nSlots) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val cf = Recsys.qItemCf(spark, sf001).collect()
+    assert(nSlots == cf.length, "every rec slot counted once")
+    assert(nRec == cf.map(_.getLong(2)).distinct.length)
+    assert(nRec <= nItems)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+  }
 }
