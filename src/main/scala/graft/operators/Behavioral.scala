@@ -1384,4 +1384,62 @@ object Behavioral {
        |    AS halflife_days
        |FROM ols
        |ORDER BY k""".stripMargin
+
+  /** Participation inequality ("90-9-1") tiers of event activity: users
+    * ranked by event count, split into the top 1%, next 9%, and the
+    * remaining 90%, with each tier's share of ALL events — the standard
+    * community-health read (is the platform a broadcast medium with a
+    * tiny creator core, or broadly participatory?) that a mean or even
+    * a Gini does not make actionable. Tier cuts are exact integer
+    * ranks (⌈n/100⌉, ⌈n/10⌉ — documented convention). Shape: one event
+    * scan → per-user counts (map-side combined, entity-bounded), one
+    * rank window OVER that aggregate, a 3-row roll-up. All integer
+    * until the final shares.
+    */
+  def qParticipation(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x").desc, col("user_id"))
+    val wAll = Window.partitionBy()
+    val tiered = users
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tier",
+        when(col("i") <= ceil(col("n") / 100.0), "1_top1pct")
+          .when(col("i") <= ceil(col("n") / 10.0), "2_next9pct")
+          .otherwise("3_rest"))
+    val tot = users.agg(sum(col("x")).as("total"))
+    tiered.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("tier"), col("n_users"), col("n_events"),
+        NumFns.roundPortable(
+          col("n_events").cast("double") / col("total"), 6).as("event_share"))
+      .orderBy(col("tier"))
+  }
+
+  val qParticipationOracle: String =
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+       |),
+       |r AS (
+       |  SELECT x,
+       |    CAST(row_number() OVER (ORDER BY x DESC, user_id) AS BIGINT) AS i,
+       |    CAST(count(*) OVER () AS BIGINT) AS n
+       |  FROM u
+       |),
+       |t AS (
+       |  SELECT x,
+       |    CASE WHEN i <= ceil(n / 100.0) THEN '1_top1pct'
+       |      WHEN i <= ceil(n / 10.0) THEN '2_next9pct'
+       |      ELSE '3_rest' END AS tier
+       |  FROM r
+       |),
+       |tot AS (SELECT CAST(sum(x) AS BIGINT) AS total FROM u)
+       |SELECT tier, count(*) AS n_users, CAST(sum(x) AS BIGINT) AS n_events,
+       |  ${NumFns.roundPortableSql("CAST(sum(x) AS DOUBLE) / total", 6)}
+       |    AS event_share
+       |FROM t, tot
+       |GROUP BY tier, total
+       |ORDER BY tier""".stripMargin
 }

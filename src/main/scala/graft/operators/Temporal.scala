@@ -1044,6 +1044,135 @@ object Temporal {
        |FROM m""".stripMargin
   }
 
+  /** Sigma multiple for [[qSeasonalAnomaly]]. */
+  val SeasonalAnomalyZ = 3.0
+
+  /** Seasonally-adjusted anomaly days: flag days whose decomposition
+    * RESIDUAL exceeds [[SeasonalAnomalyZ]]·σ_R — the detector
+    * q_anomaly_zscore cannot be: an alarm on the raw series fires every
+    * weekend (that's the seasonal component doing its job) and misses a
+    * genuinely anomalous Saturday that is merely "weekday-sized". Built
+    * on the SAME shared decomposition frame ([[decomposed]]) as the
+    * decompose/strength pair, so the three operators can never drift
+    * apart. σ_R is the population std of residuals (DECIMAL-stable
+    * moments); the flag compare runs on identical doubles both engines.
+    */
+  def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val f = decomposed(s, dir)
+      .select(col("di"), col("dow"), col("rev"),
+        (col("rev") - col("trend") - col("seasonal")).as("r"))
+      .localCheckpoint() // feeds the 1-row moment agg AND the flag scan
+    val m = f.agg(count(lit(1)).as("n"),
+      sum(col("r").cast(D)).as("s_r"),
+      sum((col("r") * col("r")).cast(D)).as("q_r"))
+    val mu = col("s_r").cast("double") / col("n")
+    val sd = sqrt(col("q_r").cast("double") / col("n") - mu * mu)
+    f.crossJoin(broadcast(m))
+      .filter(abs(col("r") - mu) > lit(SeasonalAnomalyZ) * sd)
+      .select(col("di"), col("dow"), col("rev").as("rev_cents"),
+        NumFns.roundPortable((col("r") - mu) / sd, 4).as("resid_z"))
+      .orderBy(col("di"))
+  }
+
+  val qSeasonalAnomalyOracle: String =
+    s"""WITH $decomposeCteSql,
+       |comp AS (
+       |  SELECT di, t2.dow, rev,
+       |    rev - trend - se.seasonal AS r
+       |  FROM t2 JOIN se ON se.dow = t2.dow
+       |),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(r AS DECIMAL(38,12))) AS s_r,
+       |    sum(CAST(r * r AS DECIMAL(38,12))) AS q_r
+       |  FROM comp
+       |)
+       |SELECT CAST(di AS INTEGER) AS di, CAST(dow AS INTEGER) AS dow,
+       |  CAST(rev AS BIGINT) AS rev_cents,
+       |  ${NumFns.roundPortableSql(
+            "(r - CAST(s_r AS DOUBLE) / n) / " +
+            "sqrt(CAST(q_r AS DOUBLE) / n " +
+            "- (CAST(s_r AS DOUBLE) / n) * (CAST(s_r AS DOUBLE) / n))", 4)}
+       |    AS resid_z
+       |FROM comp, m
+       |WHERE abs(r - CAST(s_r AS DOUBLE) / n) > $SeasonalAnomalyZ *
+       |  sqrt(CAST(q_r AS DOUBLE) / n
+       |    - (CAST(s_r AS DOUBLE) / n) * (CAST(s_r AS DOUBLE) / n))
+       |ORDER BY di""".stripMargin
+
+  /** Maximum drawdown of cumulative net daily revenue — the
+    * worst-case peak-to-trough the capacity/treasury view asks for:
+    * running cumulative revenue, its running peak, drawdown = peak −
+    * cum, and the single worst day with its peak/trough anchors. Every
+    * quantity is an exact integer cent sum, so the answer is exact and
+    * tie-broken deterministically (earliest worst day). The windows are
+    * the allowed partitionless-over-Aggregate shape: they slide over
+    * the |days| cell frame, never raw orders.
+    */
+  def qDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"))
+    // center daily revenue so the cumulative series actually dips: net
+    // = rev − overall mean (an exact integer after flooring), the
+    // standard de-drifting for drawdown on a growing series
+    val tot = days.agg(sum(col("rev")).as("s"), count(lit(1)).as("n"))
+      .select(floor(col("s") / col("n")).cast("long").as("mu"))
+    val w = Window.orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = days.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("rev") - col("mu")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+      .withColumn("dd", col("peak") - col("cum"))
+    run.orderBy(col("dd").desc, col("di")).limit(1)
+      .select(col("di").as("trough_day"),
+        NumFns.roundPortable(col("dd").cast("double") / 100.0, 2)
+          .as("max_drawdown"),
+        NumFns.roundPortable(col("peak").cast("double") / 100.0, 2)
+          .as("peak_cum"),
+        NumFns.roundPortable(col("cum").cast("double") / 100.0, 2)
+          .as("trough_cum"))
+  }
+
+  val qDrawdownOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT) AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY 1
+       |),
+       |tot AS (
+       |  SELECT CAST(floor(CAST(sum(rev) AS DOUBLE) / count(*)) AS BIGINT)
+       |    AS mu
+       |  FROM days
+       |),
+       |cum0 AS (
+       |  SELECT di,
+       |    CAST(sum(rev - mu) OVER (ORDER BY di
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM days, tot
+       |),
+       |run AS (
+       |  SELECT di, cum,
+       |    CAST(max(cum) OVER (ORDER BY di
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS peak
+       |  FROM cum0
+       |)
+       |SELECT di AS trough_day,
+       |  ${NumFns.roundPortableSql("CAST(peak - cum AS DOUBLE) / 100.0", 2)}
+       |    AS max_drawdown,
+       |  ${NumFns.roundPortableSql("CAST(peak AS DOUBLE) / 100.0", 2)}
+       |    AS peak_cum,
+       |  ${NumFns.roundPortableSql("CAST(cum AS DOUBLE) / 100.0", 2)}
+       |    AS trough_cum
+       |FROM run
+       |ORDER BY peak - cum DESC, di
+       |LIMIT 1""".stripMargin
+
   /** Backtest of the two zero-parameter forecasting baselines every
     * real model must beat — naive (ŷ_t = y_{t−1}) and seasonal-naive
     * (ŷ_t = y_{t−7}) — scored with MAE (exact integer cents) and SMAPE

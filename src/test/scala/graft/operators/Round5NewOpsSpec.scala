@@ -1183,4 +1183,41 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
     assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
   }
+
+  test("participation: tiers partition users and events, shares sum to 1, inequality ordered") {
+    val rows = Behavioral.qParticipation(spark, sf001).collect()
+    assert(rows.length == 3)
+    val nUsers = graft.sources.Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    val nEvents = graft.sources.Tables.events(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    assert(rows.map(_.getLong(2)).sum == nEvents)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-5)
+    // per-user activity in the top tier dominates the rest
+    val perUser = rows.map(r => r.getLong(2).toDouble / r.getLong(1))
+    assert(perUser(0) >= perUser(1) && perUser(1) >= perUser(2))
+  }
+
+  test("seasonal anomaly: flagged z beyond the gate; flags consistent with the decomposition") {
+    val rows = Temporal.qSeasonalAnomaly(spark, sf001).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) > Temporal.SeasonalAnomalyZ - 0.01, r))
+    // recompute residual z from the decomposition output: every flagged
+    // day must be among the extreme residuals
+    val comp = Temporal.qSeasonalDecompose(spark, sf001).collect()
+    val res = comp.map(_.getDouble(5))
+    val mu = res.sum / res.length
+    val sd = math.sqrt(res.map(x => (x - mu) * (x - mu)).sum / res.length)
+    val expFlag = comp.filter(c => math.abs(c.getDouble(5) - mu) > Temporal.SeasonalAnomalyZ * sd)
+      .map(_.getInt(0)).toSet
+    assert(rows.map(_.getInt(0)).toSet == expFlag,
+      s"flag sets differ: got ${rows.length}, expected ${expFlag.size}")
+  }
+
+  test("drawdown: trough below peak, both reachable in the centered cumulative series") {
+    val r = Temporal.qDrawdown(spark, sf001).collect().head
+    val (dd, peak, trough) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(dd >= 0.0)
+    assert(math.abs(dd - (peak - trough)) < 0.02, s"$dd != $peak - $trough")
+    assert(peak >= trough)
+  }
 }
