@@ -908,4 +908,90 @@ object RelationalPlus {
        |FROM w
        |ORDER BY r_name""".stripMargin
   }
+
+  /** Basket-weighted price indices between [[BridgeYears]] — the
+    * part-level rigor [[qRevenueBridge]]'s two aggregate effects
+    * deliberately blur: Laspeyres (year-2 prices on the YEAR-1 basket),
+    * Paasche (on the year-2 basket) and their geometric mean (Fisher's
+    * ideal index), over the parts traded in BOTH years. L > P signals
+    * substitution away from items whose prices rose — invisible to any
+    * region-level number. Shape: the fact table collapses to
+    * (part, year) integer cells; the common-part join is part-keyed;
+    * the four cross-basket sums quantize each p·q term to exact
+    * micro-cents (round(pᵢ·qⱼ·1e2) of cents — integer, order-free), so
+    * the indices are ratios of exact integers. One row out.
+    */
+  def qPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    val (y1, y2) = BridgeYears
+    val cells = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(y1, y2))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_partkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(NumFns.roundAwayLong(col("l_extendedprice") * 100)).as("rev"),
+        sum(NumFns.roundAwayLong(col("l_quantity"))).as("qty"))
+    def pick(y: Int, c: String) = max(when(col("yr") === y, col(c)))
+    val wide = cells.groupBy(col("l_partkey"))
+      .agg(pick(y1, "rev").as("r1"), pick(y1, "qty").as("q1"),
+        pick(y2, "rev").as("r2"), pick(y2, "qty").as("q2"))
+      .filter(col("r1").isNotNull && col("r2").isNotNull)
+    // p_i in cents (exact ratio); cross terms p_i·q_j quantized to an
+    // exact integer hundredth-cent before summing — order-free
+    val p1 = col("r1").cast("double") / col("q1")
+    val p2 = col("r2").cast("double") / col("q2")
+    val agg = wide.agg(
+      count(lit(1)).as("n_parts"),
+      sum(NumFns.roundAwayLong(p1 * col("q1") * 100)).as("p1q1"),
+      sum(NumFns.roundAwayLong(p2 * col("q1") * 100)).as("p2q1"),
+      sum(NumFns.roundAwayLong(p1 * col("q2") * 100)).as("p1q2"),
+      sum(NumFns.roundAwayLong(p2 * col("q2") * 100)).as("p2q2"))
+    val lasp = col("p2q1").cast("double") / col("p1q1")
+    val paas = col("p2q2").cast("double") / col("p1q2")
+    agg.select(col("n_parts"),
+      NumFns.roundPortable(lasp, 6).as("laspeyres"),
+      NumFns.roundPortable(paas, 6).as("paasche"),
+      NumFns.roundPortable(sqrt(lasp * paas), 6).as("fisher"))
+  }
+
+  val qPriceIndexOracle: String = {
+    val (y1, y2) = BridgeYears
+    s"""WITH cells AS (
+       |  SELECT l_partkey, year(o_orderdate) AS yr,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev,
+       |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE year(o_orderdate) IN ($y1, $y2)
+       |  GROUP BY 1, 2
+       |),
+       |w AS (
+       |  SELECT l_partkey,
+       |    max(CASE WHEN yr = $y1 THEN rev END) AS r1,
+       |    max(CASE WHEN yr = $y1 THEN qty END) AS q1,
+       |    max(CASE WHEN yr = $y2 THEN rev END) AS r2,
+       |    max(CASE WHEN yr = $y2 THEN qty END) AS q2
+       |  FROM cells GROUP BY l_partkey
+       |  HAVING r1 IS NOT NULL AND r2 IS NOT NULL
+       |),
+       |ag AS (
+       |  SELECT count(*) AS n_parts,
+       |    CAST(sum(CAST(round(CAST(r1 AS DOUBLE) / q1 * q1 * 100) AS BIGINT))
+       |      AS BIGINT) AS p1q1,
+       |    CAST(sum(CAST(round(CAST(r2 AS DOUBLE) / q2 * q1 * 100) AS BIGINT))
+       |      AS BIGINT) AS p2q1,
+       |    CAST(sum(CAST(round(CAST(r1 AS DOUBLE) / q1 * q2 * 100) AS BIGINT))
+       |      AS BIGINT) AS p1q2,
+       |    CAST(sum(CAST(round(CAST(r2 AS DOUBLE) / q2 * q2 * 100) AS BIGINT))
+       |      AS BIGINT) AS p2q2
+       |  FROM w
+       |)
+       |SELECT n_parts,
+       |  ${NumFns.roundPortableSql("CAST(p2q1 AS DOUBLE) / p1q1", 6)}
+       |    AS laspeyres,
+       |  ${NumFns.roundPortableSql("CAST(p2q2 AS DOUBLE) / p1q2", 6)}
+       |    AS paasche,
+       |  ${NumFns.roundPortableSql(
+            "sqrt((CAST(p2q1 AS DOUBLE) / p1q1) * " +
+            "(CAST(p2q2 AS DOUBLE) / p1q2))", 6)} AS fisher
+       |FROM ag""".stripMargin
+  }
 }

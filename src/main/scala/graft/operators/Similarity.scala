@@ -1449,6 +1449,60 @@ object Similarity {
     perK.reduce(_ union _).orderBy(col("k"))
   }
 
+  /** Sample size for the [[qAnisotropy]] pair estimate. */
+  val AnisotropySample = 200L
+
+  /** Embedding anisotropy (Ethayarajh): the mean pairwise cosine over a
+    * deterministic sample — isotropic (direction-uniform) embeddings
+    * average ≈ 0, while the "narrow cone" pathology of contextual
+    * encoders pushes it toward 1, silently inflating EVERY cosine the
+    * ANN/SemDeDup/near-dup stack computes and invalidating their fixed
+    * thresholds. This one number is the calibration check those
+    * thresholds rest on, plus the mean norm (scale drift companion).
+    * Shape: the first [[AnisotropySample]] vectors (deterministic, id-
+    * pruned at the scan) pair all-ways — a BOUNDED sample² frame, never
+    * corpus² — and the mean is a DECIMAL-stable sum.
+    */
+  def qAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val sample = prepared(s, dir).filter(col("vec_id") < AnisotropySample)
+      .localCheckpoint()
+    val pairs = sample.as("a")
+      .join(broadcast(sample.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(simCol.as("cos"))
+    val cosAgg = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(col("cos").cast(D)).as("sc"))
+    val normAgg = sample.agg(count(lit(1)).as("n_vecs"),
+      sum(sqrt(col("nsq")).cast(D)).as("sn"))
+    normAgg.crossJoin(broadcast(cosAgg))
+      .select(col("n_vecs"), col("n_pairs"),
+        NumFns.roundPortable(
+          col("sc").cast("double") / col("n_pairs"), 6).as("mean_cos"),
+        NumFns.roundPortable(
+          col("sn").cast("double") / col("n_vecs"), 6).as("mean_norm"))
+  }
+
+  val qAnisotropyOracle: String =
+    s"""WITH $preparedSql,
+       |sm AS (SELECT * FROM n WHERE vec_id < $AnisotropySample),
+       |p AS (
+       |  SELECT CAST(round(${dotSql("a.v", "b.v")}
+       |    / (sqrt(a.nsq) * sqrt(b.nsq)), 4) AS DECIMAL(38,12)) AS cos
+       |  FROM sm a JOIN sm b ON a.vec_id < b.vec_id
+       |),
+       |ca AS (SELECT count(*) AS n_pairs, sum(cos) AS sc FROM p),
+       |na AS (
+       |  SELECT count(*) AS n_vecs,
+       |    sum(CAST(sqrt(nsq) AS DECIMAL(38,12))) AS sn
+       |  FROM sm
+       |)
+       |SELECT n_vecs, n_pairs,
+       |  ${NumFns.roundPortableSql("CAST(sc AS DOUBLE) / n_pairs", 6)}
+       |    AS mean_cos,
+       |  ${NumFns.roundPortableSql("CAST(sn AS DOUBLE) / n_vecs", 6)}
+       |    AS mean_norm
+       |FROM na, ca""".stripMargin
+
   val qElbowSseOracle: String = {
     val perK = ElbowKs.map { k =>
       s"""SELECT CAST($k AS BIGINT) AS k, count(*) AS n_vecs,

@@ -1213,6 +1213,36 @@ class Round5NewOpsSpec extends SparkSpec {
       s"flag sets differ: got ${rows.length}, expected ${expFlag.size}")
   }
 
+  test("price index: Fisher is the geometric mean and sits between Laspeyres and Paasche") {
+    val r = RelationalPlus.qPriceIndex(spark, sf001).collect().head
+    val (l, p, f) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(l > 0.0 && p > 0.0)
+    assert(math.abs(f - math.sqrt(l * p)) < 1e-4, s"fisher $f vs ${math.sqrt(l * p)}")
+    assert(f >= math.min(l, p) - 1e-9 && f <= math.max(l, p) + 1e-9)
+    assert(r.getLong(0) > 0)
+  }
+
+  test("anisotropy: pair accounting exact; mean cosine matches a driver-side recomputation") {
+    val r = Similarity.qAnisotropy(spark, sf001).collect().head
+    val n = r.getLong(0)
+    assert(r.getLong(1) == n * (n - 1) / 2, "all sample pairs counted once")
+    assert(math.abs(r.getDouble(2)) <= 1.0)
+    assert(r.getDouble(3) > 0.0)
+    val vecs = graft.sources.Tables.embeddings(spark, sf001)
+      .filter(s"vec_id < ${Similarity.AnisotropySample}")
+      .collect().map(row => row.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.round(d / (math.sqrt(a.map(x => x * x).sum)
+        * math.sqrt(b.map(x => x * x).sum)) * 1e4) / 1e4
+    }
+    val cs = for (i <- vecs.indices; j <- (i + 1) until vecs.length)
+      yield cos(vecs(i), vecs(j))
+    val exp = cs.sum / cs.length
+    assert(math.abs(r.getDouble(2) - exp) < 1e-4,
+      s"mean cos ${r.getDouble(2)} vs $exp")
+  }
+
   test("drawdown: trough below peak, both reachable in the centered cumulative series") {
     val r = Temporal.qDrawdown(spark, sf001).collect().head
     val (dd, peak, trough) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
