@@ -1495,6 +1495,110 @@ object Profiling {
        |GROUP BY dev.source
        |ORDER BY dev.source""".stripMargin
 
+  /** χ² critical value at α = 0.05, df = 19 (20 sources − 1). */
+  val MoodsCrit19 = 30.14352720564616
+
+  /** Mood's median test across sources on document length — the robust
+    * k-sample location test beside q_anova's mean-based F: counts above
+    * vs at-or-below the GRAND lower median per source and one χ² over
+    * the 2×k table; a single pathological giant document cannot move
+    * the statistic, where it drags ANOVA's sums of squares directly.
+    * Exactness discipline: the grand median is the exact lower order
+    * statistic from VALUE CELLS (an integer — no interpolation, so the
+    * above/below split is an integer comparison on both engines);
+    * expected counts are single divisions of exact integers; χ² sums as
+    * DECIMAL. Shape: two cell-frame passes (global median, per-source
+    * split counts) — value-domain work only.
+    */
+  def qMoodsMedian(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    // grand LOWER median from value cells: smallest value whose running
+    // count reaches ceil(N/2)
+    val cells = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val med = cells
+      .withColumn("cum", sum(col("c")).over(wv))
+      .withColumn("nn", sum(col("c")).over(wAll))
+      .filter(col("cum") >= ceil(col("nn") / lit(2.0)))
+      .agg(min(col("n_chars")).as("gmed"))
+    val split = docs.crossJoin(broadcast(med))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_chars") > col("gmed")).cast("long")).as("n_above"))
+    val tot = split.agg(sum(col("n_docs")).as("nt"),
+      sum(col("n_above")).as("at"))
+    val joined = split.crossJoin(broadcast(tot))
+      .withColumn("e_above",
+        col("n_docs").cast("double") * col("at") / col("nt"))
+      .withColumn("e_below",
+        col("n_docs").cast("double") * (col("nt") - col("at")) / col("nt"))
+      .withColumn("term",
+        ((col("n_above") - col("e_above")) * (col("n_above") - col("e_above"))
+          / col("e_above"))
+          + ((col("n_docs") - col("n_above") - col("e_below"))
+            * (col("n_docs") - col("n_above") - col("e_below"))
+            / col("e_below")))
+    joined
+      .withColumn("chi2",
+        sum(col("term").cast(D)).over(wAll).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_above"),
+        NumFns.roundPortable(
+          col("n_above").cast("double") / col("n_docs"), 6).as("share_above"),
+        NumFns.roundPortable(col("chi2"), 6).as("chi2"),
+        (col("chi2") > MoodsCrit19).as("significant"))
+      .orderBy(col("source"))
+  }
+
+  val qMoodsMedianOracle: String =
+    s"""WITH cells AS (
+       |  SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars
+       |),
+       |md AS (
+       |  SELECT min(n_chars) AS gmed FROM (
+       |    SELECT n_chars,
+       |      sum(c) OVER (ORDER BY n_chars
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |      sum(c) OVER () AS nn
+       |    FROM cells
+       |  ) WHERE cum >= ceil(nn / 2.0)
+       |),
+       |sp AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN n_chars > gmed THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_above
+       |  FROM documents, md GROUP BY source
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS nt,
+       |    CAST(sum(n_above) AS BIGINT) AS at FROM sp
+       |),
+       |tm AS (
+       |  SELECT source, n_docs, n_above,
+       |    (n_above - CAST(n_docs AS DOUBLE) * at / nt)
+       |      * (n_above - CAST(n_docs AS DOUBLE) * at / nt)
+       |      / (CAST(n_docs AS DOUBLE) * at / nt)
+       |    + ((n_docs - n_above) - CAST(n_docs AS DOUBLE) * (nt - at) / nt)
+       |      * ((n_docs - n_above) - CAST(n_docs AS DOUBLE) * (nt - at) / nt)
+       |      / (CAST(n_docs AS DOUBLE) * (nt - at) / nt) AS term
+       |  FROM sp, tot
+       |),
+       |f AS (
+       |  SELECT source, n_docs, n_above,
+       |    CAST(sum(CAST(term AS DECIMAL(38,12))) OVER () AS DOUBLE) AS chi2
+       |  FROM tm
+       |)
+       |SELECT source, n_docs, n_above,
+       |  ${NumFns.roundPortableSql("CAST(n_above AS DOUBLE) / n_docs", 6)}
+       |    AS share_above,
+       |  ${NumFns.roundPortableSql("chi2", 6)} AS chi2,
+       |  (chi2 > $MoodsCrit19) AS significant
+       |FROM f
+       |ORDER BY source""".stripMargin
+
   /** Kendall tau-b rank correlation between the monthly order-count and
     * monthly revenue series — the third rank-association measure beside
     * q_corr (Pearson, linear) and q_spearman (rank, but tie-fragile):

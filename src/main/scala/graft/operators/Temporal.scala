@@ -1251,6 +1251,89 @@ object Temporal {
        |ORDER BY abs(sr - t * (n + 1)) DESC, di
        |LIMIT 1""".stripMargin
 
+  /** χ² critical value at α = 0.05, df = 6 (7 weekday treatments). */
+  val FriedmanCrit6 = 12.591587243743977
+
+  /** Friedman rank test of a weekday effect on event traffic — the
+    * nonparametric companion to q_dow_profile's descriptive means:
+    * within each complete week (the block), the 7 daily event counts
+    * are ranked 1..7, and χ²_F = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1) asks
+    * whether weekday rank sums diverge more than chance. Blocking by
+    * week removes the trend/level drift that would contaminate a pooled
+    * Kruskal-Wallis — each week is its own control. (The EVENT stream
+    * is the dense daily series at every scale; the sparse-day order
+    * series would leave no complete blocks at small SF.) Determinism:
+    * within-week ranks use a total (count, dow) order (exact integers;
+    * ties broken by weekday, documented); rank sums and ΣR² stay
+    * integer, so χ² is one double expression at the end, compared
+    * against the fixed df=6 critical value. Shape: day cells →
+    * per-week rank windows (7-row frames) → a 7-row rank-sum aggregate.
+    */
+  def qFriedman(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("2020-01-01"))
+        .cast("long").as("di"))
+      .agg(count(lit(1)).as("rev"))
+      .withColumn("wk", expr("di div 7"))
+      .withColumn("dow", col("di") % 7)
+    val wWeek = Window.partitionBy(col("wk"))
+    val full = days
+      .withColumn("wdays", count(lit(1)).over(wWeek))
+      .filter(col("wdays") === 7)
+      .withColumn("rk", row_number().over(
+        wWeek.orderBy(col("rev"), col("dow"))).cast("long"))
+    val sums = full.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_weeks"), sum(col("rk")).as("rsum"))
+    val wAll = Window.partitionBy()
+    val k = lit(7.0)
+    sums
+      .withColumn("n", max(col("n_weeks")).over(wAll).cast("double"))
+      .withColumn("srr", sum(col("rsum") * col("rsum")).over(wAll))
+      .select(col("dow"), col("n_weeks"), col("rsum"),
+        NumFns.roundPortable(
+          lit(12.0) * col("srr") / (col("n") * k * (k + 1))
+            - lit(3.0) * col("n") * (k + 1), 6).as("chi2"),
+        (lit(12.0) * col("srr") / (col("n") * k * (k + 1))
+          - lit(3.0) * col("n") * (k + 1) > FriedmanCrit6)
+          .as("significant"))
+      .orderBy(col("dow"))
+  }
+
+  val qFriedmanOracle: String = {
+    val chi2 = "12.0 * srr / (n * 7.0 * (7.0 + 1)) - 3.0 * n * (7.0 + 1)"
+    s"""WITH days AS (
+       |  SELECT CAST(CAST(ts AS DATE) - DATE '2020-01-01' AS BIGINT) AS di,
+       |    count(*) AS rev
+       |  FROM events GROUP BY 1
+       |),
+       |wkd AS (
+       |  SELECT di // 7 AS wk, di % 7 AS dow, rev,
+       |    count(*) OVER (PARTITION BY di // 7) AS wdays
+       |  FROM days
+       |),
+       |rk AS (
+       |  SELECT dow,
+       |    CAST(row_number() OVER (PARTITION BY wk ORDER BY rev, dow)
+       |      AS BIGINT) AS r
+       |  FROM wkd WHERE wdays = 7
+       |),
+       |sums AS (
+       |  SELECT dow, count(*) AS n_weeks, CAST(sum(r) AS BIGINT) AS rsum
+       |  FROM rk GROUP BY dow
+       |),
+       |ag AS (
+       |  SELECT dow, n_weeks, rsum,
+       |    CAST(max(n_weeks) OVER () AS DOUBLE) AS n,
+       |    CAST(sum(rsum * rsum) OVER () AS BIGINT) AS srr
+       |  FROM sums
+       |)
+       |SELECT dow, n_weeks, rsum,
+       |  ${NumFns.roundPortableSql(chi2, 6)} AS chi2,
+       |  ($chi2 > $FriedmanCrit6) AS significant
+       |FROM ag
+       |ORDER BY dow""".stripMargin
+  }
+
   /** Maximum drawdown of cumulative net daily revenue — the
     * worst-case peak-to-trough the capacity/treasury view asks for:
     * running cumulative revenue, its running peak, drawdown = peak −

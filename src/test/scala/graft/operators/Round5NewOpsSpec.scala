@@ -1289,4 +1289,28 @@ class Round5NewOpsSpec extends SparkSpec {
     }.max
     assert(math.abs(u) == maxU, s"|U|=${math.abs(u)} not maximal ($maxU)")
   }
+
+  test("friedman: rank sums conserve the total, chi2 constant and non-negative") {
+    val rows = Temporal.qFriedman(spark, sf001).collect()
+    assert(rows.length == 7)
+    val nWeeks = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) == nWeeks))
+    // each complete week contributes ranks 1..7 → total n·k(k+1)/2
+    assert(rows.map(_.getLong(2)).sum == nWeeks * 7 * 8 / 2)
+    val chi2 = rows.map(_.getDouble(3)).distinct
+    assert(chi2.length == 1 && chi2.head >= 0.0)
+    rows.foreach(r => assert(r.getBoolean(4) == (r.getDouble(3) > Temporal.FriedmanCrit6)))
+  }
+
+  test("moods median: above-counts split roughly in half globally; chi2 constant") {
+    val rows = Profiling.qMoodsMedian(spark, sf001).collect()
+    assert(rows.length == 20)
+    val nt = rows.map(_.getLong(1)).sum
+    val at = rows.map(_.getLong(2)).sum
+    // strictly-above the LOWER median is at most half the population
+    assert(at <= nt / 2 + 1, s"above $at of $nt")
+    assert(at >= nt / 4, "median split degenerate")
+    val chi2 = rows.map(_.getDouble(4)).distinct
+    assert(chi2.length == 1 && chi2.head >= 0.0)
+  }
 }
