@@ -650,6 +650,149 @@ object TextAnalysis {
        |FROM cm
        |ORDER BY lang, predicted""".stripMargin
 
+  /** Cohen's kappa of the langid classifier against the true labels —
+    * the chance-corrected agreement q_langid_eval's raw confusion shares
+    * cannot give: with one dominant language, plain accuracy is high by
+    * default, while κ = (p_o − p_e)/(1 − p_e) discounts exactly that
+    * base-rate agreement. Multi-class over the same confusion frame.
+    * Scale discipline: p_e's per-class marginal product is computed as
+    * (n_true/N)·(n_pred/N) in doubles (the integer cross-product
+    * n_true·n_pred overflows int64 at corpus scale) and the ≤k² terms
+    * sum as DECIMAL; p_o is an exact integer ratio. One scan → k²-cell
+    * confusion → closed form.
+    */
+  def qCohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cm = qTextLangid(s, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds marginals AND the diagonal sum
+    val nTot = cm.agg(sum(col("n")).as("nt"))
+    val marg = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+      .join(
+        cm.groupBy(col("predicted")).agg(sum(col("n")).as("n_pred")),
+        col("lang") === col("predicted"))
+      .crossJoin(broadcast(nTot))
+      .agg(sum(((col("n_true").cast("double") / col("nt"))
+        * (col("n_pred").cast("double") / col("nt"))).cast(D))
+        .cast("double").as("pe"))
+    val diag = cm.filter(col("lang") === col("predicted"))
+      .agg(sum(col("n")).as("n_agree"))
+    diag.crossJoin(broadcast(nTot)).crossJoin(broadcast(marg))
+      .select(col("n_agree"), col("nt").as("n_docs"),
+        NumFns.roundPortable(
+          col("n_agree").cast("double") / col("nt"), 6).as("p_observed"),
+        NumFns.roundPortable(col("pe"), 6).as("p_expected"),
+        NumFns.roundPortable(
+          (col("n_agree").cast("double") / col("nt") - col("pe"))
+            / (lit(1.0) - col("pe")), 6).as("kappa"))
+  }
+
+  val qCohensKappaOracle: String =
+    s"""WITH pred AS ($qTextLangidOracle),
+       |cm AS (
+       |  SELECT lang, predicted, count(*) AS n
+       |  FROM pred GROUP BY lang, predicted
+       |),
+       |nt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cm),
+       |tm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY lang),
+       |pm AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS n_pred
+       |  FROM cm GROUP BY predicted),
+       |pe AS (
+       |  SELECT CAST(sum(CAST((CAST(n_true AS DOUBLE) / nt)
+       |    * (CAST(n_pred AS DOUBLE) / nt) AS DECIMAL(38,12))) AS DOUBLE)
+       |    AS pe
+       |  FROM tm JOIN pm ON tm.lang = pm.predicted, nt
+       |),
+       |dg AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_agree
+       |  FROM cm WHERE lang = predicted
+       |)
+       |SELECT n_agree, nt AS n_docs,
+       |  ${NumFns.roundPortableSql("CAST(n_agree AS DOUBLE) / nt", 6)}
+       |    AS p_observed,
+       |  ${NumFns.roundPortableSql("pe", 6)} AS p_expected,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(n_agree AS DOUBLE) / nt - pe) / (1.0 - pe)", 6)} AS kappa
+       |FROM dg, nt, pe""".stripMargin
+
+  /** Monroe et al. "fightin' words" prior for [[qLogOdds]]: the
+    * pseudo-count mass spread over the vocabulary in proportion to
+    * global frequency.
+    */
+  val LogOddsAlpha0 = 500.0
+
+  /** Terms reported per side by [[qLogOdds]]. */
+  val LogOddsTopK = 15
+
+  /** Dirichlet-smoothed log-odds keyness (Monroe, Colaresi & Quinn)
+    * between src0 and src1 — the statistically honest corpus-comparison
+    * that raw TF-IDF keyword lists are not: the informative-Dirichlet
+    * prior (global-frequency-proportional pseudo-counts) shrinks rare-
+    * word noise, and each word's δ is z-scored by its estimated variance
+    * 1/(y_i+α) + 1/(y_j+α), so the ranking is by EVIDENCE, not raw
+    * ratio. Top-|z| words each direction. Shape: token counts per side
+    * + global counts are map-side-combined cell frames joined on the
+    * word key; the δ/σ arithmetic is per-cell scan-side. Determinism:
+    * counts exact; ln/sqrt on identical doubles; rounded emission with
+    * word tiebreaks.
+    */
+  def qLogOdds(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val cells = toks.groupBy(col("w"))
+      .agg(sum((col("source") === "src0").cast("long")).as("yi"),
+        sum((col("source") === "src1").cast("long")).as("yj"))
+      .localCheckpoint() // feeds the totals AND the scored frame
+    val tot = cells.agg(sum(col("yi")).as("ni"), sum(col("yj")).as("nj"),
+      sum(col("yi") + col("yj")).as("nall"))
+    val alphaW = lit(LogOddsAlpha0) * (col("yi") + col("yj")).cast("double") /
+      col("nall")
+    val li = log((col("yi") + alphaW) /
+      (col("ni") + LogOddsAlpha0 - col("yi") - alphaW))
+    val lj = log((col("yj") + alphaW) /
+      (col("nj") + LogOddsAlpha0 - col("yj") - alphaW))
+    val sigma2 = lit(1.0) / (col("yi") + alphaW) + lit(1.0) / (col("yj") + alphaW)
+    val scored = cells.crossJoin(broadcast(tot))
+      .withColumn("z_raw", (li - lj) / sqrt(sigma2))
+    scored
+      .orderBy(abs(col("z_raw")).desc, col("w"))
+      .limit(LogOddsTopK)
+      .select(col("w"), col("yi"), col("yj"),
+        NumFns.roundPortable(col("z_raw"), 6).as("z"))
+  }
+
+  val qLogOddsOracle: String = {
+    val alphaW = s"($LogOddsAlpha0 * CAST(yi + yj AS DOUBLE) / nall)"
+    val li = s"ln((yi + $alphaW) / (ni + $LogOddsAlpha0 - yi - $alphaW))"
+    val lj = s"ln((yj + $alphaW) / (nj + $LogOddsAlpha0 - yj - $alphaW))"
+    val z = s"(($li - $lj) / sqrt(1.0 / (yi + $alphaW) + 1.0 / (yj + $alphaW)))"
+    s"""WITH t AS (
+       |  SELECT source, unnest($toksSql) AS w FROM documents
+       |  WHERE source IN ('src0', 'src1')
+       |),
+       |cells AS (
+       |  SELECT w,
+       |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS yi,
+       |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS yj
+       |  FROM t WHERE length(w) > 0 GROUP BY w
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(yi) AS BIGINT) AS ni, CAST(sum(yj) AS BIGINT) AS nj,
+       |    CAST(sum(yi + yj) AS BIGINT) AS nall
+       |  FROM cells
+       |)
+       |SELECT w, yi, yj,
+       |  ${NumFns.roundPortableSql(z, 6)} AS z
+       |FROM cells, tot
+       |ORDER BY abs($z) DESC, w
+       |LIMIT $LogOddsTopK""".stripMargin
+  }
+
   /** Vocabulary size for the OOV-rate audit (a stand-in tokenizer
     * lexicon; production plugs in the real tokenizer's vocab table).
     */

@@ -1313,4 +1313,30 @@ class Round5NewOpsSpec extends SparkSpec {
     val chi2 = rows.map(_.getDouble(4)).distinct
     assert(chi2.length == 1 && chi2.head >= 0.0)
   }
+
+  test("cohens kappa: consistent with the confusion matrix and below raw accuracy") {
+    val r = TextAnalysis.qCohensKappa(spark, sf001).collect().head
+    val (po, pe, k) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-5)
+    assert(k <= po + 1e-9, "chance correction can only lower agreement")
+    // p_o reconstructed from the langid eval confusion
+    val cm = TextAnalysis.qLangidEval(spark, sf001).collect()
+    val agree = cm.filter(_.getBoolean(5)).map(_.getLong(2)).sum
+    val total = cm.map(_.getLong(2)).sum
+    assert(r.getLong(0) == agree && r.getLong(1) == total)
+  }
+
+  test("log odds: z ranked by evidence, sides signed correctly for dominant words") {
+    val rows = TextAnalysis.qLogOdds(spark, sf001).collect()
+    assert(rows.length == TextAnalysis.LogOddsTopK)
+    val zs = rows.map(r => math.abs(r.getDouble(3)))
+    assert(zs.sameElements(zs.sorted(Ordering[Double].reverse)))
+    rows.foreach { r =>
+      val (yi, yj, z) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // a word used far more in src0 must score positive, and vice versa
+      if (yi > 4 * (yj + 1)) assert(z > 0.0, r)
+      if (yj > 4 * (yi + 1)) assert(z < 0.0, r)
+    }
+  }
 }
