@@ -1495,6 +1495,90 @@ object Profiling {
        |GROUP BY dev.source
        |ORDER BY dev.source""".stripMargin
 
+  /** Brown–Forsythe (median-based Levene) test of variance homogeneity
+    * across sources on document length — the PRECONDITION check for
+    * every pooled-variance consumer in the suite (q_anova's F,
+    * q_welch_ttest's alternative, the power analysis): heteroscedastic
+    * groups silently invalidate a classic ANOVA, and the median-centered
+    * Brown–Forsythe variant keeps the check itself robust to the
+    * heavy-tailed lengths. W = ((N−k)/(k−1))·Σn_j(z̄_j−z̄)²/ΣΣ(z_ij−z̄_j)²
+    * over z = |x − med_j|. Shape: group medians via the rank-from-cells
+    * percentile machinery (value-domain), one broadcast-back scan for
+    * the z moments (DECIMAL-stable sums per source), the W closed form
+    * over the |sources| frame. Determinism: medians emit rounded on
+    * both engines; z moments are order-free decimal sums; W is one
+    * double chain.
+    */
+  def qLevene(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val med = Analytics.exactPercentiles(docs, "source", "n_chars",
+      Seq(0.5 -> "med"))
+    val z = docs.join(broadcast(med), Seq("source"))
+      .select(col("source"), abs(col("n_chars") - col("med")).as("z"))
+    val grp = z.groupBy(col("source"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("z").cast(D)).as("sz"),
+        sum((col("z") * col("z")).cast(D)).as("szz"))
+    // within-SS per group: Σz² − (Σz)²/n_j ; between from group means
+    val tot = grp.agg(
+      count(lit(1)).as("k"), sum(col("nj")).as("n"),
+      sum(col("sz")).as("szt"))
+    val joined = grp.crossJoin(broadcast(tot))
+      .withColumn("mj", col("sz").cast("double") / col("nj"))
+      .withColumn("mg", col("szt").cast("double") / col("n"))
+      .withColumn("between",
+        (col("nj") * (col("mj") - col("mg")) * (col("mj") - col("mg")))
+          .cast(D))
+      .withColumn("within",
+        (col("szz").cast("double")
+          - col("sz").cast("double") * col("sz").cast("double") / col("nj"))
+          .cast(D))
+    joined.groupBy(col("k"), col("n"))
+      .agg(sum(col("between")).cast("double").as("ssb"),
+        sum(col("within")).cast("double").as("ssw"))
+      .select(col("k").as("n_sources"), col("n").as("n_docs"),
+        NumFns.roundPortable(
+          (col("n") - col("k")).cast("double") / (col("k") - 1)
+            * (col("ssb") / col("ssw")), 6).as("bf_stat"))
+  }
+
+  val qLeveneOracle: String =
+    s"""WITH med AS (
+       |  SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS med
+       |  FROM documents GROUP BY source
+       |),
+       |z AS (
+       |  SELECT d.source, abs(d.n_chars - m.med) AS z
+       |  FROM documents d JOIN med m ON d.source = m.source
+       |),
+       |grp AS (
+       |  SELECT source, count(*) AS nj,
+       |    sum(CAST(z AS DECIMAL(38,12))) AS sz,
+       |    sum(CAST(z * z AS DECIMAL(38,12))) AS szz
+       |  FROM z GROUP BY source
+       |),
+       |tot AS (
+       |  SELECT count(*) AS k, CAST(sum(nj) AS BIGINT) AS n, sum(sz) AS szt
+       |  FROM grp
+       |),
+       |j AS (
+       |  SELECT k, n,
+       |    CAST(nj * (CAST(sz AS DOUBLE) / nj - CAST(szt AS DOUBLE) / n)
+       |      * (CAST(sz AS DOUBLE) / nj - CAST(szt AS DOUBLE) / n)
+       |      AS DECIMAL(38,12)) AS between,
+       |    CAST(CAST(szz AS DOUBLE)
+       |      - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / nj
+       |      AS DECIMAL(38,12)) AS within
+       |  FROM grp, tot
+       |)
+       |SELECT k AS n_sources, n AS n_docs,
+       |  ${NumFns.roundPortableSql(
+            "CAST(n - k AS DOUBLE) / (k - 1) * " +
+            "(CAST(sum(between) AS DOUBLE) / CAST(sum(within) AS DOUBLE))",
+            6)} AS bf_stat
+       |FROM j GROUP BY k, n""".stripMargin
+
   /** χ² critical value at α = 0.05, df = 19 (20 sources − 1). */
   val MoodsCrit19 = 30.14352720564616
 

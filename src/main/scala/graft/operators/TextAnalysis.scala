@@ -716,6 +716,72 @@ object TextAnalysis {
             "(CAST(n_agree AS DOUBLE) / nt - pe) / (1.0 - pe)", 6)} AS kappa
        |FROM dg, nt, pe""".stripMargin
 
+  /** Minimum English-stopword count for the naive English classifier
+    * compared in [[qMcnemar]] (a fixed, documented operating point).
+    */
+  val McnemarEnStopMin = 3L
+
+  /** McNemar's paired test between the two English classifiers the repo
+    * already ships — the argmax langid (q_text_langid) and the naive
+    * stopword-count threshold — on the SAME documents: accuracy deltas
+    * on paired data are driven ONLY by the discordant cells, so the
+    * test is χ² = (|b−c|−1)²/(b+c) (continuity-corrected) over the
+    * counts where exactly one classifier is right. This is the
+    * correct "is the fancy model actually better" gate; comparing two
+    * marginal accuracies ignores the pairing and overstates
+    * significance. One scan projects both predictions scan-side; all
+    * counts exact; χ² is one final double (NULL when b+c = 0, both
+    * engines).
+    */
+  def qMcnemar(s: SparkSession, dir: String): DataFrame = {
+    val scored = qTextLangid(s, dir)
+      .select(
+        (col("lang") === "en").as("truth"),
+        (col("predicted") === "en").as("pred_a"),
+        (col("s_en") >= McnemarEnStopMin).as("pred_b"))
+      .select(
+        (col("pred_a") === col("truth")).as("a_ok"),
+        (col("pred_b") === col("truth")).as("b_ok"))
+    val agg = scored.agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("a_ok") && !col("b_ok")).cast("long")).as("b"),
+      sum((!col("a_ok") && col("b_ok")).cast("long")).as("c"),
+      sum(col("a_ok").cast("long")).as("n_a_ok"),
+      sum(col("b_ok").cast("long")).as("n_b_ok"))
+    val chi2 = (abs(col("b") - col("c")) - 1) *
+      (abs(col("b") - col("c")) - 1) / (col("b") + col("c")).cast("double")
+    agg.select(col("n_docs"), col("n_a_ok"), col("n_b_ok"), col("b"), col("c"),
+      when(col("b") + col("c") > 0, NumFns.roundPortable(chi2, 6))
+        .as("chi2"))
+  }
+
+  val qMcnemarOracle: String = {
+    val chi2 = "(abs(b - c) - 1) * (abs(b - c) - 1) / CAST(b + c AS DOUBLE)"
+    s"""WITH pred AS ($qTextLangidOracle),
+       |pr AS (
+       |  SELECT (lang = 'en') AS truth,
+       |    (predicted = 'en') AS pred_a,
+       |    (s_en >= $McnemarEnStopMin) AS pred_b
+       |  FROM pred
+       |),
+       |ag AS (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN pred_a = truth AND pred_b != truth
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN pred_a != truth AND pred_b = truth
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN pred_a = truth THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a_ok,
+       |    CAST(sum(CASE WHEN pred_b = truth THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b_ok
+       |  FROM pr
+       |)
+       |SELECT n_docs, n_a_ok, n_b_ok, b, c,
+       |  CASE WHEN b + c > 0 THEN ${NumFns.roundPortableSql(chi2, 6)} END
+       |    AS chi2
+       |FROM ag""".stripMargin
+  }
+
   /** Monroe et al. "fightin' words" prior for [[qLogOdds]]: the
     * pseudo-count mass spread over the vocabulary in proportion to
     * global frequency.

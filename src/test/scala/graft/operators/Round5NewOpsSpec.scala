@@ -1339,4 +1339,46 @@ class Round5NewOpsSpec extends SparkSpec {
       if (yj > 4 * (yi + 1)) assert(z < 0.0, r)
     }
   }
+
+  test("mcnemar: discordant counts consistent with the marginal accuracies") {
+    val r = TextAnalysis.qMcnemar(spark, sf001).collect().head
+    val (n, aOk, bOk, b, c) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(b + c <= n)
+    // identity: n_a_ok − n_b_ok = b − c (discordants drive the delta)
+    assert(aOk - bOk == b - c, s"$aOk-$bOk != $b-$c")
+    if (b + c > 0) {
+      val exp = math.pow(math.abs(b - c).toDouble - 1, 2) / (b + c)
+      assert(math.abs(r.getDouble(5) - exp) < 1e-4)
+    }
+  }
+
+  test("levene: statistic non-negative and consistent with a driver-side recomputation") {
+    val r = Profiling.qLevene(spark, sf001).collect().head
+    assert(r.getLong(0) == 20)
+    assert(r.getDouble(2) >= 0.0)
+    // recompute from raw data with the same rounded medians
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("source", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1).toDouble))
+    val meds = docs.groupBy(_._1).map { case (s, g) =>
+      val xs = g.map(_._2).sorted
+      val h = (xs.length - 1) * 0.5
+      val v = xs(h.toInt) + (h - h.toInt) * (xs(math.ceil(h).toInt) - xs(h.toInt))
+      s -> math.round(v * 1e4) / 1e4
+    }
+    val z = docs.map { case (s, x) => (s, math.abs(x - meds(s))) }
+    val n = z.length
+    val k = meds.size
+    val mg = z.map(_._2).sum / n
+    val grp = z.groupBy(_._1).map { case (_, g) =>
+      val m = g.map(_._2).sum / g.length
+      (g.length, m, g.map(x => (x._2 - m) * (x._2 - m)).sum)
+    }
+    val ssb = grp.map { case (nj, mj, _) => nj * (mj - mg) * (mj - mg) }.sum
+    val ssw = grp.map(_._3).sum
+    val exp = (n - k).toDouble / (k - 1) * (ssb / ssw)
+    assert(math.abs(r.getDouble(2) - exp) < 1e-3,
+      s"BF ${r.getDouble(2)} vs recomputed $exp")
+  }
 }
