@@ -1385,6 +1385,51 @@ object Behavioral {
        |FROM ols
        |ORDER BY k""".stripMargin
 
+  /** Jain's fairness index of per-user event activity — the
+    * systems-fairness single number beside the distributional views
+    * (q_participation's tiers, q_gini): J = (Σx)²/(n·Σx²) ∈ (1/n, 1],
+    * where 1 is perfectly even usage and 1/n is one user monopolizing
+    * the platform; its reciprocal reads as "effectively how many equal
+    * users". One grouped count + one moment aggregate, exact integers
+    * until the final ratio; Σx² stays in int64 because per-user counts
+    * are bounded by per-user activity (DECIMAL-cast anyway for the
+    * corpus-scale story, mirrored in HUGEINT).
+    */
+  def qJainsIndex(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    users.agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sx"),
+        sum(col("x").cast(D0) * col("x")).as("sxx"))
+      .select(col("n_users"), col("sx").as("n_events"),
+        NumFns.roundPortable(
+          col("sx").cast("double") * col("sx")
+            / (col("n_users") * col("sxx").cast("double")), 6)
+          .as("jains_index"),
+        NumFns.roundPortable(
+          col("sx").cast("double") * col("sx")
+            / col("sxx").cast("double"), 2).as("effective_users"))
+  }
+
+  val qJainsIndexOracle: String =
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+       |),
+       |ag AS (
+       |  SELECT count(*) AS n_users, CAST(sum(x) AS BIGINT) AS sx,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM u
+       |)
+       |SELECT n_users, sx AS n_events,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sx AS DOUBLE) * sx / (n_users * CAST(sxx AS DOUBLE))", 6)}
+       |    AS jains_index,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sx AS DOUBLE) * sx / CAST(sxx AS DOUBLE)", 2)}
+       |    AS effective_users
+       |FROM ag""".stripMargin
+
   /** Participation inequality ("90-9-1") tiers of event activity: users
     * ranked by event count, split into the top 1%, next 9%, and the
     * remaining 90%, with each tier's share of ALL events — the standard

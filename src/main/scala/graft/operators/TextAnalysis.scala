@@ -782,6 +782,80 @@ object TextAnalysis {
        |FROM ag""".stripMargin
   }
 
+  /** Cramér's V effect size of the langid confusion — the magnitude
+    * companion to [[qCohensKappa]]'s chance-corrected agreement and the
+    * χ² machinery's significance: with enough rows EVERYTHING is
+    * significant, and V = √(χ²/(N·(k−1))) ∈ [0,1] is the
+    * sample-size-free strength of the label↔prediction association a
+    * reviewer can actually compare across corpora. χ² accumulates over
+    * the k² confusion cells against the independence expectation
+    * (marginal products as double ratios — int64-safe at corpus scale),
+    * as a DECIMAL sum. One scan → k²-cell frame → closed form.
+    */
+  def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cm = qTextLangid(s, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both marginals and the cell sweep
+    val tm = cm.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+    val pm = cm.groupBy(col("predicted")).agg(sum(col("n")).as("n_pred"))
+    val nt = cm.agg(sum(col("n")).as("nt"),
+      countDistinct(col("lang")).as("kr"),
+      countDistinct(col("predicted")).as("kc"))
+    val e = col("n_true").cast("double") *
+      (col("n_pred").cast("double") / col("nt"))
+    val cells = cm
+      .join(broadcast(tm), Seq("lang"))
+      .join(broadcast(pm), Seq("predicted"))
+      .crossJoin(broadcast(nt))
+      .withColumn("term", ((col("n") - e) * (col("n") - e) / e).cast(D))
+    cells.groupBy(col("nt"), col("kr"), col("kc"))
+      .agg(sum(col("term")).cast("double").as("chi2"))
+      .select(col("nt").as("n_docs"),
+        NumFns.roundPortable(col("chi2"), 6).as("chi2"),
+        // NULL when either margin is single-class (V undefined: a
+        // degenerate confusion with min(r,c) = 1 has no association
+        // to measure) — mirrored in the oracle
+        when(least(col("kr"), col("kc")) > 1,
+          NumFns.roundPortable(
+            sqrt(col("chi2") / (col("nt")
+              * (least(col("kr"), col("kc")) - 1))), 6)).as("cramers_v"))
+  }
+
+  val qCramersVOracle: String =
+    s"""WITH pred AS ($qTextLangidOracle),
+       |cm AS (
+       |  SELECT lang, predicted, count(*) AS n
+       |  FROM pred GROUP BY lang, predicted
+       |),
+       |tm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+       |  FROM cm GROUP BY lang),
+       |pm AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS n_pred
+       |  FROM cm GROUP BY predicted),
+       |nt AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    count(DISTINCT lang) AS kr, count(DISTINCT predicted) AS kc
+       |  FROM cm
+       |),
+       |cells AS (
+       |  SELECT nt, kr, kc,
+       |    CAST((n - CAST(n_true AS DOUBLE)
+       |        * (CAST(n_pred AS DOUBLE) / nt))
+       |      * (n - CAST(n_true AS DOUBLE) * (CAST(n_pred AS DOUBLE) / nt))
+       |      / (CAST(n_true AS DOUBLE) * (CAST(n_pred AS DOUBLE) / nt))
+       |      AS DECIMAL(38,12)) AS term
+       |  FROM cm JOIN tm USING (lang) JOIN pm USING (predicted), nt
+       |)
+       |SELECT nt AS n_docs,
+       |  ${NumFns.roundPortableSql("CAST(sum(term) AS DOUBLE)", 6)} AS chi2,
+       |  CASE WHEN least(kr, kc) > 1 THEN
+       |    ${NumFns.roundPortableSql(
+              "sqrt(CAST(sum(term) AS DOUBLE) / (nt * (least(kr, kc) - 1)))",
+              6)}
+       |  END AS cramers_v
+       |FROM cells GROUP BY nt, kr, kc""".stripMargin
+
   /** Monroe et al. "fightin' words" prior for [[qLogOdds]]: the
     * pseudo-count mass spread over the vocabulary in proportion to
     * global frequency.

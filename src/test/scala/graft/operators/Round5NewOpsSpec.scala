@@ -1381,4 +1381,24 @@ class Round5NewOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - exp) < 1e-3,
       s"BF ${r.getDouble(2)} vs recomputed $exp")
   }
+
+  test("cramers v: chi2 non-negative; V bounded or NULL exactly when a margin is single-class") {
+    val r = TextAnalysis.qCramersV(spark, sf001).collect().head
+    assert(r.getDouble(1) >= 0.0)
+    val nPred = TextAnalysis.qTextLangid(spark, sf001)
+      .select("predicted").distinct().count()
+    if (nPred <= 1) assert(r.isNullAt(2), "single-class margin must yield NULL V")
+    else {
+      assert(!r.isNullAt(2))
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("jains index: bounds hold and effective users = J * n") {
+    val r = Behavioral.qJainsIndex(spark, sf001).collect().head
+    val (n, j, eff) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+    assert(j > 1.0 / n && j <= 1.0 + 1e-9, s"J $j outside (1/n, 1]")
+    assert(math.abs(eff - j * n) < n * 1e-4 + 0.02, s"eff $eff vs ${j * n}")
+    assert(r.getLong(1) == graft.sources.Tables.events(spark, sf001).count())
+  }
 }
