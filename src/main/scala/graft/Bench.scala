@@ -83,15 +83,22 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(full)
-    val slowestFirst = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + f3(v) }
-    val budget = 1600 // chars for the queries dict in the final line
-    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 0
-    slowestFirst.foreach { e =>
-      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
-    }
-    val compactQs = kept.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries_file":"bench_full.json","queries":$compactQs,"sf":"$sfDir"}""")
+    // Final (driver-parsed) line: the driver captures only the LAST
+    // ~2000 chars of stdout, and 310 "name":sec entries (~7 KB) can
+    // never fit — but 310 positional centisecond integers (~1.3 KB)
+    // can. `t_cs[i]` is the time of the i-th query in ASCENDING
+    // alphabetical order of SparkEntry.queries keys (the order `suite`
+    // already has), in centiseconds, -1 for a failed query — the full
+    // name→seconds map stays in bench_full.json and the stdout dump
+    // above. A small named dict of the slowest queries rides along for
+    // eyeballing.
+    val tcs = results.map { case (_, v) =>
+      if (v < 0) "-1" else Math.round(v * 100).toString
+    }.mkString("[", ",", "]")
+    val slowestFirst = results.sortBy(-_._2).take(6)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val compactQs = slowestFirst.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries_file":"bench_full.json","q_order":"alphabetical","q_unit":"centisec","t_cs":$tcs,"queries":$compactQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

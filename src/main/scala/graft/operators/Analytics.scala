@@ -863,14 +863,26 @@ object Analytics {
       |WHERE best_cheaper IS NULL OR p_size > best_cheaper
       |ORDER BY p_partkey""".stripMargin
 
+  /** Width of a [[qAbcClass]] running-sum bucket in micro-dollars
+    * ($10k): per-part revenue is price-domain-scaled (lineitems/part is
+    * a TPC-H constant), so the bucket frame stays value-domain-bounded
+    * at any SF.
+    */
+  val AbcBucketMicros = 10000000000L
+
   /** ABC inventory classification — parts bucketed A/B/C at the 80 %/
     * 95 % cumulative-revenue cuts (the classic Pareto operations read;
     * q_pareto_share reports the curve, this assigns the CLASSES and
     * their footprint). Revenue is micro-quantized int64 so the running
     * total and both thresholds are exact integers — a boundary part
-    * cannot flip class between engines; the running sum orders by
-    * (revenue desc, partkey) over the part-sized aggregate. Output is
-    * the 3-row class report: part count, revenue share, count share.
+    * cannot flip class between engines. The running sum is the bucketed
+    * prefix form (r6 — the partitionless window over the part-domain
+    * frame was the q_decile_transition scale bug wearing a different
+    * hat): per-$10k-bucket sums → exclusive prefix over the value-
+    * domain-sized bucket frame → broadcast back; the within-bucket
+    * running sum partitions BY bucket, so no task ever holds more than
+    * one revenue band of parts. Output is the 3-row class report: part
+    * count, revenue share, count share.
     */
   def qAbcClass(s: SparkSession, dir: String): DataFrame = {
     val perPart = Tables.lineitem(s, dir)
@@ -878,12 +890,20 @@ object Analytics {
       .agg(sum(NumFns.roundAwayLong(
         col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(1e6)))
         .as("rev_q"))
-    val w = Window.orderBy(col("rev_q").desc, col("l_partkey"))
+      .withColumn("bucket", floor(col("rev_q") / AbcBucketMicros).cast("long"))
+    val wOff = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perPart.groupBy(col("bucket")).agg(sum(col("rev_q")).as("bs"))
+      .withColumn("off", coalesce(sum(col("bs")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("off"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("rev_q").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = perPart.agg(sum(col("rev_q")).as("tot"),
       count(lit(1)).as("n_parts"))
     val classed = perPart
-      .withColumn("cum", sum(col("rev_q")).over(w))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("off") + sum(col("rev_q")).over(wIn))
       .crossJoin(broadcast(tot))
       .select(col("rev_q"),
         when(col("cum") * 5 <= col("tot") * 4, "A")         // 80 % = 4/5

@@ -1226,34 +1226,53 @@ object Behavioral {
   /** The two calendar years compared by [[qDecileTransition]]. */
   val TransitionYears: (Int, Int) = (1997, 1998)
 
+  /** Width of a [[qDecileTransition]] revenue rank bucket in cents
+    * ($10k): bounds the bucket frame by the yearly-revenue value
+    * domain, and each within-bucket ranking task by one band's
+    * customers.
+    */
+  val TransitionBucketCents = 1000000L
+
   /** Customer revenue-decile transition matrix between two years — the
     * migration view behind every "are our best customers staying on
     * top" question (RFM segments q_rfm_segments freeze ONE period; this
     * is the period-over-period flow). Per year, a customer's decile
     * comes from their revenue rank among that year's active customers
-    * (rank-from-the-customer-AGGREGATE: the partitionless row_number
-    * runs over the per-customer yearly revenue frame — entity-bounded,
-    * never row-scale — the PlanAuditSpec-sanctioned window-over-
-    * Aggregate shape, tie-broken by custkey); customers active in both
+    * (rank-from-counts over $10k revenue buckets, r6 — the
+    * q_global_deciles engine, replacing the partitionless row_number
+    * that ranked the whole customer-domain frame in ONE task: per-
+    * bucket counts → exclusive prefix over the value-domain-sized
+    * bucket frame, broadcast back; the within-bucket row_number
+    * partitions BY bucket, so every task ranks one $10k revenue band,
+    * tie-broken by custkey exactly as before); customers active in both
     * years join on the key and the ≤100 (from, to) counts aggregate
     * map-side. Revenue quantizes to exact cents, ranks are exact
     * integers — the whole matrix is integer-exact.
     */
   def qDecileTransition(s: SparkSession, dir: String): DataFrame = {
-    def yearly(y: Int, rankCol: String, decCol: String): DataFrame = {
+    def yearly(y: Int, decCol: String): DataFrame = {
       val rev = Tables.orders(s, dir)
         .filter(year(col("o_orderdate")) === y)
         .groupBy(col("o_custkey"))
         .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("o_custkey"))
-      rev.withColumn(rankCol, row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .select(col("o_custkey"),
-          expr(s"(($rankCol - 1) * 10) div n").as(decCol))
+        .withColumn("bucket",
+          floor(col("rev") / TransitionBucketCents).cast("long"))
+      val wOff = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = rev.groupBy(col("bucket")).agg(count(lit(1)).as("bc"))
+        .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+        .select(col("bucket"), col("off"))
+      val n = rev.agg(count(lit(1)).as("n"))
+      val wIn = Window.partitionBy(col("bucket"))
+        .orderBy(col("rev").desc, col("o_custkey"))
+      rev.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("r", col("off") + row_number().over(wIn))
+        .crossJoin(broadcast(n))
+        .select(col("o_custkey"), expr("((r - 1) * 10) div n").as(decCol))
     }
     val (y1, y2) = TransitionYears
-    yearly(y1, "r1", "decile_from")
-      .join(yearly(y2, "r2", "decile_to"), Seq("o_custkey"))
+    yearly(y1, "decile_from")
+      .join(yearly(y2, "decile_to"), Seq("o_custkey"))
       .groupBy(col("decile_from"), col("decile_to"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("decile_from"), col("decile_to"))
@@ -1436,27 +1455,43 @@ object Behavioral {
     * community-health read (is the platform a broadcast medium with a
     * tiny creator core, or broadly participatory?) that a mean or even
     * a Gini does not make actionable. Tier cuts are exact integer
-    * ranks (⌈n/100⌉, ⌈n/10⌉ — documented convention). Shape: one event
-    * scan → per-user counts (map-side combined, entity-bounded), one
-    * rank window OVER that aggregate, a 3-row roll-up. All integer
-    * until the final shares.
+    * ranks (⌈n/100⌉, ⌈n/10⌉ — documented convention). Shape (r6): NO
+    * rank window at all — users ranked by (x desc, user_id) fall into
+    * contiguous rank blocks per distinct activity count x, and a tier
+    * only needs HOW MANY of a block's users land in it, never which:
+    * with o users above a block of c users, tier-1 takes
+    * clamp(⌈n/100⌉ − o, 0, c) of them (tier-2 analogously at ⌈n/10⌉).
+    * So the whole answer reads off COUNT-OF-COUNTS cells (x, c) — a
+    * ~√events-sized frame under any heavy-tailed activity law — with
+    * one exclusive-prefix window over those cells and a 3-row roll-up.
+    * The user-domain frame is never ranked, windowed, or re-shuffled.
+    * All integer until the final shares.
     */
   def qParticipation(s: SparkSession, dir: String): DataFrame = {
     val users = Tables.events(s, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
-    val w = Window.orderBy(col("x").desc, col("user_id"))
-    val wAll = Window.partitionBy()
-    val tiered = users
-      .withColumn("i", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("tier",
-        when(col("i") <= ceil(col("n") / 100.0), "1_top1pct")
-          .when(col("i") <= ceil(col("n") / 10.0), "2_next9pct")
-          .otherwise("3_rest"))
-    val tot = users.agg(sum(col("x")).as("total"))
-    tiered.groupBy(col("tier"))
-      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"))
+    val cells = users.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val wOff = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = cells.agg(sum(col("c")).as("n"),
+      sum(col("x") * col("c")).as("total"))
+    val contrib = cells
+      .withColumn("o", coalesce(sum(col("c")).over(wOff), lit(0L)))
       .crossJoin(broadcast(tot))
+      .withColumn("a1",
+        greatest(lit(0L), least(ceil(col("n") / 100.0) - col("o"), col("c"))))
+      .withColumn("a2",
+        greatest(lit(0L), least(ceil(col("n") / 10.0) - col("o"), col("c"))))
+      .select(col("x"), col("total"), explode(array(
+        struct(lit("1_top1pct").as("tier"), col("a1").as("u")),
+        struct(lit("2_next9pct").as("tier"), (col("a2") - col("a1")).as("u")),
+        struct(lit("3_rest").as("tier"), (col("c") - col("a2")).as("u"))))
+        .as("e"))
+    contrib.groupBy(col("e.tier").as("tier"))
+      .agg(sum(col("e.u")).as("n_users"),
+        sum(col("e.u") * col("x")).as("n_events"),
+        max(col("total")).as("total"))
+      .filter(col("n_users") > 0)
       .select(col("tier"), col("n_users"), col("n_events"),
         NumFns.roundPortable(
           col("n_events").cast("double") / col("total"), 6).as("event_share"))

@@ -643,6 +643,14 @@ object Evaluation {
   /** Marginal coverage target for [[qConformal]]. */
   val ConformalLevel = 0.9
 
+  /** Width of a [[qConformal]] residual rank bucket, in cents ($100):
+    * residuals are |integer cents − one double per priority|, so a
+    * bucket holds ≤ 10⁴ distinct residual cells whatever the corpus
+    * size — the bound that keeps the within-bucket running count a
+    * constant-sized task.
+    */
+  val ConformalBucketCents = 10000.0
+
   /** Split-conformal prediction intervals around a per-priority mean
     * predictor of order value — the distribution-free coverage guarantee
     * a pipeline's point predictions should ship with: on a
@@ -652,8 +660,8 @@ object Evaluation {
     * coverage. Shape at 100 TB: the split is a scan-side md5 hash (same
     * discipline as train/test split — reproducible on any engine and
     * shard order), the predictor is a 5-row broadcast aggregate, and the
-    * order statistic comes from residual CELLS with a running-count
-    * window — per-priority work scales with the residual value domain.
+    * order statistic comes from residual CELLS ranked from counts over
+    * $100 buckets — no task ever holds more than one bucket's cells.
     * Determinism: residuals are |long − exact-division double| (identical
     * doubles on both engines), the order-statistic rank is exact integer
     * arithmetic, and coverage compares identical doubles.
@@ -673,13 +681,33 @@ object Evaluation {
       .select(col("prio"), col("is_cal"), col("n_cal"), col("yhat_c"),
         abs(col("yc") - col("yhat_c")).as("res"))
     // q̂ = the k-th smallest calibration residual, k = ⌈(n+1)·level⌉
-    // (clamped): the smallest cell whose running count reaches k
-    val wCum = Window.partitionBy(col("prio")).orderBy(col("res"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val qhat = resid.filter(col("is_cal"))
+    // (clamped): the smallest cell whose running count reaches k.
+    // Rank-from-counts over $100 residual buckets (r6 — replaces the
+    // per-priority running-count window, which put EVERY residual cell
+    // of a priority in one task; res = |cents − ŷ| barely compresses, so
+    // at 100× each of ~5 tasks sorted ~n/5 cells): per-(prio, bucket)
+    // counts → exclusive prefix over the bucket frame (value-domain-
+    // sized, the sanctioned window-over-bounded-aggregate) → broadcast
+    // offsets back; the within-bucket running count partitions by
+    // (prio, bucket), so a task sees one $100 band's cells — ≤ 10⁴
+    // distinct cent values per band, independent of corpus size. cum =
+    // offset + in-bucket running count is identical to the old global
+    // running count because buckets are ordered by res.
+    val cells = resid.filter(col("is_cal"))
       .groupBy(col("prio"), col("n_cal"), col("res"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("bucket", floor(col("res") / lit(ConformalBucketCents)).cast("long"))
+    val wOff = Window.partitionBy(col("prio")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cells.groupBy(col("prio"), col("bucket"))
+      .agg(sum(col("c")).as("bc"))
+      .withColumn("off", coalesce(sum(col("bc")).over(wOff), lit(0L)))
+      .select(col("prio"), col("bucket"), col("off"))
+    val wIn = Window.partitionBy(col("prio"), col("bucket")).orderBy(col("res"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = cells
+      .join(broadcast(offsets), Seq("prio", "bucket"))
+      .withColumn("cum", col("off") + sum(col("c")).over(wIn))
       .withColumn("k", least(
         ceil(lit(ConformalLevel) * (col("n_cal") + 1)), col("n_cal")))
       .filter(col("cum") >= col("k"))

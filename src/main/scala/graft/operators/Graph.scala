@@ -779,9 +779,12 @@ object Graph {
     * cross-sell. Spelled integer-exact by clearing denominators:
     * r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²) — every
     * moment is an exact integer sum over the EDGE frame (degrees joined
-    * on from one grouped count), the only double is the final ratio
-    * (guarded NULL when the degree variance is zero — both engines
-    * agree). Shape: the capped edge list (same hub-cap discipline as
+    * on from one grouped count), ridden on DECIMAL(38,0) / HUGEINT from
+    * the per-edge products up (r6, the qHurst discipline: at corpus
+    * scale Σjk and the cleared-denominator products overflow int64,
+    * where Spark would wrap while DuckDB raises), and the only double
+    * is the final ratio (guarded NULL when the degree variance is zero
+    * — both engines agree). Shape: the capped edge list (same hub-cap discipline as
     * [[qKcore]]) is edge-domain-sized; two key-joins attach degrees;
     * the moment aggregate is map-side combined.
     */
@@ -806,18 +809,22 @@ object Graph {
         Seq("sa"))
       .join(deg.select(col("id").as("sb"), col("d").as("kk")).hint("shuffle_hash"),
         Seq("sb"))
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
     withDeg.agg(
         count(lit(1)).as("m"),
-        sum(col("j") * col("kk")).as("sjk"),
-        sum(col("j") + col("kk")).as("ssum"),
-        sum(col("j") * col("j") + col("kk") * col("kk")).as("ssq"))
+        sum(col("j").cast(D0) * col("kk")).as("sjk"),
+        sum(col("j").cast(D0) + col("kk")).as("ssum"),
+        sum(col("j").cast(D0) * col("j") + col("kk").cast(D0) * col("kk"))
+          .as("ssq"))
       .select(col("m").as("n_edges"),
-        when(lit(2) * col("m") * col("ssq") =!= col("ssum") * col("ssum"),
+        when(lit(2) * col("m").cast(D0) * col("ssq")
+            =!= col("ssum") * col("ssum"),
           NumFns.roundPortable(
-            (lit(4) * col("m") * col("sjk") - col("ssum") * col("ssum"))
-              .cast("double")
-              / (lit(2) * col("m") * col("ssq") - col("ssum") * col("ssum"))
-                .cast("double"), 6)).as("assortativity"))
+            (lit(4) * col("m").cast(D0) * col("sjk")
+              - col("ssum") * col("ssum")).cast("double")
+              / (lit(2) * col("m").cast(D0) * col("ssq")
+                - col("ssum") * col("ssum")).cast("double"), 6))
+          .as("assortativity"))
   }
 
   val qAssortativityOracle: String =
@@ -844,9 +851,9 @@ object Graph {
        |),
        |ag AS (
        |  SELECT count(*) AS m,
-       |    CAST(sum(j * kk) AS BIGINT) AS sjk,
-       |    CAST(sum(j + kk) AS BIGINT) AS ssum,
-       |    CAST(sum(j * j + kk * kk) AS BIGINT) AS ssq
+       |    sum(CAST(j AS HUGEINT) * kk) AS sjk,
+       |    sum(CAST(j AS HUGEINT) + kk) AS ssum,
+       |    sum(CAST(j AS HUGEINT) * j + CAST(kk AS HUGEINT) * kk) AS ssq
        |  FROM w
        |)
        |SELECT m AS n_edges,

@@ -138,29 +138,54 @@ object Recsys {
        |FROM r WHERE rk <= $CfTopK
        |ORDER BY part, rk""".stripMargin
 
+  /** Memoized CF table per (session, sf-dir): [[qCfCoverage]] CONSUMES
+    * the [[qItemCf]] result instead of re-deriving its whole plan (the
+    * shared-frame discipline of `Temporal.decomposed`); in a resident
+    * engine the rec table is materialized once and every health check
+    * reads it. localCheckpoint truncates the lineage so the consumer's
+    * plan starts from the ≤ 5·|parts|-row table, not the fact join.
+    */
+  private val cfMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cfTable(s: SparkSession, dir: String): DataFrame =
+    cfMemo.getOrElseUpdate((s, dir), qItemCf(s, dir).localCheckpoint())
+
   /** Catalog coverage and exposure concentration of the CF
     * recommendations — the recsys health check beside relevance: a CF
     * table can be accurate AND recommend 4% of the catalog in an
     * endless popularity loop. Coverage = share of cataloged parts that
     * appear as a neighbor at all; exposure Gini = inequality of how
     * often each recommended part appears across lists (1 → a few items
-    * absorb all exposure). Shape: the rec table is item-domain-sized by
-    * construction (≤ 5 rows per part); the catalog size is one distinct
-    * count off the fact table; the Gini is the rank-from-counts form
-    * over the ≤|parts| exposure frame (window-over-aggregate). All
-    * counts exact; ratios are final-step doubles.
+    * absorb all exposure). Shape (r6): the rec table comes from the
+    * memoized [[cfTable]] (one CF derivation per session, not one per
+    * consumer); the catalog size is one distinct count off the fact
+    * table; the Gini needs NO rank window at all — ranks order by
+    * (x, neighbor) and every item in a tied block shares x, so
+    * Σ rank·x per block = x·(o·c + c(c+1)/2) from the COUNT-OF-COUNTS
+    * cells (o = items with smaller exposure, via an exclusive prefix
+    * over the ~distinct-exposure-sized cell frame — the
+    * q_coverage_curve trick). Products ride DECIMAL(38,0) (o·c is
+    * item-domain²). All counts exact; ratios are final-step doubles.
     */
   def qCfCoverage(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val recs = qItemCf(s, dir).select(col("neighbor")).localCheckpoint()
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val recs = cfTable(s, dir).select(col("neighbor"))
     val catalog = Tables.lineitem(s, dir)
       .select(col("l_partkey")).distinct()
       .agg(count(lit(1)).as("n_items"))
     val exposure = recs.groupBy(col("neighbor")).agg(count(lit(1)).as("x"))
-    val w = Window.orderBy(col("x"), col("neighbor"))
-    val giniF = exposure.withColumn("i", row_number().over(w).cast("long"))
-      .agg(count(lit(1)).as("n_rec"), sum(col("x")).as("n_slots"),
-        sum(col("i") * col("x")).as("s1"))
+    val cells = exposure.groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val wOff = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val giniF = cells
+      .withColumn("o", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .agg(sum(col("c")).as("n_rec"),
+        sum(col("x") * col("c")).as("n_slots"),
+        sum(col("x").cast(D0) *
+          (col("o").cast(D0) * col("c") +
+            expr("(c * (c + 1)) div 2"))).as("s1"))
     giniF.crossJoin(broadcast(catalog))
       .select(col("n_items"), col("n_rec"), col("n_slots"),
         NumFns.roundPortable(

@@ -522,27 +522,52 @@ object TextAnalysis {
        |JOIN sz sb ON sb.source = i.source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Rank-enumeration chunk size for [[qZipfFit]]: one tied-frequency
+    * block's rank range is split into runs of this many consecutive
+    * integer ranks, each generated and partially aggregated in its own
+    * task.
+    */
+  val ZipfChunk = 65536L
+
   /** Zipf's-law fit over the corpus rank-frequency curve: least-squares
     * slope/intercept/R² of ln(freq) against ln(rank) — the one-number
     * "does this corpus look like natural language?" health check (a
     * natural corpus fits slope ≈ −1; templated or machine-generated text
-    * bends the curve and tanks R²). Shape: one map-side-combined word
-    * count, a rank window over the VOCABULARY frame (dimension-sized —
-    * an aggregate, per the plan-audit invariant), then the five moment
-    * sums in one pass, each term cast to DECIMAL(38,12) per-row (exact)
-    * so the sums are order-independent ([[graft.functions.NumFns]]
-    * discipline); the closed form is evaluated once on the driver-sized
-    * 1-row result. Cross-engine ln differs by ≤1 ulp → moment sums agree
-    * to ~1e-13, far inside the round-at-4 gap.
+    * bends the curve and tanks R²). Shape (r6): the vocabulary frame is
+    * NEVER ranked — every moment term depends only on (rank, freq), and
+    * ranks under (n desc, word) form contiguous blocks per distinct
+    * frequency, so the COUNT-OF-COUNTS cells (n, n_words) + an exclusive
+    * prefix over that ~√corpus-sized frame give each block its rank
+    * range [o+1, o+n_words]; the ranks themselves are re-enumerated as
+    * integers in 64 Ki chunks (chunk frame repartitioned, so a 10⁸-word
+    * hapax block at 100 TB becomes ~1.5k independent tasks, not one).
+    * WHICH word holds which rank inside a tied block never matters:
+    * y = ln(freq) is constant there. Five moment sums in one pass, each
+    * term cast to DECIMAL(38,12) per-rank (exact, order-independent —
+    * identical to the oracle's per-word sums because decimal addition
+    * is associative and each rank appears exactly once); the closed
+    * form is evaluated once on the 1-row result. Cross-engine ln
+    * differs by ≤1 ulp → moment sums agree to ~1e-13, far inside the
+    * round-at-4 gap.
     */
   def qZipfFit(s: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
     val counts = Tables.documents(s, dir)
       .select(explode(TextFns.tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val ranked = counts
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("n").desc, col("word"))))
+    val wOff = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = counts.groupBy(col("n")).agg(count(lit(1)).as("nw"))
+      .withColumn("o", coalesce(sum(col("nw")).over(wOff), lit(0L)))
+    val chunks = blocks
+      .select(col("n"), col("nw"), col("o"),
+        explode(sequence(lit(0L), expr(s"(nw - 1) div $ZipfChunk"))).as("ch"))
+      .repartition(col("n"), col("ch"))
+    val ranked = chunks
+      .select(col("n"), explode(sequence(
+        col("o") + col("ch") * ZipfChunk + 1,
+        least(col("o") + (col("ch") + 1) * ZipfChunk, col("o") + col("nw"))))
+        .as("rank"))
       .select(log(col("rank").cast("double")).as("x"),
         log(col("n").cast("double")).as("y"))
     val m = ranked.agg(
@@ -871,11 +896,15 @@ object TextAnalysis {
     * prior (global-frequency-proportional pseudo-counts) shrinks rare-
     * word noise, and each word's δ is z-scored by its estimated variance
     * 1/(y_i+α) + 1/(y_j+α), so the ranking is by EVIDENCE, not raw
-    * ratio. Top-|z| words each direction. Shape: token counts per side
-    * + global counts are map-side-combined cell frames joined on the
-    * word key; the δ/σ arithmetic is per-cell scan-side. Determinism:
-    * counts exact; ln/sqrt on identical doubles; rounded emission with
-    * word tiebreaks.
+    * ratio. Top-|z| words each direction — [[LogOddsTopK]] PER SIDE
+    * (r6, closing the r5 doc/behavior gap where one dominant side could
+    * occupy every slot of a single global top-15): each direction is
+    * its own TakeOrdered top-k (distributed heap, never a vocabulary
+    * sort), unioned. Shape: token counts per side + global counts are
+    * map-side-combined cell frames joined on the word key; the δ/σ
+    * arithmetic is per-cell scan-side. Determinism: counts exact;
+    * ln/sqrt on identical doubles; rounded emission with word
+    * tiebreaks.
     */
   def qLogOdds(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
@@ -897,9 +926,12 @@ object TextAnalysis {
     val sigma2 = lit(1.0) / (col("yi") + alphaW) + lit(1.0) / (col("yj") + alphaW)
     val scored = cells.crossJoin(broadcast(tot))
       .withColumn("z_raw", (li - lj) / sqrt(sigma2))
-    scored
+    val pos = scored.filter(col("z_raw") >= 0)
+      .orderBy(col("z_raw").desc, col("w")).limit(LogOddsTopK)
+    val neg = scored.filter(col("z_raw") < 0)
+      .orderBy(col("z_raw").asc, col("w")).limit(LogOddsTopK)
+    pos.unionAll(neg)
       .orderBy(abs(col("z_raw")).desc, col("w"))
-      .limit(LogOddsTopK)
       .select(col("w"), col("yi"), col("yj"),
         NumFns.roundPortable(col("z_raw"), 6).as("z"))
   }
@@ -925,12 +957,15 @@ object TextAnalysis {
        |  SELECT CAST(sum(yi) AS BIGINT) AS ni, CAST(sum(yj) AS BIGINT) AS nj,
        |    CAST(sum(yi + yj) AS BIGINT) AS nall
        |  FROM cells
-       |)
-       |SELECT w, yi, yj,
-       |  ${NumFns.roundPortableSql(z, 6)} AS z
-       |FROM cells, tot
-       |ORDER BY abs($z) DESC, w
-       |LIMIT $LogOddsTopK""".stripMargin
+       |),
+       |r AS (SELECT w, yi, yj, $z AS zr FROM cells, tot),
+       |p AS (SELECT * FROM r WHERE zr >= 0 ORDER BY zr DESC, w
+       |  LIMIT $LogOddsTopK),
+       |n AS (SELECT * FROM r WHERE zr < 0 ORDER BY zr ASC, w
+       |  LIMIT $LogOddsTopK)
+       |SELECT w, yi, yj, ${NumFns.roundPortableSql("zr", 6)} AS z
+       |FROM (SELECT * FROM p UNION ALL SELECT * FROM n)
+       |ORDER BY abs(zr) DESC, w""".stripMargin
   }
 
   /** Vocabulary size for the OOV-rate audit (a stand-in tokenizer

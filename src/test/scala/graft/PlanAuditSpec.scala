@@ -92,6 +92,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("partitionless windows never rank an entity-domain frame") {
+    // The r5 escape class: "window over an Aggregate" is necessary but
+    // not sufficient — an aggregate GROUPED BY an entity key (customer,
+    // user, word, item, vector) grows with the entity domain, and a
+    // partitionless rank over it still funnels a 10⁸-row frame through
+    // one task at 100 TB. A partitionless window is only sound over a
+    // frame bounded by construction: a value-domain bucket/cell frame,
+    // a calendar frame, or an explicitly limited top-k. Enforced here:
+    // the first Aggregate under any partitionless Window must group by
+    // non-entity keys, unless a Limit sits between window and aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    val entityKey =
+      ("(?i)(custkey|user_?id|suppkey|partkey|orderkey|nationkey|doc_?id|" +
+        "vec_?id|neighbor|event_id|session|^word$|^w$|^w1$|^w2$|^part$|" +
+        "^cust$|^item$|^pa$|^pb$)").r
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, sf001).queryExecution.optimizedPlan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          val limited = w.child.collectFirst {
+            case _: GlobalLimit => (); case _: LocalLimit => ()
+          }.isDefined
+          if (!limited) {
+            val agg = w.child.collectFirst { case a: Aggregate => a }
+            assert(agg.isDefined,
+              s"$name plans a partitionless Window over raw rows")
+            val keys = agg.get.groupingExpressions
+              .flatMap(_.references.map(_.name).toSeq)
+            keys.foreach { k =>
+              assert(entityKey.findFirstIn(k).isEmpty,
+                s"$name plans a partitionless window over an entity-keyed " +
+                  s"frame (grouping key '$k' — rank it from counts instead)")
+            }
+          }
+        case _ =>
+      }
+    }
+  }
+
   test("r4 heavy shapes hold their audited plan structure (PlanReport)") {
     import graft.plans.PlanReport
     // q_item_cf: one customer-keyed exchange feeds four consumers; the
@@ -142,6 +181,59 @@ class PlanAuditSpec extends SparkSpec {
     // is constant-sized; the mask/conv join is shuffle-side.
     val sh = PlanReport.of(SparkEntry.queries("q_shapley_attribution")(spark, sf001))
     assert(sh.cartesianProducts == 0, s"q_shapley_attribution: ${sh.summary}")
+  }
+
+  test("r6 rank-from-counts rewrites hold their audited plan structure") {
+    import graft.plans.PlanReport
+    // The five r5 perf-weak queries + q_abc_class (same class, caught
+    // by the entity-key invariant above): the structural ban lives in
+    // that invariant; here guard the supporting shape.
+    Seq("q_conformal", "q_decile_transition", "q_zipf_fit", "q_abc_class")
+      .foreach { q =>
+        val r = PlanReport.of(SparkEntry.queries(q)(spark, sf001))
+        assert(r.cartesianProducts == 0, s"$q: ${r.summary}")
+      }
+    // q_participation needs NO rank at all — count-of-counts cells
+    // answer the tier cuts arithmetically.
+    val pp = SparkEntry.queries("q_participation")(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("row_number"), "q_participation must not rank users")
+    // q_cf_coverage consumes the memoized CF table: exactly ONE parquet
+    // scan (the lineitem catalog count) — more means it re-derives
+    // q_item_cf; and its Gini is rank-free.
+    val cc = SparkEntry.queries("q_cf_coverage")(spark, sf001)
+    val ccr = PlanReport.of(cc)
+    assert(ccr.parquetScans == 1,
+      s"q_cf_coverage re-derives the CF table: ${ccr.summary}")
+    assert(!cc.queryExecution.executedPlan.toString.contains("row_number"),
+      "q_cf_coverage must compute its Gini from count-of-counts cells")
+  }
+
+  test("r5 statistical-family heavies hold their audited plan structure") {
+    import graft.plans.PlanReport
+    // q_cycle_time: one orderkey-keyed join+agg feeds the shared exact-
+    // percentile machinery; nothing cartesian, scans keep pushdown.
+    val ct = PlanReport.of(SparkEntry.queries("q_cycle_time")(spark, sf001))
+    assert(ct.cartesianProducts == 0, s"q_cycle_time: ${ct.summary}")
+    // q_ols_fit: a single scan collapsing straight into one grouped
+    // moment aggregate — one aggregate shuffle plus the ≤|flags|-row
+    // output sort, no joins, no windows.
+    val ols = PlanReport.of(SparkEntry.queries("q_ols_fit")(spark, sf001))
+    assert(ols.shuffles <= 2 && ols.parquetScans == 1 &&
+      ols.cartesianProducts == 0 && ols.unpartitionedWindows == 0,
+      s"q_ols_fit drifted from its one-scan/one-aggregate shape: ${ols.summary}")
+    // q_assortativity: hub-capped edge frame self-joins shuffle-side
+    // (fact-derived sides must never broadcast).
+    val as = SparkEntry.queries("q_assortativity")(spark, sf001)
+    assert(PlanReport.of(as).cartesianProducts == 0, "q_assortativity cartesian")
+    assert(as.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "q_assortativity lost its shuffle_hash edge joins")
+    // q_kcore peels iteratively through localCheckpoints, so its final
+    // plan is just the closing aggregate — guard that it stays that way
+    // (a join or window reappearing means the loop stopped materializing).
+    val kc = PlanReport.of(SparkEntry.queries("q_kcore")(spark, sf001))
+    assert(kc.cartesianProducts == 0 && kc.unpartitionedWindows == 0,
+      s"q_kcore: ${kc.summary}")
   }
 
   test("centroid averaging partial-aggregates before its single shuffle") {

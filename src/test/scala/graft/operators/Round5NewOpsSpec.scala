@@ -1329,7 +1329,11 @@ class Round5NewOpsSpec extends SparkSpec {
 
   test("log odds: z ranked by evidence, sides signed correctly for dominant words") {
     val rows = TextAnalysis.qLogOdds(spark, sf001).collect()
-    assert(rows.length == TextAnalysis.LogOddsTopK)
+    // top-k PER SIDE (r6): each direction contributes at most k terms,
+    // and at least one side is present whenever the corpus is non-empty
+    assert(rows.length <= 2 * TextAnalysis.LogOddsTopK && rows.nonEmpty)
+    Seq(rows.filter(_.getDouble(3) >= 0), rows.filter(_.getDouble(3) < 0))
+      .foreach(side => assert(side.length <= TextAnalysis.LogOddsTopK))
     val zs = rows.map(r => math.abs(r.getDouble(3)))
     assert(zs.sameElements(zs.sorted(Ordering[Double].reverse)))
     rows.foreach { r =>
