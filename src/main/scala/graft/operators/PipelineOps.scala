@@ -429,6 +429,62 @@ object PipelineOps {
        |FROM a
        |ORDER BY source""".stripMargin
 
+  /** The certified-approx form of [[qCompressRatio]] — the shape you
+    * actually run at 100 TB, where the exact per-source distinct count
+    * shuffles every (source, shingle) pair: `approx_count_distinct`
+    * (HLL++, rsd 2 %) rides the SAME single-pass aggregate as the
+    * multiplicity count — one scan, fixed sketch state per source, no
+    * dedup shuffle. Gated by the [[Sketches]] self-certification
+    * contract: the output carries the exact twin (which the oracle
+    * recomputes independently) plus `within_bound` asserting the sketch
+    * landed within [[Sketches.DistinctBound]] (5 % ≈ 2.5σ) of it — a
+    * drifting sketch flips the boolean and reds the row.
+    */
+  def qCompressRatioApprox(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val grams = transform(
+      sequence(lit(0), size(col("t")) - 3),
+      i => TextFns.hash28(concat_ws(" ",
+        element_at(col("t"), i + 1), element_at(col("t"), i + 2),
+        element_at(col("t"), i + 3))))
+    val gr = Tables.documents(s, dir)
+      .select(col("source"), t.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(grams).as("g"))
+      .localCheckpoint() // the one-pass approx agg AND the exact twin
+    val approx = gr.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        approx_count_distinct(col("g"), 0.02).as("apx"))
+    val exact = gr.distinct().groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique"))
+    approx.join(exact, Seq("source"))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        NumFns.roundPortable(
+          col("n_unique").cast("double") / col("n_grams"), 6)
+          .as("unique_ratio"),
+        (abs(col("apx") - col("n_unique")) <=
+          col("n_unique") * Sketches.DistinctBound).as("within_bound"))
+      .orderBy(col("source"))
+  }
+
+  val qCompressRatioApproxOracle: String =
+    s"""WITH t AS (SELECT source, ${TextFns.toksSql} AS t FROM documents),
+       |g AS (
+       |  SELECT source,
+       |    unnest(list_transform(range(1, len(t) - 1),
+       |      i -> ${TextFns.hash28Sql("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")})) AS g
+       |  FROM t WHERE len(t) >= 3
+       |),
+       |a AS (
+       |  SELECT source, count(*) AS n_grams, count(DISTINCT g) AS n_unique
+       |  FROM g GROUP BY 1
+       |)
+       |SELECT source, n_grams, n_unique,
+       |  ${NumFns.roundPortableSql("CAST(n_unique AS DOUBLE) / n_grams", 6)} AS unique_ratio,
+       |  TRUE AS within_bound
+       |FROM a
+       |ORDER BY source""".stripMargin
+
   /** Session-scoped conversion funnel: the [[Relational.qSessionize]]
     * 30-minute-gap sessionization composed with the chained-min funnel
     * ([[Behavioral.qFunnel]]'s shape), at SESSION granularity — a user

