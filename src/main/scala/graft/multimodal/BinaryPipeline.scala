@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * JDK, no native deps) and returns true pixel dimensions — and so is
   * the AUDIO branch — `decodeAudio` parses WAV/AIFF/AU headers via
   * `javax.sound.sampled` (also JDK-bundled) into sample rate / channels
-  * / frame count. The VIDEO branch is real for Motion-JPEG AVI —
-  * `demuxMjpeg` walks the RIFF chunk tree and hands each embedded JPEG
-  * frame to ImageIO (`decodeVideo` / `videoHash64` / `nearDupVideo`) —
-  * because MJPEG is the one video format that is pure container framing
-  * around a codec the JDK bundles. Payloads none of the three stacks
-  * can parse (H.264 etc. — no JVM codec) fall back to `decodeStub`, so
+  * / frame count. The VIDEO branch is real for three containers:
+  * Motion-JPEG AVI — `demuxMjpeg` walks the RIFF chunk tree and hands
+  * each embedded JPEG frame to ImageIO — animated GIF (JDK codec), and
+  * YUV4MPEG2 — `demuxY4m` parses the ASCII stream header and lifts raw
+  * luma planes (`decodeVideo` / `videoHash64` / `nearDupVideo` serve
+  * all three). Payloads none of these stacks can parse (H.264 etc. —
+  * no JVM codec) fall back to `decodeStub`, so
   * synthetic corpora still flow: the plumbing — schema, encoders, batch
   * shape, partitioning — is identical either way, and a production
   * build swaps the stub for a JNI/ffmpeg call without touching the
@@ -433,33 +434,110 @@ object BinaryPipeline {
   def gifFrameCount(payload: Array[Byte]): Option[Int] =
     withGifReader(payload)(_.getNumImages(true)).filter(_ > 0)
 
-  /** Decoded frames of either supported pure-JVM video container —
-    * MJPEG-AVI (demux + JPEG decode) or animated GIF — evenly strided to
-    * at most `maxFrames`. Empty when the payload is neither.
+  /** REAL demux+decode for YUV4MPEG2 (.y4m) — the THIRD pure-JVM video
+    * container (after MJPEG-AVI and animated GIF), and the simplest
+    * uncompressed one in the wild (mjpegtools/x264 interchange): an
+    * ASCII stream header `YUV4MPEG2 W<w> H<h> ...\n`, then per frame an
+    * ASCII `FRAME...\n` marker followed by raw planar YUV. Only the
+    * luma plane is materialized (as a grayscale BufferedImage) — that
+    * is the only plane [[aHash64]] fingerprinting reads — so the chroma
+    * subsampling mode only sets the frame STRIDE: C420* → w·h·3/2,
+    * C422 → 2·w·h, C444 → 3·w·h, Cmono → w·h (header default C420).
+    * Returns (width, height, lumaFrames) evenly strided to at most
+    * `maxFrames`; None for non-Y4M payloads or malformed headers — the
+    * same degrade-don't-fail contract as [[demuxMjpeg]], truncated
+    * trailing frames dropped.
+    */
+  def demuxY4m(payload: Array[Byte], maxFrames: Int = 16)
+      : Option[(Int, Int, Seq[java.awt.image.BufferedImage])] = {
+    val Magic = "YUV4MPEG2 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    if (payload.length < Magic.length + 2 ||
+      !java.util.Arrays.equals(
+        java.util.Arrays.copyOf(payload, Magic.length), Magic)) return None
+    val hdrEnd = payload.indexOf('\n'.toByte)
+    if (hdrEnd < 0) return None
+    val params = new String(payload, 0, hdrEnd,
+      java.nio.charset.StandardCharsets.US_ASCII).split(' ').drop(1)
+    def p(tag: Char): Option[String] =
+      params.find(t => t.nonEmpty && t.head == tag).map(_.tail)
+    try {
+      val (w, h) = (p('W').map(_.toInt), p('H').map(_.toInt)) match {
+        case (Some(w0), Some(h0)) if w0 > 0 && h0 > 0 && w0 * h0 <= (1 << 26) =>
+          (w0, h0)
+        case _ => return None
+      }
+      val luma = w * h
+      val frameBytes = p('C').getOrElse("420") match {
+        case c if c.startsWith("mono") => luma
+        case c if c.startsWith("422") => 2 * luma
+        case c if c.startsWith("444") => 3 * luma
+        case _ => luma + 2 * ((w + 1) / 2) * ((h + 1) / 2) // 420 family
+      }
+      // collect luma-plane offsets frame by frame
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var off = hdrEnd + 1
+      var ok = true
+      while (ok && off + 5 <= payload.length &&
+        new String(payload, off, 5,
+          java.nio.charset.StandardCharsets.US_ASCII) == "FRAME") {
+        val nl = payload.indexOf('\n'.toByte, off)
+        if (nl < 0 || nl + 1 + frameBytes > payload.length) ok = false
+        else { offs += nl + 1; off = nl + 1 + frameBytes }
+      }
+      if (offs.isEmpty) return None
+      val stride = math.max(1, offs.length / maxFrames)
+      val frames = offs.indices.by(stride).map { i =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, w, h,
+          java.util.Arrays.copyOfRange(payload, offs(i), offs(i) + luma))
+        img
+      }
+      Some((w, h, frames))
+    } catch {
+      case _: RuntimeException => None
+    }
+  }
+
+  /** Frame count of a Y4M stream without decoding (header + stride walk). */
+  def y4mFrameCount(payload: Array[Byte]): Option[Int] =
+    demuxY4m(payload, maxFrames = Int.MaxValue).map(_._3.length)
+
+  /** Decoded frames of any supported pure-JVM video container —
+    * MJPEG-AVI (demux + JPEG decode), animated GIF, or YUV4MPEG2 (raw
+    * luma planes) — evenly strided to at most `maxFrames`. Empty when
+    * the payload is none of the three.
     */
   def videoFrames(payload: Array[Byte], maxFrames: Int = 16): Seq[java.awt.image.BufferedImage] = {
     val raw = demuxMjpeg(payload)
     if (raw.nonEmpty) {
       val stride = math.max(1, raw.length / maxFrames)
       raw.indices.by(stride).flatMap(i => decodeImageBuffered(raw(i)))
-    } else gifFrames(payload, maxFrames)
+    } else demuxY4m(payload, maxFrames) match {
+      case Some((_, _, frames)) => frames
+      case None => gifFrames(payload, maxFrames)
+    }
   }
 
   /** REAL video decode: dimensions of the first decodable frame + the
-    * container's frame count, via [[demuxMjpeg]] + ImageIO for MJPEG-AVI
-    * or the JDK GIF codec for animated GIFs. None when the payload is
-    * neither container or no frame decodes.
+    * container's frame count, via [[demuxMjpeg]] + ImageIO for
+    * MJPEG-AVI, [[demuxY4m]] for YUV4MPEG2, or the JDK GIF codec for
+    * animated GIFs. None when the payload is no supported container or
+    * no frame decodes.
     */
   def decodeVideo(payload: Array[Byte]): Option[VideoInfo] = {
     val fs = demuxMjpeg(payload)
     if (fs.nonEmpty)
       fs.view.flatMap(decodeImageBuffered(_)).headOption
         .map(img => VideoInfo(img.getWidth, img.getHeight, fs.length))
-    else
-      gifFrameCount(payload).flatMap { n =>
-        gifFrames(payload, maxFrames = 1).headOption
-          .map(img => VideoInfo(img.getWidth, img.getHeight, n))
-      }
+    else demuxY4m(payload, maxFrames = Int.MaxValue) match {
+      case Some((w, h, frames)) => Some(VideoInfo(w, h, frames.length))
+      case None =>
+        gifFrameCount(payload).flatMap { n =>
+          gifFrames(payload, maxFrames = 1).headOption
+            .map(img => VideoInfo(img.getWidth, img.getHeight, n))
+        }
+    }
   }
 
   /** 64-bit video fingerprint: per-bit MAJORITY vote across the frames'

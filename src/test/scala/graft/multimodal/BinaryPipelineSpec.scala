@@ -352,6 +352,76 @@ class BinaryPipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"expected only the cross-container pair, got $pairs")
   }
 
+  /** Minimal YUV4MPEG2 stream: ASCII header + per-frame FRAME marker,
+    * BT.601 luma plane from the pattern image, neutral chroma.
+    */
+  private def y4mClip(frames: Seq[java.awt.image.BufferedImage],
+      cParam: String = "C420jpeg"): Array[Byte] = {
+    val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 $cParam\n".getBytes("US-ASCII"))
+    val chromaBytes = cParam match {
+      case c if c.startsWith("Cmono") => 0
+      case c if c.startsWith("C422") => w * h
+      case c if c.startsWith("C444") => 2 * w * h
+      case _ => 2 * ((w + 1) / 2) * ((h + 1) / 2)
+    }
+    frames.foreach { img =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        out.write(math.min(255, math.round(lum).toInt))
+      }
+      (0 until chromaBytes).foreach(_ => out.write(128))
+    }
+    out.toByteArray
+  }
+
+  test("Y4M decodes as a real video container end-to-end") {
+    import spark.implicits._
+    val clip = y4mClip((0 until 5).map(i => patternImage(40, 30, seed = i)))
+    val Some((w, h, fs)) = BinaryPipeline.demuxY4m(clip)
+    assert(w == 40 && h == 30 && fs.length == 5)
+    assert(BinaryPipeline.y4mFrameCount(clip).contains(5))
+    // malformed / foreign payloads degrade, never throw
+    assert(BinaryPipeline.demuxY4m("YUV4MPEG2 W0 H0\n".getBytes("US-ASCII")).isEmpty)
+    assert(BinaryPipeline.demuxY4m(Array[Byte](1, 2, 3)).isEmpty)
+    // truncation mid-frame keeps the intact prefix
+    val cut = java.util.Arrays.copyOfRange(clip, 0, clip.length - 10)
+    assert(BinaryPipeline.demuxY4m(cut).map(_._3.length).contains(4))
+    val media = Seq(
+      BinaryPipeline.MediaRecord(1L, "video", clip, "test", clip.length.toLong)).toDS()
+    val f = BinaryPipeline.extractFeatures(media).collect().head
+    assert(f.width == 40 && f.height == 30 && f.n_frames == 5,
+      s"real Y4M decode expected, got $f")
+  }
+
+  test("Y4M chroma modes only change the frame stride, not the luma") {
+    val frames = (0 until 3).map(i => patternImage(32, 24, seed = 7 + i))
+    Seq("C420jpeg", "C422", "C444", "Cmono").foreach { c =>
+      val d = BinaryPipeline.demuxY4m(y4mClip(frames, c))
+      assert(d.map(_._3.length).contains(3), s"mode $c lost frames")
+    }
+  }
+
+  test("Y4M and MJPEG encodings of the same clip are near-dups") {
+    import spark.implicits._
+    val frames = (0 until 8).map(i => patternImage(64, 48, seed = 300 + i))
+    def rec(id: Long, bytes: Array[Byte]) =
+      BinaryPipeline.MediaRecord(id, "video", bytes, "test", bytes.length.toLong)
+    val media = Seq(
+      rec(1L, mjpegAvi(frames)),
+      rec(2L, y4mClip(frames)), // same scenes, uncompressed container
+      rec(3L, y4mClip((0 until 8).map(i => patternImage(64, 48, seed = 700 + i))))
+    ).toDS()
+    assert(BinaryPipeline.videoHashes(media).count() == 3)
+    val pairs = BinaryPipeline.nearDupVideo(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the cross-container pair, got $pairs")
+  }
+
   test("video near-dup pairing finds the rescaled clip and not the stranger") {
     import spark.implicits._
     def clip(sz: Int, seedBase: Int): Array[Byte] =
