@@ -1522,4 +1522,65 @@ object Behavioral {
        |FROM t, tot
        |GROUP BY tier, total
        |ORDER BY tier""".stripMargin
+  /** Event-type entropy per user, rolled up by activity tier — the
+    * behavioral-diversity read (is a "heavy user" a bot hammering one
+    * event type, or a genuinely engaged human spreading across the
+    * product?): per user H = ln T − Σc·ln c / T over their event-type
+    * counts, averaged within light (<10 events) / mid (10–99) / heavy
+    * (100+) tiers alongside the average distinct-type count. Bots
+    * depress heavy-tier entropy — a segmentation signal no raw count
+    * exposes. Shape: one (user, type) grouped count → user-bounded
+    * per-user aggregate (per-term DECIMAL so the ≤|types| in-user sum
+    * is order-independent) → 3-row roll-up, DECIMAL-folded averages.
+    */
+  def qEventEntropy(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val users = cells.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("k"),
+        sum((col("c") * log(col("c").cast("double"))).cast(D)).as("sc"))
+      .select(
+        when(col("t") < 10, "1_light").when(col("t") < 100, "2_mid")
+          .otherwise("3_heavy").as("tier"),
+        col("k"),
+        (log(col("t").cast("double"))
+          - col("sc").cast("double") / col("t")).as("h"))
+    users.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("k")).as("sk"), sum(col("h").cast(D)).as("sh"))
+      .select(col("tier"), col("n_users"),
+        NumFns.roundPortable(
+          col("sk").cast("double") / col("n_users"), 4).as("avg_types"),
+        NumFns.roundPortable(
+          col("sh").cast("double") / col("n_users"), 6).as("avg_entropy"))
+      .orderBy(col("tier"))
+  }
+
+  val qEventEntropyOracle: String =
+    s"""WITH cells AS (
+       |  SELECT user_id, event_type, count(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |),
+       |u AS (
+       |  SELECT user_id, CAST(sum(c) AS BIGINT) AS t, count(*) AS k,
+       |    CAST(sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS sc
+       |  FROM cells GROUP BY user_id
+       |),
+       |h AS (
+       |  SELECT CASE WHEN t < 10 THEN '1_light'
+       |    WHEN t < 100 THEN '2_mid' ELSE '3_heavy' END AS tier,
+       |    k, ln(CAST(t AS DOUBLE)) - sc / t AS h
+       |  FROM u
+       |)
+       |SELECT tier, count(*) AS n_users,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(k) AS DOUBLE) / count(*)", 4)} AS avg_types,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) / count(*)", 6)}
+       |    AS avg_entropy
+       |FROM h GROUP BY tier
+       |ORDER BY tier""".stripMargin
 }

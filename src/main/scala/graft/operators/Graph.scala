@@ -863,4 +863,95 @@ object Graph {
               "CAST(2 * m * ssq - ssum * ssum AS DOUBLE)", 6)}
        |  END AS assortativity
        |FROM ag""".stripMargin
+  /** Club size for [[qRichClub]]. */
+  val RichClubK = 50
+
+  /** Rich-club coefficient of the market-basket part graph: do the
+    * [[RichClubK]] highest-degree parts co-sell with EACH OTHER more
+    * densely than the graph's background density? φ(k) ≫ 1 is the
+    * "popular products form a clique" structure that popularity-biased
+    * recommenders amplify ([[qAssortativity]] reports the global
+    * degree-degree trend; this isolates the hubs). Shape: the same
+    * hub-capped edge build (edge frame localCheckpoint\'d once feeds
+    * degrees AND both membership probes); the club is a TakeOrdered
+    * top-K with a deterministic id tie-break, broadcast (K rows) into
+    * two semi-joins; densities are exact-integer ratios of bounded
+    * counts.
+    */
+  def qRichClub(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("p"), col("l_partkey").as("su")).distinct()
+      .localCheckpoint()
+    val fan = li.groupBy(col("p")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= CoreMaxFanout)
+    val capped = li.join(fan.hint("shuffle_hash"), Seq("p"))
+    val edges = capped.select(col("p"), col("su").as("sa"))
+      .join(capped.select(col("p"), col("su").as("sb")).hint("shuffle_hash"),
+        Seq("p"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+      .localCheckpoint()
+    val deg = edges.select(col("sa").as("id"))
+      .union(edges.select(col("sb").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val club = deg.orderBy(col("d").desc, col("id")).limit(RichClubK)
+      .select(col("id"))
+    val tot = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+    val clubEdges = edges
+      .join(broadcast(club.select(col("id").as("sa"))), Seq("sa"), "left_semi")
+      .join(broadcast(club.select(col("id").as("sb"))), Seq("sb"), "left_semi")
+      .agg(count(lit(1)).as("club_edges"))
+      .crossJoin(broadcast(club.agg(count(lit(1)).as("kc"))))
+    clubEdges.crossJoin(broadcast(tot))
+      .select(col("kc").as("k_club"), col("n_nodes"), col("n_edges"),
+        col("club_edges"),
+        NumFns.roundPortable(col("club_edges").cast("double")
+          / (col("kc") * (col("kc") - 1) / lit(2.0)), 6).as("club_density"),
+        NumFns.roundPortable(
+          (col("club_edges").cast("double")
+            / (col("kc") * (col("kc") - 1) / lit(2.0)))
+          / (col("n_edges").cast("double")
+            / (col("n_nodes").cast("double") * (col("n_nodes") - 1) / 2.0)),
+          4).as("rich_club_ratio"))
+  }
+
+  val qRichClubOracle: String =
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS p, l_partkey AS su FROM lineitem
+       |),
+       |fan AS (
+       |  SELECT p FROM li GROUP BY p HAVING count(*) <= $CoreMaxFanout
+       |),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.su AS sa, b.su AS sb
+       |  FROM li a JOIN li b ON a.p = b.p AND a.su < b.su
+       |  JOIN fan ON fan.p = a.p
+       |),
+       |deg AS (
+       |  SELECT id, count(*) AS d FROM (
+       |    SELECT sa AS id FROM e UNION ALL SELECT sb FROM e
+       |  ) GROUP BY id
+       |),
+       |club AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT $RichClubK),
+       |tot AS (
+       |  SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       |    (SELECT count(*) FROM e) AS n_edges
+       |),
+       |ce AS (
+       |  SELECT count(*) AS club_edges,
+       |    (SELECT count(*) FROM club) AS kc
+       |  FROM e
+       |  WHERE sa IN (SELECT id FROM club) AND sb IN (SELECT id FROM club)
+       |)
+       |SELECT kc AS k_club, n_nodes, n_edges, club_edges,
+       |  ${NumFns.roundPortableSql(
+            "CAST(club_edges AS DOUBLE) / (kc * (kc - 1) / 2.0)", 6)}
+       |    AS club_density,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(club_edges AS DOUBLE) / (kc * (kc - 1) / 2.0))" +
+            " / (CAST(n_edges AS DOUBLE)" +
+            " / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1) / 2.0))", 4)}
+       |    AS rich_club_ratio
+       |FROM ce, tot""".stripMargin
 }

@@ -1488,4 +1488,141 @@ object PipelineOps {
        |  ${NumFns.roundPortableSql("gap_raw", 4)} AS mean_bal_gap
        |FROM ag JOIN nt ON ag.seg = nt.seg
        |ORDER BY ag.seg""".stripMargin
+  /** Shard fan-out for [[qShardBalance]] — the training-writer width. */
+  val BalanceShards = 32
+
+  /** Token balance of a content-addressed 32-way shard assignment — the
+    * pre-flight check before writing a training corpus: data-parallel
+    * loaders read one shard per worker, so the SLOWEST shard (max
+    * tokens) sets step time and the imbalance ratio is pure wasted
+    * accelerator time. Doc-hash sharding is the 100 TB standard
+    * (reproducible, no coordination); this measures what it actually
+    * delivers on THIS corpus: min/max/mean shard tokens, max/mean
+    * imbalance, and the coefficient of variation. Shape: one scan →
+    * 32-row shard frame → 1-row report; token counts exact, CV from
+    * DECIMAL moments over 32 cells.
+    */
+  def qShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val shards = Tables.documents(s, dir)
+      .select(
+        (TextFns.hash28(concat(lit("sh:"), col("doc_id").cast("string")))
+          % BalanceShards).as("shard"),
+        size(TextFns.tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("shard")).agg(sum(col("toks")).as("t"))
+    shards.agg(count(lit(1)).as("n_shards"),
+        sum(col("t")).as("total_tokens"),
+        min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"),
+        sum(col("t").cast(D) * col("t")).as("s2"))
+      .select(col("n_shards"), col("total_tokens"), col("min_tokens"),
+        col("max_tokens"),
+        NumFns.roundPortable(
+          col("max_tokens").cast("double")
+            / (col("total_tokens").cast("double") / col("n_shards")), 4)
+          .as("imbalance"),
+        NumFns.roundPortable(
+          sqrt(col("s2").cast("double") / col("n_shards")
+            - (col("total_tokens").cast("double") / col("n_shards"))
+              * (col("total_tokens").cast("double") / col("n_shards")))
+            / (col("total_tokens").cast("double") / col("n_shards")), 6)
+          .as("cv"))
+  }
+
+  val qShardBalanceOracle: String =
+    s"""WITH sh AS (
+       |  SELECT ${TextFns.hash28Sql("'sh:' || CAST(doc_id AS VARCHAR)")}
+       |      % $BalanceShards AS shard,
+       |    CAST(sum(len(${TextFns.toksSql})) AS BIGINT) AS t
+       |  FROM documents GROUP BY 1
+       |),
+       |ag AS (
+       |  SELECT count(*) AS n_shards, CAST(sum(t) AS BIGINT) AS total_tokens,
+       |    CAST(min(t) AS BIGINT) AS min_tokens,
+       |    CAST(max(t) AS BIGINT) AS max_tokens,
+       |    CAST(sum(CAST(t AS DECIMAL(38,12)) * t) AS DOUBLE) AS s2
+       |  FROM sh
+       |)
+       |SELECT n_shards, total_tokens, min_tokens, max_tokens,
+       |  ${NumFns.roundPortableSql(
+            "CAST(max_tokens AS DOUBLE) " +
+            "/ (CAST(total_tokens AS DOUBLE) / n_shards)", 4)} AS imbalance,
+       |  ${NumFns.roundPortableSql(
+            "sqrt(s2 / n_shards - (CAST(total_tokens AS DOUBLE) / n_shards)" +
+            " * (CAST(total_tokens AS DOUBLE) / n_shards))" +
+            " / (CAST(total_tokens AS DOUBLE) / n_shards)", 6)} AS cv
+       |FROM ag""".stripMargin
+
+  /** Share of the corpus dropped by [[qQualityGate]]'s global cut. */
+  val GateDropShare = 0.2
+
+  /** Global quality-percentile gate: score every document (stopword
+    * ratio, integer-quantized to 1e-4 — the [[Evaluation]] classifier
+    * signal), find the corpus-wide P20 score WITHOUT a global sort
+    * (per-score-cell counts + an exclusive prefix over the ≤10⁴-cell
+    * score-domain frame — rank-from-counts), and report per source how
+    * much the "drop the worst 20 %" policy would remove. The per-source
+    * skew is the real product: a gate tuned globally never drops 20 %
+    * of EVERY source, and this table shows who pays. Convention
+    * (oracle-mirrored): cut = smallest score with cumulative count ≥
+    * ⌈0.2·n⌉; docs strictly below the cut drop, the cut cell's ties all
+    * survive. Integer-exact end to end.
+    */
+  def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("source"),
+        floor(lit(10000) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))).cast("long").as("sq"))
+    val cells = scored.groupBy(col("sq")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("sq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val cut = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= ceil(lit(GateDropShare) * col("n")))
+      .agg(min(col("sq")).as("cut"))
+    scored.crossJoin(broadcast(cut))
+      .groupBy(col("source"), col("cut"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("sq") < col("cut")).cast("long")).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"), col("cut"),
+        NumFns.roundPortable(
+          col("n_dropped").cast("double") / col("n_docs"), 6).as("drop_share"))
+      .orderBy(col("source"))
+  }
+
+  val qQualityGateOracle: String = {
+    val stopList = Curation.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT source, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT source,
+       |    CAST(floor(10000.0 * len(list_filter(toks, x -> x IN ($stopList)))
+       |      / len(toks)) AS BIGINT) AS sq
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |cells AS (SELECT sq, count(*) AS c FROM sc GROUP BY sq),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       |cut AS (
+       |  SELECT CAST(min(sq) AS BIGINT) AS cut FROM (
+       |    SELECT sq, sum(c) OVER (ORDER BY sq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM cells
+       |  ), tot WHERE cum >= ceil($GateDropShare * n)
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN sq < cut THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(max(cut) AS BIGINT) AS cut,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CASE WHEN sq < cut THEN 1 ELSE 0 END) AS DOUBLE)" +
+            " / count(*)", 6)} AS drop_share
+       |FROM sc, cut
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -1916,4 +1916,367 @@ object Profiling {
        |  ${NumFns.roundPortableSql("t_within", 6)} AS theil_within,
        |  ${NumFns.roundPortableSql("t_between", 6)} AS theil_between
        |FROM ag""".stripMargin
+
+  /** Cohen's d (pooled-SD standardized mean difference) of extended
+    * price between returned ('R') and kept lineitems, per linestatus —
+    * the EFFECT SIZE companion to the suite's significance tests
+    * (q_welch_ttest says whether groups differ; this says by how many
+    * standard deviations, the number a 100 TB A/B readout is actually
+    * consumed by). Hedges' g small-sample correction rides along.
+    * Shape: one scan → (status, group) moment cells → ≤|status| rows.
+    * Float discipline: DECIMAL(38,12) moment sums cast to double once
+    * (the qWelchTtest convention); d is then scalar arithmetic on
+    * identical doubles.
+    */
+  def qCohensD(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val m = Tables.lineitem(s, dir)
+      .select(col("l_linestatus"),
+        (col("l_returnflag") === "R").as("ret"), col("l_extendedprice").as("x"))
+      .groupBy(col("l_linestatus"), col("ret"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(D)).as("sx"),
+        sum((col("x") * col("x")).cast(D)).as("sx2"))
+    def side(r: Boolean, c: String) = max(when(col("ret") === r, col(c)))
+    val wide = m.groupBy(col("l_linestatus"))
+      .agg(side(true, "n").as("n1"), side(true, "sx").cast("double").as("s1"),
+        side(true, "sx2").cast("double").as("q1"),
+        side(false, "n").as("n2"), side(false, "sx").cast("double").as("s2"),
+        side(false, "sx2").cast("double").as("q2"))
+      .filter(col("n1") > 1 && col("n2") > 1)
+    val m1 = col("s1") / col("n1")
+    val m2 = col("s2") / col("n2")
+    val v1 = (col("q1") - col("n1") * (m1 * m1)) / (col("n1") - 1)
+    val v2 = (col("q2") - col("n2") * (m2 * m2)) / (col("n2") - 1)
+    val sp = sqrt(((col("n1") - 1) * v1 + (col("n2") - 1) * v2)
+      / (col("n1") + col("n2") - 2))
+    val d = (m1 - m2) / sp
+    wide.select(col("l_linestatus"), col("n1").as("n_returned"),
+        col("n2").as("n_kept"),
+        NumFns.roundPortable(m1 - m2, 4).as("mean_diff"),
+        NumFns.roundPortable(d, 6).as("cohens_d"),
+        NumFns.roundPortable(
+          d * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n1") + col("n2")) - 9)),
+          6).as("hedges_g"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val qCohensDOracle: String =
+    s"""WITH m AS (
+       |  SELECT l_linestatus, l_returnflag = 'R' AS ret, count(*) AS n,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS sx2
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |w AS (
+       |  SELECT l_linestatus,
+       |    max(CASE WHEN ret THEN n END) AS n1,
+       |    max(CASE WHEN ret THEN sx END) AS s1,
+       |    max(CASE WHEN ret THEN sx2 END) AS q1,
+       |    max(CASE WHEN NOT ret THEN n END) AS n2,
+       |    max(CASE WHEN NOT ret THEN sx END) AS s2,
+       |    max(CASE WHEN NOT ret THEN sx2 END) AS q2
+       |  FROM m GROUP BY 1
+       |  HAVING n1 > 1 AND n2 > 1
+       |),
+       |c AS (
+       |  SELECT l_linestatus, n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+       |    (q1 - n1 * ((s1 / n1) * (s1 / n1))) / (n1 - 1) AS v1,
+       |    (q2 - n2 * ((s2 / n2) * (s2 / n2))) / (n2 - 1) AS v2
+       |  FROM w
+       |),
+       |d AS (
+       |  SELECT l_linestatus, n1, n2, m1, m2,
+       |    (m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+       |      AS dd
+       |  FROM c
+       |)
+       |SELECT l_linestatus, n1 AS n_returned, n2 AS n_kept,
+       |  ${NumFns.roundPortableSql("m1 - m2", 4)} AS mean_diff,
+       |  ${NumFns.roundPortableSql("dd", 6)} AS cohens_d,
+       |  ${NumFns.roundPortableSql(
+            "dd * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9))", 6)} AS hedges_g
+       |FROM d ORDER BY l_linestatus""".stripMargin
+
+  /** Cliff's delta of quantity between returned and kept lineitems —
+    * the ORDINAL effect size (P(x>y) − P(x<y), the scale-free companion
+    * to q_mann_whitney's significance and [[qCohensD]]'s parametric d:
+    * valid with no distributional assumption at all). Computed entirely
+    * from VALUE CELLS: quantity has a bounded integer domain, so both
+    * sides collapse to per-value counts, an exclusive prefix over the
+    * merged ≤|domain| cell frame gives #y<v and #y>v for every x-cell,
+    * and δ = Σ cx·(#y<v − #y>v) / (nx·ny) — no pairwise join ever
+    * materializes (the naive form is |x|·|y| pairs; this is O(domain)).
+    * Dominance products ride DECIMAL(38,0) / HUGEINT (row-count² at
+    * corpus scale). Magnitude labels are the standard Romano cuts.
+    */
+  def qCliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("v"),
+        (col("l_returnflag") === "R").as("ret"))
+      .groupBy(col("v"))
+      .agg(sum(col("ret").cast("long")).as("cx"),
+        sum((!col("ret")).cast("long")).as("cy"))
+    val wLess = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = cells.agg(sum(col("cx")).as("nx"), sum(col("cy")).as("ny"))
+    val dom = cells
+      .withColumn("y_less", coalesce(sum(col("cy")).over(wLess), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("y_greater", col("ny") - col("y_less") - col("cy"))
+      .agg(max(col("nx")).as("nx"), max(col("ny")).as("ny"),
+        sum(col("cx").cast(D0) * (col("y_less") - col("y_greater")))
+          .as("dsum"))
+    dom.select(col("nx").as("n_returned"), col("ny").as("n_kept"),
+        NumFns.roundPortable(
+          col("dsum").cast("double") / (col("nx").cast("double") * col("ny")),
+          6).as("cliffs_delta"))
+      .withColumn("magnitude",
+        when(abs(col("cliffs_delta")) < 0.147, "negligible")
+          .when(abs(col("cliffs_delta")) < 0.33, "small")
+          .when(abs(col("cliffs_delta")) < 0.474, "medium")
+          .otherwise("large"))
+  }
+
+  val qCliffsDeltaOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS v,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cx,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS cy
+       |  FROM lineitem GROUP BY 1
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(cx) AS BIGINT) AS nx, CAST(sum(cy) AS BIGINT) AS ny
+       |  FROM cells
+       |),
+       |pre AS (
+       |  SELECT v, cx, cy,
+       |    CAST(coalesce(sum(cy) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS y_less
+       |  FROM cells
+       |),
+       |ag AS (
+       |  SELECT max(nx) AS nx, max(ny) AS ny,
+       |    sum(CAST(cx AS HUGEINT) * (y_less - (ny - y_less - cy))) AS dsum
+       |  FROM pre, tot
+       |),
+       |r AS (
+       |  SELECT nx AS n_returned, ny AS n_kept,
+       |    ${NumFns.roundPortableSql(
+              "CAST(dsum AS DOUBLE) / (CAST(nx AS DOUBLE) * ny)", 6)}
+       |      AS cliffs_delta
+       |  FROM ag
+       |)
+       |SELECT n_returned, n_kept, cliffs_delta,
+       |  CASE WHEN abs(cliffs_delta) < 0.147 THEN 'negligible'
+       |    WHEN abs(cliffs_delta) < 0.33 THEN 'small'
+       |    WHEN abs(cliffs_delta) < 0.474 THEN 'medium'
+       |    ELSE 'large' END AS magnitude
+       |FROM r""".stripMargin
+
+  /** 2×2 odds ratio of return ('R') given a deep discount (> 5 %) with
+    * a Wald 95 % CI — the epidemiology-style association readout a
+    * curation team uses for binary exposure/outcome pairs where the
+    * chi-square (q_chi2_independence) only says "dependent": direction
+    * AND strength with uncertainty. One scan, four exact counts, then
+    * scalar arithmetic — the cheapest possible association audit at
+    * 100 TB. Doubles are identical expressions of exact integers.
+    */
+  def qOddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.lineitem(s, dir)
+      .select((col("l_discount") > 0.05).as("exp"),
+        (col("l_returnflag") === "R").as("out"))
+      .agg(
+        sum((col("exp") && col("out")).cast("long")).as("a"),
+        sum((col("exp") && !col("out")).cast("long")).as("b"),
+        sum((!col("exp") && col("out")).cast("long")).as("c"),
+        sum((!col("exp") && !col("out")).cast("long")).as("d"))
+      .filter(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0)
+    val or = (col("a") * col("d")).cast("double") / (col("b") * col("c"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+      + lit(1.0) / col("c") + lit(1.0) / col("d"))
+    c.select(col("a").as("n_exp_ret"), col("b").as("n_exp_kept"),
+      col("c").as("n_unexp_ret"), col("d").as("n_unexp_kept"),
+      NumFns.roundPortable(or, 6).as("odds_ratio"),
+      NumFns.roundPortable(exp(log(or) - lit(1.96) * se), 6).as("ci_lo"),
+      NumFns.roundPortable(exp(log(or) + lit(1.96) * se), 6).as("ci_hi"))
+  }
+
+  val qOddsRatioOracle: String =
+    s"""WITH c AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag != 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN l_discount <= 0.05 AND l_returnflag = 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN l_discount <= 0.05 AND l_returnflag != 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM lineitem
+       |),
+       |f AS (SELECT * FROM c WHERE a > 0 AND b > 0 AND c > 0 AND d > 0),
+       |e AS (
+       |  SELECT a, b, c, d,
+       |    CAST(a * d AS DOUBLE) / (b * c) AS orr,
+       |    sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
+       |  FROM f
+       |)
+       |SELECT a AS n_exp_ret, b AS n_exp_kept, c AS n_unexp_ret,
+       |  d AS n_unexp_kept,
+       |  ${NumFns.roundPortableSql("orr", 6)} AS odds_ratio,
+       |  ${NumFns.roundPortableSql("exp(ln(orr) - 1.96 * se)", 6)} AS ci_lo,
+       |  ${NumFns.roundPortableSql("exp(ln(orr) + 1.96 * se)", 6)} AS ci_hi
+       |FROM e""".stripMargin
+
+  /** Grubbs' outlier statistic over the daily-revenue series: the max
+    * studentized deviation G = max|x − x̄|/s and WHICH day produced it —
+    * the single-most-anomalous-observation test (q_mad_outliers flags a
+    * set robustly; Grubbs scores the one worst point against a normal
+    * null, the number an incident review starts from). Shape: the fact
+    * table collapses to the calendar-bounded day frame; moments are
+    * DECIMAL sums over it; the arg-max is a TakeOrdered(1) with a
+    * deterministic day tie-break. Exact integers until the final
+    * studentization.
+    */
+  def qGrubbsOutlier(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"))
+    val m = days.agg(count(lit(1)).as("n"),
+      sum(col("rev").cast(D)).as("s1"),
+      sum((col("rev").cast(D) * col("rev"))).as("s2"))
+      .select(col("n"), (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / (col("n") - 1)).as("sd"))
+    days.crossJoin(broadcast(m))
+      .select(col("d"), col("rev"), col("n"), col("mean"), col("sd"),
+        abs(col("rev") - col("mean")).as("dev"))
+      .orderBy(col("dev").desc, col("d"))
+      .limit(1)
+      .select(col("n").as("n_days"), col("d").as("peak_date"),
+        NumFns.roundPortable(col("rev") / 100.0, 2).as("peak_rev"),
+        NumFns.roundPortable(col("dev") / col("sd"), 6).as("grubbs_g"))
+  }
+
+  val qGrubbsOutlierOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(rev AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean,
+       |    sqrt((CAST(sum(CAST(rev AS DECIMAL(38,12)) * rev) AS DOUBLE)
+       |      - CAST(sum(CAST(rev AS DECIMAL(38,12))) AS DOUBLE)
+       |        * CAST(sum(CAST(rev AS DECIMAL(38,12))) AS DOUBLE) / count(*))
+       |      / (count(*) - 1)) AS sd
+       |  FROM days
+       |)
+       |SELECT n AS n_days, d AS peak_date,
+       |  ${NumFns.roundPortableSql("rev / 100.0", 2)} AS peak_rev,
+       |  ${NumFns.roundPortableSql("abs(rev - mean) / sd", 6)} AS grubbs_g
+       |FROM days, m
+       |ORDER BY abs(rev - mean) DESC, d
+       |LIMIT 1""".stripMargin
+  /** The paired years compared by [[qWilcoxonSigned]]. */
+  val WilcoxonYears: (Int, Int) = (1997, 1998)
+
+  /** Wilcoxon signed-rank test of daily revenue between two years,
+    * paired on the calendar day (month, day-of-month) — the
+    * nonparametric PAIRED test the suite's Mann-Whitney (independent
+    * samples) cannot do: "did revenue shift year-over-year, day for
+    * day?" robust to the heavy-tailed daily distribution. Zero diffs
+    * drop (standard convention); |diff| ranks are MIDRANKS computed
+    * from value cells (per-|diff| counts + an exclusive prefix over the
+    * ≤366-cell frame — no row-scale rank anywhere), W⁺ sums midranks of
+    * positive diffs, and z applies the tie-corrected normal
+    * approximation. Integer cents end-to-end; midranks are exact
+    * halves; per-term DECIMAL folds keep the cell sums
+    * order-independent.
+    */
+  def qWilcoxonSigned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    def yr(y: Int, n: String) = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === y)
+      .groupBy(month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dy"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as(n))
+    val (y1, y2) = WilcoxonYears
+    val pairs = yr(y1, "r1").join(yr(y2, "r2"), Seq("m", "dy"))
+      .select((col("r2") - col("r1")).as("d"))
+      .filter(col("d") =!= 0)
+      .select(abs(col("d")).as("ad"), (col("d") > 0).cast("long").as("pos"))
+    val cells = pairs.groupBy(col("ad"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("np"))
+    val wOff = Window.orderBy(col("ad"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val st = cells
+      .withColumn("o", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .agg(sum(col("c")).as("n"),
+        sum(((col("o") + (col("c") + 1) / lit(2.0)) * col("np")).cast(D))
+          .as("wp"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      .select(col("n"), col("wp").cast("double").as("wplus"),
+        col("ties").cast("double").as("ties"))
+    val mu = col("n") * (col("n") + 1) / lit(4.0)
+    val sigma = sqrt(col("n") * (col("n") + 1) * (col("n") * 2 + 1) / lit(24.0)
+      - col("ties") / lit(48.0))
+    st.select(col("n").as("n_pairs"),
+      NumFns.roundPortable(col("wplus"), 2).as("w_plus"),
+      NumFns.roundPortable((col("wplus") - mu) / sigma, 4).as("z_stat"))
+  }
+
+  val qWilcoxonSignedOracle: String = {
+    val (y1, y2) = WilcoxonYears
+    def yrSql(y: Int) =
+      s"""SELECT month(CAST(o_orderdate AS DATE)) AS m,
+         |    day(CAST(o_orderdate AS DATE)) AS dy,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS r
+         |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = $y
+         |  GROUP BY 1, 2""".stripMargin
+    s"""WITH a AS (${yrSql(y1)}),
+       |b AS (${yrSql(y2)}),
+       |p AS (
+       |  SELECT abs(b.r - a.r) AS ad,
+       |    CAST(b.r - a.r > 0 AS BIGINT) AS pos
+       |  FROM a JOIN b USING (m, dy) WHERE b.r - a.r != 0
+       |),
+       |cells AS (
+       |  SELECT ad, count(*) AS c, CAST(sum(pos) AS BIGINT) AS np
+       |  FROM p GROUP BY ad
+       |),
+       |pre AS (
+       |  SELECT ad, c, np,
+       |    CAST(coalesce(sum(c) OVER (ORDER BY ad
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS o
+       |  FROM cells
+       |),
+       |st AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(CAST((o + (c + 1) / 2.0) * np AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS wplus,
+       |    CAST(sum(c * c * c - c) AS DOUBLE) AS ties
+       |  FROM pre
+       |)
+       |SELECT n AS n_pairs,
+       |  ${NumFns.roundPortableSql("wplus", 2)} AS w_plus,
+       |  ${NumFns.roundPortableSql(
+            "(wplus - n * (n + 1) / 4.0)" +
+            " / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0)", 4)}
+       |    AS z_stat
+       |FROM st""".stripMargin
+  }
 }

@@ -1521,4 +1521,62 @@ object Similarity {
        |$perK
        |ORDER BY k""".stripMargin
   }
+  /** Per-dimension mean/variance profile of the embedding space — the
+    * dead-dimension audit run before ANN index build or quantization
+    * (q_embed_quantize): a dimension whose variance is ~0 carries no
+    * information but still costs index memory and distance FLOPs, and a
+    * mean far from 0 says the space was never centered (hurting cosine
+    * ANN recall). Shape: one posexplode pass → dims-bounded (64-row)
+    * moment cells; the dead flag compares each variance to 1 % of the
+    * mean variance (one more 1-row broadcast). Float→double casts are
+    * exact; moments DECIMAL-fold.
+    */
+  def qEmbedDimVariance(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val dims = Tables.embeddings(s, dir)
+      .select(posexplode(VectorFns.asDouble(col("embedding"))))
+      .select((col("pos") + 1).as("dim"), col("col").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(D)).as("sx"),
+        sum((col("x") * col("x")).cast(D)).as("sxx"))
+      .select(col("dim"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        ((col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / col("n")).as("v"))
+    val avgv = dims.agg(
+      (sum(col("v").cast(D)).cast("double") / count(lit(1))).as("av"))
+    dims.crossJoin(broadcast(avgv))
+      .select(col("dim").cast("int").as("dim"), col("n").as("n_vecs"),
+        NumFns.roundPortable(col("mean"), 6).as("mean"),
+        NumFns.roundPortable(col("v"), 6).as("variance"),
+        (col("v") < lit(0.01) * col("av")).as("is_dead"))
+      .orderBy(col("dim"))
+  }
+
+  val qEmbedDimVarianceOracle: String =
+    s"""WITH e AS (SELECT $vSql AS v FROM embeddings),
+       |x AS (SELECT unnest(v) AS x, unnest(range(1, len(v) + 1)) AS dim
+       |  FROM e),
+       |d AS (
+       |  SELECT dim, count(*) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |  FROM x GROUP BY dim
+       |),
+       |v AS (
+       |  SELECT dim, n, sx / n AS mean, (sxx - sx * sx / n) / n AS v
+       |  FROM d
+       |),
+       |a AS (
+       |  SELECT CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+       |    AS av
+       |  FROM v
+       |)
+       |SELECT CAST(dim AS INTEGER) AS dim, n AS n_vecs,
+       |  ${NumFns.roundPortableSql("mean", 6)} AS mean,
+       |  ${NumFns.roundPortableSql("v", 6)} AS variance,
+       |  v < 0.01 * av AS is_dead
+       |FROM v, a
+       |ORDER BY dim""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2257,4 +2257,388 @@ object Temporal {
             "(k * slxy - slx * sly) / (k * slxx - slx * slx)", 6)} AS hurst
        |FROM sl
        |ORDER BY n""".stripMargin
+  /** Dickey–Fuller unit-root check (no-lag form) on the daily revenue
+    * series: regress Δy_t on y_{t−1} with intercept and report ρ̂ = 1+β̂
+    * and the DF t-statistic — the stationarity gate every forecasting
+    * consumer (q_forecast_revenue, q_ewma) silently assumes and this
+    * suite now measures (t far below ~−2.9 rejects a unit root; a
+    * near-zero t says the series is a random walk and trend forecasts
+    * are fiction). Shape: the fact table collapses to the
+    * calendar-bounded day frame; the lag runs over that aggregate (the
+    * sanctioned partitionless-window-over-Aggregate shape); the five
+    * regression moments are DECIMAL-folded and cast to double once.
+    */
+  def qDickeyFuller(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg((sum(NumFns.roundAwayLong(col("o_totalprice") * 100)) / 100.0)
+        .as("y"))
+    val w = Window.orderBy(col("di"))
+    val pairs = days
+      .withColumn("yp", lag(col("y"), 1).over(w))
+      .filter(col("yp").isNotNull)
+      .select((col("y") - col("yp")).as("dy"), col("yp"))
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(col("yp").cast(D)).as("sy"),
+      sum((col("yp") * col("yp")).cast(D)).as("syy"),
+      sum(col("dy").cast(D)).as("sd"),
+      sum((col("dy") * col("dy")).cast(D)).as("sdd"),
+      sum((col("yp") * col("dy")).cast(D)).as("syd"))
+      .select(col("n").cast("double").as("n"),
+        col("sy").cast("double").as("sy"), col("syy").cast("double").as("syy"),
+        col("sd").cast("double").as("sd"), col("sdd").cast("double").as("sdd"),
+        col("syd").cast("double").as("syd"))
+    val sxx = col("syy") - col("sy") * col("sy") / col("n")
+    val sxy = col("syd") - col("sy") * col("sd") / col("n")
+    val see = col("sdd") - col("sd") * col("sd") / col("n")
+    val beta = sxy / sxx
+    val sse = see - beta * sxy
+    val seB = sqrt(sse / (col("n") - 2) / sxx)
+    m.select(col("n").cast("long").as("n_obs"),
+      NumFns.roundPortable(beta, 6).as("beta"),
+      NumFns.roundPortable(lit(1.0) + beta, 6).as("rho"),
+      NumFns.roundPortable(beta / seB, 4).as("df_tstat"))
+  }
+
+  val qDickeyFullerOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      / 100.0 AS y
+       |  FROM orders GROUP BY 1
+       |),
+       |p AS (
+       |  SELECT y - lag(y, 1) OVER (ORDER BY di) AS dy,
+       |    lag(y, 1) OVER (ORDER BY di) AS yp
+       |  FROM days
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(yp AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(yp * yp AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+       |    CAST(sum(CAST(dy AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+       |    CAST(sum(CAST(dy * dy AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+       |    CAST(sum(CAST(yp * dy AS DECIMAL(38,12))) AS DOUBLE) AS syd
+       |  FROM p WHERE yp IS NOT NULL
+       |),
+       |c AS (
+       |  SELECT n,
+       |    (syd - sy * sd / n) / (syy - sy * sy / n) AS beta,
+       |    (sdd - sd * sd / n)
+       |      - (syd - sy * sd / n) / (syy - sy * sy / n)
+       |        * (syd - sy * sd / n) AS sse,
+       |    syy - sy * sy / n AS sxx
+       |  FROM m
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_obs,
+       |  ${NumFns.roundPortableSql("beta", 6)} AS beta,
+       |  ${NumFns.roundPortableSql("1.0 + beta", 6)} AS rho,
+       |  ${NumFns.roundPortableSql(
+            "beta / sqrt(sse / (n - 2) / sxx)", 4)} AS df_tstat
+       |FROM c""".stripMargin
+
+  /** The calendar year [[qTheilSen]] fits. */
+  val TheilSenYear = 1997
+
+  /** Theil–Sen robust trend of one year's daily revenue: the MEDIAN of
+    * all pairwise day-to-day slopes, beside the OLS slope — the
+    * outlier-immune trend read (one promo-day spike drags OLS but moves
+    * the slope median not at all; the gap between the two numbers IS
+    * the outlier diagnostic). Shape: the year collapses to a ≤365-row
+    * day frame, the pair self-join is calendar²-bounded (~66k rows at
+    * ANY corpus scale — this is the rare all-pairs join that is
+    * scale-safe by construction), and the median is the two-middle-rank
+    * average over that bounded frame, matching quantile_cont(0.5).
+    */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === TheilSenYear)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg((sum(NumFns.roundAwayLong(col("o_totalprice") * 100)) / 100.0)
+        .as("y"))
+    val slopes = days.select(col("di").as("d1"), col("y").as("y1"))
+      .join(days.select(col("di").as("d2"), col("y").as("y2")),
+        col("d1") < col("d2"))
+      .select(((col("y2") - col("y1")) / (col("d2") - col("d1"))).as("slope"))
+    val w = Window.orderBy(col("slope"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(slopes.agg(count(lit(1)).as("np"))))
+      .filter(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("(np + 2) div 2"))
+      .agg((sum(col("slope")) / count(lit(1))).as("sen"), max(col("np")).as("np"))
+    val ols = days.agg(count(lit(1)).as("nd"),
+      sum(col("di").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+      sum((col("di") * col("di")).cast(D)).as("sxx"),
+      sum((col("di") * col("y")).cast(D)).as("sxy"))
+      .select(col("nd"),
+        ((col("nd").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("nd").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+          .as("ols"))
+    ranked.crossJoin(broadcast(ols))
+      .select(col("nd").as("n_days"), col("np").as("n_pairs"),
+        NumFns.roundPortable(col("sen"), 4).as("sen_slope"),
+        NumFns.roundPortable(col("ols"), 4).as("ols_slope"))
+  }
+
+  val qTheilSenOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      / 100.0 AS y
+       |  FROM orders WHERE year(CAST(o_orderdate AS DATE)) = $TheilSenYear
+       |  GROUP BY 1
+       |),
+       |sl AS (
+       |  SELECT (b.y - a.y) / (b.di - a.di) AS slope
+       |  FROM days a JOIN days b ON a.di < b.di
+       |),
+       |sen AS (
+       |  SELECT count(*) AS np, quantile_cont(slope, 0.5) AS sen FROM sl
+       |),
+       |olm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(CAST(di AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(di * di AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(di * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+       |  FROM days
+       |),
+       |ols AS (
+       |  SELECT nd,
+       |    (CAST(nd AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(nd AS DOUBLE) * sxx - sx * sx) AS ols
+       |  FROM olm
+       |)
+       |SELECT nd AS n_days, np AS n_pairs,
+       |  ${NumFns.roundPortableSql("sen", 4)} AS sen_slope,
+       |  ${NumFns.roundPortableSql("ols", 4)} AS ols_slope
+       |FROM sen, ols""".stripMargin
+
+  /** Durbin–Watson autocorrelation test on the residuals of the daily
+    * revenue trend — the regression-diagnostic companion to
+    * [[qDickeyFuller]] (DF asks "is the LEVEL a random walk?"; DW asks
+    * "after removing the trend, are the errors serially correlated?" —
+    * the assumption every OLS standard error in this suite rests on).
+    * DW ≈ 2 is clean, → 0 positive autocorrelation, → 4 negative; the
+    * ρ̂ ≈ 1 − DW/2 hint is reported beside it. Shape: day-frame OLS by
+    * closed-form moments (one scan → calendar-bounded cells), the 1-row
+    * coefficient frame broadcast back onto the day frame for residuals,
+    * one lag over the day aggregate (sanctioned shape), and both
+    * quadratic forms DECIMAL-folded per term so the sums are
+    * order-independent. Residuals are identical double expressions on
+    * both engines — no libm anywhere.
+    */
+  def qDurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg((sum(NumFns.roundAwayLong(col("o_totalprice") * 100)) / 100.0)
+        .as("y"))
+    val m = days.agg(count(lit(1)).as("n"),
+      sum(col("di").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+      sum((col("di") * col("di")).cast(D)).as("sxx"),
+      sum((col("di") * col("y")).cast(D)).as("sxy"))
+      .select(col("n").cast("double").as("n"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxx").cast("double").as("sxx"),
+        col("sxy").cast("double").as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("b"))
+      .select(col("n"), col("b"))
+    val coef = days.crossJoin(broadcast(
+        m.join(days.agg(
+            sum(col("di").cast(D)).cast("double").as("sx"),
+            sum(col("y").cast(D)).cast("double").as("sy")))
+          .select(col("n"), col("b"),
+            ((col("sy") - col("b") * col("sx")) / col("n")).as("a"))))
+      .select(col("di"), (col("y") - col("a") - col("b") * col("di")).as("e"),
+        col("b"))
+    val w = Window.orderBy(col("di"))
+    val dw = coef
+      .withColumn("ep", lag(col("e"), 1).over(w))
+      .agg(count(lit(1)).as("n"), max(col("b")).as("b"),
+        NumFns.stableSum(col("e") * col("e"), 6).as("see"),
+        NumFns.stableSum(
+          when(col("ep").isNotNull,
+            (col("e") - col("ep")) * (col("e") - col("ep")))
+            .otherwise(lit(0.0)), 6).as("sdd"))
+    dw.select(col("n").as("n_days"),
+      NumFns.roundPortable(col("b"), 6).as("slope"),
+      NumFns.roundPortable(col("sdd") / col("see"), 4).as("dw_stat"),
+      NumFns.roundPortable(
+        lit(1.0) - col("sdd") / col("see") / 2.0, 4).as("rho_hint"))
+  }
+
+  val qDurbinWatsonOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      / 100.0 AS y
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(di AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(di * di AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(di * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+       |  FROM days
+       |),
+       |c AS (
+       |  SELECT n,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+       |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+       |  FROM m
+       |),
+       |e AS (
+       |  SELECT di, y - a - b * di AS e, b FROM days, c
+       |),
+       |st AS (
+       |  SELECT count(*) AS n, max(b) AS b,
+       |    ${NumFns.stableSumSql("e * e", 6)} AS see,
+       |    ${NumFns.stableSumSql(
+            """CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+              | ELSE 0.0 END""".stripMargin, 6)} AS sdd
+       |  FROM (SELECT e, b, lag(e, 1) OVER (ORDER BY di) AS ep FROM e)
+       |)
+       |SELECT n AS n_days,
+       |  ${NumFns.roundPortableSql("b", 6)} AS slope,
+       |  ${NumFns.roundPortableSql("sdd / see", 4)} AS dw_stat,
+       |  ${NumFns.roundPortableSql("1.0 - sdd / see / 2.0", 4)} AS rho_hint
+       |FROM st""".stripMargin
+
+  /** Known break point tested by [[qChowTest]] (day index of 1995-01-01
+    * from the 1992-01-01 epoch — the midpoint of the order calendar).
+    */
+  val ChowBreakDi = 1096
+
+  /** Chow structural-break F-test of the daily revenue trend at a KNOWN
+    * date: fit y = a + b·di separately before/after the break and
+    * pooled, and ask whether the split fit explains significantly more
+    * (F on the SSR reduction) — the "did the regime change on the day
+    * we shipped X?" answer that q_pettitt/q_cusum (which SEARCH for an
+    * unknown changepoint) cannot give with a calibrated size. Shape:
+    * one day-frame scan → per-regime moment cells (2 rows: the moments
+    * are ADDITIVE, so the pooled fit needs no second scan — pooled
+    * moments are the column sums of the regime rows); every SSR comes
+    * from the closed form Syy_c − Sxy_c²/Sxx_c on engine-identical
+    * doubles. F > 3.0 (≈ F(2,∞) at 5 %) flags the break.
+    */
+  def qChowTest(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg((sum(NumFns.roundAwayLong(col("o_totalprice") * 100)) / 100.0)
+        .as("y"))
+    val m = days.groupBy((col("di") >= ChowBreakDi).as("late"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("di").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+        sum((col("di") * col("di")).cast(D)).as("sxx"),
+        sum((col("di") * col("y")).cast(D)).as("sxy"),
+        sum((col("y") * col("y")).cast(D)).as("syy"))
+    def side(l: Boolean, c: String) =
+      max(when(col("late") === l, col(c))).cast("double")
+    val wide = m.agg(
+      sum(col("n")).cast("double").as("np"),
+      sum(col("sx")).cast("double").as("sxp"),
+      sum(col("sy")).cast("double").as("syp"),
+      sum(col("sxx")).cast("double").as("sxxp"),
+      sum(col("sxy")).cast("double").as("sxyp"),
+      sum(col("syy")).cast("double").as("syyp"),
+      max(when(col("late") === false, col("n"))).as("n1"),
+      side(false, "sx").as("sx1"), side(false, "sy").as("sy1"),
+      side(false, "sxx").as("sxx1"), side(false, "sxy").as("sxy1"),
+      side(false, "syy").as("syy1"),
+      max(when(col("late") === true, col("n"))).as("n2"),
+      side(true, "sx").as("sx2"), side(true, "sy").as("sy2"),
+      side(true, "sxx").as("sxx2"), side(true, "sxy").as("sxy2"),
+      side(true, "syy").as("syy2"))
+    def ssr(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column): Column = {
+      val nd = n.cast("double")
+      (syy - sy * sy / nd) -
+        (sxy - sx * sy / nd) * (sxy - sx * sy / nd) / (sxx - sx * sx / nd)
+    }
+    val sp = ssr(col("np"), col("sxp"), col("syp"), col("sxxp"), col("sxyp"),
+      col("syyp"))
+    val s1 = ssr(col("n1"), col("sx1"), col("sy1"), col("sxx1"), col("sxy1"),
+      col("syy1"))
+    val s2 = ssr(col("n2"), col("sx2"), col("sy2"), col("sxx2"), col("sxy2"),
+      col("syy2"))
+    val f = ((sp - s1 - s2) / 2.0) /
+      ((s1 + s2) / (col("n1").cast("double") + col("n2") - 4))
+    wide.select(col("n1").cast("long").as("n_pre"),
+        col("n2").cast("long").as("n_post"),
+        NumFns.roundPortable(sp, 2).as("ssr_pooled"),
+        NumFns.roundPortable(s1 + s2, 2).as("ssr_split"),
+        NumFns.roundPortable(f, 4).as("f_stat"))
+      .withColumn("structural_break", col("f_stat") > 3.0)
+  }
+
+  val qChowTestOracle: String = {
+    def ssrSql(n: String, sx: String, sy: String, sxx: String, sxy: String,
+        syy: String): String =
+      s"(($syy) - ($sy) * ($sy) / ($n)) - (($sxy) - ($sx) * ($sy) / ($n))" +
+        s" * (($sxy) - ($sx) * ($sy) / ($n)) / (($sxx) - ($sx) * ($sx) / ($n))"
+    val sp = ssrSql("np", "sxp", "syp", "sxxp", "sxyp", "syyp")
+    val s1 = ssrSql("n1", "sx1", "sy1", "sxx1", "sxy1", "syy1")
+    val s2 = ssrSql("n2", "sx2", "sy2", "sxx2", "sxy2", "syy2")
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      / 100.0 AS y
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT di >= $ChowBreakDi AS late, count(*) AS n,
+       |    sum(CAST(di AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+       |    sum(CAST(di * di AS DECIMAL(38,12))) AS sxx,
+       |    sum(CAST(di * y AS DECIMAL(38,12))) AS sxy,
+       |    sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+       |  FROM days GROUP BY 1
+       |),
+       |w AS (
+       |  SELECT CAST(sum(n) AS DOUBLE) AS np,
+       |    CAST(sum(sx) AS DOUBLE) AS sxp, CAST(sum(sy) AS DOUBLE) AS syp,
+       |    CAST(sum(sxx) AS DOUBLE) AS sxxp, CAST(sum(sxy) AS DOUBLE) AS sxyp,
+       |    CAST(sum(syy) AS DOUBLE) AS syyp,
+       |    max(CASE WHEN NOT late THEN n END) AS n1,
+       |    CAST(max(CASE WHEN NOT late THEN sx END) AS DOUBLE) AS sx1,
+       |    CAST(max(CASE WHEN NOT late THEN sy END) AS DOUBLE) AS sy1,
+       |    CAST(max(CASE WHEN NOT late THEN sxx END) AS DOUBLE) AS sxx1,
+       |    CAST(max(CASE WHEN NOT late THEN sxy END) AS DOUBLE) AS sxy1,
+       |    CAST(max(CASE WHEN NOT late THEN syy END) AS DOUBLE) AS syy1,
+       |    max(CASE WHEN late THEN n END) AS n2,
+       |    CAST(max(CASE WHEN late THEN sx END) AS DOUBLE) AS sx2,
+       |    CAST(max(CASE WHEN late THEN sy END) AS DOUBLE) AS sy2,
+       |    CAST(max(CASE WHEN late THEN sxx END) AS DOUBLE) AS sxx2,
+       |    CAST(max(CASE WHEN late THEN sxy END) AS DOUBLE) AS sxy2,
+       |    CAST(max(CASE WHEN late THEN syy END) AS DOUBLE) AS syy2
+       |  FROM m
+       |),
+       |r AS (
+       |  SELECT CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
+       |    ${NumFns.roundPortableSql(sp, 2)} AS ssr_pooled,
+       |    ${NumFns.roundPortableSql(s"($s1) + ($s2)", 2)} AS ssr_split,
+       |    ${NumFns.roundPortableSql(
+              s"((($sp) - ($s1) - ($s2)) / 2.0)" +
+                s" / ((($s1) + ($s2)) / (CAST(n1 AS DOUBLE) + n2 - 4))",
+              4)} AS f_stat
+       |  FROM w
+       |)
+       |SELECT n_pre, n_post, ssr_pooled, ssr_split, f_stat,
+       |  f_stat > 3.0 AS structural_break
+       |FROM r""".stripMargin
+  }
 }

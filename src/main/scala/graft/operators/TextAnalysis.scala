@@ -2020,4 +2020,81 @@ object TextAnalysis {
        |FROM words, nd
        |ORDER BY tf DESC, w
        |LIMIT $BurstTopWords""".stripMargin
+  /** Code-switching / language-mix audit per source: each document's
+    * stopword evidence across the four detector languages (the
+    * [[qTextLangid]] lexicons) is read as a distribution, and its
+    * Shannon entropy says how MIXED the evidence is (0 = one language
+    * owns every hit; ln 4 = perfectly ambiguous). A source whose
+    * average mix entropy is high — or with many multi-language docs —
+    * will confuse any per-doc language router and deserves
+    * sentence-level splitting before training. Shape: one scan-side
+    * pass computes the four hit counts per doc; the per-doc entropy is
+    * exact-integer Σs·ln s arithmetic; the per-source roll-up
+    * DECIMAL-folds the entropies. Docs with zero stopword evidence are
+    * excluded (entropy undefined), counted separately.
+    */
+  def qLangMix(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val hits = Tables.documents(s, dir)
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        stopCount("toks", EnStop).cast("long").as("s_en"),
+        stopCount("toks", EsStop).cast("long").as("s_es"),
+        stopCount("toks", DeStop).cast("long").as("s_de"),
+        stopCount("toks", FrStop).cast("long").as("s_fr"))
+      .withColumn("t", col("s_en") + col("s_es") + col("s_de") + col("s_fr"))
+    def nlnn(c: org.apache.spark.sql.Column) =
+      when(c > 0, c * log(c.cast("double"))).otherwise(lit(0.0))
+    val scored = hits.filter(col("t") > 0)
+      .withColumn("h", log(col("t").cast("double"))
+        - (nlnn(col("s_en")) + nlnn(col("s_es")) + nlnn(col("s_de"))
+          + nlnn(col("s_fr"))) / col("t"))
+      .withColumn("n_langs",
+        (col("s_en") > 0).cast("long") + (col("s_es") > 0).cast("long")
+          + (col("s_de") > 0).cast("long") + (col("s_fr") > 0).cast("long"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_langs") >= 2).cast("long")).as("n_multi"),
+        sum(col("h").cast(D)).as("sh"))
+      .select(col("source"), col("n_docs"), col("n_multi"),
+        NumFns.roundPortable(
+          col("n_multi").cast("double") / col("n_docs"), 6).as("multi_share"),
+        NumFns.roundPortable(
+          col("sh").cast("double") / col("n_docs"), 6).as("avg_mix_entropy"))
+      .orderBy(col("source"))
+  }
+
+  val qLangMixOracle: String = {
+    def nlnnSql(c: String) =
+      s"CASE WHEN $c > 0 THEN $c * ln(CAST($c AS DOUBLE)) ELSE 0.0 END"
+    s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+       |hits AS (
+       |  SELECT source,
+       |    CAST(${stopCountSql(EnStop)} AS BIGINT) AS s_en,
+       |    CAST(${stopCountSql(EsStop)} AS BIGINT) AS s_es,
+       |    CAST(${stopCountSql(DeStop)} AS BIGINT) AS s_de,
+       |    CAST(${stopCountSql(FrStop)} AS BIGINT) AS s_fr
+       |  FROM t
+       |),
+       |sc AS (
+       |  SELECT source, s_en + s_es + s_de + s_fr AS tt,
+       |    ln(CAST(s_en + s_es + s_de + s_fr AS DOUBLE))
+       |      - (${nlnnSql("s_en")} + ${nlnnSql("s_es")} + ${nlnnSql("s_de")}
+       |        + ${nlnnSql("s_fr")}) / (s_en + s_es + s_de + s_fr) AS h,
+       |    CAST(s_en > 0 AS BIGINT) + CAST(s_es > 0 AS BIGINT)
+       |      + CAST(s_de > 0 AS BIGINT) + CAST(s_fr > 0 AS BIGINT) AS n_langs
+       |  FROM hits WHERE s_en + s_es + s_de + s_fr > 0
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_multi,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)" +
+            " / count(*)", 6)} AS multi_share,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CAST(h AS DECIMAL(38,12))) AS DOUBLE) / count(*)", 6)}
+       |    AS avg_mix_entropy
+       |FROM sc GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Invariant coverage for the round-6 statistical / curation batch
+  * (effect sizes, paired tests, stationarity, shard/gate audits, rich
+  * club). Value equality vs DuckDB is the oracle gate's job; these pin
+  * the mathematical identities and bounds each statistic must satisfy
+  * regardless of data, so a future refactor that keeps the oracle in
+  * sync but breaks the math cannot slip through.
+  */
+class Round6BatchSpec extends SparkSpec {
+
+  test("cohens d: Hedges' g shrinks toward zero without changing sign") {
+    val rows = Profiling.qCohensD(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("cohens_d")
+      val g = r.getAs[Double]("hedges_g")
+      assert(math.abs(g) <= math.abs(d) + 1e-12, s"$g vs $d")
+      assert(d == 0.0 || math.signum(g) == math.signum(d))
+      assert(r.getAs[Long]("n_returned") > 1 && r.getAs[Long]("n_kept") > 1)
+    }
+  }
+
+  test("cliffs delta: bounded, counts complete, Romano label consistent") {
+    val r = Profiling.qCliffsDelta(spark, sf001).collect().head
+    val delta = r.getAs[Double]("cliffs_delta")
+    assert(delta >= -1.0 && delta <= 1.0)
+    val total = Tables.lineitem(spark, sf001).count()
+    assert(r.getAs[Long]("n_returned") + r.getAs[Long]("n_kept") == total)
+    val expected =
+      if (math.abs(delta) < 0.147) "negligible"
+      else if (math.abs(delta) < 0.33) "small"
+      else if (math.abs(delta) < 0.474) "medium"
+      else "large"
+    assert(r.getAs[String]("magnitude") == expected)
+  }
+
+  test("odds ratio: CI brackets the point estimate, cells partition the table") {
+    val r = Profiling.qOddsRatio(spark, sf001).collect().head
+    val or = r.getAs[Double]("odds_ratio")
+    assert(or > 0.0)
+    assert(r.getAs[Double]("ci_lo") <= or && or <= r.getAs[Double]("ci_hi"))
+    val cells = Seq("n_exp_ret", "n_exp_kept", "n_unexp_ret", "n_unexp_kept")
+      .map(r.getAs[Long](_))
+    assert(cells.forall(_ > 0))
+    assert(cells.sum == Tables.lineitem(spark, sf001).count())
+  }
+
+  test("grubbs: G positive and below the hard (n-1)/sqrt(n) maximum") {
+    val r = Profiling.qGrubbsOutlier(spark, sf001).collect().head
+    val n = r.getAs[Long]("n_days").toDouble
+    val g = r.getAs[Double]("grubbs_g")
+    assert(g > 0.0)
+    assert(g <= (n - 1) / math.sqrt(n) + 1e-9, s"G=$g exceeds max for n=$n")
+    assert(r.getAs[java.sql.Date]("peak_date") != null)
+  }
+
+  test("wilcoxon signed-rank: W+ within [0, n(n+1)/2], calendar-bounded pairs") {
+    val r = Profiling.qWilcoxonSigned(spark, sf001).collect().head
+    val n = r.getAs[Long]("n_pairs")
+    val wp = r.getAs[Double]("w_plus")
+    assert(n > 0 && n <= 366)
+    assert(wp >= 0.0 && wp <= n.toDouble * (n + 1) / 2)
+  }
+
+  test("dickey-fuller: rho is exactly 1 + beta and obs = days - 1") {
+    val r = Temporal.qDickeyFuller(spark, sf001).collect().head
+    // both are roundPortable(…, 6) of doubles differing by exactly 1.0,
+    // and |beta| < 2 so adding 1 is exact at this precision
+    assert(math.abs(r.getAs[Double]("rho") - 1.0 - r.getAs[Double]("beta")) < 2e-6)
+    // a daily revenue series should not look explosive
+    assert(r.getAs[Double]("rho") < 1.5)
+  }
+
+  test("theil-sen: pair count is the exact day-frame triangle") {
+    val r = Temporal.qTheilSen(spark, sf001).collect().head
+    val days = r.getAs[Long]("n_days")
+    assert(r.getAs[Long]("n_pairs") == days * (days - 1) / 2)
+    assert(days <= 366)
+  }
+
+  test("lang mix: entropy within [0, ln 4], shares within [0,1]") {
+    val rows = TextAnalysis.qLangMix(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("avg_mix_entropy")
+      assert(h >= 0.0 && h <= math.log(4.0) + 1e-9, s"entropy $h")
+      val ms = r.getAs[Double]("multi_share")
+      assert(ms >= 0.0 && ms <= 1.0)
+      assert(r.getAs[Long]("n_multi") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("shard balance: 32 shards, min <= mean <= max, imbalance >= 1") {
+    val r = PipelineOps.qShardBalance(spark, sf001).collect().head
+    val n = r.getAs[Long]("n_shards")
+    assert(n == 32L)
+    val (tot, mn, mx) = (r.getAs[Long]("total_tokens"),
+      r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"))
+    assert(mn * n <= tot && tot <= mx * n)
+    assert(r.getAs[Double]("imbalance") >= 1.0)
+    assert(r.getAs[Double]("cv") >= 0.0)
+  }
+
+  test("quality gate: global drop share respects the P20 tie convention") {
+    val rows = PipelineOps.qQualityGate(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val dropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    val docs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(docs == Tables.documents(spark, sf001).count())
+    // only docs STRICTLY below the cut drop; the cut cell's ties all
+    // survive, so the global share can only undershoot 20 %
+    assert(dropped < math.ceil(0.2 * docs).toLong)
+    assert(dropped > 0, "a real corpus has a nonempty bottom quintile")
+    // every source pays the same cut, so per-source shares vary
+    rows.foreach { r =>
+      val s = r.getAs[Double]("drop_share")
+      assert(s >= 0.0 && s < 1.0)
+    }
+  }
+
+  test("event entropy: tiers partition users; entropy below ln(avg types)") {
+    val rows = Behavioral.qEventEntropy(spark, sf001).collect()
+    assert(rows.map(_.getAs[String]("tier")).toSeq.sorted ==
+      rows.map(_.getAs[String]("tier")).toSeq)
+    val users = rows.map(_.getAs[Long]("n_users")).sum
+    assert(users ==
+      Tables.events(spark, sf001).select("user_id").distinct().count())
+    rows.foreach { r =>
+      val h = r.getAs[Double]("avg_entropy")
+      val t = r.getAs[Double]("avg_types")
+      // per-user H <= ln(types); averaging + Jensen keeps the bound
+      assert(h >= 0.0 && h <= math.log(t) + 1e-9, s"H=$h types=$t")
+    }
+  }
+
+  test("embed dim variance: full dim frame, shared n, dead flag consistent") {
+    val rows = Similarity.qEmbedDimVariance(spark, sf001).collect()
+    assert(rows.map(_.getAs[Int]("dim")).toSeq == (1 to rows.length))
+    assert(rows.map(_.getAs[Long]("n_vecs")).distinct.length == 1)
+    val meanVar = rows.map(_.getAs[Double]("variance")).sum / rows.length
+    rows.foreach { r =>
+      val v = r.getAs[Double]("variance")
+      assert(v >= 0.0)
+      assert(r.getAs[Boolean]("is_dead") == (v < 0.01 * meanVar))
+    }
+  }
+
+  test("rich club: densities in [0,1], club edges within the clique bound") {
+    val r = Graph.qRichClub(spark, sf001).collect().head
+    val k = r.getAs[Long]("k_club")
+    val ce = r.getAs[Long]("club_edges")
+    assert(ce <= k * (k - 1) / 2)
+    val cd = r.getAs[Double]("club_density")
+    assert(cd >= 0.0 && cd <= 1.0)
+    assert(r.getAs[Double]("rich_club_ratio") >= 0.0)
+    assert(r.getAs[Long]("n_edges") >= ce)
+  }
+}
