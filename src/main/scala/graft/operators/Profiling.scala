@@ -2279,4 +2279,174 @@ object Profiling {
        |    AS z_stat
        |FROM st""".stripMargin
   }
+
+  /** Jarque–Bera normality test of the daily revenue distribution —
+    * the calibration gate for every z/t-statistic this suite reports on
+    * the day frame (q_welch_ttest, q_anomaly_zscore, q_grubbs_outlier
+    * all assume approximate normality; JB measures how wrong that is
+    * via skewness and excess kurtosis). Shape: the fact table collapses
+    * once to the calendar-bounded day frame; the exact mean (DECIMAL
+    * Σ/n) broadcasts back for one centered pass whose 2nd/3rd/4th
+    * powers are DECIMAL-folded per term. Deviations are scaled by 1e-4
+    * before powering — skewness and kurtosis are scale-invariant, so
+    * the statistic is unchanged while the 4th powers keep ~16 orders of
+    * magnitude of overflow headroom at any corpus scale. JB is compared
+    * to the χ²(2) 5 % critical value on the ROUNDED statistic so the
+    * flag is engine-identical.
+    */
+  def qJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg((sum(NumFns.roundAwayLong(col("o_totalprice") * 100)) / 100.0)
+        .as("y"))
+    val mean = days.agg(count(lit(1)).as("n"),
+      (sum(col("y").cast(D)).cast("double") / count(lit(1))).as("mu"))
+    val d = days.crossJoin(broadcast(mean))
+      .select(col("n"), ((col("y") - col("mu")) / 1e4).as("d"))
+    val m = d.groupBy(col("n"))
+      .agg(NumFns.stableSum(col("d") * col("d"), 6).as("m2"),
+        NumFns.stableSum(col("d") * col("d") * col("d"), 6).as("m3"),
+        NumFns.stableSum(col("d") * col("d") * col("d") * col("d"), 6)
+          .as("m4"))
+      .select(col("n").cast("double").as("n"),
+        (col("m2") / col("n")).as("v2"), (col("m3") / col("n")).as("v3"),
+        (col("m4") / col("n")).as("v4"))
+    val skew = col("v3") / sqrt(col("v2") * col("v2") * col("v2"))
+    val exk = col("v4") / (col("v2") * col("v2")) - 3.0
+    val jb = col("n") / 6.0 * (skew * skew + exk * exk / 4.0)
+    m.select(col("n").cast("long").as("n_days"),
+        NumFns.roundPortable(skew, 6).as("skewness"),
+        NumFns.roundPortable(exk, 6).as("excess_kurtosis"),
+        NumFns.roundPortable(jb, 4).as("jb_stat"))
+      .withColumn("normal_at_5pct", col("jb_stat") <= 5.9915)
+  }
+
+  val qJarqueBeraOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      / 100.0 AS y
+       |  FROM orders GROUP BY 1
+       |),
+       |mu AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
+       |  FROM days
+       |),
+       |d AS (
+       |  SELECT n, (y - mu) / 1e4 AS d FROM days, mu
+       |),
+       |m AS (
+       |  SELECT CAST(n AS DOUBLE) AS n,
+       |    ${NumFns.stableSumSql("d * d", 6)} / n AS v2,
+       |    ${NumFns.stableSumSql("d * d * d", 6)} / n AS v3,
+       |    ${NumFns.stableSumSql("d * d * d * d", 6)} / n AS v4
+       |  FROM d GROUP BY n
+       |),
+       |r AS (
+       |  SELECT CAST(n AS BIGINT) AS n_days,
+       |    ${NumFns.roundPortableSql("v3 / sqrt(v2 * v2 * v2)", 6)}
+       |      AS skewness,
+       |    ${NumFns.roundPortableSql("v4 / (v2 * v2) - 3.0", 6)}
+       |      AS excess_kurtosis,
+       |    ${NumFns.roundPortableSql(
+              "n / 6.0 * ((v3 / sqrt(v2 * v2 * v2)) * (v3 / sqrt(v2 * v2 * v2))"
+                + " + (v4 / (v2 * v2) - 3.0) * (v4 / (v2 * v2) - 3.0) / 4.0)",
+              4)} AS jb_stat
+       |  FROM m
+       |)
+       |SELECT n_days, skewness, excess_kurtosis, jb_stat,
+       |  jb_stat <= 5.9915 AS normal_at_5pct
+       |FROM r""".stripMargin
+
+  /** Kruskal–Wallis rank test of document length across sources — the
+    * k-group generalization of q_mann_whitney (and the nonparametric
+    * companion to q_anova's F): "do the sources draw lengths from the
+    * same distribution?" robust to the heavy tail that invalidates the
+    * parametric read. Ranks are NEVER materialized per row: lengths
+    * collapse to (value, source) cells, global midranks come from an
+    * exclusive prefix over the value-cell aggregate (bounded by the
+    * length domain — a few thousand distinct values at ANY corpus
+    * size), and each group's rank sum R_j is Σ c_vs·midrank_v over the
+    * broadcast-joined cell frames. Midranks are exact half-integers in
+    * doubles; rank sums DECIMAL-fold; the tie correction's cube sums
+    * ride DECIMAL(38,0)/HUGEINT (n³ at corpus scale).
+    */
+  def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vs = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("v"), col("source"))
+      .agg(count(lit(1)).as("c_vs"))
+    val cells = vs.groupBy(col("v")).agg(sum(col("c_vs")).as("c_v"))
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("before", coalesce(sum(col("c_v")).over(wv), lit(0L)))
+      .select(col("v"),
+        (col("before").cast("double") + (col("c_v") + 1) / 2.0).as("midrank"),
+        col("c_v"))
+    val groups = vs.join(broadcast(ranked.select(col("v"), col("midrank"))),
+        "v")
+      .groupBy(col("source"))
+      .agg(sum(col("c_vs")).as("n_j"),
+        sum((col("c_vs") * col("midrank")).cast(D)).cast("double").as("r_j"))
+    val ties = ranked.agg(
+      sum(col("c_v").cast(D0) * col("c_v") * col("c_v") - col("c_v"))
+        .as("t"))
+    val tot = groups.agg(count(lit(1)).as("k"), sum(col("n_j")).as("nn"),
+      sum((col("r_j") * col("r_j") / col("n_j")).cast(D)).cast("double")
+        .as("rr"))
+    val n = col("nn").cast("double")
+    val h = lit(12.0) / (n * (n + 1.0)) * col("rr") - lit(3.0) * (n + 1.0)
+    val corr = lit(1.0) -
+      col("t").cast("double") / (n * n * n - n)
+    tot.crossJoin(broadcast(ties))
+      .select(col("k").as("n_sources"), col("nn").as("n_docs"),
+        NumFns.roundPortable(h, 4).as("h_stat"),
+        NumFns.roundPortable(h / corr, 4).as("h_corrected"))
+  }
+
+  val qKruskalWallisOracle: String =
+    s"""WITH vs AS (
+       |  SELECT n_chars AS v, source, count(*) AS c_vs
+       |  FROM documents GROUP BY 1, 2
+       |),
+       |cells AS (
+       |  SELECT v, CAST(sum(c_vs) AS BIGINT) AS c_v FROM vs GROUP BY 1
+       |),
+       |ranked AS (
+       |  SELECT v,
+       |    CAST(coalesce(sum(c_v) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+       |      + (c_v + 1) / 2.0 AS midrank,
+       |    c_v
+       |  FROM cells
+       |),
+       |groups AS (
+       |  SELECT source, CAST(sum(c_vs) AS BIGINT) AS n_j,
+       |    CAST(sum(CAST(c_vs * midrank AS DECIMAL(38,12))) AS DOUBLE) AS r_j
+       |  FROM vs JOIN ranked USING (v) GROUP BY 1
+       |),
+       |ties AS (
+       |  SELECT sum(CAST(c_v AS HUGEINT) * c_v * c_v - c_v) AS t FROM ranked
+       |),
+       |tot AS (
+       |  SELECT count(*) AS k, CAST(sum(n_j) AS BIGINT) AS nn,
+       |    CAST(sum(CAST(r_j * r_j / n_j AS DECIMAL(38,12))) AS DOUBLE) AS rr
+       |  FROM groups
+       |)
+       |SELECT k AS n_sources, nn AS n_docs,
+       |  ${NumFns.roundPortableSql(
+            "12.0 / (CAST(nn AS DOUBLE) * (nn + 1.0)) * rr - 3.0 * (nn + 1.0)",
+            4)} AS h_stat,
+       |  ${NumFns.roundPortableSql(
+            "(12.0 / (CAST(nn AS DOUBLE) * (nn + 1.0)) * rr - 3.0 * (nn + 1.0))"
+              + " / (1.0 - CAST(t AS DOUBLE)"
+              + " / (CAST(nn AS DOUBLE) * nn * nn - nn))",
+            4)} AS h_corrected
+       |FROM tot, ties""".stripMargin
 }

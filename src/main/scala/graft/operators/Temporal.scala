@@ -2516,10 +2516,11 @@ object Temporal {
        |  ${NumFns.roundPortableSql("1.0 - sdd / see / 2.0", 4)} AS rho_hint
        |FROM st""".stripMargin
 
-  /** Known break point tested by [[qChowTest]] (day index of 1995-01-01
-    * from the 1992-01-01 epoch — the midpoint of the order calendar).
+  /** Known break point tested by [[qChowTest]] (day index of 1998-04-01
+    * from the 1992-01-01 epoch — the midpoint of the 1995→2001 order
+    * calendar, so both regimes are populated at every scale factor).
     */
-  val ChowBreakDi = 1096
+  val ChowBreakDi = 2282
 
   /** Chow structural-break F-test of the daily revenue trend at a KNOWN
     * date: fit y = a + b·di separately before/after the break and
@@ -2529,113 +2530,120 @@ object Temporal {
     * unknown changepoint) cannot give with a calibrated size. Shape:
     * one day-frame scan → per-regime moment cells (2 rows: the moments
     * are ADDITIVE, so the pooled fit needs no second scan — pooled
-    * moments are the column sums of the regime rows); every SSR comes
-    * from the closed form Syy_c − Sxy_c²/Sxx_c on engine-identical
-    * doubles. F > 3.0 (≈ F(2,∞) at 5 %) flags the break.
+    * moments are the column sums of the regime rows). Float
+    * discipline: day revenue stays INTEGER CENTS, so all five raw
+    * moments are exact DECIMAL(38,0) integers (y² exceeds 2⁵³ — a
+    * double product here is inexact and its decimal cast engine-
+    * divergent; integers have no such tie). The denominators are
+    * cleared BEFORE any double: A = n·Syy−Sy², B = n·Sxy−Sx·Sy,
+    * C = n·Sxx−Sx² are exact, and SSR = (A·C−B²)/(n·C)/10⁴ only then
+    * runs in IEEE — the catastrophic centering subtraction never
+    * happens in floating point (qHurst/qAssortativity discipline).
+    * F > 3.0 (≈ F(2,∞) at 5 %) flags the break on the rounded stat.
     */
   def qChowTest(s: SparkSession, dir: String): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
     val days = Tables.orders(s, dir)
       .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
-      .agg((sum(NumFns.roundAwayLong(col("o_totalprice") * 100)) / 100.0)
-        .as("y"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
     val m = days.groupBy((col("di") >= ChowBreakDi).as("late"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("di").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
-        sum((col("di") * col("di")).cast(D)).as("sxx"),
-        sum((col("di") * col("y")).cast(D)).as("sxy"),
-        sum((col("y") * col("y")).cast(D)).as("syy"))
-    def side(l: Boolean, c: String) =
-      max(when(col("late") === l, col(c))).cast("double")
-    val wide = m.agg(
-      sum(col("n")).cast("double").as("np"),
-      sum(col("sx")).cast("double").as("sxp"),
-      sum(col("sy")).cast("double").as("syp"),
-      sum(col("sxx")).cast("double").as("sxxp"),
-      sum(col("sxy")).cast("double").as("sxyp"),
-      sum(col("syy")).cast("double").as("syyp"),
-      max(when(col("late") === false, col("n"))).as("n1"),
-      side(false, "sx").as("sx1"), side(false, "sy").as("sy1"),
-      side(false, "sxx").as("sxx1"), side(false, "sxy").as("sxy1"),
-      side(false, "syy").as("syy1"),
-      max(when(col("late") === true, col("n"))).as("n2"),
-      side(true, "sx").as("sx2"), side(true, "sy").as("sy2"),
-      side(true, "sxx").as("sxx2"), side(true, "sxy").as("sxy2"),
-      side(true, "syy").as("syy2"))
-    def ssr(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
-        syy: Column): Column = {
-      val nd = n.cast("double")
-      (syy - sy * sy / nd) -
-        (sxy - sx * sy / nd) * (sxy - sx * sy / nd) / (sxx - sx * sx / nd)
+      .agg(count(lit(1)).cast(D0).as("n"),
+        sum(col("di").cast(D0)).as("sx"), sum(col("yc").cast(D0)).as("sy"),
+        sum(col("di").cast(D0) * col("di")).as("sxx"),
+        sum(col("di").cast(D0) * col("yc")).as("sxy"),
+        sum(col("yc").cast(D0) * col("yc")).as("syy"))
+    def abc(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column,
+        syy: Column): (Column, Column, Column) =
+      ((n * syy - sy * sy).cast("double"),
+        (n * sxy - sx * sy).cast("double"),
+        (n * sxx - sx * sx).cast("double"))
+    def sides(l: Boolean): (Column, Column, Column) = {
+      def side(c: String) = max(when(col("late") === l, col(c)))
+      abc(side("n"), side("sx"), side("sy"), side("sxx"), side("sxy"),
+        side("syy"))
     }
-    val sp = ssr(col("np"), col("sxp"), col("syp"), col("sxxp"), col("sxyp"),
-      col("syyp"))
-    val s1 = ssr(col("n1"), col("sx1"), col("sy1"), col("sxx1"), col("sxy1"),
-      col("syy1"))
-    val s2 = ssr(col("n2"), col("sx2"), col("sy2"), col("sxx2"), col("sxy2"),
-      col("syy2"))
-    val f = ((sp - s1 - s2) / 2.0) /
-      ((s1 + s2) / (col("n1").cast("double") + col("n2") - 4))
+    def pool(c: String) = sum(col(c))
+    val (ap, bp, cp) =
+      abc(pool("n"), pool("sx"), pool("sy"), pool("sxx"), pool("sxy"),
+        pool("syy"))
+    val (a1, b1, c1) = sides(false)
+    val (a2, b2, c2) = sides(true)
+    def n(l: Boolean) =
+      max(when(col("late") === l, col("n"))).cast("double")
+    // SSR in dollars²: (A·C − B²)/(n·C) is cents²; /1e4 converts
+    def ssr(a: Column, b: Column, c: Column, nn: Column): Column =
+      (a * c - b * b) / (nn * c) / 1e4
+    val wide = m.agg(
+      n(false).as("n1"), n(true).as("n2"),
+      ssr(ap, bp, cp, pool("n").cast("double")).as("sp"),
+      ssr(a1, b1, c1, n(false)).as("s1"),
+      ssr(a2, b2, c2, n(true)).as("s2"))
+    val f = ((col("sp") - col("s1") - col("s2")) / 2.0) /
+      ((col("s1") + col("s2")) / (col("n1") + col("n2") - 4))
     wide.select(col("n1").cast("long").as("n_pre"),
         col("n2").cast("long").as("n_post"),
-        NumFns.roundPortable(sp, 2).as("ssr_pooled"),
-        NumFns.roundPortable(s1 + s2, 2).as("ssr_split"),
+        NumFns.roundPortable(col("sp"), 2).as("ssr_pooled"),
+        NumFns.roundPortable(col("s1") + col("s2"), 2).as("ssr_split"),
         NumFns.roundPortable(f, 4).as("f_stat"))
       .withColumn("structural_break", col("f_stat") > 3.0)
   }
 
   val qChowTestOracle: String = {
-    def ssrSql(n: String, sx: String, sy: String, sxx: String, sxy: String,
-        syy: String): String =
-      s"(($syy) - ($sy) * ($sy) / ($n)) - (($sxy) - ($sx) * ($sy) / ($n))" +
-        s" * (($sxy) - ($sx) * ($sy) / ($n)) / (($sxx) - ($sx) * ($sx) / ($n))"
-    val sp = ssrSql("np", "sxp", "syp", "sxxp", "sxyp", "syyp")
-    val s1 = ssrSql("n1", "sx1", "sy1", "sxx1", "sxy1", "syy1")
-    val s2 = ssrSql("n2", "sx2", "sy2", "sxx2", "sxy2", "syy2")
+    def abcSql(p: String): (String, String, String) =
+      (s"CAST(n$p * syy$p - sy$p * sy$p AS DOUBLE)",
+        s"CAST(n$p * sxy$p - sx$p * sy$p AS DOUBLE)",
+        s"CAST(n$p * sxx$p - sx$p * sx$p AS DOUBLE)")
+    def ssrSql(p: String): String = {
+      val (a, b, c) = abcSql(p)
+      s"(($a) * ($c) - ($b) * ($b)) / (CAST(n$p AS DOUBLE) * ($c)) / 1e4"
+    }
     s"""WITH days AS (
        |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
        |      AS di,
        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-       |      / 100.0 AS y
+       |      AS yc
        |  FROM orders GROUP BY 1
        |),
        |m AS (
-       |  SELECT di >= $ChowBreakDi AS late, count(*) AS n,
-       |    sum(CAST(di AS DECIMAL(38,12))) AS sx,
-       |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
-       |    sum(CAST(di * di AS DECIMAL(38,12))) AS sxx,
-       |    sum(CAST(di * y AS DECIMAL(38,12))) AS sxy,
-       |    sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+       |  SELECT di >= $ChowBreakDi AS late, CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(di AS HUGEINT)) AS sx, sum(CAST(yc AS HUGEINT)) AS sy,
+       |    sum(CAST(di AS HUGEINT) * di) AS sxx,
+       |    sum(CAST(di AS HUGEINT) * yc) AS sxy,
+       |    sum(CAST(yc AS HUGEINT) * yc) AS syy
        |  FROM days GROUP BY 1
        |),
        |w AS (
-       |  SELECT CAST(sum(n) AS DOUBLE) AS np,
-       |    CAST(sum(sx) AS DOUBLE) AS sxp, CAST(sum(sy) AS DOUBLE) AS syp,
-       |    CAST(sum(sxx) AS DOUBLE) AS sxxp, CAST(sum(sxy) AS DOUBLE) AS sxyp,
-       |    CAST(sum(syy) AS DOUBLE) AS syyp,
+       |  SELECT
+       |    sum(n) AS np, sum(sx) AS sxp, sum(sy) AS syp, sum(sxx) AS sxxp,
+       |    sum(sxy) AS sxyp, sum(syy) AS syyp,
        |    max(CASE WHEN NOT late THEN n END) AS n1,
-       |    CAST(max(CASE WHEN NOT late THEN sx END) AS DOUBLE) AS sx1,
-       |    CAST(max(CASE WHEN NOT late THEN sy END) AS DOUBLE) AS sy1,
-       |    CAST(max(CASE WHEN NOT late THEN sxx END) AS DOUBLE) AS sxx1,
-       |    CAST(max(CASE WHEN NOT late THEN sxy END) AS DOUBLE) AS sxy1,
-       |    CAST(max(CASE WHEN NOT late THEN syy END) AS DOUBLE) AS syy1,
+       |    max(CASE WHEN NOT late THEN sx END) AS sx1,
+       |    max(CASE WHEN NOT late THEN sy END) AS sy1,
+       |    max(CASE WHEN NOT late THEN sxx END) AS sxx1,
+       |    max(CASE WHEN NOT late THEN sxy END) AS sxy1,
+       |    max(CASE WHEN NOT late THEN syy END) AS syy1,
        |    max(CASE WHEN late THEN n END) AS n2,
-       |    CAST(max(CASE WHEN late THEN sx END) AS DOUBLE) AS sx2,
-       |    CAST(max(CASE WHEN late THEN sy END) AS DOUBLE) AS sy2,
-       |    CAST(max(CASE WHEN late THEN sxx END) AS DOUBLE) AS sxx2,
-       |    CAST(max(CASE WHEN late THEN sxy END) AS DOUBLE) AS sxy2,
-       |    CAST(max(CASE WHEN late THEN syy END) AS DOUBLE) AS syy2
+       |    max(CASE WHEN late THEN sx END) AS sx2,
+       |    max(CASE WHEN late THEN sy END) AS sy2,
+       |    max(CASE WHEN late THEN sxx END) AS sxx2,
+       |    max(CASE WHEN late THEN sxy END) AS sxy2,
+       |    max(CASE WHEN late THEN syy END) AS syy2
        |  FROM m
        |),
-       |r AS (
+       |sr AS (
        |  SELECT CAST(n1 AS BIGINT) AS n_pre, CAST(n2 AS BIGINT) AS n_post,
-       |    ${NumFns.roundPortableSql(sp, 2)} AS ssr_pooled,
-       |    ${NumFns.roundPortableSql(s"($s1) + ($s2)", 2)} AS ssr_split,
-       |    ${NumFns.roundPortableSql(
-              s"((($sp) - ($s1) - ($s2)) / 2.0)" +
-                s" / ((($s1) + ($s2)) / (CAST(n1 AS DOUBLE) + n2 - 4))",
-              4)} AS f_stat
+       |    ${ssrSql("p")} AS sp, ${ssrSql("1")} AS s1, ${ssrSql("2")} AS s2
        |  FROM w
+       |),
+       |r AS (
+       |  SELECT n_pre, n_post,
+       |    ${NumFns.roundPortableSql("sp", 2)} AS ssr_pooled,
+       |    ${NumFns.roundPortableSql("s1 + s2", 2)} AS ssr_split,
+       |    ${NumFns.roundPortableSql(
+              "((sp - s1 - s2) / 2.0)" +
+                " / ((s1 + s2) / (CAST(n_pre AS DOUBLE) + n_post - 4))",
+              4)} AS f_stat
+       |  FROM sr
        |)
        |SELECT n_pre, n_post, ssr_pooled, ssr_split, f_stat,
        |  f_stat > 3.0 AS structural_break

@@ -159,4 +159,51 @@ class Round6BatchSpec extends SparkSpec {
     assert(r.getAs[Double]("rich_club_ratio") >= 0.0)
     assert(r.getAs[Long]("n_edges") >= ce)
   }
+
+  test("jarque-bera: JB nonnegative, decision matches the chi2 cut") {
+    val r = Profiling.qJarqueBera(spark, sf001).collect().head
+    val jb = r.getAs[Double]("jb_stat")
+    assert(jb >= 0.0)
+    assert(r.getAs[Long]("n_days") > 0)
+    // JB is exactly the chi2(2) decomposition of its two summands
+    val sk = r.getAs[Double]("skewness")
+    val xk = r.getAs[Double]("excess_kurtosis")
+    val n = r.getAs[Long]("n_days").toDouble
+    assert(math.abs(jb - n / 6.0 * (sk * sk + xk * xk / 4.0)) < 1e-2)
+    assert(r.getAs[Boolean]("normal_at_5pct") == (jb <= 5.9915))
+  }
+
+  test("kruskal-wallis: H nonnegative, tie correction only inflates") {
+    val r = Profiling.qKruskalWallis(spark, sf001).collect().head
+    val h = r.getAs[Double]("h_stat")
+    val hc = r.getAs[Double]("h_corrected")
+    assert(h >= 0.0)
+    // ties divide by C ∈ (0,1] so the corrected stat can only grow
+    assert(hc >= h - 1e-9, s"hc=$hc < h=$h")
+    assert(r.getAs[Long]("n_docs") == Tables.documents(spark, sf001).count())
+    assert(r.getAs[Long]("n_sources") ==
+      Tables.documents(spark, sf001).select("source").distinct().count())
+  }
+
+  test("durbin-watson: DW in [0,4] and rho hint is its mirror") {
+    val r = Temporal.qDurbinWatson(spark, sf001).collect().head
+    val dw = r.getAs[Double]("dw_stat")
+    assert(dw >= 0.0 && dw <= 4.0, s"dw=$dw")
+    // rho ≈ 1 − DW/2 (both independently rounded to 4 dp)
+    assert(math.abs(r.getAs[Double]("rho_hint") - (1.0 - dw / 2.0)) < 1e-3)
+    assert(r.getAs[Long]("n_days") > 0)
+  }
+
+  test("chow: split SSR never exceeds pooled, both regimes populated") {
+    val r = Temporal.qChowTest(spark, sf001).collect().head
+    val sp = r.getAs[Double]("ssr_pooled")
+    val ss = r.getAs[Double]("ssr_split")
+    // each regime's own OLS fits at least as well as the pooled line
+    assert(ss <= sp + 1e-6, s"split=$ss pooled=$sp")
+    assert(sp > 0.0 && ss > 0.0)
+    val f = r.getAs[Double]("f_stat")
+    assert(f >= 0.0)
+    assert(r.getAs[Boolean]("structural_break") == (f > 3.0))
+    assert(r.getAs[Long]("n_pre") > 4 && r.getAs[Long]("n_post") > 4)
+  }
 }
