@@ -921,4 +921,184 @@ object Evaluation {
        |FROM q LEFT JOIN t ON t.query_id = q.query_id
        |ORDER BY q.query_id""".stripMargin
   }
+
+  /** Truth depth for [[qMrrMap]]: the exact top-[[MrrTruthK]] cosine
+    * neighbors are "relevant"; the IVF list is the system under test.
+    */
+  val MrrTruthK = 3
+
+  /** MRR and MAP@k of the IVF retrieval path against exact-cosine truth
+    * — the two classic IR point metrics missing beside set recall
+    * (q_ann_recall), graded NDCG (q_ndcg) and rank overlap (q_rbo): MRR
+    * asks "how deep is the FIRST relevant hit?" (navigational quality),
+    * AP "how front-loaded are ALL of them?" (ranking quality). Per
+    * query: RR = 1/rank of the first truth hit in the IVF list, AP =
+    * Σ_r hit_r·(hits≤r)/r ÷ |truth|. Shape: both inputs are per-query
+    * bounded top-k frames (≤3 rows each), the hit join is (query,
+    * candidate) equality, and the precision prefix is a window over ≤3
+    * rows per query — the metric layer adds NO corpus-scale work. Each
+    * AP term is the same small-integer ratio double on both engines,
+    * DECIMAL-folded so the ≤3-term sum is order-free.
+    */
+  def qMrrMap(s: SparkSession, dir: String): DataFrame = {
+    val truth = Similarity.qAnnTopk(s, dir)
+      .filter(col("rank") <= MrrTruthK)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val sys = Similarity.qAnnIvf(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val h = sys.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("hit"), lit(0L)).as("hit"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val perQ = h
+      .withColumn("pref", sum(col("hit")).over(wq))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(col("hit")).as("n_hits"),
+        max(when(col("hit") === 1L, lit(1.0) / col("rank"))).as("rr_raw"),
+        sum((col("hit") * col("pref") / col("rank").cast("double"))
+          .cast(D12)).as("ap_raw"))
+    // left join from the truth query list: a query whose IVF cell held
+    // no candidates still reports rr = ap = 0, not a dropped row
+    truth.select(col("query_id")).distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        NumFns.roundPortable(coalesce(col("rr_raw"), lit(0.0)), 6)
+          .as("reciprocal_rank"),
+        NumFns.roundPortable(
+          coalesce(col("ap_raw").cast("double"), lit(0.0)) / MrrTruthK, 6)
+          .as("avg_precision"))
+      .orderBy(col("query_id"))
+  }
+
+  val qMrrMapOracle: String =
+    s"""WITH ex AS (${Similarity.qAnnTopkOracle}),
+       |iv AS (${Similarity.qAnnIvfOracle}),
+       |tr AS (SELECT query_id, neighbor_id FROM ex WHERE rank <= $MrrTruthK),
+       |h AS (
+       |  SELECT iv.query_id, iv.rank,
+       |    CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM iv LEFT JOIN tr ON tr.query_id = iv.query_id
+       |    AND tr.neighbor_id = iv.neighbor_id
+       |),
+       |p AS (
+       |  SELECT query_id, rank, hit,
+       |    sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS pref
+       |  FROM h
+       |),
+       |a AS (
+       |  SELECT query_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+       |    max(CASE WHEN hit = 1 THEN 1.0 / rank END) AS rr_raw,
+       |    sum(CAST(hit * pref / CAST(rank AS DOUBLE) AS DECIMAL(38,12)))
+       |      AS ap_raw
+       |  FROM p GROUP BY query_id
+       |),
+       |q AS (SELECT DISTINCT query_id FROM tr)
+       |SELECT q.query_id, COALESCE(n_hits, 0) AS n_hits,
+       |  ${NumFns.roundPortableSql("COALESCE(rr_raw, 0.0)", 6)}
+       |    AS reciprocal_rank,
+       |  ${NumFns.roundPortableSql(
+            s"COALESCE(CAST(ap_raw AS DOUBLE), 0.0) / $MrrTruthK", 6)}
+       |    AS avg_precision
+       |FROM q LEFT JOIN a ON a.query_id = q.query_id
+       |ORDER BY q.query_id""".stripMargin
+
+  /** Murphy decomposition of the Brier score for the stopword-density
+    * English-classifier — the scalar companion to q_calibration's
+    * per-bin table: BS (mean squared forecast error), reliability
+    * (Σ n_b(p̄_b−ō_b)²/N — calibration error, lower better), resolution
+    * (Σ n_b(ō_b−ō)²/N — discrimination, higher better) and uncertainty
+    * ō(1−ō) (the data's irreducible floor). Forecast p = score/1000 on
+    * the SAME permille integer score and decile bins as q_calibration,
+    * so the two reports reconcile. Shape: one scan projects (score,
+    * pos); the Brier sum folds per-row (p−y)² — an exact small-rational
+    * double — through DECIMAL; everything else lives on the ≤10-row bin
+    * frame and one broadcast global row. Scan-side at any scale.
+    */
+  def qBrier(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        floor(lit(1000) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val p = col("score") / 1000.0
+    val bins = scored
+      .select(least(floor(col("score") / 100), lit(9L)).as("bin"),
+        col("score"), col("pos"),
+        ((p - col("pos")) * (p - col("pos"))).cast(D12).as("sq"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("ssum"),
+        sum(col("pos")).as("npos"), sum(col("sq")).as("sqsum"))
+      .localCheckpoint() // ≤10 rows; read by three reductions below
+    val tot = bins.agg(sum(col("n")).as("nt"), sum(col("npos")).as("post"),
+      sum(col("sqsum")).cast("double").as("bsum"))
+    val obar = col("post") / col("nt").cast("double")
+    val terms = bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("nt"), col("post"),
+        col("bsum"),
+        (col("ssum") / (col("n") * 1000.0)).as("pbar"),
+        (col("npos") / col("n").cast("double")).as("obs"),
+        obar.as("obar"))
+      .select(col("nt"), col("post"), col("bsum"), col("obar"),
+        (col("n") * (col("pbar") - col("obs")) * (col("pbar") - col("obs")))
+          .cast(D12).as("rel_t"),
+        (col("n") * (col("obs") - col("obar")) * (col("obs") - col("obar")))
+          .cast(D12).as("res_t"))
+    terms.groupBy(col("nt"), col("post"), col("bsum"), col("obar"))
+      .agg(sum(col("rel_t")).cast("double").as("rel"),
+        sum(col("res_t")).cast("double").as("res"))
+      .select(col("nt").as("n_docs"),
+        NumFns.roundPortable(col("bsum") / col("nt"), 6).as("brier"),
+        NumFns.roundPortable(col("rel") / col("nt"), 6).as("reliability"),
+        NumFns.roundPortable(col("res") / col("nt"), 6).as("resolution"),
+        NumFns.roundPortable(col("obar") * (lit(1.0) - col("obar")), 6)
+          .as("uncertainty"))
+  }
+
+  val qBrierOracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT CAST(floor(1000 * len(list_filter(toks,
+       |      x -> x IN (${Curation.stopListSql}))) / len(toks)) AS BIGINT)
+       |    AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |bins AS (
+       |  SELECT least(CAST(floor(score / 100) AS BIGINT), 9) AS bin,
+       |    count(*) AS n, sum(score) AS ssum, sum(pos) AS npos,
+       |    sum(CAST((score / 1000.0 - pos) * (score / 1000.0 - pos)
+       |      AS DECIMAL(38,12))) AS sqsum
+       |  FROM sc GROUP BY bin
+       |),
+       |tt AS (
+       |  SELECT sum(n) AS nt, sum(npos) AS post,
+       |    CAST(sum(sqsum) AS DOUBLE) AS bsum
+       |  FROM bins
+       |),
+       |terms AS (
+       |  SELECT nt, post, bsum, post / CAST(nt AS DOUBLE) AS obar,
+       |    CAST(n * (ssum / (n * 1000.0) - npos / CAST(n AS DOUBLE))
+       |      * (ssum / (n * 1000.0) - npos / CAST(n AS DOUBLE))
+       |      AS DECIMAL(38,12)) AS rel_t,
+       |    CAST(n * (npos / CAST(n AS DOUBLE) - post / CAST(nt AS DOUBLE))
+       |      * (npos / CAST(n AS DOUBLE) - post / CAST(nt AS DOUBLE))
+       |      AS DECIMAL(38,12)) AS res_t
+       |  FROM bins CROSS JOIN tt
+       |)
+       |SELECT CAST(nt AS BIGINT) AS n_docs,
+       |  ${NumFns.roundPortableSql("bsum / nt", 6)} AS brier,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(rel_t) AS DOUBLE) / nt", 6)} AS reliability,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(res_t) AS DOUBLE) / nt", 6)} AS resolution,
+       |  ${NumFns.roundPortableSql("obar * (1.0 - obar)", 6)}
+       |    AS uncertainty
+       |FROM terms GROUP BY nt, post, bsum, obar""".stripMargin
 }

@@ -2449,4 +2449,83 @@ object Profiling {
               + " / (CAST(nn AS DOUBLE) * nn * nn - nn))",
             4)} AS h_corrected
        |FROM tot, ties""".stripMargin
+
+  /** Functional-dependency audit over three candidate rules — the
+    * schema-discovery profiler (TANE-style error measures) beside
+    * q_table_profile's per-column stats: for each candidate X→Y report
+    * how many X-keys map to >1 Y (violating keys) and the g3 error —
+    * the minimum fraction of rows to delete for the FD to hold exactly
+    * (1 − Σ_keys max_y count(x,y) / N), the standard approximate-FD
+    * strength measure. `o_orderkey→o_custkey` is expected to HOLD (the
+    * primary-key audit); `p_brand→p_type`, `p_type→p_size` and
+    * `c_nationkey→c_mktsegment` are expected near-random — the audit
+    * certifies both directions. Shape: each rule is one scan → (X,Y)
+    * cells → X-keyed aggregate → 1-row summary; everything after the
+    * first groupBy is cell-domain-sized (the PK rule's key frame is
+    * entity-domain but collapses in the same aggregation tree — no
+    * window, no sort), and the four rules union to a 4-row report.
+    * Integer-exact until the two final rounded ratios.
+    */
+  def qFdViolations(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, df: DataFrame): DataFrame = {
+      val keys = df.groupBy(col("lhs"), col("rhs"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lhs"))
+        .agg(count(lit(1)).as("n_rhs"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("n_max"))
+      keys.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("violating_keys"),
+          sum(col("n_rows")).as("n"), sum(col("n_max")).as("kept"))
+        .select(lit(name).as("fd"), col("n_keys"), col("violating_keys"),
+          NumFns.roundPortable(
+            col("violating_keys").cast("double") / col("n_keys"), 6)
+            .as("viol_key_share"),
+          NumFns.roundPortable(
+            (col("n") - col("kept")).cast("double") / col("n"), 6)
+            .as("g3_error"))
+    }
+    val part = Tables.part(s, dir)
+    val pk = audit("o_orderkey->o_custkey",
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("lhs"), col("o_custkey").as("rhs")))
+    val brandType = audit("p_brand->p_type",
+      part.select(col("p_brand").as("lhs"), col("p_type").as("rhs")))
+    val typeSize = audit("p_type->p_size",
+      part.select(col("p_type").as("lhs"), col("p_size").as("rhs")))
+    val natSeg = audit("c_nationkey->c_mktsegment",
+      Tables.customer(s, dir)
+        .select(col("c_nationkey").as("lhs"), col("c_mktsegment").as("rhs")))
+    pk.union(brandType).union(typeSize).union(natSeg).orderBy(col("fd"))
+  }
+
+  val qFdViolationsOracle: String = {
+    def auditSql(name: String, lhs: String, rhs: String, table: String) =
+      s"""SELECT '$name' AS fd, count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS violating_keys,
+         |  ${NumFns.roundPortableSql(
+              "sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)"
+                + " / CAST(count(*) AS DOUBLE)", 6)} AS viol_key_share,
+         |  ${NumFns.roundPortableSql(
+              "(sum(n_rows) - sum(n_max)) / CAST(sum(n_rows) AS DOUBLE)",
+              6)} AS g3_error
+         |FROM (
+         |  SELECT lhs, count(*) AS n_rhs, sum(c) AS n_rows, max(c) AS n_max
+         |  FROM (
+         |    SELECT $lhs AS lhs, $rhs AS rhs, count(*) AS c
+         |    FROM $table GROUP BY 1, 2
+         |  ) GROUP BY lhs
+         |)""".stripMargin
+    s"""SELECT * FROM (
+       |${auditSql("o_orderkey->o_custkey", "o_orderkey", "o_custkey",
+          "orders")}
+       |UNION ALL
+       |${auditSql("p_brand->p_type", "p_brand", "p_type", "part")}
+       |UNION ALL
+       |${auditSql("p_type->p_size", "p_type", "p_size", "part")}
+       |UNION ALL
+       |${auditSql("c_nationkey->c_mktsegment", "c_nationkey",
+          "c_mktsegment", "customer")}
+       |) ORDER BY fd""".stripMargin
+  }
 }

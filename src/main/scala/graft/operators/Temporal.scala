@@ -2649,4 +2649,308 @@ object Temporal {
        |  f_stat > 3.0 AS structural_break
        |FROM r""".stripMargin
   }
+
+  /** Alarm threshold for [[qPageHinkley]], in dollars of cumulative
+    * drift mass (λ in the PH formulation).
+    */
+  val PageHinkleyLambda = 100000.0
+
+  /** Page–Hinkley sequential drift detector on daily revenue — the
+    * ONLINE changepoint lens beside the retrospective q_cusum (batch
+    * argmax vs global mean) and q_pettitt (rank-based): PH tracks
+    * m_t = Σ_{s≤t}(x_s − x̄_s) against its running minimum, and alarms
+    * the first time m_t − min m climbs past λ — the statistic a
+    * streaming monitor would maintain, evaluated here over history.
+    * Exactness: x̄_s = prefix_cents/s is a ratio of exact integers;
+    * each deviation is one deterministic double; the cumulative sums
+    * run in FRAME ORDER (sequential on both engines — the NumFns
+    * window rule), so every m_t is bit-identical cross-engine. Shape:
+    * everything lives on the calendar-bounded day aggregate; the
+    * argmax is a max_by over that frame, no row-scale work anywhere.
+    */
+  def qPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val wSeq = Window.orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dev = days
+      .withColumn("t", count(lit(1)).over(wSeq))
+      .withColumn("pref", sum(col("yc")).over(wSeq))
+      // deviation from the running mean, in dollars
+      .select(col("di"),
+        ((col("yc") - col("pref").cast("double") / col("t")) / 100.0)
+          .as("d"))
+    val ph = dev
+      .withColumn("m", sum(col("d")).over(wSeq))
+      .withColumn("mmin", min(col("m")).over(wSeq))
+      .select(col("di"), (col("m") - col("mmin")).as("ph"))
+    val tot = ph.agg(count(lit(1)).as("n_days"))
+    ph.crossJoin(broadcast(tot))
+      .orderBy(col("ph").desc, col("di"))
+      .limit(1)
+      .select(col("n_days"), col("di").cast("long").as("peak_di"),
+        NumFns.roundPortable(col("ph"), 2).as("ph_stat"))
+      .withColumn("drift", col("ph_stat") > PageHinkleyLambda)
+  }
+
+  val qPageHinkleyOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |dev AS (
+       |  SELECT di,
+       |    (yc - CAST(sum(yc) OVER w AS DOUBLE)
+       |      / (row_number() OVER (ORDER BY di))) / 100.0 AS d
+       |  FROM days
+       |  WINDOW w AS (ORDER BY di ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)
+       |),
+       |m AS (
+       |  SELECT di, sum(d) OVER w AS m
+       |  FROM dev
+       |  WINDOW w AS (ORDER BY di ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)
+       |),
+       |ph AS (
+       |  SELECT di, m - min(m) OVER w AS ph
+       |  FROM m
+       |  WINDOW w AS (ORDER BY di ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)
+       |),
+       |tot AS (SELECT count(*) AS n_days FROM ph)
+       |SELECT n_days, di AS peak_di,
+       |  ${NumFns.roundPortableSql("ph", 2)} AS ph_stat,
+       |  ${NumFns.roundPortableSql("ph", 2)} > $PageHinkleyLambda AS drift
+       |FROM ph, tot
+       |ORDER BY ph DESC, di
+       |LIMIT 1""".stripMargin
+
+  /** Granger F-gate ≈ F(1,∞) at 5 %. */
+  val GrangerFCrit = 3.84
+
+  /** Granger-causality test: does yesterday's ORDER COUNT improve the
+    * prediction of today's revenue beyond yesterday's revenue alone?
+    * Restricted y_t ~ y_{t−1} vs unrestricted y_t ~ y_{t−1} + x_{t−1},
+    * F on the SSR drop — the lead-lag DIRECTIONALITY test that
+    * q_cross_corr (symmetric correlation at lags) cannot give. Both
+    * series come from ONE day-frame scan; the lag is the sanctioned
+    * frame-ordered shift over the calendar-bounded aggregate. Float
+    * discipline (qChowTest): revenue stays integer cents and counts
+    * integers, all 9 raw moments fold DECIMAL(38,0)-exact, the normal-
+    * equation determinants clear denominators in decimal (A_ij =
+    * n·S_ij − S_i·S_j), and only the final SSR ratios run in IEEE —
+    * the centering subtraction never happens in floating point.
+    */
+  def qGranger(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"),
+        count(lit(1)).as("xc"))
+    val w = Window.orderBy(col("di"))
+    val lagged = days
+      .withColumn("z1", lag(col("yc"), 1).over(w))
+      .withColumn("z2", lag(col("xc"), 1).over(w))
+      .filter(col("z1").isNotNull)
+    val m = lagged.agg(
+      count(lit(1)).cast(D0).as("n"),
+      sum(col("z1").cast(D0)).as("s1"), sum(col("z2").cast(D0)).as("s2"),
+      sum(col("yc").cast(D0)).as("sy"),
+      sum(col("z1").cast(D0) * col("z1")).as("s11"),
+      sum(col("z1").cast(D0) * col("z2")).as("s12"),
+      sum(col("z2").cast(D0) * col("z2")).as("s22"),
+      sum(col("z1").cast(D0) * col("yc")).as("s1y"),
+      sum(col("z2").cast(D0) * col("yc")).as("s2y"),
+      sum(col("yc").cast(D0) * col("yc")).as("syy"))
+    val cleared = m.select(col("n"),
+      (col("n") * col("s11") - col("s1") * col("s1")).cast("double").as("a11"),
+      (col("n") * col("s12") - col("s1") * col("s2")).cast("double").as("a12"),
+      (col("n") * col("s22") - col("s2") * col("s2")).cast("double").as("a22"),
+      (col("n") * col("s1y") - col("s1") * col("sy")).cast("double").as("a1y"),
+      (col("n") * col("s2y") - col("s2") * col("sy")).cast("double").as("a2y"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast("double").as("ayy"))
+    // SSR·n² in cents²; the common scale cancels inside F
+    val det = col("a11") * col("a22") - col("a12") * col("a12")
+    val ssrU = col("ayy") -
+      (col("a22") * col("a1y") * col("a1y")
+        - lit(2.0) * col("a12") * col("a1y") * col("a2y")
+        + col("a11") * col("a2y") * col("a2y")) / det
+    val ssrR = col("ayy") - col("a1y") * col("a1y") / col("a11")
+    val nD = col("n").cast("double")
+    val f = (col("sr") - col("su")) / (col("su") / (nD - 3.0))
+    cleared
+      .withColumn("su", ssrU).withColumn("sr", ssrR)
+      .select(col("n").cast("long").as("n_days"),
+        NumFns.roundPortable((col("sr") - col("su")) / col("sr"), 6)
+          .as("ssr_drop_share"),
+        NumFns.roundPortable(f, 4).as("f_stat"))
+      .withColumn("granger_causal", col("f_stat") > GrangerFCrit)
+  }
+
+  val qGrangerOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc,
+       |    count(*) AS xc
+       |  FROM orders GROUP BY 1
+       |),
+       |lg AS (
+       |  SELECT yc, lag(yc, 1) OVER (ORDER BY di) AS z1,
+       |    lag(xc, 1) OVER (ORDER BY di) AS z2
+       |  FROM days
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(z1 AS HUGEINT)) AS s1, sum(CAST(z2 AS HUGEINT)) AS s2,
+       |    sum(CAST(yc AS HUGEINT)) AS sy,
+       |    sum(CAST(z1 AS HUGEINT) * z1) AS s11,
+       |    sum(CAST(z1 AS HUGEINT) * z2) AS s12,
+       |    sum(CAST(z2 AS HUGEINT) * z2) AS s22,
+       |    sum(CAST(z1 AS HUGEINT) * yc) AS s1y,
+       |    sum(CAST(z2 AS HUGEINT) * yc) AS s2y,
+       |    sum(CAST(yc AS HUGEINT) * yc) AS syy
+       |  FROM lg WHERE z1 IS NOT NULL
+       |),
+       |cl AS (
+       |  SELECT n,
+       |    CAST(n * s11 - s1 * s1 AS DOUBLE) AS a11,
+       |    CAST(n * s12 - s1 * s2 AS DOUBLE) AS a12,
+       |    CAST(n * s22 - s2 * s2 AS DOUBLE) AS a22,
+       |    CAST(n * s1y - s1 * sy AS DOUBLE) AS a1y,
+       |    CAST(n * s2y - s2 * sy AS DOUBLE) AS a2y,
+       |    CAST(n * syy - sy * sy AS DOUBLE) AS ayy
+       |  FROM m
+       |),
+       |sr AS (
+       |  SELECT CAST(n AS BIGINT) AS n_days,
+       |    ayy - (a22 * a1y * a1y - 2.0 * a12 * a1y * a2y
+       |      + a11 * a2y * a2y) / (a11 * a22 - a12 * a12) AS su,
+       |    ayy - a1y * a1y / a11 AS sr
+       |  FROM cl
+       |)
+       |SELECT n_days,
+       |  ${NumFns.roundPortableSql("(sr - su) / sr", 6)} AS ssr_drop_share,
+       |  ${NumFns.roundPortableSql(
+            "(sr - su) / (su / (CAST(n_days AS DOUBLE) - 3.0))", 4)}
+       |    AS f_stat,
+       |  ${NumFns.roundPortableSql(
+            "(sr - su) / (su / (CAST(n_days AS DOUBLE) - 3.0))", 4)}
+       |    > $GrangerFCrit AS granger_causal
+       |FROM sr""".stripMargin
+
+  /** Coalesce overlapping in-transit intervals per supplier and roll
+    * the islands up by nation — the interval-UNION operator (how many
+    * distinct days was each supplier mid-shipment?) that
+    * q_max_concurrent (point-in-time overlap count) and q_interval_join
+    * (pairing) don't cover. The reduced schema carries no receiptdate,
+    * so transit time derives deterministically from the line: hi =
+    * ship + 3 + (quantity mod 11) days. Classic prefix-max island
+    * detection: within a supplier, ordered by (lo, hi), a new island
+    * starts when lo > max(previous hi); covered days = Σ island
+    * extents — overlap-proof by construction, no pairwise interval
+    * join. Shape: the windows are PARTITIONED BY suppkey
+    * (entity-parallel, never a global sort); per-island and
+    * per-supplier frames aggregate immediately; the nation rollup
+    * joins the supplier DIM (broadcast) and outputs ≤25 rows. All
+    * integer day arithmetic until two final portable-rounded averages.
+    */
+  def qIntervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val lo = datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+    val iv = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("suppkey"), lo.as("lo"),
+        (lo + 3 + col("l_quantity").cast("long") % 11).as("hi"))
+    val wPrev = Window.partitionBy(col("suppkey"))
+      .orderBy(col("lo"), col("hi"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSeq = Window.partitionBy(col("suppkey"))
+      .orderBy(col("lo"), col("hi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = iv
+      .withColumn("pmax", max(col("hi")).over(wPrev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("lo") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(wSeq))
+      .groupBy(col("suppkey"), col("island"))
+      .agg(min(col("lo")).as("ilo"), max(col("hi")).as("ihi"))
+    val perSupp = islands.groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ihi") - col("ilo") + 1).as("covered"))
+    val nations = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      .join(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("nation")),
+        Seq("s_nationkey"))
+    perSupp.join(broadcast(nations), Seq("suppkey"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("n_islands")).as("tot_islands"),
+        max(col("covered")).as("max_covered"),
+        NumFns.roundPortable(
+          sum(col("n_islands")).cast("double") / count(lit(1)), 4)
+          .as("avg_islands"),
+        NumFns.roundPortable(
+          sum(col("covered")).cast("double") / count(lit(1)), 4)
+          .as("avg_covered_days"))
+      .orderBy(col("nation"))
+  }
+
+  val qIntervalCoalesceOracle: String =
+    s"""WITH iv AS (
+       |  SELECT l_suppkey AS suppkey,
+       |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+       |      AS lo,
+       |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+       |      + 3 + (CAST(l_quantity AS BIGINT) % 11) AS hi
+       |  FROM lineitem
+       |),
+       |mk AS (
+       |  SELECT suppkey, lo, hi,
+       |    max(hi) OVER (PARTITION BY suppkey ORDER BY lo, hi
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |  FROM iv
+       |),
+       |br AS (
+       |  SELECT suppkey, lo, hi,
+       |    CASE WHEN pmax IS NULL OR lo > pmax THEN 1 ELSE 0 END AS brk
+       |  FROM mk
+       |),
+       |isl AS (
+       |  SELECT suppkey, lo, hi,
+       |    sum(brk) OVER (PARTITION BY suppkey ORDER BY lo, hi
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM br
+       |),
+       |ia AS (
+       |  SELECT suppkey, island, min(lo) AS ilo, max(hi) AS ihi
+       |  FROM isl GROUP BY 1, 2
+       |),
+       |ps AS (
+       |  SELECT suppkey, count(*) AS n_islands,
+       |    CAST(sum(ihi - ilo + 1) AS BIGINT) AS covered
+       |  FROM ia GROUP BY 1
+       |),
+       |nt AS (
+       |  SELECT s_suppkey AS suppkey, n_name AS nation
+       |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+       |)
+       |SELECT nation, count(*) AS n_suppliers,
+       |  CAST(sum(n_islands) AS BIGINT) AS tot_islands,
+       |  max(covered) AS max_covered,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(n_islands) AS DOUBLE) / count(*)", 4)} AS avg_islands,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(covered) AS DOUBLE) / count(*)", 4)}
+       |    AS avg_covered_days
+       |FROM ps JOIN nt USING (suppkey)
+       |GROUP BY nation
+       |ORDER BY nation""".stripMargin
 }

@@ -206,4 +206,84 @@ class Round6BatchSpec extends SparkSpec {
     assert(r.getAs[Boolean]("structural_break") == (f > 3.0))
     assert(r.getAs[Long]("n_pre") > 4 && r.getAs[Long]("n_post") > 4)
   }
+
+  test("mrr/map: bounded, zero iff no hits, rr at least 1/k when hit") {
+    val rows = Evaluation.qMrrMap(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val rr = r.getAs[Double]("reciprocal_rank")
+      val ap = r.getAs[Double]("avg_precision")
+      assert(rr >= 0.0 && rr <= 1.0 && ap >= 0.0 && ap <= 1.0)
+      assert((hits == 0) == (rr == 0.0))
+      if (hits > 0) assert(rr >= 1.0 / 3 - 1e-9)
+      // each hit contributes at most 1 to the AP sum before the /k
+      // (ap is reported rounded to 6 dp, so allow the half-ulp slack)
+      assert(ap <= hits / 3.0 + 5e-7)
+    }
+  }
+
+  test("brier: components bounded, resolution never exceeds uncertainty") {
+    val r = Evaluation.qBrier(spark, sf001).collect().head
+    val bs = r.getAs[Double]("brier")
+    val rel = r.getAs[Double]("reliability")
+    val res = r.getAs[Double]("resolution")
+    val unc = r.getAs[Double]("uncertainty")
+    assert(bs >= 0.0 && bs <= 1.0)
+    assert(rel >= 0.0 && res >= 0.0)
+    assert(unc >= 0.0 && unc <= 0.25)
+    // law of total variance: binned-mean variance <= total variance
+    assert(res <= unc + 1e-9, s"res=$res unc=$unc")
+    assert(r.getAs[Long]("n_docs") > 0)
+  }
+
+  test("page-hinkley: stat nonnegative, peak day inside the calendar") {
+    val r = Temporal.qPageHinkley(spark, sf001).collect().head
+    val ph = r.getAs[Double]("ph_stat")
+    assert(ph >= 0.0)
+    assert(r.getAs[Boolean]("drift") == (ph > Temporal.PageHinkleyLambda))
+    val nDays = r.getAs[Long]("n_days")
+    assert(nDays > 0 && r.getAs[Long]("peak_di") >= 0)
+  }
+
+  test("granger: nested-model F nonnegative, drop share in [0,1]") {
+    val r = Temporal.qGranger(spark, sf001).collect().head
+    // the restricted model is nested, so its SSR can only be larger
+    val drop = r.getAs[Double]("ssr_drop_share")
+    assert(drop >= 0.0 && drop <= 1.0, s"drop=$drop")
+    val f = r.getAs[Double]("f_stat")
+    assert(f >= 0.0)
+    assert(r.getAs[Boolean]("granger_causal") == (f > Temporal.GrangerFCrit))
+  }
+
+  test("interval coalesce: islands and coverage respect interval bounds") {
+    val rows = Temporal.qIntervalCoalesce(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach { r =>
+      val ns = r.getAs[Long]("n_suppliers")
+      assert(r.getAs[Long]("tot_islands") >= ns)
+      assert(r.getAs[Double]("avg_islands") >= 1.0)
+      // the shortest possible island is one interval: 3+0 transit +1
+      assert(r.getAs[Double]("avg_covered_days") >= 4.0)
+      assert(r.getAs[Long]("max_covered") >=
+        math.ceil(r.getAs[Double]("avg_covered_days")).toLong)
+    }
+  }
+
+  test("fd violations: PK rule exactly holds, shares bounded") {
+    val rows = Profiling.qFdViolations(spark, sf001).collect()
+    assert(rows.length == 4)
+    val byFd = rows.map(r => r.getAs[String]("fd") -> r).toMap
+    val pk = byFd("o_orderkey->o_custkey")
+    assert(pk.getAs[Long]("violating_keys") == 0L)
+    assert(pk.getAs[Double]("g3_error") == 0.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keys") > 0)
+      val s1 = r.getAs[Double]("viol_key_share")
+      val g3 = r.getAs[Double]("g3_error")
+      assert(s1 >= 0.0 && s1 <= 1.0 && g3 >= 0.0 && g3 < 1.0)
+      // deleting rows only from violating keys: g3 positive iff any
+      assert((r.getAs[Long]("violating_keys") == 0L) == (g3 == 0.0))
+    }
+  }
 }
