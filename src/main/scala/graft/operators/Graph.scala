@@ -228,6 +228,106 @@ object Graph {
        |)
        |SELECT id, min(lvl) AS level FROM walk GROUP BY id ORDER BY id""".stripMargin
 
+  /** Harmonic + classic closeness centrality of every nation in the
+    * co-trade graph via MULTI-SOURCE BFS — the centrality family
+    * member missing beside degree (q_degree_dist), eigenvector-flavor
+    * (q_pagerank_iter/q_hits) and local density (q_clustering_coeff):
+    * closeness ranks nodes by how few hops reach everyone else;
+    * harmonic C_H(s) = Σ_{v≠s} 1/d(s,v) stays defined on disconnected
+    * graphs. ONE frontier loop carries all sources at once — rows are
+    * (seed, id, level), so the work per round is a single
+    * frontier⋈edges join for every seed simultaneously (rounds =
+    * diameter, NOT diameter×seeds; the loop discipline of
+    * [[qBfsLevels]], localCheckpoint'd per round). On the 25-node
+    * nation graph the frame is tiny; at 100 TB the same loop runs on
+    * the supplier graph with a bounded seed set — rows stay bare
+    * (seed, id, level) longs either way. 1/d terms DECIMAL-fold so
+    * the harmonic sum is accumulation-order-free.
+    */
+  val ClosenessMaxRounds = 16
+
+  def qCloseness(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("nc") =!= col("ns"))
+      .select(least(col("nc"), col("ns")).as("a"),
+        greatest(col("nc"), col("ns")).as("b"))
+      .distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint()
+    var frontier = sym.select(col("src").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("id"), lit(0L).as("level"))
+      .localCheckpoint()
+    var visited = frontier
+    var round = 0
+    var done = false
+    while (!done && round < ClosenessMaxRounds) {
+      val nxt = frontier.join(sym, col("id") === col("src"))
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .join(visited, Seq("seed", "id"), "left_anti")
+        .select(col("seed"), col("id"), lit(round + 1L).as("level"))
+        .localCheckpoint()
+      if (nxt.isEmpty) done = true
+      else {
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+        round += 1
+      }
+    }
+    visited.filter(col("level") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("level")).as("sum_dist"),
+        sum((lit(1.0) / col("level")).cast(D)).cast("double").as("h"))
+      .select(col("seed").as("nation"), col("n_reached"), col("sum_dist"),
+        NumFns.roundPortable(col("h"), 6).as("harmonic"),
+        NumFns.roundPortable(
+          col("n_reached").cast("double") / col("sum_dist"), 6)
+          .as("closeness"))
+      .orderBy(col("nation"))
+  }
+
+  val qClosenessOracle: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS src,
+       |    greatest(c_nationkey, s_nationkey) AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey != s_nationkey
+       |), sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |walk(seed, id, lvl) AS (
+       |  SELECT CAST(src AS BIGINT), CAST(src AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM (SELECT DISTINCT src FROM sym)
+       |  UNION
+       |  SELECT w.seed, CAST(sym.dst AS BIGINT), w.lvl + 1
+       |  FROM walk w JOIN sym ON sym.src = w.id
+       |  WHERE w.lvl < $ClosenessMaxRounds
+       |),
+       |sp AS (
+       |  SELECT seed, id, min(lvl) AS d FROM walk GROUP BY seed, id
+       |)
+       |SELECT seed AS nation, count(*) AS n_reached,
+       |  CAST(sum(d) AS BIGINT) AS sum_dist,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CAST(1.0 / d AS DECIMAL(38,12))) AS DOUBLE)", 6)}
+       |    AS harmonic,
+       |  ${NumFns.roundPortableSql(
+            "count(*) / CAST(sum(d) AS DOUBLE)", 6)} AS closeness
+       |FROM sp WHERE d > 0
+       |GROUP BY seed
+       |ORDER BY nation""".stripMargin
+
   /** Full label-propagation loop over a weighted bipartite graph:
     * `edges` (left, right, w) with seed labels on the right side;
     * each round every LEFT node adopts its weight-majority right-label

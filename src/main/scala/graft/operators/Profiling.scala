@@ -1353,8 +1353,13 @@ object Profiling {
     * boundary argument. Shape: one events scan → ≤ types·cohorts·2
     * moment cells; every window runs over the 25-row test frame.
     */
-  def qBhFdr(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared simultaneous-test battery consumed by [[qBhFdr]] and
+    * [[qHolmBonferroni]] (one definition, two correction procedures):
+    * per (event_type, cohort) a Welch z for the arm-parity split of
+    * event values, p = erfc(|z|/√2). One events scan → ≤
+    * types·cohorts·2 moment cells; the returned frame is ≤25 rows.
+    */
+  private def testBattery(s: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
     val cells = Tables.events(s, dir)
       .select(col("event_type"), expr("(user_id div 2) % 5").as("cohort"),
@@ -1374,8 +1379,43 @@ object Profiling {
     val v0 = (col("sq0") - col("n0") * (m0 * m0)) / (col("n0") - 1)
     val v1 = (col("sq1") - col("n1") * (m1 * m1)) / (col("n1") - 1)
     val z = (m1 - m0) / sqrt(v0 / col("n0") + v1 / col("n1"))
-    val scored = wide.select(col("event_type"), col("cohort"), z.as("z"))
+    wide.select(col("event_type"), col("cohort"), z.as("z"))
       .withColumn("p", NumFns.normTwoSidedP(col("z")))
+  }
+
+  /** Oracle twin of [[testBattery]]: CTE chain ending in
+    * `sc(event_type, cohort, z, p)`.
+    */
+  private val testBatterySql: String =
+    s"""a AS (
+       |  SELECT event_type, (user_id // 2) % 5 AS cohort, user_id % 2 AS arm,
+       |    count(*) AS n,
+       |    sum(CAST(value AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(value * value AS DECIMAL(38,12))) AS sx2
+       |  FROM events GROUP BY 1, 2, 3
+       |), w AS (
+       |  SELECT event_type, cohort,
+       |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    CAST(max(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sx0,
+       |    CAST(max(CASE WHEN arm = 0 THEN sx2 END) AS DOUBLE) AS sq0,
+       |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    CAST(max(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sx1,
+       |    CAST(max(CASE WHEN arm = 1 THEN sx2 END) AS DOUBLE) AS sq1
+       |  FROM a GROUP BY event_type, cohort
+       |), sc0 AS (
+       |  SELECT event_type, cohort,
+       |    (sx1 / n1 - sx0 / n0) /
+       |      sqrt(((sq0 - n0 * ((sx0 / n0) * (sx0 / n0))) / (n0 - 1)) / n0
+       |         + ((sq1 - n1 * ((sx1 / n1) * (sx1 / n1))) / (n1 - 1)) / n1) AS z
+       |  FROM w
+       |), sc AS (
+       |  SELECT event_type, cohort, z, ${NumFns.normTwoSidedPSql("z")} AS p
+       |  FROM sc0
+       |)""".stripMargin
+
+  def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = testBattery(s, dir)
     val wRank = Window.orderBy(abs(col("z")).desc, col("event_type"), col("cohort"))
     val wAll = Window.partitionBy()
     scored
@@ -1392,30 +1432,8 @@ object Profiling {
   }
 
   val qBhFdrOracle: String =
-    s"""WITH a AS (
-       |  SELECT event_type, (user_id // 2) % 5 AS cohort, user_id % 2 AS arm,
-       |    count(*) AS n,
-       |    sum(CAST(value AS DECIMAL(38,12))) AS sx,
-       |    sum(CAST(value * value AS DECIMAL(38,12))) AS sx2
-       |  FROM events GROUP BY 1, 2, 3
-       |), w AS (
-       |  SELECT event_type, cohort,
-       |    max(CASE WHEN arm = 0 THEN n END) AS n0,
-       |    CAST(max(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sx0,
-       |    CAST(max(CASE WHEN arm = 0 THEN sx2 END) AS DOUBLE) AS sq0,
-       |    max(CASE WHEN arm = 1 THEN n END) AS n1,
-       |    CAST(max(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sx1,
-       |    CAST(max(CASE WHEN arm = 1 THEN sx2 END) AS DOUBLE) AS sq1
-       |  FROM a GROUP BY event_type, cohort
-       |), sc AS (
-       |  SELECT event_type, cohort,
-       |    (sx1 / n1 - sx0 / n0) /
-       |      sqrt(((sq0 - n0 * ((sx0 / n0) * (sx0 / n0))) / (n0 - 1)) / n0
-       |         + ((sq1 - n1 * ((sx1 / n1) * (sx1 / n1))) / (n1 - 1)) / n1) AS z
-       |  FROM w
-       |), r AS (
-       |  SELECT event_type, cohort, z,
-       |    ${NumFns.normTwoSidedPSql("z")} AS p,
+    s"""WITH $testBatterySql, r AS (
+       |  SELECT event_type, cohort, z, p,
        |    CAST(row_number() OVER (ORDER BY abs(z) DESC, event_type, cohort)
        |      AS BIGINT) AS rnk,
        |    CAST(count(*) OVER () AS BIGINT) AS m
@@ -1431,6 +1449,247 @@ object Profiling {
        |  rnk, (rnk <= k_star) AS significant
        |FROM f
        |ORDER BY rnk""".stripMargin
+
+  /** Holm–Bonferroni step-DOWN correction over the SAME
+    * [[testBattery]] frame q_bh_fdr steps UP on — the FWER-controlling
+    * sibling (BH controls the false-discovery RATE; Holm bounds the
+    * probability of even one false positive, the right gate when a
+    * single wrong launch is costly). Reject the ordered tests while
+    * p_(i) ≤ α/(m−i+1); the first failure stops everything after it.
+    * Cross-engine discipline inherited from the battery: rank by |z|
+    * (bit-identical), p only ever compared against thresholds away
+    * from its libm-exp ulp. Shape: the battery is one scan → ≤25
+    * cells; both corrections are windows over that 25-row frame.
+    */
+  def qHolmBonferroni(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.orderBy(abs(col("z")).desc, col("event_type"), col("cohort"))
+    val wAll = Window.partitionBy()
+    testBattery(s, dir)
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("fail", col("p") > lit(BhAlpha) / (col("m") - col("rnk") + 1))
+      .withColumn("k_star",
+        coalesce(min(when(col("fail"), col("rnk"))).over(wAll) - 1, col("m")))
+      .select(col("event_type"), col("cohort"),
+        NumFns.roundPortable(col("z"), 6).as("z"),
+        NumFns.roundPortable(col("p"), 6).as("p_value"),
+        NumFns.roundPortable(lit(BhAlpha) / (col("m") - col("rnk") + 1), 8)
+          .as("alpha_i"),
+        col("rnk"), (col("rnk") <= col("k_star")).as("significant"))
+      .orderBy(col("rnk"))
+  }
+
+  val qHolmBonferroniOracle: String =
+    s"""WITH $testBatterySql, r AS (
+       |  SELECT event_type, cohort, z, p,
+       |    CAST(row_number() OVER (ORDER BY abs(z) DESC, event_type, cohort)
+       |      AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM sc
+       |), f AS (
+       |  SELECT *, coalesce(min(CASE WHEN p > $BhAlpha / (m - rnk + 1)
+       |    THEN rnk END) OVER () - 1, m) AS k_star
+       |  FROM r
+       |)
+       |SELECT event_type, cohort,
+       |  ${NumFns.roundPortableSql("z", 6)} AS z,
+       |  ${NumFns.roundPortableSql("p", 6)} AS p_value,
+       |  ${NumFns.roundPortableSql(s"$BhAlpha / (m - rnk + 1)", 8)}
+       |    AS alpha_i,
+       |  rnk, (rnk <= k_star) AS significant
+       |FROM f
+       |ORDER BY rnk""".stripMargin
+
+  /** Cronbach's alpha internal-consistency coefficient over three
+    * per-document English-ness "items" (stopword permille, type-token
+    * permille, short-word permille) — the scale-reliability read a
+    * labeling pipeline needs before averaging heuristic subscores into
+    * one quality number: α near 1 says the items measure one construct,
+    * near 0 says averaging them is noise. α = k/(k−1)·(1 − Σᵢσ²ᵢ/σ²ₜ).
+    * Exactness: every item is an integer permille, so all item and
+    * total moments are exact DECIMAL(38,0)/HUGEINT sums; each variance
+    * numerator clears its denominator (n·Σx² − (Σx)²) in integer space
+    * and the shared n·(n−1) scale CANCELS in the ratio — α is a single
+    * division of two exact integers. Shape: one corpus scan → one
+    * 8-number moment row. Scan-side at any scale.
+    */
+  def qCronbachAlpha(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = TextFns.tokens(col("text"))
+    val base = Tables.documents(s, dir)
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        floor(lit(1000) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))).as("i1"),
+        floor(lit(1000) * size(array_distinct(col("toks")))
+          / size(col("toks"))).as("i2"),
+        floor(lit(1000) * size(filter(col("toks"), t => length(t) <= 3))
+          / size(col("toks"))).as("i3"))
+      .withColumn("t", col("i1") + col("i2") + col("i3"))
+    val m = base.agg(count(lit(1)).cast(D0).as("n"),
+      sum(col("i1").cast(D0)).as("s1"),
+      sum(col("i1").cast(D0) * col("i1")).as("q1"),
+      sum(col("i2").cast(D0)).as("s2"),
+      sum(col("i2").cast(D0) * col("i2")).as("q2"),
+      sum(col("i3").cast(D0)).as("s3"),
+      sum(col("i3").cast(D0) * col("i3")).as("q3"),
+      sum(col("t").cast(D0)).as("st"),
+      sum(col("t").cast(D0) * col("t")).as("qt"))
+    def va(q: String, sc: String) =
+      col("n") * col(q) - col(sc) * col(sc)
+    val sumItems = (va("q1", "s1") + va("q2", "s2") + va("q3", "s3"))
+      .cast("double")
+    val vt = va("qt", "st").cast("double")
+    m.select(col("n").cast("long").as("n_docs"), lit(3L).as("k_items"),
+      NumFns.roundPortable(
+        lit(1.5) * (lit(1.0) - sumItems / vt), 6).as("cronbach_alpha"))
+  }
+
+  val qCronbachAlphaOracle: String =
+    s"""WITH t AS (
+       |  SELECT ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |it AS (
+       |  SELECT
+       |    CAST(floor(1000 * len(list_filter(toks,
+       |      x -> x IN (${Curation.stopListSql}))) / len(toks)) AS BIGINT)
+       |      AS i1,
+       |    CAST(floor(1000 * len(list_distinct(toks)) / len(toks))
+       |      AS BIGINT) AS i2,
+       |    CAST(floor(1000 * len(list_filter(toks, x -> len(x) <= 3))
+       |      / len(toks)) AS BIGINT) AS i3
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |w AS (SELECT i1, i2, i3, i1 + i2 + i3 AS tt FROM it),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(i1 AS HUGEINT)) AS s1, sum(CAST(i1 AS HUGEINT) * i1) AS q1,
+       |    sum(CAST(i2 AS HUGEINT)) AS s2, sum(CAST(i2 AS HUGEINT) * i2) AS q2,
+       |    sum(CAST(i3 AS HUGEINT)) AS s3, sum(CAST(i3 AS HUGEINT) * i3) AS q3,
+       |    sum(CAST(tt AS HUGEINT)) AS st, sum(CAST(tt AS HUGEINT) * tt) AS qt
+       |  FROM w
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_docs, CAST(3 AS BIGINT) AS k_items,
+       |  ${NumFns.roundPortableSql(
+            "1.5 * (1.0 - CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2)"
+              + " + (n * q3 - s3 * s3) AS DOUBLE)"
+              + " / CAST(n * qt - st * st AS DOUBLE))", 6)}
+       |    AS cronbach_alpha
+       |FROM m""".stripMargin
+
+  /** Permutations drawn by [[qPermutationTest]]. */
+  val PermB = 200
+
+  /** Year pair compared by [[qPermutationTest]]. */
+  val PermYears: (Int, Int) = (1996, 1997)
+
+  /** Permutation test of the daily-revenue mean difference between two
+    * years — the assumption-free answer q_welch_ttest approximates: is
+    * the observed |mean₁−mean₂| large against the null where year
+    * labels are exchangeable? [[PermB]] pseudo-random relabelings of
+    * the day frame, each a DETERMINISTIC md5-prefix hash of (perm id,
+    * day index) — the same content-addressed assignment discipline as
+    * the splits/q_ab_conversion, so both engines draw the identical
+    * permutations and the p-value is exact-reproducible. p = (1 + #{
+    * |diff_b| ≥ |diff_obs|})/(B+1) (the add-one Monte-Carlo convention).
+    * Exactness: revenue stays integer cents; every permuted mean is a
+    * ratio of exact integers and the ≥ compare runs on bit-identical
+    * doubles. Shape: the fact table collapses to the ≤730-row day
+    * frame ONCE; the B-fold expansion is days×B ≈ 146k cells —
+    * calendar-bounded, independent of corpus size.
+    */
+  def qPermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val (y1, y2) = PermYears
+    val days = Tables.orders(s, dir)
+      .filter(year(to_date(col("o_orderdate"))).isin(y1, y2))
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"),
+        (year(to_date(col("o_orderdate"))) === y2).as("late"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+      .localCheckpoint() // ≤730 rows; read by the observed AND B perms
+    def diffOf(df: DataFrame, armCol: Column): DataFrame =
+      df.groupBy()
+        .agg(
+          sum(when(armCol, col("yc"))).as("sa"),
+          sum(when(armCol, 1L)).as("na"),
+          sum(when(!armCol, col("yc"))).as("sb"),
+          sum(when(!armCol, 1L)).as("nb"))
+        .select(
+          when(col("na").isNotNull && col("nb").isNotNull,
+            abs(col("sa").cast("double") / col("na")
+              - col("sb").cast("double") / col("nb")) / 100.0).as("d"))
+    val obs = diffOf(days, col("late"))
+    val perms = days.crossJoin(
+        broadcast(s.range(1, PermB + 1).select(col("id").as("b"))))
+      .withColumn("arm",
+        TextFns.hash28(concat(lit("pt:"), col("b").cast("string"),
+          lit(":"), col("di").cast("string"))) % 2 === 0)
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("arm"), col("yc"))).as("sa"),
+        sum(when(col("arm"), 1L)).as("na"),
+        sum(when(!col("arm"), col("yc"))).as("sb"),
+        sum(when(!col("arm"), 1L)).as("nb"))
+      .select(col("b"),
+        when(col("na").isNotNull && col("nb").isNotNull,
+          abs(col("sa").cast("double") / col("na")
+            - col("sb").cast("double") / col("nb")) / 100.0).as("d"))
+    perms.crossJoin(broadcast(obs.select(col("d").as("obs"))))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("d") >= col("obs"), 1L).otherwise(0L)).as("n_ge"),
+        max(col("obs")).as("obs"))
+      .select(col("n_perms"), col("n_ge"),
+        NumFns.roundPortable(col("obs"), 4).as("obs_diff"),
+        NumFns.roundPortable(
+          (col("n_ge") + 1).cast("double") / (col("n_perms") + 1), 6)
+          .as("p_value"))
+  }
+
+  val qPermutationTestOracle: String = {
+    val (y1, y2) = PermYears
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    year(CAST(o_orderdate AS DATE)) = $y2 AS late,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders
+       |  WHERE year(CAST(o_orderdate AS DATE)) IN ($y1, $y2)
+       |  GROUP BY 1, 2
+       |),
+       |obs AS (
+       |  SELECT abs(
+       |    CAST(sum(CASE WHEN late THEN yc END) AS DOUBLE)
+       |      / sum(CASE WHEN late THEN 1 END)
+       |    - CAST(sum(CASE WHEN NOT late THEN yc END) AS DOUBLE)
+       |      / sum(CASE WHEN NOT late THEN 1 END)) / 100.0 AS obs
+       |  FROM days
+       |),
+       |pe AS (
+       |  SELECT b,
+       |    ${TextFns.hash28Sql("'pt:' || b || ':' || di")} % 2 = 0 AS arm,
+       |    yc
+       |  FROM days CROSS JOIN
+       |    (SELECT unnest(range(1, ${PermB + 1})) AS b)
+       |),
+       |pd AS (
+       |  SELECT b, abs(
+       |    CAST(sum(CASE WHEN arm THEN yc END) AS DOUBLE)
+       |      / sum(CASE WHEN arm THEN 1 END)
+       |    - CAST(sum(CASE WHEN NOT arm THEN yc END) AS DOUBLE)
+       |      / sum(CASE WHEN NOT arm THEN 1 END)) / 100.0 AS d
+       |  FROM pe GROUP BY b
+       |)
+       |SELECT count(*) AS n_perms,
+       |  CAST(sum(CASE WHEN d >= obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       |  ${NumFns.roundPortableSql("max(obs)", 4)} AS obs_diff,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(sum(CASE WHEN d >= obs THEN 1 ELSE 0 END) AS BIGINT) + 1)"
+              + " / CAST(count(*) + 1 AS DOUBLE)", 6)} AS p_value
+       |FROM pd CROSS JOIN obs""".stripMargin
+  }
 
   /** Robust per-source outlier detection on document length via
     * median/MAD — the companion to q_anomaly_zscore's mean/stddev gate:

@@ -2097,4 +2097,92 @@ object TextAnalysis {
        |FROM sc GROUP BY source
        |ORDER BY source""".stripMargin
   }
+
+  /** Cochran's Q test of three English detectors on matched documents —
+    * the k-classifier generalization of q_mcnemar (which can only pair
+    * TWO): detector 1 "any stopword present", detector 2 "mean token
+    * length ≤ 5.5", detector 3 "contains 'the'", each a cheap gate a
+    * curation pipeline might deploy; Q asks whether their hit RATES
+    * differ beyond chance on the same documents, i.e. whether the
+    * gates are interchangeable. Q = k(k−1)·Σⱼ(Gⱼ−T/k)² / (k·T − ΣLᵢ²)
+    * against χ²(k−1). Exactness: every term is an exact integer count
+    * (k·ΣGⱼ² enters cleared of the T/k fraction: numerator = k·ΣGⱼ²−T²)
+    * in DECIMAL(38,0)/HUGEINT, one final double ratio. Shape: one scan
+    * → per-doc bits → one 5-number moment row. Scan-side at any scale.
+    */
+  def qCochranQ(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = TextFns.tokens(col("text"))
+    val base = Tables.documents(s, dir)
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        when(size(filter(col("toks"),
+          t => t.isin(EnStop.map(w => lit(w): Any): _*))) > 0, 1L)
+          .otherwise(0L).as("c1"),
+        when(aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + length(t)) * 10 <= size(col("toks")) * 55, 1L)
+          .otherwise(0L).as("c2"),
+        when(array_contains(col("toks"), "the"), 1L).otherwise(0L).as("c3"))
+      .withColumn("l", col("c1") + col("c2") + col("c3"))
+    val m = base.agg(count(lit(1)).cast(D0).as("n"),
+      sum(col("c1")).cast(D0).as("g1"), sum(col("c2")).cast(D0).as("g2"),
+      sum(col("c3")).cast(D0).as("g3"),
+      sum(col("l").cast(D0) * col("l")).as("l2"))
+    val t = col("g1") + col("g2") + col("g3")
+    val num = lit(2) * (lit(3) * (col("g1") * col("g1")
+      + col("g2") * col("g2") + col("g3") * col("g3")) - t * t)
+    val den = lit(3) * t - col("l2")
+    m.select(col("n").cast("long").as("n_docs"),
+        col("g1").cast("long").as("hits_stopword"),
+        col("g2").cast("long").as("hits_short_tokens"),
+        col("g3").cast("long").as("hits_the"),
+        when(den =!= 0,
+          NumFns.roundPortable(num.cast("double") / den.cast("double"), 4))
+          .as("q_stat"))
+      .withColumn("differ_at_5pct",
+        col("q_stat").isNotNull && col("q_stat") > 5.9915)
+  }
+
+  val qCochranQOracle: String =
+    s"""WITH t AS (
+       |  SELECT ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |b AS (
+       |  SELECT
+       |    CASE WHEN len(list_filter(toks, x -> x IN (${
+            EnStop.map(w => s"'$w'").mkString(", ")}))) > 0
+       |      THEN 1 ELSE 0 END AS c1,
+       |    CASE WHEN list_sum(list_transform(toks, x -> len(x))) * 10
+       |        <= len(toks) * 55
+       |      THEN 1 ELSE 0 END AS c2,
+       |    CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS c3
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |w AS (SELECT c1, c2, c3, c1 + c2 + c3 AS l FROM b),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(c1) AS HUGEINT) AS g1, CAST(sum(c2) AS HUGEINT) AS g2,
+       |    CAST(sum(c3) AS HUGEINT) AS g3,
+       |    sum(CAST(l AS HUGEINT) * l) AS l2
+       |  FROM w
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_docs,
+       |  CAST(g1 AS BIGINT) AS hits_stopword,
+       |  CAST(g2 AS BIGINT) AS hits_short_tokens,
+       |  CAST(g3 AS BIGINT) AS hits_the,
+       |  CASE WHEN 3 * (g1 + g2 + g3) - l2 != 0 THEN
+       |    ${NumFns.roundPortableSql(
+            "CAST(2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)"
+              + " - (g1 + g2 + g3) * (g1 + g2 + g3)) AS DOUBLE)"
+              + " / CAST(3 * (g1 + g2 + g3) - l2 AS DOUBLE)", 4)}
+       |  END AS q_stat,
+       |  (3 * (g1 + g2 + g3) - l2 != 0) AND
+       |    CASE WHEN 3 * (g1 + g2 + g3) - l2 != 0 THEN
+       |      ${NumFns.roundPortableSql(
+              "CAST(2 * (3 * (g1 * g1 + g2 * g2 + g3 * g3)"
+                + " - (g1 + g2 + g3) * (g1 + g2 + g3)) AS DOUBLE)"
+                + " / CAST(3 * (g1 + g2 + g3) - l2 AS DOUBLE)", 4)} > 5.9915
+       |    ELSE FALSE END AS differ_at_5pct
+       |FROM m""".stripMargin
 }
