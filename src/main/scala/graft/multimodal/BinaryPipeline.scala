@@ -449,7 +449,26 @@ object BinaryPipeline {
     * trailing frames dropped.
     */
   def demuxY4m(payload: Array[Byte], maxFrames: Int = 16)
-      : Option[(Int, Int, Seq[java.awt.image.BufferedImage])] = {
+      : Option[(Int, Int, Seq[java.awt.image.BufferedImage])] =
+    y4mLayout(payload).map { case (w, h, luma, offs) =>
+      val stride = math.max(1, offs.length / maxFrames)
+      val frames = offs.indices.by(stride).map { i =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, w, h,
+          java.util.Arrays.copyOfRange(payload, offs(i), offs(i) + luma))
+        img
+      }
+      (w, h, frames)
+    }
+
+  /** Header parse + FRAME-offset walk only — no pixel copies. Returns
+    * (width, height, lumaBytesPerFrame, lumaPlaneOffsets) so counting
+    * frames or demuxing a stride never materializes more images than
+    * the caller asks for.
+    */
+  private def y4mLayout(payload: Array[Byte])
+      : Option[(Int, Int, Int, IndexedSeq[Int])] = {
     val Magic = "YUV4MPEG2 ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     if (payload.length < Magic.length + 2 ||
       !java.util.Arrays.equals(
@@ -484,16 +503,7 @@ object BinaryPipeline {
         if (nl < 0 || nl + 1 + frameBytes > payload.length) ok = false
         else { offs += nl + 1; off = nl + 1 + frameBytes }
       }
-      if (offs.isEmpty) return None
-      val stride = math.max(1, offs.length / maxFrames)
-      val frames = offs.indices.by(stride).map { i =>
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        img.getRaster.setDataElements(0, 0, w, h,
-          java.util.Arrays.copyOfRange(payload, offs(i), offs(i) + luma))
-        img
-      }
-      Some((w, h, frames))
+      if (offs.isEmpty) None else Some((w, h, luma, offs.toIndexedSeq))
     } catch {
       case _: RuntimeException => None
     }
@@ -501,7 +511,7 @@ object BinaryPipeline {
 
   /** Frame count of a Y4M stream without decoding (header + stride walk). */
   def y4mFrameCount(payload: Array[Byte]): Option[Int] =
-    demuxY4m(payload, maxFrames = Int.MaxValue).map(_._3.length)
+    y4mLayout(payload).map(_._4.length)
 
   /** Decoded frames of any supported pure-JVM video container —
     * MJPEG-AVI (demux + JPEG decode), animated GIF, or YUV4MPEG2 (raw
@@ -530,8 +540,10 @@ object BinaryPipeline {
     if (fs.nonEmpty)
       fs.view.flatMap(decodeImageBuffered(_)).headOption
         .map(img => VideoInfo(img.getWidth, img.getHeight, fs.length))
-    else demuxY4m(payload, maxFrames = Int.MaxValue) match {
-      case Some((w, h, frames)) => Some(VideoInfo(w, h, frames.length))
+    else y4mLayout(payload) match {
+      // dims come from the header and the count from the offset walk —
+      // no pixel copy is ever made just to size/count a Y4M clip
+      case Some((w, h, _, offs)) => Some(VideoInfo(w, h, offs.length))
       case None =>
         gifFrameCount(payload).flatMap { n =>
           gifFrames(payload, maxFrames = 1).headOption

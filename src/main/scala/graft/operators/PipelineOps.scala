@@ -1572,7 +1572,9 @@ object PipelineOps {
       .select(col("source"), TextFns.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("source"),
-        floor(lit(10000) * size(filter(col("toks"),
+        // 64-bit multiply: a 32-bit lit(10000) * size wraps past ~214k
+        // stopword hits while the oracle's double multiply does not
+        floor(lit(10000L) * size(filter(col("toks"),
           t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
           / size(col("toks"))).cast("long").as("sq"))
     val cells = scored.groupBy(col("sq")).agg(count(lit(1)).as("c"))

@@ -2356,7 +2356,12 @@ object Profiling {
         sum((!col("exp") && col("out")).cast("long")).as("c"),
         sum((!col("exp") && !col("out")).cast("long")).as("d"))
       .filter(col("a") > 0 && col("b") > 0 && col("c") > 0 && col("d") > 0)
-    val or = (col("a") * col("d")).cast("double") / (col("b") * col("c"))
+    // Cross products in DECIMAL(38,0): cell counts at the 100 TB target
+    // (~1e11) make a*d exceed 2^63, which Spark would silently wrap
+    // (non-ANSI) while DuckDB raises — same discipline as qAssortativity.
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val or = (col("a").cast(D0) * col("d")).cast("double") /
+      (col("b").cast(D0) * col("c")).cast("double")
     val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
       + lit(1.0) / col("c") + lit(1.0) / col("d"))
     c.select(col("a").as("n_exp_ret"), col("b").as("n_exp_kept"),
@@ -2382,7 +2387,8 @@ object Profiling {
        |f AS (SELECT * FROM c WHERE a > 0 AND b > 0 AND c > 0 AND d > 0),
        |e AS (
        |  SELECT a, b, c, d,
-       |    CAST(a * d AS DOUBLE) / (b * c) AS orr,
+       |    CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+       |      / CAST(CAST(b AS HUGEINT) * c AS DOUBLE) AS orr,
        |    sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d) AS se
        |  FROM f
        |)
@@ -2404,7 +2410,10 @@ object Profiling {
     * studentization.
     */
   def qGrubbsOutlier(s: SparkSession, dir: String): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    // Moments stay integer cents in DECIMAL(38,0): sum(rev^2) reaches
+    // ~2e23*SF^2, which overflows the 26 integer digits of DECIMAL(38,12)
+    // near SF~50 — full 38-digit headroom holds past any realistic SF.
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val days = Tables.orders(s, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"))
@@ -2434,10 +2443,10 @@ object Profiling {
        |),
        |m AS (
        |  SELECT count(*) AS n,
-       |    CAST(sum(CAST(rev AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean,
-       |    sqrt((CAST(sum(CAST(rev AS DECIMAL(38,12)) * rev) AS DOUBLE)
-       |      - CAST(sum(CAST(rev AS DECIMAL(38,12))) AS DOUBLE)
-       |        * CAST(sum(CAST(rev AS DECIMAL(38,12))) AS DOUBLE) / count(*))
+       |    CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE) / count(*) AS mean,
+       |    sqrt((CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+       |      - CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE)
+       |        * CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE) / count(*))
        |      / (count(*) - 1)) AS sd
        |  FROM days
        |)

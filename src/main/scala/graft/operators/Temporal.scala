@@ -2267,13 +2267,17 @@ object Temporal {
     * calendar-bounded day frame; the lag runs over that aggregate (the
     * sanctioned partitionless-window-over-Aggregate shape); the five
     * regression moments are DECIMAL-folded and cast to double once.
+    * The series stays INTEGER CENTS end-to-end (beta, rho and the
+    * t-stat are scale-invariant, so dollars vs cents is a free choice):
+    * squares fold in DECIMAL(38,0), whose full 38 digits hold
+    * sum(yp^2) ~ 2e23*SF^2 past any realistic SF — the dollars-double
+    * DECIMAL(38,12) form overflowed its 26 integer digits near SF~2000.
     */
   def qDickeyFuller(s: SparkSession, dir: String): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
     val days = Tables.orders(s, dir)
       .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
-      .agg((sum(NumFns.roundAwayLong(col("o_totalprice") * 100)) / 100.0)
-        .as("y"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("y"))
     val w = Window.orderBy(col("di"))
     val pairs = days
       .withColumn("yp", lag(col("y"), 1).over(w))
@@ -2281,10 +2285,10 @@ object Temporal {
       .select((col("y") - col("yp")).as("dy"), col("yp"))
     val m = pairs.agg(count(lit(1)).as("n"),
       sum(col("yp").cast(D)).as("sy"),
-      sum((col("yp") * col("yp")).cast(D)).as("syy"),
+      sum(col("yp").cast(D) * col("yp")).as("syy"),
       sum(col("dy").cast(D)).as("sd"),
-      sum((col("dy") * col("dy")).cast(D)).as("sdd"),
-      sum((col("yp") * col("dy")).cast(D)).as("syd"))
+      sum(col("dy").cast(D) * col("dy")).as("sdd"),
+      sum(col("yp").cast(D) * col("dy")).as("syd"))
       .select(col("n").cast("double").as("n"),
         col("sy").cast("double").as("sy"), col("syy").cast("double").as("syy"),
         col("sd").cast("double").as("sd"), col("sdd").cast("double").as("sdd"),
@@ -2306,7 +2310,7 @@ object Temporal {
        |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
        |      AS di,
        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-       |      / 100.0 AS y
+       |      AS y
        |  FROM orders GROUP BY 1
        |),
        |p AS (
@@ -2316,11 +2320,11 @@ object Temporal {
        |),
        |m AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-       |    CAST(sum(CAST(yp AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-       |    CAST(sum(CAST(yp * yp AS DECIMAL(38,12))) AS DOUBLE) AS syy,
-       |    CAST(sum(CAST(dy AS DECIMAL(38,12))) AS DOUBLE) AS sd,
-       |    CAST(sum(CAST(dy * dy AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
-       |    CAST(sum(CAST(yp * dy AS DECIMAL(38,12))) AS DOUBLE) AS syd
+       |    CAST(sum(CAST(yp AS HUGEINT)) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(yp AS HUGEINT) * yp) AS DOUBLE) AS syy,
+       |    CAST(sum(CAST(dy AS HUGEINT)) AS DOUBLE) AS sd,
+       |    CAST(sum(CAST(dy AS HUGEINT) * dy) AS DOUBLE) AS sdd,
+       |    CAST(sum(CAST(yp AS HUGEINT) * dy) AS DOUBLE) AS syd
        |  FROM p WHERE yp IS NOT NULL
        |),
        |c AS (
@@ -2516,11 +2520,13 @@ object Temporal {
        |  ${NumFns.roundPortableSql("1.0 - sdd / see / 2.0", 4)} AS rho_hint
        |FROM st""".stripMargin
 
-  /** Known break point tested by [[qChowTest]] (day index of 1998-04-01
-    * from the 1992-01-01 epoch — the midpoint of the 1995→2001 order
-    * calendar, so both regimes are populated at every scale factor).
+  /** Known break point tested by [[qChowTest]]: day index of 1995-07-01
+    * from the 1992-01-01 epoch. TPC-H orders span 1992-01 → 1998-08
+    * (~2405 days), so mid-1995 splits the calendar ~1277/~1128 — both
+    * regimes are well populated at every scale factor (the earlier
+    * 1998-04-01 break left only ~124 post-break days).
     */
-  val ChowBreakDi = 2282
+  val ChowBreakDi = 1277
 
   /** Chow structural-break F-test of the daily revenue trend at a KNOWN
     * date: fit y = a + b·di separately before/after the break and
