@@ -2959,4 +2959,318 @@ object Temporal {
        |FROM ps JOIN nt USING (suppkey)
        |GROUP BY nation
        |ORDER BY nation""".stripMargin
+
+  /** Mann–Kendall trend test on daily revenue: S = Σ_{i<j} sign(y_j −
+    * y_i) with the tie-corrected normal variance — the NONPARAMETRIC
+    * monotone-trend gate beside the parametric q_dickey_fuller /
+    * q_theil_sen pair (no linearity or distribution assumption; a
+    * monotone-but-curved drift that OLS under-weights still scores).
+    * Shape: the fact table collapses to the calendar-bounded day frame
+    * first, so the i<j pair join is calendar²-bounded (~2.9M pairs at
+    * ANY corpus scale — all-pairs is scale-safe by construction here,
+    * the q_theil_sen argument), and the tie term reads per-value cells.
+    * Integer cents end-to-end: S, n and the tie sum are exact; only
+    * the final z/p run in IEEE.
+    */
+  def qMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val a = days.select(col("di").as("d1"), col("yc").as("y1"))
+    val b = days.select(col("di").as("d2"), col("yc").as("y2"))
+    val sStat = a.join(broadcast(b), col("d1") < col("d2"))
+      .agg(sum(when(col("y2") > col("y1"), 1L)
+        .when(col("y2") < col("y1"), -1L).otherwise(0L)).as("s"))
+    val ties = days.groupBy(col("yc")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) * (col("c") * 2 + 5)),
+        lit(0L)).as("tie_term"))
+    val n = days.agg(count(lit(1)).as("n"))
+    val z0 = sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .withColumn("var_s",
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie_term"))
+          .cast("double") / 18.0)
+      .withColumn("z",
+        when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("var_s")))
+          .when(col("s") < 0,
+            (col("s") + 1).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+    z0.select(col("n").as("n_days"), col("s").as("s_stat"),
+      NumFns.roundPortable(col("z"), 4).as("z"),
+      NumFns.roundPortable(NumFns.normTwoSidedP(col("z")), 6).as("p_value"),
+      when(col("z") > 1.96, "increasing")
+        .when(col("z") < -1.96, "decreasing")
+        .otherwise("none").as("trend"))
+  }
+
+  val qMannKendallOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |sp AS (
+       |  SELECT CAST(sum(CASE WHEN b.yc > a.yc THEN 1
+       |    WHEN b.yc < a.yc THEN -1 ELSE 0 END) AS BIGINT) AS s
+       |  FROM days a JOIN days b ON a.di < b.di
+       |),
+       |tt AS (
+       |  SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+       |      AS tie_term
+       |  FROM (SELECT count(*) AS c FROM days GROUP BY yc)
+       |),
+       |nn AS (SELECT count(*) AS n FROM days),
+       |zz AS (
+       |  SELECT n, s,
+       |    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+       |        / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+       |          / 18.0)
+       |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+       |        / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+       |          / 18.0)
+       |      ELSE 0.0 END AS z
+       |  FROM sp, tt, nn
+       |)
+       |SELECT n AS n_days, s AS s_stat,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql("z"), 6)}
+       |    AS p_value,
+       |  CASE WHEN z > 1.96 THEN 'increasing'
+       |    WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+       |FROM zz""".stripMargin
+
+  /** Lags pooled by [[qLjungBox]]'s portmanteau statistic. */
+  val LjungBoxLags = 10
+
+  /** Ljung–Box portmanteau test on daily revenue: Q = n(n+2)
+    * Σ_{k≤10} ρ̂_k²/(n−k) — "is there ANY autocorrelation in the first
+    * 10 lags?" in one calibrated number, where q_autocorr reads one
+    * lag at a time (χ²₁₀ 5 % critical value 18.307 gates the verdict).
+    * Shape: everything happens on the calendar-bounded day aggregate —
+    * one frame-ordered window pass materializes all 10 lags, and each
+    * ρ̂_k is a DECIMAL-folded product sum over that frame (order-
+    * independent); no row-scale work anywhere. The mean is a ratio of
+    * exact integers (cents / count), so every deviation is one
+    * deterministic double on both engines.
+    */
+  def qLjungBox(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val m = days.agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"))
+    val dev = days.crossJoin(broadcast(m))
+      .select(col("di"), col("n"),
+        (col("yc") - col("sy").cast("double") / col("n")).as("d"))
+    val w = Window.orderBy(col("di"))
+    val lagged = (1 to LjungBoxLags).foldLeft(dev) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("d"), k).over(w))
+    }
+    val sums = lagged.agg(
+      max(col("n")).as("n"),
+      sum((col("d") * col("d")).cast(D)).as("den") +:
+        (1 to LjungBoxLags).map(k =>
+          sum((col("d") * col(s"l$k")).cast(D)).as(s"num$k")): _*)
+    val nD = col("n").cast("double")
+    val q = (1 to LjungBoxLags).map { k =>
+      val rho = col(s"num$k").cast("double") / col("den").cast("double")
+      rho * rho / (nD - k)
+    }.reduce(_ + _) * nD * (nD + 2.0)
+    sums.select(col("n").as("n_days"),
+      NumFns.roundPortable(
+        col("num1").cast("double") / col("den").cast("double"), 6).as("rho1"),
+      NumFns.roundPortable(q, 4).as("q_stat"))
+      .withColumn("autocorrelated", col("q_stat") > 18.307)
+  }
+
+  val qLjungBoxOracle: String = {
+    val lagCols = (1 to LjungBoxLags).map(k =>
+      s"lag(d, $k) OVER w AS l$k").mkString(",\n       |    ")
+    val nums = (1 to LjungBoxLags).map(k =>
+      s"sum(CAST(d * l$k AS DECIMAL(38,12))) AS num$k")
+      .mkString(",\n       |    ")
+    val qTerms = (1 to LjungBoxLags).map(k =>
+      s"(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE))" +
+        s" * (CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE))" +
+        s" / (CAST(n AS DOUBLE) - $k)").mkString(" + ")
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (SELECT count(*) AS n, CAST(sum(yc) AS BIGINT) AS sy FROM days),
+       |dev AS (
+       |  SELECT di, n, yc - CAST(sy AS DOUBLE) / n AS d
+       |  FROM days CROSS JOIN m
+       |),
+       |ls AS (
+       |  SELECT n, d,
+       |    $lagCols
+       |  FROM dev WINDOW w AS (ORDER BY di)
+       |),
+       |ss AS (
+       |  SELECT max(n) AS n,
+       |    sum(CAST(d * d AS DECIMAL(38,12))) AS den,
+       |    $nums
+       |  FROM ls
+       |),
+       |qq AS (
+       |  SELECT n,
+       |    CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE) AS rho1,
+       |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ($qTerms) AS q
+       |  FROM ss
+       |)
+       |SELECT n AS n_days,
+       |  ${NumFns.roundPortableSql("rho1", 6)} AS rho1,
+       |  ${NumFns.roundPortableSql("q", 4)} AS q_stat,
+       |  ${NumFns.roundPortableSql("q", 4)} > 18.307 AS autocorrelated
+       |FROM qq""".stripMargin
+  }
+
+  /** Turning-points randomness test on daily revenue: count strict
+    * local extrema (y_{t−1} < y_t > y_{t+1} or the reverse); under an
+    * i.i.d. null the count is ≈ N(2(n−2)/3, (16n−29)/90) — the
+    * oscillation-based randomness lens beside q_runs_test (sign-based)
+    * and q_ljung_box (correlation-based): too FEW turning points means
+    * trend/persistence, too MANY means alternation. One day-frame
+    * window pass (lag+lead over the calendar-bounded aggregate);
+    * integer comparisons on exact cents, so the count is exact.
+    */
+  def qTurningPoints(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val w = Window.orderBy(col("di"))
+    val marked = days
+      .withColumn("yp", lag(col("yc"), 1).over(w))
+      .withColumn("yn", lead(col("yc"), 1).over(w))
+      .select(when(col("yp").isNull || col("yn").isNull, 0L)
+        .when((col("yc") > col("yp") && col("yc") > col("yn"))
+          || (col("yc") < col("yp") && col("yc") < col("yn")), 1L)
+        .otherwise(0L).as("tp"))
+    marked.agg(count(lit(1)).as("n"), sum(col("tp")).as("t"))
+      .withColumn("e", lit(2.0) * (col("n") - 2) / 3.0)
+      .withColumn("z",
+        (col("t") - col("e")) / sqrt((col("n") * 16.0 - 29.0) / 90.0))
+      .select(col("n").as("n_days"), col("t").as("n_turning"),
+        NumFns.roundPortable(col("e"), 4).as("expected"),
+        NumFns.roundPortable(col("z"), 4).as("z"),
+        NumFns.roundPortable(NumFns.normTwoSidedP(col("z")), 6).as("p_value"),
+        (abs(col("z")) <= 1.96).as("consistent_with_random"))
+  }
+
+  val qTurningPointsOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |mk AS (
+       |  SELECT CASE WHEN yp IS NULL OR yn IS NULL THEN 0
+       |    WHEN (yc > yp AND yc > yn) OR (yc < yp AND yc < yn) THEN 1
+       |    ELSE 0 END AS tp
+       |  FROM (
+       |    SELECT yc, lag(yc, 1) OVER (ORDER BY di) AS yp,
+       |      lead(yc, 1) OVER (ORDER BY di) AS yn
+       |    FROM days
+       |  )
+       |),
+       |st AS (
+       |  SELECT count(*) AS n, CAST(sum(tp) AS BIGINT) AS t FROM mk
+       |),
+       |zz AS (
+       |  SELECT n, t, 2.0 * (n - 2) / 3.0 AS e,
+       |    (t - 2.0 * (n - 2) / 3.0) / sqrt((16.0 * n - 29.0) / 90.0) AS z
+       |  FROM st
+       |)
+       |SELECT n AS n_days, t AS n_turning,
+       |  ${NumFns.roundPortableSql("e", 4)} AS expected,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql("z"), 6)}
+       |    AS p_value,
+       |  abs(z) <= 1.96 AS consistent_with_random
+       |FROM zz""".stripMargin
+
+  /** Shewhart individuals/moving-range control chart over daily
+    * revenue: center = mean, σ̂ = mean moving range / d₂ (d₂ = 1.128
+    * for n=2 subgroups), 3σ limits, and the out-of-control readout
+    * (count + first violation day) — the SPC operator an operations
+    * review runs nightly; distinct from q_anomaly_zscore (whose σ is
+    * the sample SD that the anomalies themselves inflate — the MR
+    * estimator is robust to level shifts, which is the whole point of
+    * the chart). Shape: two passes over the calendar-bounded day
+    * frame (one frame-ordered lag, one broadcast of the 1-row limits);
+    * mean and MR̄ are ratios of exact integer cents, so the limits are
+    * identical doubles on both engines.
+    */
+  def qSpcChart(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val w = Window.orderBy(col("di"))
+    val mr = days
+      .withColumn("yp", lag(col("yc"), 1).over(w))
+      .select(col("di"), col("yc"), abs(col("yc") - col("yp")).as("mr"))
+    val lim = mr.agg(count(lit(1)).as("n"),
+      sum(col("yc")).as("sy"), sum(col("mr")).as("smr"))
+      .select(col("n"),
+        (col("sy").cast("double") / col("n") / 100.0).as("center"),
+        (col("smr").cast("double") / (col("n") - 1) / 1.128 / 100.0)
+          .as("sigma"))
+    mr.crossJoin(broadcast(lim))
+      .select(col("di"), col("n"), col("center"), col("sigma"),
+        when(abs(col("yc") / 100.0 - col("center")) > col("sigma") * 3.0, 1L)
+          .otherwise(0L).as("viol"))
+      .groupBy(col("n"), col("center"), col("sigma"))
+      .agg(sum(col("viol")).as("n_violations"),
+        min(when(col("viol") === 1L, col("di"))).as("first_violation_di"))
+      .select(col("n").as("n_days"),
+        NumFns.roundPortable(col("center"), 2).as("center"),
+        NumFns.roundPortable(col("sigma"), 2).as("sigma_hat"),
+        NumFns.roundPortable(col("center") + col("sigma") * 3.0, 2).as("ucl"),
+        NumFns.roundPortable(col("center") - col("sigma") * 3.0, 2).as("lcl"),
+        col("n_violations"),
+        col("first_violation_di").cast("long").as("first_violation_di"))
+  }
+
+  val qSpcChartOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |mr AS (
+       |  SELECT di, yc, abs(yc - lag(yc, 1) OVER (ORDER BY di)) AS mr
+       |  FROM days
+       |),
+       |lim AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(yc) AS DOUBLE) / count(*) / 100.0 AS center,
+       |    CAST(sum(mr) AS DOUBLE) / (count(*) - 1) / 1.128 / 100.0 AS sigma
+       |  FROM mr
+       |),
+       |vi AS (
+       |  SELECT n, center, sigma,
+       |    CASE WHEN abs(yc / 100.0 - center) > 3.0 * sigma THEN 1 ELSE 0 END
+       |      AS viol,
+       |    di
+       |  FROM mr CROSS JOIN lim
+       |)
+       |SELECT n AS n_days,
+       |  ${NumFns.roundPortableSql("center", 2)} AS center,
+       |  ${NumFns.roundPortableSql("sigma", 2)} AS sigma_hat,
+       |  ${NumFns.roundPortableSql("center + 3.0 * sigma", 2)} AS ucl,
+       |  ${NumFns.roundPortableSql("center - 3.0 * sigma", 2)} AS lcl,
+       |  CAST(sum(viol) AS BIGINT) AS n_violations,
+       |  CAST(min(CASE WHEN viol = 1 THEN di END) AS BIGINT)
+       |    AS first_violation_di
+       |FROM vi
+       |GROUP BY n, center, sigma""".stripMargin
 }
