@@ -2796,4 +2796,218 @@ object Profiling {
           "c_mktsegment", "customer")}
        |) ORDER BY fd""".stripMargin
   }
+
+  /** G-test (log-likelihood-ratio independence) of return flag ×
+    * ship month — the information-theoretic twin of q_chi2_independence
+    * (same null, but G = 2·Σ O·ln(O/E) is additive across partitions of
+    * the table and equals 2n·MI in nats, which the χ² approximation
+    * only approaches): reported beside the mutual information it
+    * implies. Shape: the fact table collapses to the ≤36-cell
+    * (flag, month) contingency frame in one scan; margins and the term
+    * fold all live on that frame (per-term DECIMAL casts make the
+    * 21-term sum order-independent). Counts are exact int64; ln runs
+    * once per cell on identical doubles.
+    */
+  def qGTest(s: SparkSession, dir: String): DataFrame = {
+    val D12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        month(to_date(col("l_shipdate"))).as("mode"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // ≤36 rows; feeds margins AND the term fold
+    val rowTot = cells.groupBy(col("flag")).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col("mode")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("flag")).as("nf"),
+      countDistinct(col("mode")).as("nm"))
+    cells
+      .join(broadcast(rowTot), Seq("flag"))
+      .join(broadcast(colTot), Seq("mode"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("nf"), col("nm"),
+        (col("o") * log(col("o").cast("double")
+          / (col("r") * col("c") / col("n").cast("double"))))
+          .cast(D12).as("t"))
+      .groupBy(col("n"), col("nf"), col("nm"))
+      .agg(sum(col("t")).as("g2"))
+      .select(col("n"),
+        ((col("nf") - 1) * (col("nm") - 1)).as("dof"),
+        NumFns.roundPortable(col("g2").cast("double") * 2.0, 4).as("g_stat"),
+        NumFns.roundPortable(
+          col("g2").cast("double") / col("n").cast("double"), 8)
+          .as("mi_nats"))
+  }
+
+  val qGTestOracle: String =
+    s"""WITH cells AS (
+       |  SELECT l_returnflag AS flag, month(CAST(l_shipdate AS DATE)) AS mode,
+       |    count(*) AS o
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |rt AS (SELECT flag, sum(o) AS r FROM cells GROUP BY flag),
+       |ct AS (SELECT mode, sum(o) AS c FROM cells GROUP BY mode),
+       |t AS (SELECT sum(o) AS n, count(DISTINCT flag) AS nf,
+       |        count(DISTINCT mode) AS nm FROM cells),
+       |x AS (
+       |  SELECT n, nf, nm,
+       |    CAST(o * ln(CAST(o AS DOUBLE) / (r * c / CAST(n AS DOUBLE)))
+       |      AS DECIMAL(38,12)) AS t
+       |  FROM cells JOIN rt USING (flag) JOIN ct USING (mode) CROSS JOIN t
+       |)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CAST((nf - 1) * (nm - 1) AS BIGINT) AS dof,
+       |  ${NumFns.roundPortableSql("CAST(sum(t) AS DOUBLE) * 2.0", 4)}
+       |    AS g_stat,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(t) AS DOUBLE) / CAST(n AS DOUBLE)", 8)} AS mi_nats
+       |FROM x GROUP BY n, nf, nm""".stripMargin
+
+  /** Decision threshold (stopword permille) for [[qMcc]]'s classifier. */
+  val MccThreshold = 100L
+
+  /** Matthews correlation coefficient of the stopword-density language
+    * classifier at the fixed 300‰ operating point — the single
+    * imbalance-robust number for a hard keep/drop rule (accuracy and F1
+    * both inflate when one class dominates a crawl; MCC only rewards
+    * doing well on BOTH classes), complementing q_pr_curve's threshold
+    * sweep and q_youden_threshold's ROC pick. Shape: one corpus scan →
+    * four exact confusion counts; the numerator ad−bc and each pairwise
+    * margin product fold in DECIMAL(38,0) (counts at the 100 TB target
+    * overflow a long product — the qOddsRatio discipline), and the
+    * denominator is split √((a+b)(a+c))·√((b+d)(c+d)) so no
+    * intermediate exceeds decimal range.
+    */
+  def qMcc(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        (floor(lit(1000L) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))) >= MccThreshold).as("pred"),
+        (col("lang") === "en").as("truth"))
+    val c = scored.agg(
+      sum((col("pred") && col("truth")).cast("long")).as("tp"),
+      sum((col("pred") && !col("truth")).cast("long")).as("fp"),
+      sum((!col("pred") && col("truth")).cast("long")).as("fn"),
+      sum((!col("pred") && !col("truth")).cast("long")).as("tn"))
+    val num = (col("tp").cast(D0) * col("tn")
+      - col("fp").cast(D0) * col("fn")).cast("double")
+    val d1 = sqrt(((col("tp") + col("fp")).cast(D0)
+      * (col("tp") + col("fn"))).cast("double"))
+    val d2 = sqrt(((col("tn") + col("fp")).cast(D0)
+      * (col("tn") + col("fn"))).cast("double"))
+    c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      // degenerate margin (no predicted/actual positives or negatives)
+      // → MCC undefined → NULL, not a divide-by-zero under ANSI
+      NumFns.roundPortable(
+        when(d1 * d2 > 0.0, num / (d1 * d2)), 6).as("mcc"),
+      NumFns.roundPortable((col("tp") + col("tn")).cast("double")
+        / (col("tp") + col("fp") + col("fn") + col("tn")), 6).as("accuracy"))
+  }
+
+  val qMccOracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT
+       |    floor(1000 * len(list_filter(toks, x -> x IN
+       |      (${Curation.stopListSql}))) / len(toks)) >= $MccThreshold
+       |      AS pred,
+       |    lang = 'en' AS truth
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |c AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tp,
+       |    CAST(sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS fp,
+       |    CAST(sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS fn,
+       |    CAST(sum(CASE WHEN NOT pred AND NOT truth THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn
+       |  FROM sc
+       |)
+       |SELECT tp, fp, fn, tn,
+       |  ${NumFns.roundPortableSql(
+            "CASE WHEN sqrt(CAST(CAST(tp + fp AS HUGEINT)" +
+              " * (tp + fn) AS DOUBLE)) * sqrt(CAST(CAST(tn + fp AS HUGEINT)" +
+              " * (tn + fn) AS DOUBLE)) > 0.0 THEN" +
+              " CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn" +
+              " AS DOUBLE) / (sqrt(CAST(CAST(tp + fp AS HUGEINT)" +
+              " * (tp + fn) AS DOUBLE)) * sqrt(CAST(CAST(tn + fp AS HUGEINT)" +
+              " * (tn + fn) AS DOUBLE))) END", 6)} AS mcc,
+       |  ${NumFns.roundPortableSql(
+            "CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn)", 6)} AS accuracy
+       |FROM c""".stripMargin
+
+  /** Poisson dispersion (index-of-dispersion) test of daily order
+    * counts: D = s²/x̄ with χ² = (n−1)·D against χ²_{n−1}, z via the
+    * Wilson–Hilferty cube-root normalization — "are arrivals Poisson,
+    * or clumped?" (D ≫ 1 means bursty ingestion days, the capacity-
+    * planning fact q_dow_profile's means can't show). Shape: the fact
+    * table collapses to the calendar-bounded day-count frame; both
+    * moments fold exactly in DECIMAL(38,0) (counts stay integers) and
+    * the variance clears its denominator (n·Σc² − (Σc)²) before any
+    * IEEE division.
+    */
+  def qPoissonDispersion(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val m = days.agg(count(lit(1)).cast(D0).as("n"),
+      sum(col("c").cast(D0)).as("s1"),
+      sum(col("c").cast(D0) * col("c")).as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val vr = (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (nD * (nD - 1.0))
+    val disp = vr / mean
+    val k = nD - 1.0
+    val z = (pow(disp, 1.0 / 3.0) - (lit(1.0) - lit(2.0) / (lit(9.0) * k))) /
+      sqrt(lit(2.0) / (lit(9.0) * k))
+    m.select(col("n").cast("long").as("n_days"),
+      NumFns.roundPortable(mean, 4).as("mean_per_day"),
+      NumFns.roundPortable(vr, 4).as("var_per_day"),
+      NumFns.roundPortable(disp, 6).as("dispersion"),
+      NumFns.roundPortable(z, 4).as("z"))
+      .withColumn("overdispersed", col("z") > 1.645)
+  }
+
+  val qPoissonDispersionOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(c AS HUGEINT)) AS s1,
+       |    sum(CAST(c AS HUGEINT) * c) AS s2
+       |  FROM days
+       |),
+       |st AS (
+       |  SELECT CAST(n AS BIGINT) AS n_days,
+       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       |    CAST(n * s2 - s1 * s1 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vr,
+       |    CAST(n AS DOUBLE) - 1.0 AS k
+       |  FROM m
+       |),
+       |zz AS (
+       |  SELECT n_days, mean, vr, vr / mean AS disp,
+       |    (pow(vr / mean, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * k)))
+       |      / sqrt(2.0 / (9.0 * k)) AS z
+       |  FROM st
+       |)
+       |SELECT n_days,
+       |  ${NumFns.roundPortableSql("mean", 4)} AS mean_per_day,
+       |  ${NumFns.roundPortableSql("vr", 4)} AS var_per_day,
+       |  ${NumFns.roundPortableSql("disp", 6)} AS dispersion,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql("z", 4)} > 1.645 AS overdispersed
+       |FROM zz""".stripMargin
 }
