@@ -2978,6 +2978,93 @@ object Profiling {
       .withColumn("overdispersed", col("z") > 1.645)
   }
 
+  /** Kendall's W concordance of three nation RANKINGS (total revenue,
+    * order count, mean order value): do different league-table metrics
+    * agree on the ordering? — the m-ranker generalization of
+    * q_kendall_tau (pairwise) and the ranking twin of q_cronbach_alpha.
+    * Shape: one orders⋈customer⋈nation pass collapses to the ≤25-row
+    * nation frame; the three row_number windows run over that bounded
+    * dimension aggregate (the sanctioned partitionless-window shape —
+    * the frame is nation-domain, hard-capped at 25), ranks are exact
+    * integers (deterministic nation tie-break), and W = 12·S/(m²(n³−n))
+    * is integer arithmetic until one final division.
+    */
+  def qKendallW(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNation = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("nation"))),
+        Seq("c_nationkey"))
+      .groupBy(col("nation"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("rev"),
+        count(lit(1)).as("cnt"))
+      .withColumn("avgv", col("rev").cast("double") / col("cnt"))
+    val ranked = byNation
+      .withColumn("r1",
+        row_number().over(Window.orderBy(col("rev"), col("nation"))))
+      .withColumn("r2",
+        row_number().over(Window.orderBy(col("cnt"), col("nation"))))
+      .withColumn("r3",
+        row_number().over(Window.orderBy(col("avgv"), col("nation"))))
+      .select((col("r1") + col("r2") + col("r3")).cast("long").as("rsum"))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("rsum") * col("rsum")).as("ss"), sum(col("rsum")).as("s1"))
+    // S = Σ(R − m(n+1)/2)² cleared over 4: 4S = 4ΣR² − 4·(ΣR)²/n (ΣR =
+    // m·n(n+1)/2 exactly, so the mean is ΣR/n)
+    val nL = col("n")
+    val sCleared = (col("ss") * nL * 4 - col("s1") * col("s1") * 4)
+      .cast("double") / (nL * 4).cast("double")
+    val w = sCleared * 12.0 /
+      (lit(9.0) * (nL * nL * nL - nL).cast("double"))
+    m.select(col("n").as("n_nations"),
+      NumFns.roundPortable(w, 6).as("kendall_w"),
+      NumFns.roundPortable(w * lit(3.0) * (nL - 1).cast("double"), 4)
+        .as("chi2"))
+      .withColumn("concordant", col("chi2") > 36.415)
+  }
+
+  val qKendallWOracle: String =
+    s"""WITH bn AS (
+       |  SELECT n_name AS nation,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev,
+       |    count(*) AS cnt
+       |  FROM orders
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation ON n_nationkey = c_nationkey
+       |  GROUP BY 1
+       |),
+       |rk AS (
+       |  SELECT
+       |    row_number() OVER (ORDER BY rev, nation)
+       |    + row_number() OVER (ORDER BY cnt, nation)
+       |    + row_number() OVER (ORDER BY CAST(rev AS DOUBLE) / cnt, nation)
+       |      AS rsum
+       |  FROM bn
+       |),
+       |m AS (
+       |  SELECT count(*) AS n, CAST(sum(rsum * rsum) AS BIGINT) AS ss,
+       |    CAST(sum(rsum) AS BIGINT) AS s1
+       |  FROM rk
+       |),
+       |c AS (
+       |  SELECT n,
+       |    (CAST(ss * n * 4 - s1 * s1 * 4 AS DOUBLE) / CAST(n * 4 AS DOUBLE))
+       |      * 12.0 / (9.0 * CAST(n * n * n - n AS DOUBLE)) AS w
+       |  FROM m
+       |)
+       |SELECT n AS n_nations,
+       |  ${NumFns.roundPortableSql("w", 6)} AS kendall_w,
+       |  ${NumFns.roundPortableSql("w * 3.0 * CAST(n - 1 AS DOUBLE)", 4)}
+       |    AS chi2,
+       |  ${NumFns.roundPortableSql("w * 3.0 * CAST(n - 1 AS DOUBLE)", 4)}
+       |    > 36.415 AS concordant
+       |FROM c""".stripMargin
+
   val qPoissonDispersionOracle: String =
     s"""WITH days AS (
        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c

@@ -2960,6 +2960,87 @@ object Temporal {
        |GROUP BY nation
        |ORDER BY nation""".stripMargin
 
+  /** Nelson–Aalen cumulative-hazard estimator over the user-lifetime
+    * frame — the hazard-side twin of [[qSurvival]]'s Kaplan–Meier
+    * (H(t) = Σ_{s≤t} d_s/n_s vs KM's product form; exp(−H) ≥ KM
+    * pointwise, and the gap is the discreteness diagnostic): same
+    * cells, different estimator, the way q_seasonal_strength shares
+    * q_seasonal_decompose's frame. Shape: identical to qSurvival —
+    * events collapse to per-user lifetimes, lifetimes to the bounded
+    * event-time cell frame; the cumulative sums are frame-ordered
+    * windows over that aggregate (sequential on both engines), exact
+    * ratios of integers per term.
+    */
+  def qNelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / (86400L * 1000000L)).as("day"))
+    val users = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+    val corpusEnd = days.agg(max(col("day")).as("end_day"))
+    val lifetimes = users.crossJoin(broadcast(corpusEnd))
+      .select((col("last_day") - col("first_day")).as("t"),
+        (col("last_day") <= col("end_day") - ChurnHorizonDays).as("churned"))
+    val cells = lifetimes.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_t"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d_t"))
+    val total = cells.agg(sum(col("n_t")).as("n_users"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("n_t")).over(wBefore), lit(0L)))
+      .withColumn("h_term", col("d_t") / col("n_risk").cast("double"))
+      .withColumn("cum_hazard", sum(col("h_term")).over(wCum))
+      .select(col("t"), col("n_risk"), col("d_t"),
+        NumFns.roundPortable(col("cum_hazard"), 6).as("cum_hazard"),
+        NumFns.roundPortable(exp(-col("cum_hazard")), 6).as("surv_na"))
+      .orderBy(col("t"))
+  }
+
+  val qNelsonAalenOracle: String =
+    s"""WITH days AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch_us(ts) / 86400000000::BIGINT) AS BIGINT) AS day
+       |  FROM events
+       |),
+       |u AS (
+       |  SELECT user_id, min(day) AS first_day, max(day) AS last_day
+       |  FROM days GROUP BY user_id
+       |),
+       |m AS (SELECT max(day) AS end_day FROM days),
+       |lt AS (
+       |  SELECT last_day - first_day AS t,
+       |    last_day <= end_day - $ChurnHorizonDays AS churned
+       |  FROM u CROSS JOIN m
+       |),
+       |c AS (
+       |  SELECT t, count(*) AS n_t,
+       |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_t
+       |  FROM lt GROUP BY t
+       |),
+       |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_users FROM c),
+       |r AS (
+       |  SELECT t, n_t, d_t,
+       |    n_users - CAST(COALESCE(sum(n_t) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS n_risk
+       |  FROM c CROSS JOIN tot
+       |),
+       |h AS (
+       |  SELECT t, n_risk, d_t,
+       |    sum(d_t / CAST(n_risk AS DOUBLE)) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+       |  FROM r
+       |)
+       |SELECT t, n_risk, d_t,
+       |  ${NumFns.roundPortableSql("ch", 6)} AS cum_hazard,
+       |  ${NumFns.roundPortableSql("exp(-ch)", 6)} AS surv_na
+       |FROM h
+       |ORDER BY t""".stripMargin
+
   /** Mann–Kendall trend test on daily revenue: S = Σ_{i<j} sign(y_j −
     * y_i) with the tie-corrected normal variance — the NONPARAMETRIC
     * monotone-trend gate beside the parametric q_dickey_fuller /

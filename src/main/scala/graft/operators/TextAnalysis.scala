@@ -2185,4 +2185,120 @@ object TextAnalysis {
                 + " / CAST(3 * (g1 + g2 + g3) - l2 AS DOUBLE)", 4)} > 5.9915
        |    ELSE FALSE END AS differ_at_5pct
        |FROM m""".stripMargin
+
+  /** Fleiss' κ agreement across three deterministic document "raters"
+    * (stopword-density ≥ 100‰, ≥ 50 tokens, ≥ 200 chars — three cheap
+    * quality heuristics a curation stack actually stacks): do the
+    * rules agree on which documents are "good" beyond chance? The
+    * multi-rater generalization of q_cohens_kappa (which compares
+    * exactly two raters). Shape: one corpus scan emits each doc's
+    * positive-vote count n₁ ∈ {0..3}; κ needs only N, Σn₁ and
+    * Σ(n₁²+(3−n₁)²) — three exact integer aggregates, no shuffle
+    * beyond the 1-row combine; everything after is scalar arithmetic
+    * on ratios of exact integers.
+    */
+  def qFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("text"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val votes = docs.select(
+      (when(floor(lit(1000L) * size(filter(col("toks"),
+        t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+        / size(col("toks"))) >= 100L, 1L).otherwise(0L)
+        + when(size(col("toks")) >= 50, 1L).otherwise(0L)
+        + when(length(col("text")) >= 200, 1L).otherwise(0L)).as("n1"))
+    val m = votes.agg(count(lit(1)).as("n"), sum(col("n1")).as("s1"),
+      sum(col("n1") * col("n1")
+        + (lit(3L) - col("n1")) * (lit(3L) - col("n1"))).as("s2"))
+    val nD = col("n").cast("double")
+    val pBar = (col("s2") - col("n") * 3).cast("double") / (nD * 6.0)
+    val p1 = col("s1").cast("double") / (nD * 3.0)
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    m.select(col("n").as("n_docs"),
+      NumFns.roundPortable(pBar, 6).as("p_bar"),
+      NumFns.roundPortable(pe, 6).as("p_e"),
+      NumFns.roundPortable(
+        when(pe < 1.0, (pBar - pe) / (lit(1.0) - pe)), 6).as("fleiss_kappa"))
+  }
+
+  val qFleissKappaOracle: String =
+    s"""WITH t AS (
+       |  SELECT text, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |v AS (
+       |  SELECT
+       |    (CASE WHEN floor(1000 * len(list_filter(toks, x -> x IN
+       |        (${Curation.stopListSql}))) / len(toks)) >= 100
+       |      THEN 1 ELSE 0 END)
+       |    + (CASE WHEN len(toks) >= 50 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END) AS n1
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |m AS (
+       |  SELECT count(*) AS n, CAST(sum(n1) AS BIGINT) AS s1,
+       |    CAST(sum(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS s2
+       |  FROM v
+       |),
+       |c AS (
+       |  SELECT n,
+       |    CAST(s2 - n * 3 AS DOUBLE) / (CAST(n AS DOUBLE) * 6.0) AS p_bar,
+       |    CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0) AS p1
+       |  FROM m
+       |)
+       |SELECT n AS n_docs,
+       |  ${NumFns.roundPortableSql("p_bar", 6)} AS p_bar,
+       |  ${NumFns.roundPortableSql(
+            "p1 * p1 + (1.0 - p1) * (1.0 - p1)", 6)} AS p_e,
+       |  ${NumFns.roundPortableSql(
+            "CASE WHEN p1 * p1 + (1.0 - p1) * (1.0 - p1) < 1.0 THEN" +
+              " (p_bar - (p1 * p1 + (1.0 - p1) * (1.0 - p1)))" +
+              " / (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))) END", 6)}
+       |    AS fleiss_kappa
+       |FROM c""".stripMargin
+
+  /** Yule's K vocabulary-richness characteristic: K = 10⁴·(Σm²·Vₘ −
+    * N)/N² over the count-of-counts spectrum (Vₘ = #types occurring m
+    * times) — the repeat-rate constant that, unlike q_ttr/q_hapax, is
+    * (approximately) TEXT-LENGTH INVARIANT, so one number compares
+    * corpora of different sizes without a normalization story; beside
+    * q_heaps_fit (growth law) and q_word_entropy (distributional). At
+    * 100 TB the shape is the whole point: tokens → word-count cells →
+    * the ≤10³-row count-of-counts frame; K is three exact integer
+    * sums over it (m²Vₘ folds in DECIMAL — m can reach corpus scale
+    * where a long product wraps). No vocab-rank window anywhere.
+    */
+  def qYuleK(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cc = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("vm"))
+    cc.agg(
+      sum(col("m").cast(D0) * col("vm")).as("n_tok"),
+      sum(col("vm")).as("n_types"),
+      sum(col("m").cast(D0) * col("m") * col("vm")).as("s2"))
+      .select(col("n_tok").cast("long").as("n_tokens"), col("n_types"),
+        NumFns.roundPortable(
+          (col("s2") - col("n_tok")).cast("double") * 1e4
+            / col("n_tok").cast("double") / col("n_tok").cast("double"), 4)
+          .as("yule_k"))
+  }
+
+  val qYuleKOracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${TextFns.toksSql}) AS word FROM documents
+       |),
+       |wc AS (SELECT word, count(*) AS m FROM toks GROUP BY word),
+       |cc AS (SELECT m, count(*) AS vm FROM wc GROUP BY m),
+       |ag AS (
+       |  SELECT CAST(sum(CAST(m AS HUGEINT) * vm) AS BIGINT) AS n_tokens,
+       |    CAST(sum(vm) AS BIGINT) AS n_types,
+       |    sum(CAST(m AS HUGEINT) * m * vm) AS s2
+       |  FROM cc
+       |)
+       |SELECT n_tokens, n_types,
+       |  ${NumFns.roundPortableSql(
+            "CAST(s2 - n_tokens AS DOUBLE) * 1e4 / CAST(n_tokens AS DOUBLE)" +
+              " / CAST(n_tokens AS DOUBLE)", 4)} AS yule_k
+       |FROM ag""".stripMargin
 }
