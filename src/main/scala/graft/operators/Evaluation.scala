@@ -1101,4 +1101,88 @@ object Evaluation {
        |  ${NumFns.roundPortableSql("obar * (1.0 - obar)", 6)}
        |    AS uncertainty
        |FROM terms GROUP BY nt, post, bsum, obar""".stripMargin
+
+  /** Hosmer–Lemeshow goodness-of-fit test of the stopword-density
+    * probability model on q_calibration's exact decile bins: HL =
+    * Σ_g (O_g−E_g)²/(n_g·π̄_g(1−π̄_g)) against χ²_{g−2} — the
+    * calibration-as-hypothesis-test reading (q_calibration reports ECE,
+    * a magnitude; q_brier decomposes loss; HL says whether the
+    * miscalibration is statistically significant at all). Shape: one
+    * corpus scan → the ≤10-row score-bin frame; O, E and π̄ are exact
+    * integer sums over it (E_g = Σscore/1000 is a ratio of integers);
+    * bins with a degenerate mean prediction (π̄ ∈ {0,1}) drop from the
+    * statistic with their count reported, keeping the χ² well-defined.
+    */
+  def qHosmerLemeshow(s: SparkSession, dir: String): DataFrame = {
+    val D = DecimalType(38, 12)
+    val scored = Tables.documents(s, dir)
+      .select(col("lang"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        floor(lit(1000L) * size(filter(col("toks"),
+          t => t.isin(Curation.StopWords.map(w => lit(w): Any): _*)))
+          / size(col("toks"))).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val bins = scored
+      .select(least(floor(col("score") / 100), lit(9L)).as("bin"),
+        col("score"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("ssum"),
+        sum(col("pos")).as("o"))
+    val terms = bins
+      .select(col("bin"), col("n"), col("o"),
+        (col("ssum").cast("double") / 1000.0).as("e"))
+      .withColumn("pbar", col("e") / col("n"))
+      .withColumn("use", col("pbar") > 0.0 && col("pbar") < 1.0)
+      .select(col("use"),
+        when(col("use"),
+          ((col("o") - col("e")) * (col("o") - col("e"))
+            / (col("n") * col("pbar") * (lit(1.0) - col("pbar"))))
+            .cast(D)).as("hterm"))
+    terms.agg(
+      sum(when(col("use"), 1L).otherwise(0L)).as("g_used"),
+      sum(when(!col("use"), 1L).otherwise(0L)).as("g_dropped"),
+      sum(col("hterm")).as("hl"))
+      .select(col("g_used"), col("g_dropped"),
+        (col("g_used") - 2).as("dof"),
+        NumFns.roundPortable(col("hl").cast("double"), 4).as("hl_stat"))
+  }
+
+  val qHosmerLemeshowOracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT CAST(floor(1000 * len(list_filter(toks,
+       |      x -> x IN (${Curation.stopListSql}))) / len(toks)) AS BIGINT)
+       |    AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |bins AS (
+       |  SELECT least(CAST(floor(score / 100) AS BIGINT), 9) AS bin,
+       |    count(*) AS n, CAST(sum(score) AS BIGINT) AS ssum,
+       |    CAST(sum(pos) AS BIGINT) AS o
+       |  FROM sc GROUP BY bin
+       |),
+       |tm AS (
+       |  SELECT n, o, CAST(ssum AS DOUBLE) / 1000.0 AS e,
+       |    CAST(ssum AS DOUBLE) / 1000.0 / n AS pbar
+       |  FROM bins
+       |),
+       |f AS (
+       |  SELECT pbar > 0.0 AND pbar < 1.0 AS use,
+       |    CASE WHEN pbar > 0.0 AND pbar < 1.0 THEN
+       |      CAST((o - e) * (o - e) / (n * pbar * (1.0 - pbar))
+       |        AS DECIMAL(38,12)) END AS hterm
+       |  FROM tm
+       |)
+       |SELECT
+       |  CAST(sum(CASE WHEN use THEN 1 ELSE 0 END) AS BIGINT) AS g_used,
+       |  CAST(sum(CASE WHEN NOT use THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS g_dropped,
+       |  CAST(sum(CASE WHEN use THEN 1 ELSE 0 END) AS BIGINT) - 2 AS dof,
+       |  ${NumFns.roundPortableSql("CAST(sum(hterm) AS DOUBLE)", 4)}
+       |    AS hl_stat
+       |FROM f""".stripMargin
 }

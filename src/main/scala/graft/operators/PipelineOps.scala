@@ -1708,4 +1708,116 @@ object PipelineOps {
        |  ${NumFns.roundPortableSql(logL, 4)} > 2.9957 AS reject_at_5pct
        |FROM w""".stripMargin
   }
+
+  /** Inverse-propensity-weighted (Hájek) average treatment effect of a
+    * deep discount (>5 %) on the return probability, adjusting for the
+    * quantity-bucket confounder — the weighting-based causal estimator
+    * beside q_caliper_matching (matching), q_diff_in_diff (panel) and
+    * q_cuped (variance reduction): e(x) is the exact per-bucket
+    * treatment share, each unit enters with weight 1/e or 1/(1−e), and
+    * the naive unadjusted gap is printed beside the IPW estimate so the
+    * confounding correction is visible. Shape: because the outcome is
+    * binary, EVERYTHING lives on the ≤20-cell (bucket, T) frame after
+    * one scan — weights, weighted sums, both estimates; per-term
+    * DECIMAL folds make the cell sums order-independent. Buckets with a
+    * degenerate propensity (no treated or no control) drop, per the
+    * positivity assumption, and their dropped mass is reported.
+    */
+  def qIpwAte(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.lineitem(s, dir)
+      .select(least(floor(col("l_quantity") / 5.0), lit(9.0)).cast("long")
+        .as("xb"),
+        (col("l_discount") > 0.05).as("t"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      .groupBy(col("xb"), col("t"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("ny"))
+      .localCheckpoint() // ≤20 rows; feeds propensities AND both folds
+    val prop = cells.groupBy(col("xb"))
+      .agg(sum(when(col("t"), col("n")).otherwise(0L)).as("nt"),
+        sum(col("n")).as("nx"))
+      .select(col("xb"), col("nt"), col("nx"),
+        (col("nt").cast("double") / col("nx")).as("e"))
+    val keep = prop.filter(col("e") > 0.0 && col("e") < 1.0)
+    val terms = cells.join(broadcast(keep), Seq("xb"))
+      .select(col("t"), col("n"), col("ny"), col("e"),
+        when(col("t"), col("ny") / col("e"))
+          .otherwise(col("ny") / (lit(1.0) - col("e"))).cast(D).as("wy"),
+        when(col("t"), col("n") / col("e"))
+          .otherwise(col("n") / (lit(1.0) - col("e"))).cast(D).as("w"))
+    val agg = terms.agg(
+      sum(when(col("t"), col("wy"))).as("wy1"),
+      sum(when(col("t"), col("w"))).as("w1"),
+      sum(when(!col("t"), col("wy"))).as("wy0"),
+      sum(when(!col("t"), col("w"))).as("w0"),
+      sum(when(col("t"), col("ny")).otherwise(0L)).as("y1"),
+      sum(when(col("t"), col("n")).otherwise(0L)).as("n1"),
+      sum(when(!col("t"), col("ny")).otherwise(0L)).as("y0"),
+      sum(when(!col("t"), col("n")).otherwise(0L)).as("n0"))
+    val dropped = cells.crossJoin(broadcast(
+      keep.agg(sum(col("nx")).as("nkept"))))
+      .agg(sum(col("n")).as("nall"), max(col("nkept")).as("nkept"))
+    agg.crossJoin(broadcast(dropped))
+      .select(
+        col("n1"), col("n0"),
+        NumFns.roundPortable(col("y1").cast("double") / col("n1")
+          - col("y0").cast("double") / col("n0"), 6).as("naive_diff"),
+        NumFns.roundPortable(
+          col("wy1").cast("double") / col("w1").cast("double")
+            - col("wy0").cast("double") / col("w0").cast("double"), 6)
+          .as("ipw_ate"),
+        (col("nall") - col("nkept")).as("n_dropped_positivity"))
+  }
+
+  val qIpwAteOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(least(floor(l_quantity / 5.0), 9.0) AS BIGINT) AS xb,
+       |    l_discount > 0.05 AS t,
+       |    count(*) AS n,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ny
+       |  FROM lineitem GROUP BY 1, 2
+       |),
+       |prop AS (
+       |  SELECT xb,
+       |    CAST(sum(CASE WHEN t THEN n ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(sum(n) AS BIGINT) AS nx,
+       |    CAST(sum(CASE WHEN t THEN n ELSE 0 END) AS DOUBLE) / sum(n) AS e
+       |  FROM cells GROUP BY xb
+       |),
+       |keep AS (SELECT * FROM prop WHERE e > 0.0 AND e < 1.0),
+       |terms AS (
+       |  SELECT t, n, ny,
+       |    CAST(CASE WHEN t THEN ny / e ELSE ny / (1.0 - e) END
+       |      AS DECIMAL(38,12)) AS wy,
+       |    CAST(CASE WHEN t THEN n / e ELSE n / (1.0 - e) END
+       |      AS DECIMAL(38,12)) AS w
+       |  FROM cells JOIN keep USING (xb)
+       |),
+       |ag AS (
+       |  SELECT
+       |    sum(CASE WHEN t THEN wy END) AS wy1,
+       |    sum(CASE WHEN t THEN w END) AS w1,
+       |    sum(CASE WHEN NOT t THEN wy END) AS wy0,
+       |    sum(CASE WHEN NOT t THEN w END) AS w0,
+       |    CAST(sum(CASE WHEN t THEN ny ELSE 0 END) AS BIGINT) AS y1,
+       |    CAST(sum(CASE WHEN t THEN n ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN NOT t THEN ny ELSE 0 END) AS BIGINT) AS y0,
+       |    CAST(sum(CASE WHEN NOT t THEN n ELSE 0 END) AS BIGINT) AS n0
+       |  FROM terms
+       |),
+       |dr AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nall,
+       |    (SELECT CAST(sum(nx) AS BIGINT) FROM keep) AS nkept
+       |  FROM cells
+       |)
+       |SELECT n1, n0,
+       |  ${NumFns.roundPortableSql(
+            "CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0", 6)}
+       |    AS naive_diff,
+       |  ${NumFns.roundPortableSql(
+            "CAST(wy1 AS DOUBLE) / CAST(w1 AS DOUBLE)" +
+              " - CAST(wy0 AS DOUBLE) / CAST(w0 AS DOUBLE)", 6)} AS ipw_ate,
+       |  nall - nkept AS n_dropped_positivity
+       |FROM ag CROSS JOIN dr""".stripMargin
 }

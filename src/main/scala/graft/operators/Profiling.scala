@@ -3097,4 +3097,63 @@ object Profiling {
        |  ${NumFns.roundPortableSql("z", 4)} AS z,
        |  ${NumFns.roundPortableSql("z", 4)} > 1.645 AS overdispersed
        |FROM zz""".stripMargin
+
+  /** Hellinger distance between the quantity distributions of returned
+    * vs kept line items: H = √(1 − Σ√(pᵢqᵢ)) over the ≤50-value
+    * quantity cells — the bounded-[0,1] METRIC drift measure beside
+    * q_ks_drift (sup-norm), q_jsd_drift (information) and q_psi_drift
+    * (binned index): symmetric, triangle-inequality-valid, so it can
+    * anchor a drift THRESHOLD policy across many segment pairs. Shape:
+    * one scan → (quantity, flag) cells; the Bhattacharyya coefficient
+    * folds per-cell DECIMAL terms over that bounded frame. Exact
+    * integer counts until the per-cell √; BC clamped at 1 before the
+    * outer √ so fp dust can't produce NaN.
+    */
+  def qHellinger(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("ck"))
+      .localCheckpoint() // ≤50 rows; feeds totals AND the term fold
+    val tot = cells.agg(sum(col("cr")).as("nr"), sum(col("ck")).as("nk"))
+    val bc = cells.crossJoin(broadcast(tot))
+      .select(col("nr"), col("nk"),
+        sqrt((col("cr").cast("double") / col("nr"))
+          * (col("ck").cast("double") / col("nk"))).cast(D).as("b"))
+      .groupBy(col("nr"), col("nk"))
+      .agg(sum(col("b")).as("bc"))
+    bc.select(col("nr").as("n_returned"), col("nk").as("n_kept"),
+      NumFns.roundPortable(least(col("bc").cast("double"), lit(1.0)), 6)
+        .as("bhattacharyya"),
+      NumFns.roundPortable(
+        sqrt(lit(1.0) - least(col("bc").cast("double"), lit(1.0))), 6)
+        .as("hellinger"))
+  }
+
+  val qHellingerOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cr,
+       |    CAST(sum(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ck
+       |  FROM lineitem GROUP BY 1
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ck) AS BIGINT) AS nk
+       |  FROM cells
+       |),
+       |bc AS (
+       |  SELECT nr, nk,
+       |    CAST(sum(CAST(sqrt((CAST(cr AS DOUBLE) / nr)
+       |      * (CAST(ck AS DOUBLE) / nk)) AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS bc
+       |  FROM cells CROSS JOIN tot GROUP BY nr, nk
+       |)
+       |SELECT nr AS n_returned, nk AS n_kept,
+       |  ${NumFns.roundPortableSql("least(bc, 1.0)", 6)} AS bhattacharyya,
+       |  ${NumFns.roundPortableSql("sqrt(1.0 - least(bc, 1.0))", 6)}
+       |    AS hellinger
+       |FROM bc""".stripMargin
 }

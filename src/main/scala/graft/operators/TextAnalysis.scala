@@ -2301,4 +2301,60 @@ object TextAnalysis {
             "CAST(s2 - n_tokens AS DOUBLE) * 1e4 / CAST(n_tokens AS DOUBLE)" +
               " / CAST(n_tokens AS DOUBLE)", 4)} AS yule_k
        |FROM ag""".stripMargin
+
+  /** Gunning fog index per document — the second readability scale
+    * beside q_readability's Flesch (fog weights COMPLEX words, ≥3
+    * syllable groups, which Flesch's per-word syllable mean dilutes;
+    * the two disagree exactly on jargon-dense short sentences) — with
+    * the per-document complex-word share that drives it. Same shape as
+    * q_readability: a pure scan-side projection (array lambdas over
+    * the token list, no shuffle but the presentation sort), so it
+    * streams at parquet speed at any corpus size.
+    */
+  def qGunningFog(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val words = size(toks).cast("long")
+    val complexW = size(filter(toks,
+      t => size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))) >= 3))
+      .cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words.as("n_words"),
+        complexW.as("n_complex"), sents.as("n_sentences"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_complex"),
+        col("n_sentences"),
+        NumFns.roundPortable(
+          col("n_complex").cast("double") / col("n_words"), 4)
+          .as("complex_share"),
+        NumFns.roundPortable(
+          (col("n_words").cast("double") / col("n_sentences")
+            + lit(100.0) * col("n_complex") / col("n_words")) * 0.4, 4)
+          .as("fog"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qGunningFogOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(toks,
+       |      x -> len(regexp_extract_all(x, '[aeiouy]+')) >= 3)) AS BIGINT)
+       |      AS n_complex,
+       |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+       |      AS BIGINT)) AS n_sentences
+       |  FROM t WHERE len(toks) > 0
+       |)
+       |SELECT doc_id, n_words, n_complex, n_sentences,
+       |  ${NumFns.roundPortableSql(
+            "CAST(n_complex AS DOUBLE) / n_words", 4)} AS complex_share,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(n_words AS DOUBLE) / n_sentences" +
+              " + 100.0 * n_complex / n_words) * 0.4", 4)} AS fog
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
 }
