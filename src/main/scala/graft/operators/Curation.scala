@@ -1087,4 +1087,79 @@ object Curation {
        |FROM r WHERE 2 * cum >= tot
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** Sample budget allocated by [[qNeymanAllocation]]. */
+  val NeymanBudget = 1000L
+
+  /** Neyman-optimal stratified-sample allocation of a 1000-doc audit
+    * budget across sources, by the length (n_chars) variance of each
+    * stratum: n_h ∝ N_h·σ_h beside the proportional n_h ∝ N_h, with
+    * the design-effect ratio (V_neyman/V_prop, < 1 = the win) — the
+    * operator that tells a curation team HOW to spend a fixed
+    * labeling/audit budget, where q_stratified_sample/q_fixed_sample
+    * only execute a given design. Shape: one scan → per-source exact
+    * integer moments (Σ, Σ² in DECIMAL(38,0) — n_chars² sums overflow
+    * a long at corpus scale); the source frame is dimension-sized, the
+    * allocation arithmetic scalar. Allocations round half-away
+    * portably so both engines print identical integers.
+    */
+  def qNeymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val strata = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nh"),
+        sum(col("n_chars").cast(D0)).as("s1"),
+        sum(col("n_chars").cast(D0) * col("n_chars")).as("s2"))
+      .select(col("source"), col("nh"),
+        sqrt((col("nh") * col("s2") - col("s1") * col("s1")).cast("double")
+          / (col("nh").cast("double") * (col("nh") - 1).cast("double")))
+          .as("sigma"))
+      .localCheckpoint() // dimension-sized; feeds totals AND the report
+    val tot = strata.agg(sum(col("nh")).as("n"),
+      sum((col("nh") * col("sigma")).cast(D)).as("snsig"),
+      sum((col("nh") * col("sigma") * col("sigma")).cast(D)).as("snsig2"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("source"), col("nh"), 
+        NumFns.roundPortable(col("sigma"), 2).as("sigma"),
+        NumFns.roundAwayLong(lit(NeymanBudget.toDouble) * col("nh")
+          / col("n")).as("prop_alloc"),
+        NumFns.roundAwayLong(lit(NeymanBudget.toDouble)
+          * (col("nh") * col("sigma"))
+          / col("snsig").cast("double")).as("neyman_alloc"),
+        NumFns.roundPortable(
+          (col("snsig").cast("double") / col("n"))
+            * (col("snsig").cast("double") / col("n"))
+            / (col("snsig2").cast("double") / col("n")), 6)
+          .as("neyman_vs_prop_var"))
+      .orderBy(col("source"))
+  }
+
+  val qNeymanAllocationOracle: String =
+    s"""WITH st AS (
+       |  SELECT source, count(*) AS nh,
+       |    sqrt(CAST(count(*) * sum(CAST(n_chars AS HUGEINT) * n_chars)
+       |        - sum(CAST(n_chars AS HUGEINT)) * sum(CAST(n_chars AS HUGEINT))
+       |        AS DOUBLE)
+       |      / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)))
+       |      AS sigma
+       |  FROM documents GROUP BY source
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(nh) AS BIGINT) AS n,
+       |    CAST(sum(CAST(nh * sigma AS DECIMAL(38,12))) AS DOUBLE) AS snsig,
+       |    CAST(sum(CAST(nh * sigma * sigma AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS snsig2
+       |  FROM st
+       |)
+       |SELECT source, nh,
+       |  ${NumFns.roundPortableSql("sigma", 2)} AS sigma,
+       |  CAST(round($NeymanBudget.0 * nh / n) AS BIGINT) AS prop_alloc,
+       |  CAST(round($NeymanBudget.0 * (nh * sigma) / snsig) AS BIGINT)
+       |    AS neyman_alloc,
+       |  ${NumFns.roundPortableSql(
+            "(snsig / n) * (snsig / n) / (snsig2 / n)", 6)}
+       |    AS neyman_vs_prop_var
+       |FROM st CROSS JOIN tot
+       |ORDER BY source""".stripMargin
 }

@@ -217,4 +217,57 @@ object Recsys {
             "2.0 * s1 / CAST(n_rec * n_slots AS DOUBLE) " +
             "- (n_rec + 1) / CAST(n_rec AS DOUBLE)", 6)} AS exposure_gini
        |FROM g, cat""".stripMargin
+
+  /** Exposure novelty of the CF recommendations by rank slot: mean
+    * self-information −log₂(popularity) of the recommended item at
+    * each rank 1..5 — the popularity-bias profile (novelty FALLING
+    * with rank means the top slots push blockbusters; flat means the
+    * ranker trades relevance for discovery evenly), the third recsys
+    * health lens beside q_cf_coverage (catalog reach) and q_item_cf
+    * (relevance). Shape: consumes the memoized [[cfTable]] (one CF
+    * derivation per session — the shared-frame discipline); popularity
+    * is the c_b marginal ALREADY ON the rec table, so the whole query
+    * is one ≤5·|parts|-row scan + a 1-row customer count broadcast;
+    * per-term DECIMAL folds make the per-slot means order-independent.
+    */
+  def qRecNovelty(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val nCust = Tables.orders(s, dir)
+      .select(col("o_custkey")).distinct()
+      .agg(count(lit(1)).as("n_cust"))
+    cfTable(s, dir)
+      .select(col("rk"), col("c_b"))
+      .crossJoin(broadcast(nCust))
+      .select(col("rk"),
+        (-log(col("c_b").cast("double") / col("n_cust"))
+          / math.log(2.0)).cast(D).as("nov"),
+        (col("c_b").cast("double") / col("n_cust")).cast(D).as("pop"))
+      .groupBy(col("rk"))
+      .agg(count(lit(1)).as("n_recs"),
+        NumFns.roundPortable(
+          sum(col("nov")).cast("double") / count(lit(1)), 6)
+          .as("mean_novelty"),
+        NumFns.roundPortable(
+          sum(col("pop")).cast("double") / count(lit(1)), 6)
+          .as("mean_popularity"))
+      .orderBy(col("rk"))
+  }
+
+  val qRecNoveltyOracle: String =
+    s"""WITH cf AS ($qItemCfOracle),
+       |nc AS (SELECT count(DISTINCT o_custkey) AS n_cust FROM orders),
+       |t AS (
+       |  SELECT rk,
+       |    CAST(-ln(CAST(c_b AS DOUBLE) / n_cust) / ln(2.0)
+       |      AS DECIMAL(38,12)) AS nov,
+       |    CAST(CAST(c_b AS DOUBLE) / n_cust AS DECIMAL(38,12)) AS pop
+       |  FROM cf CROSS JOIN nc
+       |)
+       |SELECT rk, count(*) AS n_recs,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(nov) AS DOUBLE) / count(*)", 6)} AS mean_novelty,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(pop) AS DOUBLE) / count(*)", 6)} AS mean_popularity
+       |FROM t GROUP BY rk
+       |ORDER BY rk""".stripMargin
 }

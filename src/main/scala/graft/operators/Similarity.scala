@@ -1579,4 +1579,92 @@ object Similarity {
        |  v < 0.01 * av AS is_dead
        |FROM v, a
        |ORDER BY dim""".stripMargin
+
+  /** Calinski–Harabasz variance-ratio index of the IVF cell clustering:
+    * CH = (B/(k−1))/(W/(n−k)) with W/B the within/between sums of
+    * squares around the ASSIGNED-CELL MEANS — the third internal
+    * clustering validity lens beside q_silhouette (separation per
+    * point) and q_elbow_sse (raw inertia): CH is the one with an
+    * F-statistic reading, so it compares k choices on a calibrated
+    * scale. Shape: the sufficient statistics are EXACTLY the k-means
+    * cell frame — per-(cell,dim) stable DECIMAL sums from one
+    * posexplode pass (cells×dims rows, hot-cell-OOM-proof) plus one
+    * scalar Σ‖x‖²; W = T − Σ|s_j|²/n_j and B = Σ|s_j|²/n_j − |Σs_j|²/n
+    * need no second corpus pass at all. Per-term DECIMAL folds keep
+    * every reduction order-independent.
+    */
+  def qCalinskiHarabasz(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = cellAssigned(s, dir).localCheckpoint()
+    val tot = cells.agg(count(lit(1)).as("n"),
+      sum(col("nsq").cast(D)).as("t2"))
+    val f = cells
+      .select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), (col("pos") + 1).as("pos"), col("col").as("x"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("nj"), sum(col("x").cast(D)).as("sj"))
+      .localCheckpoint() // k×dims rows; feeds B1, the global sums, and k
+    val b1 = f.select(((col("sj").cast("double") * col("sj").cast("double"))
+      / col("nj")).cast(D).as("t"))
+      .agg(sum(col("t")).as("b1"))
+    val g = f.groupBy(col("pos")).agg(sum(col("sj")).as("gs"))
+      .select((col("gs").cast("double") * col("gs").cast("double")).cast(D)
+        .as("t"))
+      .agg(sum(col("t")).as("gg"))
+    val k = f.select(col("cell")).distinct().agg(count(lit(1)).as("k"))
+    tot.crossJoin(broadcast(b1)).crossJoin(broadcast(g))
+      .crossJoin(broadcast(k))
+      .select(col("n"), col("k"),
+        (col("t2").cast("double") - col("b1").cast("double")).as("w"),
+        (col("b1").cast("double") - col("gg").cast("double") / col("n"))
+          .as("b"))
+      .select(col("n").as("n_vecs"), col("k").as("k_cells"),
+        NumFns.roundPortable(col("w"), 4).as("within_ss"),
+        NumFns.roundPortable(col("b"), 4).as("between_ss"),
+        NumFns.roundPortable(
+          when(col("k") > 1 && col("n") > col("k"),
+            (col("b") / (col("k") - 1).cast("double"))
+              / (col("w") / (col("n") - col("k")).cast("double"))), 4)
+          .as("ch_index"))
+  }
+
+  val qCalinskiHarabaszOracle: String =
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |tot AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(nsq AS DECIMAL(38,12))) AS DOUBLE) AS t2
+       |  FROM cells
+       |),
+       |x AS (
+       |  SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+       |  FROM cells
+       |),
+       |f AS (
+       |  SELECT cell, pos, count(*) AS nj,
+       |    sum(CAST(x AS DECIMAL(38,12))) AS sj
+       |  FROM x GROUP BY cell, pos
+       |),
+       |b1 AS (
+       |  SELECT CAST(sum(CAST(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj
+       |    AS DECIMAL(38,12))) AS DOUBLE) AS b1
+       |  FROM f
+       |),
+       |g AS (
+       |  SELECT CAST(sum(CAST(CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+       |    AS DECIMAL(38,12))) AS DOUBLE) AS gg
+       |  FROM (SELECT pos, sum(sj) AS gs FROM f GROUP BY pos)
+       |),
+       |kk AS (SELECT count(DISTINCT cell) AS k FROM f),
+       |chc AS (
+       |  SELECT n, k, t2 - b1 AS w, b1 - gg / n AS b
+       |  FROM tot, b1, g, kk
+       |)
+       |SELECT n AS n_vecs, k AS k_cells,
+       |  ${NumFns.roundPortableSql("w", 4)} AS within_ss,
+       |  ${NumFns.roundPortableSql("b", 4)} AS between_ss,
+       |  ${NumFns.roundPortableSql(
+            "CASE WHEN k > 1 AND n > k THEN (b / CAST(k - 1 AS DOUBLE))" +
+              " / (w / CAST(n - k AS DOUBLE)) END", 4)} AS ch_index
+       |FROM chc""".stripMargin
 }

@@ -3354,4 +3354,105 @@ object Temporal {
        |    AS first_violation_di
        |FROM vi
        |GROUP BY n, center, sigma""".stripMargin
+
+  /** Frequencies probed by [[qPeriodogram]]. */
+  val PeriodogramKs = 12
+
+  /** Discrete periodogram of mean-centered daily revenue at the first
+    * 12 Fourier frequencies: I(k) = (a_k² + b_k²)·2/n with a_k =
+    * Σ d_t·cos(2πkt/n), b_k likewise — WHERE the seasonal energy
+    * lives (q_seasonal_strength assumes the weekly period; the
+    * periodogram measures all low harmonics so an unexpected monthly
+    * or quarterly cycle shows up unasked). Shape: the day frame gets a
+    * frame-ordered index once, fans ×12 against a generated frequency
+    * dimension (bounded 12n rows of bare scalars), and each
+    * coefficient is a per-term DECIMAL-folded sum. Float discipline:
+    * libm cos/sin may differ by an ulp per engine, and SQUARING the
+    * coefficient amplifies that to ~1e-4 absolute in raw power — so
+    * the outputs are the RELATIVE spectrum (power share of total
+    * variance, Parseval-normalized) and the fitted harmonic amplitude,
+    * whose error stays RELATIVE (~1e-14) and 8 orders under their
+    * rounding steps. Output ordered BY k, never by power, so no
+    * cross-engine ordering rests on a float.
+    */
+  def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val TwoPi = 6.283185307179586
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val m = days.agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"))
+    val w = Window.orderBy(col("di"))
+    val dev = days
+      .withColumn("t", row_number().over(w).cast("long") - 1)
+      .crossJoin(broadcast(m))
+      .select(col("t"), col("n"),
+        ((col("yc") - col("sy").cast("double") / col("n")) / 100.0).as("d"))
+    val vtot = dev.agg(sum((col("d") * col("d")).cast(D)).as("ss"))
+    val terms = dev
+      .select(col("t"), col("n"), col("d"),
+        explode(sequence(lit(1), lit(PeriodogramKs))).as("k"))
+      .select(col("k"), col("n"),
+        (col("d") * cos(lit(TwoPi) * col("k") * col("t") / col("n")))
+          .cast(D).as("ca"),
+        (col("d") * sin(lit(TwoPi) * col("k") * col("t") / col("n")))
+          .cast(D).as("cb"))
+    val p2 = col("a").cast("double") * col("a").cast("double") +
+      col("b").cast("double") * col("b").cast("double")
+    terms.groupBy(col("k"))
+      .agg(max(col("n")).as("n"),
+        sum(col("ca")).as("a"), sum(col("cb")).as("b"))
+      .crossJoin(broadcast(vtot))
+      .select(col("k").cast("long").as("k"),
+        NumFns.roundPortable(col("n").cast("double") / col("k"), 2)
+          .as("period_days"),
+        NumFns.roundPortable(
+          sqrt(p2) * 2.0 / col("n"), 4).as("amplitude"),
+        NumFns.roundPortable(
+          p2 * 2.0 / col("n") / col("ss").cast("double"), 6)
+          .as("power_share"))
+      .orderBy(col("k"))
+  }
+
+  val qPeriodogramOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (SELECT count(*) AS n, CAST(sum(yc) AS BIGINT) AS sy FROM days),
+       |dev AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY di) AS BIGINT) - 1 AS t,
+       |    n, (yc - CAST(sy AS DOUBLE) / n) / 100.0 AS d
+       |  FROM days CROSS JOIN m
+       |),
+       |vt AS (
+       |  SELECT CAST(sum(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS ss
+       |  FROM dev
+       |),
+       |terms AS (
+       |  SELECT k, n,
+       |    CAST(d * cos(6.283185307179586 * k * t / n) AS DECIMAL(38,12))
+       |      AS ca,
+       |    CAST(d * sin(6.283185307179586 * k * t / n) AS DECIMAL(38,12))
+       |      AS cb
+       |  FROM dev CROSS JOIN (SELECT unnest(range(1, $PeriodogramKs + 1))
+       |    AS k)
+       |),
+       |ag AS (
+       |  SELECT k, max(n) AS n,
+       |    CAST(sum(ca) AS DOUBLE) AS a, CAST(sum(cb) AS DOUBLE) AS b
+       |  FROM terms GROUP BY k
+       |)
+       |SELECT k,
+       |  ${NumFns.roundPortableSql("CAST(n AS DOUBLE) / k", 2)}
+       |    AS period_days,
+       |  ${NumFns.roundPortableSql(
+            "sqrt(a * a + b * b) * 2.0 / n", 4)} AS amplitude,
+       |  ${NumFns.roundPortableSql(
+            "(a * a + b * b) * 2.0 / n / ss", 6)} AS power_share
+       |FROM ag CROSS JOIN vt
+       |ORDER BY k""".stripMargin
 }
