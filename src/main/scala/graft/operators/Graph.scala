@@ -1054,4 +1054,77 @@ object Graph {
             " / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1) / 2.0))", 4)}
        |    AS rich_club_ratio
        |FROM ce, tot""".stripMargin
+
+  /** Connected-component size distribution of the co-supply graph
+    * (suppliers sharing a part, fanout-capped like [[qKcore]]): the
+    * size histogram plus the giant-component share — THE macro
+    * connectivity read (percolation state) that degree/kcore/triangle
+    * stats can't give: a giant share near 1 says the supply network is
+    * one fabric; many mid-size islands say regional silos. Shape:
+    * edges are the audited capped pair join; labels come from the
+    * O(log d)-round pointer-doubling [[Dedup.connectedComponents]]
+    * engine (the r2 dedup lesson reused verbatim — shuffles carry bare
+    * (id, label) longs); everything after is dimension-sized
+    * (per-component counts → size histogram). Oracle: recursive-CTE
+    * min-label reachability, the q_dedup_cluster pattern.
+    */
+  def qComponentSizes(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("su")).distinct()
+      .localCheckpoint()
+    val fan = li.groupBy(col("p")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= CoreMaxFanout)
+    val capped = li.join(fan.hint("shuffle_hash"), Seq("p"))
+    val pairs = capped.select(col("p"), col("su").as("sa"))
+      .join(capped.select(col("p"), col("su").as("sb")).hint("shuffle_hash"),
+        Seq("p"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+    val sym = pairs.select(col("sa").as("src"), col("sb").as("dst"))
+      .union(pairs.select(col("sb").as("src"), col("sa").as("dst")))
+    val labels = Dedup.connectedComponents(sym)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+    val tot = sizes.agg(sum(col("sz")).as("n_all"),
+      max(col("sz")).as("giant"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("sz").as("size"), col("n_components"),
+        (col("sz") * col("n_components")).as("n_nodes"),
+        NumFns.roundPortable(
+          col("giant").cast("double") / col("n_all"), 6).as("giant_share"))
+      .orderBy(col("size"))
+  }
+
+  val qComponentSizesOracle: String =
+    s"""WITH RECURSIVE li AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem
+       |),
+       |fan AS (
+       |  SELECT p FROM li GROUP BY p HAVING count(*) <= $CoreMaxFanout
+       |),
+       |pr AS MATERIALIZED (
+       |  SELECT DISTINCT a.su AS sa, b.su AS sb
+       |  FROM li a JOIN li b ON a.p = b.p AND a.su < b.su
+       |  WHERE a.p IN (SELECT p FROM fan)
+       |),
+       |ed AS (SELECT sa, sb FROM pr UNION ALL SELECT sb, sa FROM pr),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT sa, sa FROM ed
+       |  UNION
+       |  SELECT ed.sb, reach.r FROM ed JOIN reach ON ed.sa = reach.id
+       |),
+       |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |sz AS (SELECT cluster, count(*) AS szv FROM cl GROUP BY cluster),
+       |hist AS (SELECT szv, count(*) AS n_components FROM sz GROUP BY szv),
+       |tot AS (
+       |  SELECT CAST(sum(szv) AS BIGINT) AS n_all,
+       |    CAST(max(szv) AS BIGINT) AS giant
+       |  FROM sz
+       |)
+       |SELECT szv AS size, n_components,
+       |  CAST(szv * n_components AS BIGINT) AS n_nodes,
+       |  ${NumFns.roundPortableSql(
+            "CAST(giant AS DOUBLE) / n_all", 6)} AS giant_share
+       |FROM hist CROSS JOIN tot
+       |ORDER BY size""".stripMargin
 }

@@ -1820,4 +1820,109 @@ object PipelineOps {
               " - CAST(wy0 AS DOUBLE) / CAST(w0 AS DOUBLE)", 6)} AS ipw_ate,
        |  nall - nkept AS n_dropped_positivity
        |FROM ag CROSS JOIN dr""".stripMargin
+
+  /** Mantel–Haenszel stratified 2×2 association (deep discount →
+    * return) across quantity-bucket strata: the pooled MH odds ratio,
+    * the crude (collapsed) OR beside it, the CMH χ² — and the Simpson-
+    * reversal flag when crude and adjusted point OPPOSITE ways, the
+    * single most actionable confounding alarm a metrics review can
+    * raise. Completes the causal ring: q_ipw_ate weights, this
+    * stratifies (the classic epidemiology pooling). Shape: one scan →
+    * ≤10 stratum 2×2 cells; every sum is a per-term DECIMAL fold over
+    * that frame; crude-OR cross products ride DECIMAL(38,0)/HUGEINT
+    * (the qOddsRatio overflow discipline); the huge r₁r₀c₁c₀ variance
+    * product runs in IEEE doubles — identical on both engines — with
+    * association spelled identically.
+    */
+  def qMantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = Tables.lineitem(s, dir)
+      .select(least(floor(col("l_quantity") / 5.0), lit(9.0)).cast("long")
+        .as("xb"),
+        (col("l_discount") > 0.05).as("t"),
+        (col("l_returnflag") === "R").as("y"))
+      .groupBy(col("xb"))
+      .agg(sum((col("t") && col("y")).cast("long")).as("a"),
+        sum((col("t") && !col("y")).cast("long")).as("b"),
+        sum((!col("t") && col("y")).cast("long")).as("c"),
+        sum((!col("t") && !col("y")).cast("long")).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .filter(col("n") > 1)
+    val nD = col("n").cast("double")
+    val terms = cells.select(
+      col("a"), col("b"), col("c"), col("d"),
+      ((col("a").cast(D0) * col("d")).cast("double") / nD).cast(D).as("mhn"),
+      ((col("b").cast(D0) * col("c")).cast("double") / nD).cast(D).as("mhd"),
+      ((col("a") + col("b")).cast("double") * (col("a") + col("c")) / nD)
+        .cast(D).as("ea"),
+      ((col("a") + col("b")).cast("double") * (col("c") + col("d"))
+        * (col("a") + col("c")) * (col("b") + col("d"))
+        / (nD * nD * (nD - 1.0))).cast(D).as("va"))
+    val agg = terms.agg(count(lit(1)).as("n_strata"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+      sum(col("c")).as("sc"), sum(col("d")).as("sd"),
+      sum(col("mhn")).as("mhn"), sum(col("mhd")).as("mhd"),
+      sum(col("ea")).as("ea"), sum(col("va")).as("va"))
+    val crude = (col("sa").cast(D0) * col("sd")).cast("double") /
+      (col("sb").cast(D0) * col("sc")).cast("double")
+    val mh = col("mhn").cast("double") / col("mhd").cast("double")
+    val dev = col("sa").cast("double") - col("ea").cast("double")
+    agg.select(col("n_strata"),
+      NumFns.roundPortable(crude, 6).as("crude_or"),
+      NumFns.roundPortable(mh, 6).as("mh_or"),
+      NumFns.roundPortable(dev * dev / col("va").cast("double"), 4)
+        .as("cmh_chi2"),
+      ((crude - 1.0) * (mh - 1.0) < 0.0).as("simpson_reversal"))
+  }
+
+  val qMantelHaenszelOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(least(floor(l_quantity / 5.0), 9.0) AS BIGINT) AS xb,
+       |    CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN l_discount > 0.05 AND l_returnflag != 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN l_discount <= 0.05 AND l_returnflag = 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN l_discount <= 0.05 AND l_returnflag != 'R'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM lineitem GROUP BY 1
+       |),
+       |f AS (SELECT *, a + b + c + d AS n FROM cells WHERE a+b+c+d > 1),
+       |t AS (
+       |  SELECT a, b, c, d,
+       |    CAST(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+       |      / CAST(n AS DOUBLE) AS DECIMAL(38,12)) AS mhn,
+       |    CAST(CAST(CAST(b AS HUGEINT) * c AS DOUBLE)
+       |      / CAST(n AS DOUBLE) AS DECIMAL(38,12)) AS mhd,
+       |    CAST(CAST(a + b AS DOUBLE) * (a + c) / CAST(n AS DOUBLE)
+       |      AS DECIMAL(38,12)) AS ea,
+       |    CAST(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+       |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |        * (CAST(n AS DOUBLE) - 1.0)) AS DECIMAL(38,12)) AS va
+       |  FROM f
+       |),
+       |ag AS (
+       |  SELECT count(*) AS n_strata,
+       |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+       |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(d) AS BIGINT) AS sd,
+       |    CAST(sum(mhn) AS DOUBLE) AS mhn, CAST(sum(mhd) AS DOUBLE) AS mhd,
+       |    CAST(sum(ea) AS DOUBLE) AS ea, CAST(sum(va) AS DOUBLE) AS va
+       |  FROM t
+       |),
+       |r AS (
+       |  SELECT n_strata,
+       |    CAST(CAST(sa AS HUGEINT) * sd AS DOUBLE)
+       |      / CAST(CAST(sb AS HUGEINT) * sc AS DOUBLE) AS crude,
+       |    mhn / mhd AS mh,
+       |    (sa - ea) * (sa - ea) / va AS chi2
+       |  FROM ag
+       |)
+       |SELECT n_strata,
+       |  ${NumFns.roundPortableSql("crude", 6)} AS crude_or,
+       |  ${NumFns.roundPortableSql("mh", 6)} AS mh_or,
+       |  ${NumFns.roundPortableSql("chi2", 4)} AS cmh_chi2,
+       |  (crude - 1.0) * (mh - 1.0) < 0.0 AS simpson_reversal
+       |FROM r""".stripMargin
 }

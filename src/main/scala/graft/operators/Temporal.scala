@@ -3455,4 +3455,130 @@ object Temporal {
             "(a * a + b * b) * 2.0 / n / ss", 6)} AS power_share
        |FROM ag CROSS JOIN vt
        |ORDER BY k""".stripMargin
+
+  /** Two-sample log-rank test on TIME TO FIRST PURCHASE: do users who
+    * onboard organically (a signup event on their first active day)
+    * convert on the same clock as users who land mid-funnel? — the
+    * hypothesis test on top of q_survival/q_nelson_aalen's estimators
+    * (an eyeballed KM gap has no size; log-rank calibrates it): at
+    * every conversion time, observed group-1 conversions vs the
+    * hypergeometric expectation from the shared risk set, summed and
+    * normalized. Never-purchasers censor at their last observed day.
+    * Shape: one event scan → per-user (time, event, cohort) → the
+    * bounded (t, group) cell frame; risk sets are frame-ordered
+    * cumsums over it, E and V per-term DECIMAL folds. O, n's are
+    * exact integers; E/V are deterministic ratios.
+    */
+  def qLogrank(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / (86400L * 1000000L)).as("day"),
+        col("event_type"))
+    val users = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"), max(col("day")).as("ld"),
+        min(when(col("event_type") === "purchase", col("day"))).as("pd"),
+        min(when(col("event_type") === "signup", col("day"))).as("sgd"))
+    val lifetimes = users
+      .select((coalesce(col("pd"), col("ld")) - col("fd")).as("t"),
+        when(col("sgd") === col("fd"), 1L).otherwise(0L).as("grp"),
+        when(col("pd").isNotNull, 1L).otherwise(0L).as("ch"))
+    val cells = lifetimes.groupBy(col("t"))
+      .agg(sum(when(col("grp") === 1, 1L).otherwise(0L)).as("m1"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("m0"),
+        sum(when(col("grp") === 1, col("ch")).otherwise(0L)).as("d1"),
+        sum(when(col("grp") === 0, col("ch")).otherwise(0L)).as("d0"))
+    val tot = cells.agg(sum(col("m1")).as("nn1"), sum(col("m0")).as("nn0"))
+    val wBefore = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = cells.crossJoin(broadcast(tot))
+      .withColumn("r1",
+        col("nn1") - coalesce(sum(col("m1")).over(wBefore), lit(0L)))
+      .withColumn("r0",
+        col("nn0") - coalesce(sum(col("m0")).over(wBefore), lit(0L)))
+      .withColumn("rr", col("r1") + col("r0"))
+      .withColumn("dd", col("d1") + col("d0"))
+      .filter(col("dd") > 0 && col("rr") > 1)
+    val terms = risk.select(col("nn1"), col("nn0"), col("d1"),
+      (col("dd") * (col("r1").cast("double") / col("rr"))).cast(D).as("e1"),
+      (col("dd") * (col("r1").cast("double") / col("rr"))
+        * (col("r0").cast("double") / col("rr"))
+        * ((col("rr") - col("dd")).cast("double") / (col("rr") - 1)))
+        .cast(D).as("v"))
+    terms.groupBy(col("nn1"), col("nn0"))
+      .agg(sum(col("d1")).as("o1"), sum(col("e1")).as("e1"),
+        sum(col("v")).as("v"))
+      .withColumn("z",
+        (col("o1") - col("e1").cast("double")) / sqrt(col("v").cast("double")))
+      .select(col("nn1").as("n_signup_first"), col("nn0").as("n_midfunnel"),
+        col("o1").as("observed_1"),
+        NumFns.roundPortable(col("e1").cast("double"), 4).as("expected_1"),
+        NumFns.roundPortable(col("z"), 4).as("z"),
+        NumFns.roundPortable(NumFns.normTwoSidedP(col("z")), 6).as("p_value"))
+  }
+
+  val qLogrankOracle: String =
+    s"""WITH days AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch_us(ts) / 86400000000::BIGINT) AS BIGINT) AS day,
+       |    event_type
+       |  FROM events
+       |),
+       |u AS (
+       |  SELECT user_id, min(day) AS fd, max(day) AS ld,
+       |    min(CASE WHEN event_type = 'purchase' THEN day END) AS pd,
+       |    min(CASE WHEN event_type = 'signup' THEN day END) AS sgd
+       |  FROM days GROUP BY user_id
+       |),
+       |lt AS (
+       |  SELECT coalesce(pd, ld) - fd AS t,
+       |    CASE WHEN sgd = fd THEN 1 ELSE 0 END AS grp,
+       |    CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ch
+       |  FROM u
+       |),
+       |c AS (
+       |  SELECT t,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+       |    CAST(sum(CASE WHEN grp = 1 THEN ch ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN grp = 0 THEN ch ELSE 0 END) AS BIGINT) AS d0
+       |  FROM lt GROUP BY t
+       |),
+       |tt AS (
+       |  SELECT CAST(sum(m1) AS BIGINT) AS nn1, CAST(sum(m0) AS BIGINT)
+       |    AS nn0
+       |  FROM c
+       |),
+       |rk AS (
+       |  SELECT nn1, nn0, d1, d0,
+       |    nn1 - CAST(COALESCE(sum(m1) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS r1,
+       |    nn0 - CAST(COALESCE(sum(m0) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS r0
+       |  FROM c CROSS JOIN tt
+       |),
+       |f AS (
+       |  SELECT nn1, nn0, d1,
+       |    CAST((d1 + d0) * (CAST(r1 AS DOUBLE) / (r1 + r0))
+       |      AS DECIMAL(38,12)) AS e1,
+       |    CAST((d1 + d0) * (CAST(r1 AS DOUBLE) / (r1 + r0))
+       |      * (CAST(r0 AS DOUBLE) / (r1 + r0))
+       |      * (CAST(r1 + r0 - d1 - d0 AS DOUBLE) / (r1 + r0 - 1))
+       |      AS DECIMAL(38,12)) AS v
+       |  FROM rk WHERE d1 + d0 > 0 AND r1 + r0 > 1
+       |),
+       |ag AS (
+       |  SELECT nn1, nn0, CAST(sum(d1) AS BIGINT) AS o1,
+       |    CAST(sum(e1) AS DOUBLE) AS e1, CAST(sum(v) AS DOUBLE) AS v
+       |  FROM f GROUP BY nn1, nn0
+       |),
+       |zz AS (SELECT *, (o1 - e1) / sqrt(v) AS z FROM ag)
+       |SELECT nn1 AS n_signup_first, nn0 AS n_midfunnel, o1 AS observed_1,
+       |  ${NumFns.roundPortableSql("e1", 4)} AS expected_1,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql("z"), 6)}
+       |    AS p_value
+       |FROM zz""".stripMargin
 }
