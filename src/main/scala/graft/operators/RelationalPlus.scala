@@ -994,4 +994,69 @@ object RelationalPlus {
             "(CAST(p2q2 AS DOUBLE) / p1q2))", 6)} AS fisher
        |FROM ag""".stripMargin
   }
+
+  /** Discount elasticity of demand: OLS slope of ln(mean line quantity)
+    * on ln(1−discount) across the ≤11 discount levels — "how many more
+    * units does a point of discount move?" as one elasticity number
+    * with its R², the pricing-analytics read none of the revenue
+    * rollups give. Shape: one scan → discount-level cells (exact
+    * integer quantity sums and counts); the 11-cell regression is
+    * scalar arithmetic with per-term DECIMAL folds; ln runs once per
+    * cell on identical ratio-of-integer doubles.
+    */
+  def qPriceElasticity(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = Tables.lineitem(s, dir)
+      .groupBy(NumFns.roundAwayLong(col("l_discount") * 100).as("dpct"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("sq"))
+      .select(col("dpct"),
+        log(lit(1.0) - col("dpct") / 100.0).as("x"),
+        log(col("sq").cast("double") / col("cnt")).as("y"))
+    val m = cells.agg(count(lit(1)).as("k"),
+      sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+      sum((col("x") * col("x")).cast(D)).as("sxx"),
+      sum((col("x") * col("y")).cast(D)).as("sxy"),
+      sum((col("y") * col("y")).cast(D)).as("syy"))
+      .select(col("k").cast("double").as("k"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxx").cast("double").as("sxx"),
+        col("sxy").cast("double").as("sxy"),
+        col("syy").cast("double").as("syy"))
+    val sxxc = col("k") * col("sxx") - col("sx") * col("sx")
+    val sxyc = col("k") * col("sxy") - col("sx") * col("sy")
+    val syyc = col("k") * col("syy") - col("sy") * col("sy")
+    m.select(col("k").cast("long").as("n_levels"),
+      NumFns.roundPortable(sxyc / sxxc, 4).as("elasticity"),
+      NumFns.roundPortable(sxyc * sxyc / (sxxc * syyc), 4).as("r2"))
+  }
+
+  val qPriceElasticityOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS dpct,
+       |    count(*) AS cnt,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+       |  FROM lineitem GROUP BY 1
+       |),
+       |xy AS (
+       |  SELECT ln(1.0 - dpct / 100.0) AS x,
+       |    ln(CAST(sq AS DOUBLE) / cnt) AS y
+       |  FROM cells
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS k,
+       |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+       |  FROM xy
+       |)
+       |SELECT CAST(k AS BIGINT) AS n_levels,
+       |  ${NumFns.roundPortableSql(
+            "(k * sxy - sx * sy) / (k * sxx - sx * sx)", 4)} AS elasticity,
+       |  ${NumFns.roundPortableSql(
+            "(k * sxy - sx * sy) * (k * sxy - sx * sy)" +
+              " / ((k * sxx - sx * sx) * (k * syy - sy * sy))", 4)} AS r2
+       |FROM m""".stripMargin
 }

@@ -3581,4 +3581,212 @@ object Temporal {
        |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql("z"), 6)}
        |    AS p_value
        |FROM zz""".stripMargin
+
+  /** Cook's distance of the daily-revenue trend fit: the top-5 most
+    * INFLUENTIAL days (not merely largest residuals — D_t folds in the
+    * leverage h_t, so an extreme day at the calendar edge scores far
+    * above the same residual mid-sample) — the "which days, if
+    * dropped, would move the trend?" diagnostic completing the OLS
+    * ring (q_ols_fit coefficients, q_durbin_watson error correlation,
+    * q_chow_test breaks). Shape: closed-form (a,b) from DECIMAL-folded
+    * day-frame moments broadcast back; e, h and D are per-day scalar
+    * arithmetic on the calendar-bounded aggregate; top-5 via
+    * TakeOrdered with a deterministic di tie-break. The ordering key
+    * is pure +−×÷ of identical doubles — no libm in the sort.
+    */
+  def qCooksDistance(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg((sum(NumFns.roundAwayLong(col("o_totalprice") * 100)) / 100.0)
+        .as("y"))
+    val m = days.agg(count(lit(1)).as("nL"),
+      sum(col("di").cast(D)).cast("double").as("sx"),
+      sum(col("y").cast(D)).cast("double").as("sy"),
+      sum((col("di") * col("di")).cast(D)).cast("double").as("sxx"),
+      sum((col("di") * col("y")).cast(D)).cast("double").as("sxy"))
+      .select(col("nL"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+        ((col("nL") * col("sxy") - col("sx") * col("sy"))
+          / (col("nL") * col("sxx") - col("sx") * col("sx"))).as("b"))
+      .select(col("nL"), col("sx"), col("sxx"), col("b"),
+        ((col("sy") - col("b") * col("sx")) / col("nL")).as("a"))
+    val res = days.crossJoin(broadcast(m))
+      .select(col("di"), col("y"), col("nL"),
+        (col("y") - col("a") - col("b") * col("di")).as("e"),
+        (lit(1.0) / col("nL")
+          + (col("di") - col("sx") / col("nL"))
+          * (col("di") - col("sx") / col("nL"))
+          / (col("sxx") - col("sx") * col("sx") / col("nL"))).as("h"))
+      .localCheckpoint() // day frame; feeds s² AND the ranked report
+    val s2 = res.agg(
+      (NumFns.stableSum(col("e") * col("e"), 6)
+        / (max(col("nL")) - 2)).as("s2"))
+    res.crossJoin(broadcast(s2))
+      .select(col("di"), col("y"), col("e"), col("h"),
+        ((col("e") * col("e") / (lit(2.0) * col("s2")))
+          * (col("h") / ((lit(1.0) - col("h")) * (lit(1.0) - col("h")))))
+          .as("d"))
+      .orderBy(col("d").desc, col("di"))
+      .limit(5)
+      .select(col("di").cast("long").as("di"),
+        NumFns.roundPortable(col("y"), 2).as("revenue"),
+        NumFns.roundPortable(col("e"), 2).as("residual"),
+        NumFns.roundPortable(col("h"), 6).as("leverage"),
+        NumFns.roundPortable(col("d"), 6).as("cooks_d"))
+  }
+
+  val qCooksDistanceOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      / 100.0 AS y
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT count(*) AS nL,
+       |    CAST(sum(CAST(di AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(di * di AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(di * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+       |  FROM days
+       |),
+       |cf AS (
+       |  SELECT nL, sx, sxx,
+       |    (nL * sxy - sx * sy) / (nL * sxx - sx * sx) AS b,
+       |    (sy - (nL * sxy - sx * sy) / (nL * sxx - sx * sx) * sx) / nL AS a
+       |  FROM m
+       |),
+       |res AS (
+       |  SELECT di, y, nL,
+       |    y - a - b * di AS e,
+       |    1.0 / nL + (di - sx / nL) * (di - sx / nL)
+       |      / (sxx - sx * sx / nL) AS h
+       |  FROM days CROSS JOIN cf
+       |),
+       |sv AS (
+       |  SELECT ${NumFns.stableSumSql("e * e", 6)} / (max(nL) - 2) AS s2
+       |  FROM res
+       |),
+       |dd AS (
+       |  SELECT di, y, e, h,
+       |    (e * e / (2.0 * s2)) * (h / ((1.0 - h) * (1.0 - h))) AS d
+       |  FROM res CROSS JOIN sv
+       |)
+       |SELECT CAST(di AS BIGINT) AS di,
+       |  ${NumFns.roundPortableSql("y", 2)} AS revenue,
+       |  ${NumFns.roundPortableSql("e", 2)} AS residual,
+       |  ${NumFns.roundPortableSql("h", 6)} AS leverage,
+       |  ${NumFns.roundPortableSql("d", 6)} AS cooks_d
+       |FROM dd
+       |ORDER BY d DESC, di
+       |LIMIT 5""".stripMargin
+
+  /** Exceedance quantile for [[qPotGpd]] (share of days below u). */
+  val PotThresholdQ = 0.9
+
+  /** Peaks-over-threshold GPD tail fit of daily revenue: exceedances
+    * over the exact P90 day, method-of-moments ξ̂ = ½(1−m̄²/s²) and
+    * β̂ = ½m̄(m̄²/s²+1), plus the implied 1-in-1000-day return level —
+    * the EVT tail model beside q_tail_index's Hill exponent (Hill
+    * assumes a pure Pareto tail; the GPD's ξ SIGN distinguishes
+    * bounded (ξ<0), exponential (ξ≈0) and heavy (ξ>0) tails, which is
+    * the capacity-planning question). Shape: the threshold is an exact
+    * rank pick from per-value cells + an exclusive prefix over the
+    * day-value frame (rank-from-counts, never a row sort); exceedance
+    * moments fold in DECIMAL(38,0) integer cents; the return level's
+    * one libm pow lands 9 orders under its rounding step.
+    */
+  def qPotGpd(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+      .localCheckpoint() // day frame; feeds the threshold AND exceedances
+    val cells = days.groupBy(col("yc")).agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val wCum = Window.orderBy(col("yc"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") >= ceil(lit(PotThresholdQ) * col("n")))
+      .agg(min(col("yc")).as("u"), max(col("n")).as("n"))
+    val exc = days.crossJoin(broadcast(u))
+      .filter(col("yc") > col("u"))
+      .select(col("n"), col("u"), (col("yc") - col("u")).as("z"))
+    val m = exc.groupBy(col("n"), col("u"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("z").cast(D0)).as("s1"),
+        sum(col("z").cast(D0) * col("z")).as("s2"))
+    val kD = col("k").cast("double")
+    val mean = col("s1").cast("double") / kD
+    val vr = (col("k") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (kD * (kD - 1.0))
+    val ratio = mean * mean / vr
+    val xi = (lit(1.0) - ratio) * 0.5
+    val beta = mean * (ratio + 1.0) * 0.5
+    // 1-in-1000-day return level: u + β/ξ·((k/(n·(1−p)))^ξ − 1)
+    val rl = (col("u") / 100.0) + (beta / xi) *
+      (pow(kD / (col("n") * lit(0.001)), xi) - lit(1.0)) / 100.0
+    m.select(col("n").as("n_days"), col("k").as("n_exceed"),
+      NumFns.roundPortable(col("u") / 100.0, 2).as("threshold"),
+      NumFns.roundPortable(mean / 100.0, 2).as("mean_excess"),
+      NumFns.roundPortable(xi, 4).as("xi"),
+      NumFns.roundPortable(beta / 100.0, 2).as("beta"),
+      NumFns.roundPortable(rl, 2).as("return_level_1000d"))
+  }
+
+  val qPotGpdOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |cells AS (SELECT yc, count(*) AS c FROM days GROUP BY yc),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+       |uu AS (
+       |  SELECT CAST(min(yc) AS BIGINT) AS u, CAST(max(n) AS BIGINT) AS n
+       |  FROM (
+       |    SELECT yc, n,
+       |      sum(c) OVER (ORDER BY yc
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM cells CROSS JOIN tot
+       |  )
+       |  WHERE cum >= ceil($PotThresholdQ * n)
+       |),
+       |exc AS (
+       |  SELECT n, u, yc - u AS z FROM days CROSS JOIN uu WHERE yc > u
+       |),
+       |m AS (
+       |  SELECT n, u, count(*) AS k,
+       |    sum(CAST(z AS HUGEINT)) AS s1,
+       |    sum(CAST(z AS HUGEINT) * z) AS s2
+       |  FROM exc GROUP BY n, u
+       |),
+       |st AS (
+       |  SELECT n, u, k,
+       |    CAST(s1 AS DOUBLE) / k AS mean,
+       |    CAST(k * s2 - s1 * s1 AS DOUBLE)
+       |      / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0)) AS vr
+       |  FROM m
+       |),
+       |gp AS (
+       |  SELECT n, u, k, mean,
+       |    (1.0 - mean * mean / vr) * 0.5 AS xi,
+       |    mean * (mean * mean / vr + 1.0) * 0.5 AS beta
+       |  FROM st
+       |)
+       |SELECT n AS n_days, k AS n_exceed,
+       |  ${NumFns.roundPortableSql("u / 100.0", 2)} AS threshold,
+       |  ${NumFns.roundPortableSql("mean / 100.0", 2)} AS mean_excess,
+       |  ${NumFns.roundPortableSql("xi", 4)} AS xi,
+       |  ${NumFns.roundPortableSql("beta / 100.0", 2)} AS beta,
+       |  ${NumFns.roundPortableSql(
+            "(u / 100.0) + (beta / xi)" +
+              " * (pow(CAST(k AS DOUBLE) / (n * 0.001), xi) - 1.0) / 100.0",
+            2)} AS return_level_1000d
+       |FROM gp""".stripMargin
 }
