@@ -1196,4 +1196,51 @@ object Dedup {
        |    AS dup_frac
        |FROM d LEFT JOIN cd USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Canonical-representative selection: within each near-dup cluster,
+    * KEEP the longest member (n_chars, doc_id tie-break) and drop the
+    * rest — the keep-BEST retention policy (q_dedup_exact and the
+    * cluster engine keep the first/min-id member; real curation keeps
+    * the most complete copy — truncated mirrors and snippet scrapes
+    * are the duplicates you want dropped). Composition over the
+    * audited cluster engine: labels → one max_by per cluster (no rank
+    * window — the argmax collapses map-side), n_chars rides the
+    * label join from the documents dim. Per-cluster report rows.
+    */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val labels = qDedupCluster(s, dir).select(col("doc_id"), col("cluster"))
+    val lens = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    labels.join(lens, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_cluster"),
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("keep_doc"),
+        max(col("n_chars")).as("keep_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("cluster"), col("n_cluster"), col("keep_doc"),
+        col("keep_chars"), (col("n_cluster") - 1).as("n_dropped"),
+        (col("total_chars") - col("keep_chars")).as("chars_dropped"))
+      .orderBy(col("cluster"))
+  }
+
+  val qDedupKeepBestOracle: String =
+    s"""$clusterCteSql,
+       |j AS (
+       |  SELECT cl.cluster, cl.doc_id, d.n_chars
+       |  FROM cl JOIN documents d USING (doc_id)
+       |),
+       |rk AS (
+       |  SELECT cluster, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY n_chars DESC, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY cluster) AS n_cluster,
+       |    sum(n_chars) OVER (PARTITION BY cluster) AS total_chars
+       |  FROM j
+       |)
+       |SELECT cluster, n_cluster, doc_id AS keep_doc,
+       |  n_chars AS keep_chars,
+       |  CAST(n_cluster - 1 AS BIGINT) AS n_dropped,
+       |  CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
+       |FROM rk WHERE r = 1
+       |ORDER BY cluster""".stripMargin
 }

@@ -3789,4 +3789,172 @@ object Temporal {
               " * (pow(CAST(k AS DOUBLE) / (n * 0.001), xi) - 1.0) / 100.0",
             2)} AS return_level_1000d
        |FROM gp""".stripMargin
+
+  /** Entropy rate of the user event-type Markov chain: H = −Σᵢⱼ
+    * (nᵢⱼ/N)·ln(nᵢⱼ/nᵢ.) over the transition cells, beside the
+    * zeroth-order marginal entropy and the predictability gain
+    * 1 − H_rate/H_marg — how much knowing the PREVIOUS action tells
+    * you about the next (q_markov_chain prints the matrix; this is
+    * its one-number information content, and q_event_entropy's
+    * per-user marginal can't see sequence structure at all). Shape:
+    * one lag pass (user-partitioned window) → the ≤|types|² cell
+    * frame; every sum is a per-term DECIMAL fold over it. Counts
+    * exact; ln on identical ratio-of-integer doubles.
+    */
+  def qEntropyRate(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // ≤|types|² rows; feeds marginals AND both folds
+    val marg = cells.groupBy(col("from_type")).agg(sum(col("n")).as("ni"))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      countDistinct(col("from_type")).as("k"))
+    val joined = cells.join(broadcast(marg), Seq("from_type"))
+      .crossJoin(broadcast(tot))
+    val hRate = joined
+      .select((-(col("n").cast("double") / col("nn"))
+        * log(col("n").cast("double") / col("ni"))).cast(D).as("t"))
+      .agg(sum(col("t")).as("hr"))
+    val hMarg = marg.crossJoin(broadcast(tot))
+      .select((-(col("ni").cast("double") / col("nn"))
+        * log(col("ni").cast("double") / col("nn"))).cast(D).as("t"))
+      .agg(sum(col("t")).as("hm"))
+    tot.crossJoin(broadcast(hRate)).crossJoin(broadcast(hMarg))
+      .select(col("nn").as("n_transitions"), col("k").as("n_states"),
+        NumFns.roundPortable(col("hr").cast("double"), 6).as("entropy_rate"),
+        NumFns.roundPortable(col("hm").cast("double"), 6)
+          .as("marginal_entropy"),
+        NumFns.roundPortable(
+          lit(1.0) - col("hr").cast("double") / col("hm").cast("double"), 6)
+          .as("predictability"))
+  }
+
+  val qEntropyRateOracle: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+       |),
+       |g AS (
+       |  SELECT event_type AS to_type,
+       |    lag(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS from_type
+       |  FROM o
+       |),
+       |c AS (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM g WHERE from_type IS NOT NULL GROUP BY 1, 2
+       |),
+       |mg AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS ni FROM c
+       |  GROUP BY 1),
+       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+       |  count(DISTINCT from_type) AS k FROM c),
+       |hr AS (
+       |  SELECT CAST(sum(CAST(-(CAST(n AS DOUBLE) / nn)
+       |    * ln(CAST(n AS DOUBLE) / ni) AS DECIMAL(38,12))) AS DOUBLE) AS hr
+       |  FROM c JOIN mg USING (from_type) CROSS JOIN tt
+       |),
+       |hm AS (
+       |  SELECT CAST(sum(CAST(-(CAST(ni AS DOUBLE) / nn)
+       |    * ln(CAST(ni AS DOUBLE) / nn) AS DECIMAL(38,12))) AS DOUBLE) AS hm
+       |  FROM mg CROSS JOIN tt
+       |)
+       |SELECT nn AS n_transitions, k AS n_states,
+       |  ${NumFns.roundPortableSql("hr", 6)} AS entropy_rate,
+       |  ${NumFns.roundPortableSql("hm", 6)} AS marginal_entropy,
+       |  ${NumFns.roundPortableSql("1.0 - hr / hm", 6)} AS predictability
+       |FROM tt, hr, hm""".stripMargin
+
+  /** Bowker symmetry test of the event-type transition matrix: χ² =
+    * Σ_{i<j} (nᵢⱼ−nⱼᵢ)²/(nᵢⱼ+nⱼᵢ) — "is traffic between every pair of
+    * states balanced, or does the product have one-way currents?" (the
+    * k-state generalization of q_mcnemar's 2×2; a funnel SHOULD fail
+    * it — signup→purchase must outnumber purchase→signup — so the
+    * per-pair table is the actual product: which flows are skewed).
+    * Shape: the transition cell frame self-joins on the flipped key —
+    * a ≤|types|²-row dimension join — then one DECIMAL-folded sum;
+    * Wilson–Hilferty normalizes χ² against its dof for the verdict.
+    */
+  def qBowkerTest(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cells = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pairs = cells.filter(col("from_type") < col("to_type"))
+      .select(col("from_type").as("a"), col("to_type").as("b"),
+        col("n").as("nab"))
+      .join(cells.select(col("to_type").as("a"), col("from_type").as("b"),
+        col("n").as("nba")), Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("nab"), lit(0L)).as("nab"),
+        coalesce(col("nba"), lit(0L)).as("nba"))
+      .filter(col("a") < col("b") && (col("nab") + col("nba")) > 0)
+    val agg = pairs
+      .select((((col("nab") - col("nba")) * (col("nab") - col("nba")))
+        .cast("double") / (col("nab") + col("nba"))).cast(D).as("t"))
+      .agg(count(lit(1)).as("dof"), sum(col("t")).as("chi2"))
+    val k = col("dof").cast("double")
+    val c2 = col("chi2").cast("double")
+    val z = (pow(c2 / k, 1.0 / 3.0) - (lit(1.0) - lit(2.0) / (lit(9.0) * k))) /
+      sqrt(lit(2.0) / (lit(9.0) * k))
+    agg.select(col("dof"),
+      NumFns.roundPortable(c2, 4).as("bowker_chi2"),
+      NumFns.roundPortable(z, 4).as("z"))
+      .withColumn("asymmetric", col("z") > 1.645)
+  }
+
+  val qBowkerTestOracle: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+       |),
+       |g AS (
+       |  SELECT event_type AS to_type,
+       |    lag(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS from_type
+       |  FROM o
+       |),
+       |c AS (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM g WHERE from_type IS NOT NULL GROUP BY 1, 2
+       |),
+       |pr AS (
+       |  SELECT coalesce(x.a, y.a) AS a, coalesce(x.b, y.b) AS b,
+       |    coalesce(x.nab, 0) AS nab, coalesce(y.nba, 0) AS nba
+       |  FROM (SELECT from_type AS a, to_type AS b, n AS nab FROM c
+       |        WHERE from_type < to_type) x
+       |  FULL OUTER JOIN (SELECT to_type AS a, from_type AS b, n AS nba
+       |        FROM c WHERE to_type < from_type) y
+       |    ON x.a = y.a AND x.b = y.b
+       |),
+       |f AS (
+       |  SELECT CAST((nab - nba) * (nab - nba) AS DOUBLE) / (nab + nba)
+       |    AS t
+       |  FROM pr WHERE a < b AND nab + nba > 0
+       |),
+       |ag AS (
+       |  SELECT count(*) AS dof,
+       |    CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+       |  FROM f
+       |),
+       |zz AS (
+       |  SELECT dof, chi2,
+       |    (pow(chi2 / dof, 1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dof)))
+       |      / sqrt(2.0 / (9.0 * dof)) AS z
+       |  FROM ag
+       |)
+       |SELECT dof,
+       |  ${NumFns.roundPortableSql("chi2", 4)} AS bowker_chi2,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql("z", 4)} > 1.645 AS asymmetric
+       |FROM zz""".stripMargin
 }
