@@ -371,6 +371,50 @@ object EventPipeline {
       }
   }
 
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  case class PendingSignup(signupUs: Long)
+  case class Conversion(user_id: Long, signup_us: Long, purchase_us: Long,
+      latency_s: Double)
+
+  /** Streaming signup→purchase conversion latency via
+    * flatMapGroupsWithState — the funnel-latency monitor as a custom
+    * stateful operator: per user, state holds the EARLIEST unconverted
+    * signup; the first later purchase emits one conversion row and
+    * clears it (repeat signups before converting don't reset the
+    * clock; repeat purchases without a fresh signup emit nothing).
+    * State is one timestamp per un-converted user — bounded by the
+    * live-user domain, not stream length — and micro-batch events fold
+    * in (us, event_type) order so replays and batch boundaries can't
+    * reorder a user's funnel. Append mode: each conversion is final
+    * the moment it is emitted.
+    */
+  def timeToConvertStream(events: Dataset[FunnelEvent]): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "signup" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PendingSignup, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[PendingSignup]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_type))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
+          var pending = state.getOption.map(_.signupUs)
+          sorted.foreach { e =>
+            if (e.event_type == "signup") {
+              if (pending.isEmpty) pending = Some(e.us)
+            } else pending.foreach { s0 =>
+              out += Conversion(uid, s0, e.us, (e.us - s0) / 1e6)
+              pending = None
+            }
+          }
+          pending match {
+            case Some(s0) => state.update(PendingSignup(s0))
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+
   /** Batch-equivalent entry used by tests: stream the events parquet
     * through a file source (raw on-disk schema — ts arrives as a ns Long
     * under nanosAsLong and is normalized to a µs timestamp, mirroring

@@ -210,4 +210,50 @@ class EventPipelineSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming time-to-convert emits exactly the batch funnel conversions") {
+    import spark.implicits._
+    val stream = EventPipeline.streamEventsFrom(spark, sf001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[EventPipeline.FunnelEvent]
+    val q = EventPipeline.timeToConvertStream(stream)
+      .writeStream.format("memory").queryName("ttc_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT user_id, signup_us, purchase_us, latency_s FROM ttc_test
+          |ORDER BY user_id, signup_us""".stripMargin).collect()
+      // driver-side reference fold of the same semantics over the batch
+      // table (sf0.001 is tiny): earliest unconverted signup -> first
+      // later purchase, clear on convert
+      val rows = Tables.events(spark, sf001)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+        var pending = Option.empty[Long]
+        evs.filter(e => e._2 == "signup" || e._2 == "purchase")
+          .sortBy(e => (e._3, e._2))
+          .flatMap {
+            case (_, "signup", us) =>
+              if (pending.isEmpty) pending = Some(us)
+              None
+            case (_, "purchase", us) =>
+              val hit = pending.map(s0 => (uid, s0, us, (us - s0) / 1e6))
+              if (hit.isDefined) pending = None
+              hit
+            case _ => None
+          }
+      }.sortBy(t => (t._1, t._2))
+      assert(streamed.length == expected.length && expected.nonEmpty)
+      streamed.zip(expected).foreach { case (sw, e) =>
+        assert(sw.getLong(0) == e._1 && sw.getLong(1) == e._2
+          && sw.getLong(2) == e._3 && math.abs(sw.getDouble(3) - e._4) < 1e-9,
+          s"$sw != $e")
+      }
+    } finally q.stop()
+  }
 }
