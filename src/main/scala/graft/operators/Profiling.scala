@@ -3156,4 +3156,125 @@ object Profiling {
        |  ${NumFns.roundPortableSql("sqrt(1.0 - least(bc, 1.0))", 6)}
        |    AS hellinger
        |FROM bc""".stripMargin
+
+  /** Dunn's post-hoc pairwise rank test after [[qKruskalWallis]]: KW
+    * says "SOME source differs" in document length; Dunn says WHICH
+    * pairs, with the tie-corrected rank-variance and BH-FDR control
+    * across the ≤C(k,2) comparisons — the drill-down that turns an
+    * omnibus alarm into a work list. Shape: the midrank machinery is
+    * the KW cell frame verbatim (value cells + exclusive prefix —
+    * never a row-scale rank); per-source mean ranks are a dimension
+    * aggregate, the pair frame is k²-bounded, and BH ranks by |z|
+    * (bit-identical) with p only compared against thresholds — the
+    * q_bh_fdr discipline.
+    */
+  def qDunnPosthoc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vs = Tables.documents(s, dir)
+      .groupBy(col("n_chars").as("v"), col("source"))
+      .agg(count(lit(1)).as("c_vs"))
+    val cells = vs.groupBy(col("v")).agg(sum(col("c_vs")).as("c_v"))
+    val wv = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("before", coalesce(sum(col("c_v")).over(wv), lit(0L)))
+      .select(col("v"),
+        (col("before").cast("double") + (col("c_v") + 1) / 2.0).as("midrank"),
+        col("c_v"))
+    val groups = vs.join(broadcast(ranked.select(col("v"), col("midrank"))),
+        "v")
+      .groupBy(col("source"))
+      .agg(sum(col("c_vs")).as("n_j"),
+        (sum((col("c_vs") * col("midrank")).cast(D)).cast("double")
+          / sum(col("c_vs"))).as("rbar"))
+      .localCheckpoint() // ≤|sources| rows; feeds both pair sides
+    val ties = ranked.agg(
+      sum(col("c_v").cast(D0) * col("c_v") * col("c_v") - col("c_v")).as("t"))
+    val tot = groups.agg(sum(col("n_j")).as("nn"))
+    val pairs = groups.select(col("source").as("src_a"),
+        col("n_j").as("na"), col("rbar").as("ra"))
+      .join(broadcast(groups.select(col("source").as("src_b"),
+        col("n_j").as("nb"), col("rbar").as("rb"))),
+        col("src_a") < col("src_b"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+    val n = col("nn").cast("double")
+    val sig2 = (n * (n + 1.0) / 12.0
+      - col("t").cast("double") / (lit(12.0) * (n - 1.0)))
+    val z = (col("ra") - col("rb")) /
+      sqrt(sig2 * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    val wRank = Window.orderBy(abs(col("z")).desc, col("src_a"), col("src_b"))
+    val wAll = Window.partitionBy()
+    pairs
+      .withColumn("z", z)
+      .withColumn("p", NumFns.normTwoSidedP(col("z")))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("pass", col("p") <= col("rnk") * BhAlpha / col("m"))
+      .withColumn("k_star",
+        coalesce(max(when(col("pass"), col("rnk"))).over(wAll), lit(0L)))
+      .select(col("src_a"), col("src_b"),
+        NumFns.roundPortable(col("z"), 4).as("z"),
+        NumFns.roundPortable(col("p"), 6).as("p_value"),
+        col("rnk"), (col("rnk") <= col("k_star")).as("significant"))
+      .orderBy(col("rnk"))
+  }
+
+  val qDunnPosthocOracle: String =
+    s"""WITH vs AS (
+       |  SELECT n_chars AS v, source, count(*) AS c_vs
+       |  FROM documents GROUP BY 1, 2
+       |),
+       |cells AS (
+       |  SELECT v, CAST(sum(c_vs) AS BIGINT) AS c_v FROM vs GROUP BY 1
+       |),
+       |ranked AS (
+       |  SELECT v,
+       |    CAST(coalesce(sum(c_v) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+       |      + (c_v + 1) / 2.0 AS midrank,
+       |    c_v
+       |  FROM cells
+       |),
+       |groups AS (
+       |  SELECT source, CAST(sum(c_vs) AS BIGINT) AS n_j,
+       |    CAST(sum(CAST(c_vs * midrank AS DECIMAL(38,12))) AS DOUBLE)
+       |      / sum(c_vs) AS rbar
+       |  FROM vs JOIN ranked USING (v) GROUP BY 1
+       |),
+       |tiesq AS (
+       |  SELECT CAST(sum(CAST(c_v AS HUGEINT) * c_v * c_v - c_v) AS DOUBLE)
+       |    AS t
+       |  FROM ranked
+       |),
+       |tt AS (SELECT CAST(sum(n_j) AS BIGINT) AS nn FROM groups),
+       |pr AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    (a.rbar - b.rbar) / sqrt(
+       |      (CAST(nn AS DOUBLE) * (nn + 1.0) / 12.0
+       |        - t / (12.0 * (nn - 1.0)))
+       |      * (1.0 / a.n_j + 1.0 / b.n_j)) AS z
+       |  FROM groups a JOIN groups b ON a.source < b.source
+       |  CROSS JOIN tt CROSS JOIN tiesq
+       |),
+       |r AS (
+       |  SELECT src_a, src_b, z,
+       |    ${NumFns.normTwoSidedPSql("z")} AS p,
+       |    CAST(row_number() OVER (ORDER BY abs(z) DESC, src_a, src_b)
+       |      AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM pr
+       |),
+       |f AS (
+       |  SELECT *, coalesce(max(CASE WHEN p <= rnk * $BhAlpha / m
+       |    THEN rnk END) OVER (), 0) AS k_star
+       |  FROM r
+       |)
+       |SELECT src_a, src_b,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql("p", 6)} AS p_value,
+       |  rnk, (rnk <= k_star) AS significant
+       |FROM f
+       |ORDER BY rnk""".stripMargin
 }

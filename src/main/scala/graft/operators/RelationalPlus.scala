@@ -1059,4 +1059,70 @@ object RelationalPlus {
             "(k * sxy - sx * sy) * (k * sxy - sx * sy)" +
               " / ((k * sxx - sx * sx) * (k * syy - sy * sy))", 4)} AS r2
        |FROM m""".stripMargin
+
+  /** Herfindahl–Hirschman supplier-concentration index per nation:
+    * HHI = Σ shareᵢ² of each supplier's revenue within its nation,
+    * with the effective supplier count 1/HHI — the antitrust-style
+    * CONCENTRATION read (q_gini measures inequality of a
+    * distribution; HHI measures how few players hold the market,
+    * which is the sourcing-risk question: a nation at HHI 0.5 has
+    * effectively two suppliers no matter how many are registered).
+    * Shape: one fact scan → (nation, supplier) revenue cells (exact
+    * integer cents) → nation rollup with per-term DECIMAL share²
+    * folds; the supplier dim broadcasts.
+    */
+  def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val bySupp = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("nation"))),
+        Seq("s_nationkey"))
+      .groupBy(col("nation"), col("s_suppkey"))
+      .agg(sum(NumFns.roundAwayLong(col("l_extendedprice") * 100)).as("rev"))
+    val natTot = bySupp.groupBy(col("nation"))
+      .agg(sum(col("rev")).as("nrev"), count(lit(1)).as("n_suppliers"))
+    bySupp.join(broadcast(natTot), Seq("nation"))
+      .select(col("nation"), col("n_suppliers"),
+        ((col("rev").cast("double") / col("nrev"))
+          * (col("rev").cast("double") / col("nrev"))).cast(D).as("s2"))
+      .groupBy(col("nation"), col("n_suppliers"))
+      .agg(sum(col("s2")).as("hhi"))
+      .select(col("nation"), col("n_suppliers"),
+        NumFns.roundPortable(col("hhi").cast("double"), 6).as("hhi"),
+        NumFns.roundPortable(
+          lit(1.0) / col("hhi").cast("double"), 2).as("effective_n"))
+      .orderBy(col("nation"))
+  }
+
+  val qHhiOracle: String =
+    s"""WITH bs AS (
+       |  SELECT n_name AS nation, l_suppkey,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS rev
+       |  FROM lineitem
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |    JOIN nation ON n_nationkey = s_nationkey
+       |  GROUP BY 1, 2
+       |),
+       |nt AS (
+       |  SELECT nation, CAST(sum(rev) AS BIGINT) AS nrev,
+       |    count(*) AS n_suppliers
+       |  FROM bs GROUP BY 1
+       |),
+       |t AS (
+       |  SELECT nation, n_suppliers,
+       |    CAST((CAST(rev AS DOUBLE) / nrev) * (CAST(rev AS DOUBLE) / nrev)
+       |      AS DECIMAL(38,12)) AS s2
+       |  FROM bs JOIN nt USING (nation)
+       |)
+       |SELECT nation, n_suppliers,
+       |  ${NumFns.roundPortableSql("CAST(sum(s2) AS DOUBLE)", 6)} AS hhi,
+       |  ${NumFns.roundPortableSql(
+            "1.0 / CAST(sum(s2) AS DOUBLE)", 2)} AS effective_n
+       |FROM t GROUP BY nation, n_suppliers
+       |ORDER BY nation""".stripMargin
 }

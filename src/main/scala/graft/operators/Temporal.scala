@@ -3957,4 +3957,88 @@ object Temporal {
        |  ${NumFns.roundPortableSql("z", 4)} AS z,
        |  ${NumFns.roundPortableSql("z", 4)} > 1.645 AS asymmetric
        |FROM zz""".stripMargin
+
+  /** Page's L trend test for ORDERED alternatives across the weekday
+    * profile: within each complete Mon→Sun week (the block), rank the
+    * seven daily revenues, then L = Σ_j j·R_j asks whether revenue
+    * rises MONOTONICALLY through the week — the ordered-hypothesis
+    * power that q_friedman (any difference) throws away. Shape: the
+    * day frame gets ISO week/weekday keys; in-block ranks are
+    * 7-row partitioned windows (entity-parallel, never global);
+    * complete blocks filter exactly; L, E[L] = bk(k+1)²/4 and
+    * Var[L] = bk²(k+1)(k²−1)/144 are exact integers until z.
+    */
+  def qPageTrend(s: SparkSession, dir: String): DataFrame = {
+    val k = 7
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+      .select(col("d"), col("yc"),
+        weekofyear(col("d")).as("wk"), year(col("d")).as("yr"),
+        dayofweek(col("d")).as("dw"))
+    val wBlock = Window.partitionBy(col("yr"), col("wk"))
+    val complete = days
+      .withColumn("nb", count(lit(1)).over(wBlock))
+      .filter(col("nb") === k)
+    val wRank = Window.partitionBy(col("yr"), col("wk"))
+      .orderBy(col("yc"), col("d"))
+    val ranked = complete
+      .withColumn("r", row_number().over(wRank).cast("long"))
+      // treatment index: Monday=1 … Sunday=7 (dayofweek is Sun=1)
+      .withColumn("j", ((col("dw") + 5) % 7 + 1).cast("long"))
+    val m = ranked.agg(
+      (countDistinct(col("yr"), col("wk"))).as("b"),
+      sum(col("j") * col("r")).as("l"))
+    val bD = col("b").cast("double")
+    val e = bD * k * (k + 1.0) * (k + 1.0) / 4.0
+    val v = bD * k * k * (k + 1.0) * (k * k - 1.0) / 144.0
+    val z = (col("l") - e) / sqrt(v)
+    m.select(col("b").as("n_weeks"), col("l").as("page_l"),
+      NumFns.roundPortable(e, 2).as("expected_l"),
+      NumFns.roundPortable(z, 4).as("z"),
+      NumFns.roundPortable(NumFns.normTwoSidedP(z), 6).as("p_value"),
+      (z > 1.645).as("increasing_trend"))
+  }
+
+  val qPageTrendOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |keyed AS (
+       |  SELECT d, yc, weekofyear(d) AS wk, year(d) AS yr,
+       |    dayofweek(d) AS dw0
+       |  FROM days
+       |),
+       |cb AS (
+       |  SELECT *, count(*) OVER (PARTITION BY yr, wk) AS nb FROM keyed
+       |),
+       |ranked AS (
+       |  SELECT yr, wk,
+       |    CAST(row_number() OVER (PARTITION BY yr, wk ORDER BY yc, d)
+       |      AS BIGINT) AS r,
+       |    CAST((dw0 + 6) % 7 + 1 AS BIGINT) AS j
+       |  FROM cb WHERE nb = 7
+       |),
+       |m AS (
+       |  SELECT CAST(count(DISTINCT (yr, wk)) AS BIGINT) AS b,
+       |    CAST(sum(j * r) AS BIGINT) AS l
+       |  FROM ranked
+       |),
+       |zz AS (
+       |  SELECT b, l,
+       |    b * 7.0 * 8.0 * 8.0 / 4.0 AS e,
+       |    (l - b * 7.0 * 8.0 * 8.0 / 4.0)
+       |      / sqrt(b * 49.0 * 8.0 * 48.0 / 144.0) AS z
+       |  FROM m
+       |)
+       |SELECT b AS n_weeks, l AS page_l,
+       |  ${NumFns.roundPortableSql("e", 2)} AS expected_l,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql("z"), 6)}
+       |    AS p_value,
+       |  z > 1.645 AS increasing_trend
+       |FROM zz""".stripMargin
 }
