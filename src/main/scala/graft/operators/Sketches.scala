@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{NumFns, TextFns}
 import graft.sources.Tables
 
 /** Approximate sketch operators — the 100 TB versions of exact
@@ -354,4 +354,64 @@ object Sketches {
        |  CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
        |  TRUE AS within_bound
        |FROM p""".stripMargin
+
+  /** K-minimum-values sketch size. rse ≈ 1/√(K−2) ≈ 6.3%; the
+    * certification bound is ~3σ.
+    */
+  val KmvK = 256
+
+  /** Certification bound for [[qKmvDistinct]] (≈3σ of the KMV rse). */
+  val KmvBound = 0.2
+
+  /** K-minimum-values distinct-count estimator over order keys, beside
+    * its exact twin with the ±3σ certification verdict — the THIRD
+    * distinct sketch in the suite (HLL hashes into registers; KMV
+    * keeps the K smallest hash values, which uniquely also supports
+    * set-INTERSECTION estimates downstream, and its k-th order
+    * statistic is an exact, engine-portable integer — md5-derived, so
+    * the sketch VALUE itself is oracle-gated, not just its bound).
+    * Shape: distinct keys → 60-bit portable hashes → TakeOrdered(K)
+    * (heap per partition + K-row merge, never a global sort);
+    * estimate = (K−1)/(h_K/2⁶⁰). Degrades to exact when the domain is
+    * smaller than K (all hashes kept), mirrored in both engines.
+    */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("string").as("k")).distinct()
+      .select(TextFns.hash60(col("k")).as("h"))
+    val exact = keys.agg(count(lit(1)).as("exact_keys"))
+    val kmv = keys.orderBy(col("h")).limit(KmvK)
+      .agg(count(lit(1)).as("kept"), max(col("h")).as("hk"))
+    kmv.crossJoin(broadcast(exact))
+      .select(col("exact_keys"), col("kept"), col("hk"),
+        when(col("kept") < KmvK, col("kept").cast("double"))
+          .otherwise((lit(KmvK.toDouble) - 1.0)
+            / (col("hk").cast("double") / math.pow(2.0, 60))).as("est"))
+      .select(col("exact_keys"), col("kept"),
+        NumFns.roundPortable(col("est"), 2).as("kmv_estimate"),
+        (abs(col("est") - col("exact_keys")) <=
+          col("exact_keys") * KmvBound).as("within_bound"))
+  }
+
+  val qKmvDistinctOracle: String =
+    s"""WITH keys AS (
+       |  SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+       |),
+       |h AS (SELECT ${TextFns.hash60Sql("k")} AS h FROM keys),
+       |ex AS (SELECT count(*) AS exact_keys FROM h),
+       |km AS (
+       |  SELECT count(*) AS kept, max(h) AS hk
+       |  FROM (SELECT h FROM h ORDER BY h LIMIT $KmvK)
+       |),
+       |e AS (
+       |  SELECT exact_keys, kept,
+       |    CASE WHEN kept < $KmvK THEN CAST(kept AS DOUBLE)
+       |      ELSE ($KmvK.0 - 1.0)
+       |        / (CAST(hk AS DOUBLE) / pow(2.0, 60)) END AS est
+       |  FROM km CROSS JOIN ex
+       |)
+       |SELECT exact_keys, kept,
+       |  ${NumFns.roundPortableSql("est", 2)} AS kmv_estimate,
+       |  abs(est - exact_keys) <= exact_keys * $KmvBound AS within_bound
+       |FROM e""".stripMargin
 }

@@ -2357,4 +2357,61 @@ object TextAnalysis {
               " + 100.0 * n_complex / n_words) * 0.4", 4)} AS fog
        |FROM c
        |ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary richness estimation from the count-of-counts spectrum:
+    * Chao1's lower bound on TOTAL vocabulary (observed + unseen,
+    * V + V₁²/(2V₂)) and the Good–Turing coverage estimate
+    * (1 − V₁/N — the probability the NEXT token is a known word) — the
+    * "how much vocabulary haven't we crawled yet?" planning numbers
+    * that q_hapax/q_heaps_fit (observed-only) can't give. Shape: word
+    * cells → the ≤10³-row Vₘ frame → three scalar sums; all exact
+    * integers (HUGEINT/DECIMAL m·Vₘ folds) until the two final
+    * ratios.
+    */
+  def qSpeciesRichness(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cc = Tables.documents(s, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("vm"))
+    cc.agg(
+      sum(col("m").cast(D0) * col("vm")).cast("long").as("n_tokens"),
+      sum(col("vm")).as("v"),
+      sum(when(col("m") === 1, col("vm")).otherwise(0L)).as("v1"),
+      sum(when(col("m") === 2, col("vm")).otherwise(0L)).as("v2"))
+      .select(col("n_tokens"), col("v").as("v_observed"), col("v1"),
+        col("v2"),
+        NumFns.roundPortable(
+          when(col("v2") > 0,
+            col("v") + col("v1").cast("double") * col("v1")
+              / (lit(2.0) * col("v2")))
+            .otherwise(col("v") + col("v1").cast("double")
+              * (col("v1") - 1) / 2.0), 2).as("chao1"),
+        NumFns.roundPortable(
+          lit(1.0) - col("v1").cast("double") / col("n_tokens"), 6)
+          .as("good_turing_coverage"))
+  }
+
+  val qSpeciesRichnessOracle: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${TextFns.toksSql}) AS word FROM documents
+       |),
+       |wc AS (SELECT word, count(*) AS m FROM toks GROUP BY word),
+       |cc AS (SELECT m, count(*) AS vm FROM wc GROUP BY m),
+       |ag AS (
+       |  SELECT CAST(sum(CAST(m AS HUGEINT) * vm) AS BIGINT) AS n_tokens,
+       |    CAST(sum(vm) AS BIGINT) AS v,
+       |    CAST(sum(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT) AS v1,
+       |    CAST(sum(CASE WHEN m = 2 THEN vm ELSE 0 END) AS BIGINT) AS v2
+       |  FROM cc
+       |)
+       |SELECT n_tokens, v AS v_observed, v1, v2,
+       |  ${NumFns.roundPortableSql(
+            "CASE WHEN v2 > 0 THEN v + CAST(v1 AS DOUBLE) * v1 / (2.0 * v2)" +
+              " ELSE v + CAST(v1 AS DOUBLE) * (v1 - 1) / 2.0 END", 2)}
+       |    AS chao1,
+       |  ${NumFns.roundPortableSql(
+            "1.0 - CAST(v1 AS DOUBLE) / n_tokens", 6)}
+       |    AS good_turing_coverage
+       |FROM ag""".stripMargin
 }
