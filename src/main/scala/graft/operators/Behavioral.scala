@@ -1583,4 +1583,62 @@ object Behavioral {
        |    AS avg_entropy
        |FROM h GROUP BY tier
        |ORDER BY tier""".stripMargin
+
+  /** Gap thresholds probed by [[qSessionGapSensitivity]], minutes. */
+  val SessionGapsMin = Seq(15L, 30L, 60L)
+
+  /** Sessionization parameter-sensitivity audit: session counts and
+    * mean session length under 15/30/60-minute gap choices, from ONE
+    * lag pass — the robustness check behind q_sessionize's fixed gap
+    * (if halving the gap doubles session count, the metric is an
+    * artifact of the parameter, not the behavior; stable counts mean
+    * real session structure). Shape: one user-partitioned window
+    * computes each event's gap-to-previous once; each threshold is a
+    * conditional sum over the same pass — three parameters cost one
+    * scan, the way q_pr_curve sweeps thresholds.
+    */
+  def qSessionGapSensitivity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gapped = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+    val perGap = SessionGapsMin.map { g =>
+      val gapUs = g * 60L * 1000000L
+      gapped.agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L)).as("n_sessions"))
+        .select(lit(g).as("gap_min"), col("n_events"), col("n_sessions"),
+          NumFns.roundPortable(
+            col("n_events").cast("double") / col("n_sessions"), 4)
+            .as("mean_events_per_session"))
+    }
+    perGap.reduce(_ union _).orderBy(col("gap_min"))
+  }
+
+  val qSessionGapSensitivityOracle: String = {
+    val rows = SessionGapsMin.map { g =>
+      val gapUs = g * 60L * 1000000L
+      s"""SELECT CAST($g AS BIGINT) AS gap_min, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN prev IS NULL OR us - prev > $gapUs
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+         |  ${NumFns.roundPortableSql(
+              s"CAST(count(*) AS DOUBLE) / sum(CASE WHEN prev IS NULL" +
+                s" OR us - prev > $gapUs THEN 1 ELSE 0 END)", 4)}
+         |    AS mean_events_per_session
+         |FROM g""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |),
+       |g AS (
+       |  SELECT us, lag(us, 1) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id) AS prev
+       |  FROM o
+       |)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY gap_min""".stripMargin
+  }
 }

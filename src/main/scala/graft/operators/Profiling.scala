@@ -3277,4 +3277,164 @@ object Profiling {
        |  rnk, (rnk <= k_star) AS significant
        |FROM f
        |ORDER BY rnk""".stripMargin
+
+  /** Join-key skew audit for the two hottest fact keys (lineitem.
+    * partkey, orders.custkey): per key, the row count distribution
+    * over keys — max share, p99/median ratio, max/mean skew factor —
+    * THE "do I need to salt this join?" pre-flight (q_skew_salted_join
+    * and q_join_skew EXECUTE the mitigation; this measures whether a
+    * key needs it, which at 100 TB you check before burning the
+    * shuffle). Shape: per key, fact → (key,cnt) cells →
+    * count-of-counts frame (bounded by distinct-count values); median
+    * and p99 are rank-from-counts picks over THAT frame (exclusive
+    * prefix, never a row sort); two report rows union.
+    */
+  def qKeySkewAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def audit(keyed: DataFrame, label: String): DataFrame = {
+      val cells = keyed.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      val cc = cells.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+      val tot = cc.agg(sum(col("nk")).as("n_keys"),
+        sum(col("cnt") * col("nk")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      val wCum = Window.orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = cc.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("nk")).over(wCum))
+      def rankPick(q: Double) = ranked
+        .filter(col("cum") >= ceil(lit(q) * col("n_keys")))
+        .agg(min(col("cnt")))
+      val med = rankPick(0.5).withColumnRenamed("min(cnt)", "median_cnt")
+      val p99 = rankPick(0.99).withColumnRenamed("min(cnt)", "p99_cnt")
+      tot.crossJoin(broadcast(med)).crossJoin(broadcast(p99))
+        .select(lit(label).as("key"), col("n_keys"), col("n_rows"),
+          col("max_cnt"), col("median_cnt"), col("p99_cnt"),
+          NumFns.roundPortable(
+            col("max_cnt").cast("double") / col("n_rows"), 6)
+            .as("max_share"),
+          NumFns.roundPortable(
+            col("p99_cnt").cast("double") / col("median_cnt"), 4)
+            .as("p99_over_median"),
+          NumFns.roundPortable(
+            col("max_cnt").cast("double")
+              / (col("n_rows").cast("double") / col("n_keys")), 4)
+            .as("max_over_mean"))
+    }
+    audit(Tables.lineitem(s, dir).select(col("l_partkey").as("k")),
+        "lineitem.partkey")
+      .union(audit(Tables.orders(s, dir).select(col("o_custkey").as("k")),
+        "orders.custkey"))
+      .orderBy(col("key"))
+  }
+
+  val qKeySkewAuditOracle: String = {
+    def auditSql(table: String, keyCol: String, label: String) =
+      s"""SELECT '$label' AS key, n_keys, n_rows, max_cnt, median_cnt,
+         |  p99_cnt,
+         |  ${NumFns.roundPortableSql(
+              "CAST(max_cnt AS DOUBLE) / n_rows", 6)} AS max_share,
+         |  ${NumFns.roundPortableSql(
+              "CAST(p99_cnt AS DOUBLE) / median_cnt", 4)} AS p99_over_median,
+         |  ${NumFns.roundPortableSql(
+              "CAST(max_cnt AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)",
+              4)} AS max_over_mean
+         |FROM (
+         |  WITH cells AS (
+         |    SELECT $keyCol AS k, count(*) AS cnt FROM $table GROUP BY 1
+         |  ),
+         |  cc AS (SELECT cnt, count(*) AS nk FROM cells GROUP BY cnt),
+         |  tot AS (
+         |    SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+         |      CAST(sum(cnt * nk) AS BIGINT) AS n_rows,
+         |      CAST(max(cnt) AS BIGINT) AS max_cnt
+         |    FROM cc
+         |  ),
+         |  rk AS (
+         |    SELECT cnt, n_keys,
+         |      sum(nk) OVER (ORDER BY cnt
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM cc CROSS JOIN tot
+         |  )
+         |  SELECT n_keys, n_rows, max_cnt,
+         |    (SELECT CAST(min(cnt) AS BIGINT) FROM rk
+         |      WHERE cum >= ceil(0.5 * n_keys)) AS median_cnt,
+         |    (SELECT CAST(min(cnt) AS BIGINT) FROM rk
+         |      WHERE cum >= ceil(0.99 * n_keys)) AS p99_cnt
+         |  FROM tot
+         |)""".stripMargin
+    s"""SELECT * FROM (
+       |${auditSql("lineitem", "l_partkey", "lineitem.partkey")}
+       |UNION ALL
+       |${auditSql("orders", "o_custkey", "orders.custkey")}
+       |) ORDER BY key""".stripMargin
+  }
+
+  /** Referential-integrity audit over the star schema's four fact→dim
+    * arcs: child rows/keys vs orphaned rows/keys per relationship —
+    * the first data-quality gate a warehouse load runs (q_fd_violations
+    * audits FUNCTIONAL dependencies inside a table; this audits the
+    * JOIN contracts between tables, the thing that silently turns
+    * inner joins into row loss at 100 TB). Shape: per arc, the child
+    * collapses to its distinct key frame FIRST, the anti-join runs on
+    * that dimension-sized frame (shuffle keys, not facts), and orphan
+    * ROW counts reuse the same key cells — one fact scan per arc, a
+    * 4-row report.
+    */
+  def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def arc(child: DataFrame, key: String, parent: DataFrame,
+        pkey: String, label: String): DataFrame = {
+      val cells = child.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val orphans = cells.join(parent.select(col(pkey).as("k")),
+        Seq("k"), "left_anti")
+      val t = cells.agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      val o = orphans.agg(coalesce(sum(col("cnt")), lit(0L))
+        .as("n_orphan_rows"), count(lit(1)).as("n_orphan_keys"))
+      t.crossJoin(broadcast(o))
+        .select(lit(label).as("arc"), col("n_rows"), col("n_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"),
+          (col("n_orphan_rows") === 0L).as("intact"))
+    }
+    arc(Tables.lineitem(s, dir), "l_orderkey", Tables.orders(s, dir),
+        "o_orderkey", "lineitem->orders")
+      .union(arc(Tables.lineitem(s, dir), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey", "lineitem->supplier"))
+      .union(arc(Tables.lineitem(s, dir), "l_partkey", Tables.part(s, dir),
+        "p_partkey", "lineitem->part"))
+      .union(arc(Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", "orders->customer"))
+      .orderBy(col("arc"))
+  }
+
+  val qRefIntegrityOracle: String = {
+    def arcSql(child: String, key: String, parent: String, pkey: String,
+        label: String) =
+      s"""SELECT '$label' AS arc,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys,
+         |  CAST(coalesce(sum(CASE WHEN orphan THEN cnt END), 0) AS BIGINT)
+         |    AS n_orphan_rows,
+         |  CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphan_keys,
+         |  coalesce(sum(CASE WHEN orphan THEN cnt END), 0) = 0 AS intact
+         |FROM (
+         |  SELECT $key AS k, count(*) AS cnt,
+         |    $key NOT IN (SELECT $pkey FROM $parent) AS orphan
+         |  FROM $child GROUP BY 1
+         |)""".stripMargin
+    s"""SELECT * FROM (
+       |${arcSql("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "lineitem->orders")}
+       |UNION ALL
+       |${arcSql("lineitem", "l_suppkey", "supplier", "s_suppkey",
+          "lineitem->supplier")}
+       |UNION ALL
+       |${arcSql("lineitem", "l_partkey", "part", "p_partkey",
+          "lineitem->part")}
+       |UNION ALL
+       |${arcSql("orders", "o_custkey", "customer", "c_custkey",
+          "orders->customer")}
+       |) ORDER BY arc""".stripMargin
+  }
 }
