@@ -1641,4 +1641,75 @@ object Behavioral {
        |$rows
        |) ORDER BY gap_min""".stripMargin
   }
+
+  /** Inter-event burstiness per event type: B = (σ−μ)/(σ+μ) of the
+    * within-user inter-arrival times — B≈−1 periodic (bots, cron), ≈0
+    * Poisson, →1 bursty humans; the ARRIVAL-PROCESS character read
+    * that q_poisson_dispersion gives only for daily totals and
+    * q_purchase_intervals only as quantiles. Shape: one
+    * user×type-partitioned lag pass → per-type integer-microsecond
+    * moment cells in DECIMAL(38,0) (Σdt² at corpus scale overflows a
+    * long), ≤|types| report rows.
+    */
+  def qEventBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val dts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("us") - col("prev")).as("dt"))
+    dts.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dt").cast(D0)).as("s1"),
+        sum(col("dt").cast(D0) * col("dt")).as("s2"))
+      .filter(col("n") > 1)
+      .select(col("event_type"), col("n").as("n_intervals"),
+        NumFns.roundPortable(col("s1").cast("double") / col("n") / 1e6, 2)
+          .as("mean_gap_s"),
+        NumFns.roundPortable(
+          (sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+            .cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double")))
+            - col("s1").cast("double") / col("n"))
+            / (sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+              .cast("double")
+              / (col("n").cast("double") * (col("n") - 1).cast("double")))
+              + col("s1").cast("double") / col("n")), 6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  val qEventBurstinessOracle: String =
+    s"""WITH o AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |  FROM events
+       |),
+       |g AS (
+       |  SELECT event_type,
+       |    us - lag(us, 1) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY us, event_id) AS dt
+       |  FROM o
+       |),
+       |m AS (
+       |  SELECT event_type, count(*) AS n,
+       |    sum(CAST(dt AS HUGEINT)) AS s1,
+       |    sum(CAST(dt AS HUGEINT) * dt) AS s2
+       |  FROM g WHERE dt IS NOT NULL GROUP BY 1
+       |),
+       |st AS (
+       |  SELECT event_type, n,
+       |    CAST(s1 AS DOUBLE) / n AS mean,
+       |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+       |  FROM m WHERE n > 1
+       |)
+       |SELECT event_type, n AS n_intervals,
+       |  ${NumFns.roundPortableSql("mean / 1e6", 2)} AS mean_gap_s,
+       |  ${NumFns.roundPortableSql("(sd - mean) / (sd + mean)", 6)}
+       |    AS burstiness
+       |FROM st
+       |ORDER BY event_type""".stripMargin
 }

@@ -1243,4 +1243,65 @@ object Dedup {
        |  CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
        |FROM rk WHERE r = 1
        |ORDER BY cluster""".stripMargin
+
+  /** Transitivity audit of the near-dup pair graph: global clustering
+    * coefficient (closed wedges / wedges) over the verified Jaccard
+    * edges — the cluster-QUALITY number behind q_dedup_cluster's
+    * labels: connected components implicitly assume near-dup is
+    * transitive; a low coefficient means chains of barely-similar docs
+    * are being glued into giant clusters and the threshold (or the
+    * keep policy) needs tightening. Shape: the shared [[jaccardPairs]]
+    * edge sliver (blocked, never all-pairs) self-joins once on the
+    * wedge midpoint — pair-domain-sized, not corpus-sized; the closed
+    * check is a semi-join back onto the same edge set.
+    */
+  def qDedupTransitivity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // edge sliver; feeds sym, wedges AND the probe
+    val sym = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val wedges = sym.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .join(sym.select(col("doc_a").as("v"), col("doc_b").as("w"))
+        .hint("shuffle_hash"), Seq("v"))
+      .filter(col("u") < col("w"))
+    val closed = wedges
+      .join(pairs.select(col("doc_a").as("u"), col("doc_b").as("w"))
+        .hint("shuffle_hash"), Seq("u", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_closed"))
+    val tot = wedges.agg(count(lit(1)).as("n_wedges"))
+    val ne = pairs.agg(count(lit(1)).as("n_edges"))
+    ne.crossJoin(broadcast(tot)).crossJoin(broadcast(closed))
+      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+        NumFns.roundPortable(
+          when(col("n_wedges") > 0,
+            col("n_closed").cast("double") / col("n_wedges")), 6)
+          .as("transitivity"))
+  }
+
+  val qDedupTransitivityOracle: String =
+    s"""WITH $jaccardPairsCte,
+       |pe AS (SELECT doc_a, doc_b FROM pj),
+       |sym AS (
+       |  SELECT doc_a, doc_b FROM pe
+       |  UNION ALL SELECT doc_b, doc_a FROM pe
+       |),
+       |wedges AS (
+       |  SELECT e1.doc_a AS u, e2.doc_b AS w
+       |  FROM sym e1 JOIN sym e2 ON e1.doc_b = e2.doc_a
+       |  WHERE e1.doc_a < e2.doc_b
+       |),
+       |cl2 AS (
+       |  SELECT count(*) AS n_closed
+       |  FROM wedges
+       |  WHERE EXISTS (SELECT 1 FROM pe
+       |    WHERE pe.doc_a = wedges.u AND pe.doc_b = wedges.w)
+       |),
+       |tt AS (SELECT count(*) AS n_wedges FROM wedges),
+       |ne AS (SELECT count(*) AS n_edges FROM pe)
+       |SELECT n_edges, n_wedges, n_closed,
+       |  ${NumFns.roundPortableSql(
+            "CASE WHEN n_wedges > 0 THEN" +
+              " CAST(n_closed AS DOUBLE) / n_wedges END", 6)}
+       |    AS transitivity
+       |FROM ne, tt, cl2""".stripMargin
 }

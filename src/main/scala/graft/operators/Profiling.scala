@@ -3437,4 +3437,89 @@ object Profiling {
           "orders->customer")}
        |) ORDER BY arc""".stripMargin
   }
+
+  /** Fixed seed parameters for [[qEmStep]] (means in ln-dollars,
+    * unit variance, equal weights — the q_kmeans_step seeding
+    * convention: deterministic, engine-identical).
+    */
+  val EmMu1 = 10.0
+  val EmMu2 = 12.0
+
+  /** One EM step for a two-component Gaussian mixture on ln(order
+    * value) — distribution FITTING as a single distributed pass, the
+    * mixture sibling of q_kmeans_step's hard-assignment Lloyd step
+    * (EM's soft responsibilities are what k-means throws away; the
+    * updated weight says how big the second mode actually is).
+    * With σ=1 and equal seeds the responsibility is an exact logistic
+    * in x, spelled identically on both engines; all five sufficient
+    * statistics (Σr, Σrx, Σrx², Σx, Σx²) fold per-term in DECIMAL so
+    * the M-step update is order-independent; the new σ² comes from
+    * the same stats with cleared means — no second pass.
+    */
+  def qEmStep(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val xs = Tables.orders(s, dir)
+      .select(log(col("o_totalprice")).as("x"))
+    // r = P(component 2 | x) = logistic((mu2-mu1)*x + (mu1^2-mu2^2)/2)
+    val a = EmMu2 - EmMu1
+    val b = (EmMu1 * EmMu1 - EmMu2 * EmMu2) / 2.0
+    val r = lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("x") + lit(b))))
+    val m = xs.select(col("x"), r.as("r"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r").cast(D)).as("sr"),
+        sum((col("r") * col("x")).cast(D)).as("srx"),
+        sum((col("r") * col("x") * col("x")).cast(D)).as("srxx"),
+        sum(col("x").cast(D)).as("sx"),
+        sum((col("x") * col("x")).cast(D)).as("sxx"))
+    val nD = col("n").cast("double")
+    val sr = col("sr").cast("double")
+    val srx = col("srx").cast("double")
+    val srxx = col("srxx").cast("double")
+    val sx = col("sx").cast("double")
+    val sxx = col("sxx").cast("double")
+    val w = sr / nD
+    val mu2 = srx / sr
+    val mu1 = (sx - srx) / (nD - sr)
+    val sig2 = (srxx - srx * srx / sr
+      + (sxx - srxx) - (sx - srx) * (sx - srx) / (nD - sr)) / nD
+    m.select(col("n").as("n_orders"),
+      NumFns.roundPortable(w, 6).as("w2_new"),
+      NumFns.roundPortable(mu1, 6).as("mu1_new"),
+      NumFns.roundPortable(mu2, 6).as("mu2_new"),
+      NumFns.roundPortable(sqrt(sig2), 6).as("sigma_new"))
+  }
+
+  val qEmStepOracle: String = {
+    val a = EmMu2 - EmMu1
+    val b = (EmMu1 * EmMu1 - EmMu2 * EmMu2) / 2.0
+    s"""WITH xs AS (SELECT ln(o_totalprice) AS x FROM orders),
+       |rr AS (
+       |  SELECT x, 1.0 / (1.0 + exp(-($a * x + $b))) AS r FROM xs
+       |),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(r AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+       |    CAST(sum(CAST(r * x AS DECIMAL(38,12))) AS DOUBLE) AS srx,
+       |    CAST(sum(CAST(r * x * x AS DECIMAL(38,12))) AS DOUBLE) AS srxx,
+       |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |  FROM rr
+       |),
+       |u AS (
+       |  SELECT n,
+       |    sr / n AS w,
+       |    (sx - srx) / (n - sr) AS mu1,
+       |    srx / sr AS mu2,
+       |    (srxx - srx * srx / sr
+       |      + (sxx - srxx) - (sx - srx) * (sx - srx) / (n - sr)) / n
+       |      AS sig2
+       |  FROM m
+       |)
+       |SELECT n AS n_orders,
+       |  ${NumFns.roundPortableSql("w", 6)} AS w2_new,
+       |  ${NumFns.roundPortableSql("mu1", 6)} AS mu1_new,
+       |  ${NumFns.roundPortableSql("mu2", 6)} AS mu2_new,
+       |  ${NumFns.roundPortableSql("sqrt(sig2)", 6)} AS sigma_new
+       |FROM u""".stripMargin
+  }
 }
