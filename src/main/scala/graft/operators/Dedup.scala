@@ -75,6 +75,20 @@ object Dedup {
        |s0 AS (SELECT doc_id, $shinglesSql AS sh FROM t WHERE len(t) >= 3),
        |s AS (SELECT doc_id, list_distinct(list_transform(sh, x -> ${hash28Sql("x")})) AS hs FROM s0)""".stripMargin
 
+  /** Streaming-safe LSH index rows — (doc_id, band, bkey) — of ANY
+    * documents frame (batch or micro-batch): the shared shingle→
+    * minhash_sigs→band pipeline WITHOUT the batch localCheckpoint, so
+    * a continuous ingest can append directly to the persisted band
+    * index that [[qIncrementalMinhash]] probes. One scan-side
+    * projection per row; no state, no shuffle.
+    */
+  def bandIndexOf(docs: DataFrame): DataFrame =
+    bandFrame(docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(transform(TextFns.shingles(col("t")), TextFns.hash28(_))).as("hs")))
+
   private def jaccardOut: Column =
     round(TextFns.jaccard(col("hs_a"), col("hs_b")), 6)
 

@@ -81,6 +81,18 @@ object CorpusStream {
       }
   }
 
+  /** Streaming LSH band-index maintenance: every arriving document
+    * (exact-deduped within the watermark first, so re-crawls don't
+    * duplicate index rows) emits its (doc_id, band, bkey) rows for
+    * APPEND into the persisted near-dup band index — the continuous
+    * form of the index [[graft.operators.Dedup.qIncrementalMinhash]]
+    * probes for admission. The signature math is the SAME
+    * minhash_sigs expression as the batch index (parity by
+    * construction); the only state is the dedup fingerprint horizon.
+    */
+  def bandIndexStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    graft.operators.Dedup.bandIndexOf(dedupedStream(docs, horizon))
+
   /** Batch-equivalent entry used by tests: stream the documents parquet
     * through a file source, stamping a deterministic per-document ingest
     * time (content-addressed, like everything in Curation) so watermark

@@ -87,4 +87,44 @@ class CorpusStreamSpec extends SparkSpec {
         "quality curation must not register state stores")
     } finally q.stop()
   }
+
+  test("streaming band-index rows equal the batch LSH index") {
+    // stamp at doc_id+1 seconds: an epoch-0 event time sits exactly ON
+    // the initial watermark and dropDuplicatesWithinWatermark discards
+    // it as late — a stamping artifact, not an index semantic
+    val raw0 = spark.read.parquet(s"$sf001/documents.parquet")
+    val stream = spark.readStream.schema(raw0.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf001)
+      .withColumn("ingest_ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("doc_id") + 1) * 1000000L))
+    val q = CorpusStream.bandIndexStream(stream)
+      .writeStream.format("memory").queryName("bandidx_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT doc_id, band, bkey FROM bandidx_test ORDER BY doc_id, band")
+        .collect()
+      // expected = the batch index over exact-dedup KEEPERS (first
+      // arrival per fingerprint) — the stream dedups before indexing
+      import org.apache.spark.sql.functions.{col, md5, min}
+      val docs = graft.sources.Tables.documents(spark, sf001)
+      val keepers = docs
+        .groupBy(md5(graft.functions.TextFns.normalized(col("text")))
+          .as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val batch = graft.operators.Dedup.bandIndexOf(
+          docs.join(keepers, Seq("doc_id"), "left_semi"))
+        .orderBy(col("doc_id"), col("band"))
+        .collect()
+      val sIds = streamed.map(_.getLong(0)).toSet
+      val bIds = batch.map(_.getLong(0)).toSet
+      assert(streamed.length == batch.length && batch.length > 0,
+        s"missing=${(bIds -- sIds).toSeq.sorted.take(5)} " +
+          s"extra=${(sIds -- bIds).toSeq.sorted.take(5)}")
+      streamed.zip(batch).foreach { case (sw, b) => assert(sw == b, s"$sw != $b") }
+    } finally q.stop()
+  }
 }
