@@ -1026,4 +1026,93 @@ object Analytics {
        |SELECT user_id, n_events, n_events >= tsum AS certified
        |FROM ex, th
        |ORDER BY n_events DESC, user_id""".stripMargin
+
+  /** Exact nonparametric 95 % confidence interval for the MEDIAN order
+    * value via order statistics (binomial rank bounds ⌊(n±1.96√n)/2⌋)
+    * — the uncertainty q_percentiles' point estimates don't carry, by
+    * the distribution-free route (no normality, no bootstrap). Scale
+    * shape: rank picks NEVER sort rows — a $100-bucket histogram
+    * locates each target rank's bucket (bounded frame, exclusive
+    * prefix), and the within-bucket refinement windows only THAT
+    * bucket's value cells (bucket-width-bounded) — the
+    * q_global_deciles rank-from-counts engine applied to three ranks.
+    * Integer cents end-to-end.
+    */
+  def qMedianCi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.orders(s, dir)
+      .select(NumFns.roundAwayLong(col("o_totalprice") * 100).as("v"))
+      .localCheckpoint() // feeds the bucket histogram AND refinement
+    val buckets = vals.groupBy((col("v") / 10000L).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val n = vals.agg(count(lit(1)).as("n"))
+    val wB = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumB = buckets
+      .withColumn("before", coalesce(sum(col("c")).over(wB), lit(0L)))
+      .localCheckpoint() // bounded bucket frame, reused per target
+    // target ranks: lo/med/hi from the binomial normal approximation
+    val targets = n.select(
+      explode(array(
+        struct(lit("ci_lo").as("which"),
+          floor((col("n") - lit(1.96) * sqrt(col("n"))) / 2.0)
+            .cast("long").as("k")),
+        struct(lit("median").as("which"),
+          ceil(col("n") / 2.0).cast("long").as("k")),
+        struct(lit("ci_hi").as("which"),
+          least(col("n"),
+            ceil((col("n") + lit(1.96) * sqrt(col("n"))) / 2.0 + 1)
+              .cast("long")).as("k")))).as("t"))
+      .select(col("t.which").as("which"),
+        greatest(lit(1L), col("t.k")).as("k"))
+    // bucket holding each rank: smallest b with before+c >= k
+    val picked = targets.join(broadcast(cumB),
+        col("before") + col("c") >= col("k"))
+      .groupBy(col("which"), col("k"))
+      .agg(min_by(struct(col("b"), col("before")), col("b")).as("bb"))
+      .select(col("which"), col("k"), col("bb.b").as("b"),
+        col("bb.before").as("before"))
+    // refine inside the one straddling bucket: cells + in-bucket prefix
+    val inBucket = vals.join(broadcast(picked.select(col("b")).distinct()),
+        (col("v") / 10000L).cast("long") === col("b"))
+      .groupBy(col("b"), col("v")).agg(count(lit(1)).as("cv"))
+    val wV = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumV = inBucket.withColumn("cum", sum(col("cv")).over(wV))
+    picked.join(broadcast(cumV), Seq("b"))
+      .filter(col("before") + col("cum") >= col("k"))
+      .groupBy(col("which"))
+      .agg(min(col("v")).as("v"))
+      .select(col("which"),
+        NumFns.roundPortable(col("v") / 100.0, 2).as("order_value"))
+      .orderBy(col("which"))
+  }
+
+  val qMedianCiOracle: String =
+    s"""WITH vals AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+       |),
+       |nn AS (SELECT count(*) AS n FROM vals),
+       |t AS (
+       |  SELECT which, greatest(1, k) AS k FROM (
+       |    SELECT 'ci_lo' AS which,
+       |      CAST(floor((n - 1.96 * sqrt(n)) / 2.0) AS BIGINT) AS k FROM nn
+       |    UNION ALL
+       |    SELECT 'median', CAST(ceil(n / 2.0) AS BIGINT) FROM nn
+       |    UNION ALL
+       |    SELECT 'ci_hi',
+       |      least(n, CAST(ceil((n + 1.96 * sqrt(n)) / 2.0 + 1) AS BIGINT))
+       |      FROM nn
+       |  )
+       |),
+       |rk AS (
+       |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn
+       |  FROM vals
+       |)
+       |SELECT which,
+       |  ${NumFns.roundPortableSql(
+            "(SELECT min(v) FROM rk WHERE rn >= k) / 100.0", 2)}
+       |    AS order_value
+       |FROM t
+       |ORDER BY which""".stripMargin
 }

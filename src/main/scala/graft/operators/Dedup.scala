@@ -1318,4 +1318,74 @@ object Dedup {
               " CAST(n_closed AS DOUBLE) / n_wedges END", 6)}
        |    AS transitivity
        |FROM ne, tt, cl2""".stripMargin
+
+  /** Thresholds probed by [[qDedupThresholdSweep]]. */
+  val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8)
+
+  /** Jaccard-threshold sensitivity sweep over the blocked candidate
+    * pairs: edge count and affected-document count at 0.5/0.6/0.7/0.8
+    * from ONE pair-scoring pass — the "what does tightening the
+    * near-dup bar actually delete?" policy table (q_lsh_tune picks
+    * band geometry for a GIVEN threshold; this shows what the
+    * threshold itself costs), the dedup twin of
+    * q_session_gap_sensitivity. Shape: the blocked pair sliver is
+    * scored once; each threshold is a conditional count, and affected
+    * docs stack (threshold, doc) pairs → distinct → count over the
+    * sliver — nothing rescans the corpus.
+    */
+  def qDedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val blocked = shingled(s, dir)
+      .withColumn("mn", array_min(col("hs")))
+      .withColumn("mx", array_max(col("hs")))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+      col("mn"), col("mx"))
+    val b = blocked.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"),
+      col("mn"), col("mx"))
+    val scored = a.join(b.hint("shuffle_hash"), Seq("mn", "mx"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccardOut.as("j"))
+      .localCheckpoint() // pair sliver; feeds all thresholds
+    val ths = SweepThresholds
+    val edges = ths.map { t =>
+      scored.filter(col("j") >= t)
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(t).as("threshold"), col("n_pairs"))
+    }.reduce(_ union _)
+    val docs = ths.map { t =>
+      scored.filter(col("j") >= t)
+        .select(col("doc_a").as("d"))
+        .union(scored.filter(col("j") >= t).select(col("doc_b").as("d")))
+        .distinct()
+        .agg(count(lit(1)).as("n_docs_affected"))
+        .select(lit(t).as("threshold"), col("n_docs_affected"))
+    }.reduce(_ union _)
+    edges.join(broadcast(docs), Seq("threshold"))
+      .orderBy(col("threshold"))
+  }
+
+  val qDedupThresholdSweepOracle: String = {
+    val rows = SweepThresholds.map { t =>
+      s"""SELECT $t AS threshold,
+         |  (SELECT count(*) FROM sc WHERE j >= $t) AS n_pairs,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT d FROM (
+         |       SELECT doc_a AS d FROM sc WHERE j >= $t
+         |       UNION ALL SELECT doc_b FROM sc WHERE j >= $t
+         |     )
+         |  )) AS n_docs_affected""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shingledSql,
+       |jb AS (
+       |  SELECT doc_id, hs, list_min(hs) AS mn, list_max(hs) AS mx
+       |  FROM s
+       |),
+       |sc AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, $jaccardOutSql AS j
+       |  FROM jb x JOIN jb y
+       |    ON x.mn = y.mn AND x.mx = y.mx AND x.doc_id < y.doc_id
+       |)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY threshold""".stripMargin
+  }
 }

@@ -270,4 +270,39 @@ object Recsys {
             "CAST(sum(pop) AS DOUBLE) / count(*)", 6)} AS mean_popularity
        |FROM t GROUP BY rk
        |ORDER BY rk""".stripMargin
+
+  /** Cold-start surface of the CF recommender: how much of the catalog
+    * can GET recommendations (appears as a list owner), how much can
+    * BE recommended (appears as a neighbor), and the cold share left
+    * to content-based fallbacks — the capacity read that coverage
+    * (how much IS recommended) doesn't answer. Consumes the memoized
+    * [[cfTable]] and one distinct-count off the fact table; three
+    * dimension-sized aggregates, no new fact work.
+    */
+  def qRecColdStart(s: SparkSession, dir: String): DataFrame = {
+    val catalog = Tables.lineitem(s, dir)
+      .select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).as("n_catalog"))
+    val cf = cfTable(s, dir).localCheckpoint()
+    val owners = cf.select(col("part")).distinct()
+      .agg(count(lit(1)).as("n_with_recs"))
+    val neighbors = cf.select(col("neighbor")).distinct()
+      .agg(count(lit(1)).as("n_recommendable"))
+    catalog.crossJoin(broadcast(owners)).crossJoin(broadcast(neighbors))
+      .select(col("n_catalog"), col("n_with_recs"), col("n_recommendable"),
+        NumFns.roundPortable(lit(1.0)
+          - col("n_with_recs").cast("double") / col("n_catalog"), 6)
+          .as("cold_share"))
+  }
+
+  val qRecColdStartOracle: String =
+    s"""WITH cf AS ($qItemCfOracle),
+       |cat AS (SELECT count(DISTINCT l_partkey) AS n_catalog FROM lineitem),
+       |ow AS (SELECT count(DISTINCT part) AS n_with_recs FROM cf),
+       |nb AS (SELECT count(DISTINCT neighbor) AS n_recommendable FROM cf)
+       |SELECT n_catalog, n_with_recs, n_recommendable,
+       |  ${NumFns.roundPortableSql(
+            "1.0 - CAST(n_with_recs AS DOUBLE) / n_catalog", 6)}
+       |    AS cold_share
+       |FROM cat, ow, nb""".stripMargin
 }

@@ -4041,4 +4041,113 @@ object Temporal {
        |    AS p_value,
        |  z > 1.645 AS increasing_trend
        |FROM zz""".stripMargin
+
+  /** Partial autocorrelation of daily revenue at lags 1..3 via the
+    * closed-form Durbin–Levinson recursion, with the AR-order hint the
+    * raw ACF can't give (an AR(1) series has geometric ACF at ALL lags
+    * but PACF zero past lag 1 — the PACF cutoff IS the model order):
+    * the identification step between q_autocorr (raw ρ) and
+    * q_dickey_fuller (unit root). Shape: one frame-ordered window pass
+    * materializes three lags over the calendar-bounded day aggregate;
+    * each ρ̂ is a DECIMAL-folded product sum; the recursion is scalar
+    * arithmetic spelled identically on both engines.
+    */
+  def qPacf(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val m = days.agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"))
+    val w = Window.orderBy(col("di"))
+    val dev = days.crossJoin(broadcast(m))
+      .select(col("di"), col("n"),
+        (col("yc") - col("sy").cast("double") / col("n")).as("d"))
+      .withColumn("l1", lag(col("d"), 1).over(w))
+      .withColumn("l2", lag(col("d"), 2).over(w))
+      .withColumn("l3", lag(col("d"), 3).over(w))
+    val sums = dev.agg(max(col("n")).as("n"),
+      sum((col("d") * col("d")).cast(D)).as("den"),
+      sum((col("d") * col("l1")).cast(D)).as("n1"),
+      sum((col("d") * col("l2")).cast(D)).as("n2"),
+      sum((col("d") * col("l3")).cast(D)).as("n3"))
+    val r1 = col("n1").cast("double") / col("den").cast("double")
+    val r2 = col("n2").cast("double") / col("den").cast("double")
+    val r3 = col("n3").cast("double") / col("den").cast("double")
+    val p22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val p21 = r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1)
+    val p33 = (r3 - p21 * r2 - p22 * r1) /
+      (lit(1.0) - p21 * r1 - p22 * r2)
+    val thr = lit(1.96) / sqrt(col("n").cast("double"))
+    sums.select(col("n").as("n_days"),
+      NumFns.roundPortable(r1, 6).as("rho1"),
+      NumFns.roundPortable(r2, 6).as("rho2"),
+      NumFns.roundPortable(r3, 6).as("rho3"),
+      NumFns.roundPortable(r1, 6).as("pacf1"),
+      NumFns.roundPortable(p22, 6).as("pacf2"),
+      NumFns.roundPortable(p33, 6).as("pacf3"),
+      when(abs(p22) < thr && abs(p33) < thr && abs(r1) >= thr, "AR(1)")
+        .when(abs(p33) < thr && abs(p22) >= thr, "AR(2)")
+        .when(abs(p33) >= thr, "AR(3)+")
+        .otherwise("white").as("ar_hint"))
+  }
+
+  val qPacfOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (SELECT count(*) AS n, CAST(sum(yc) AS BIGINT) AS sy FROM days),
+       |dev AS (
+       |  SELECT di, n, yc - CAST(sy AS DOUBLE) / n AS d
+       |  FROM days CROSS JOIN m
+       |),
+       |lg AS (
+       |  SELECT n, d,
+       |    lag(d, 1) OVER w AS l1, lag(d, 2) OVER w AS l2,
+       |    lag(d, 3) OVER w AS l3
+       |  FROM dev WINDOW w AS (ORDER BY di)
+       |),
+       |ss AS (
+       |  SELECT max(n) AS n,
+       |    sum(CAST(d * d AS DECIMAL(38,12))) AS den,
+       |    sum(CAST(d * l1 AS DECIMAL(38,12))) AS n1,
+       |    sum(CAST(d * l2 AS DECIMAL(38,12))) AS n2,
+       |    sum(CAST(d * l3 AS DECIMAL(38,12))) AS n3
+       |  FROM lg
+       |),
+       |r AS (
+       |  SELECT n,
+       |    CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+       |    CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+       |    CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+       |  FROM ss
+       |),
+       |dl AS (
+       |  SELECT n, r1, r2, r3,
+       |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22,
+       |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS p21
+       |  FROM r
+       |),
+       |f AS (
+       |  SELECT n, r1, r2, r3, p22,
+       |    (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) AS p33,
+       |    1.96 / sqrt(CAST(n AS DOUBLE)) AS thr
+       |  FROM dl
+       |)
+       |SELECT n AS n_days,
+       |  ${NumFns.roundPortableSql("r1", 6)} AS rho1,
+       |  ${NumFns.roundPortableSql("r2", 6)} AS rho2,
+       |  ${NumFns.roundPortableSql("r3", 6)} AS rho3,
+       |  ${NumFns.roundPortableSql("r1", 6)} AS pacf1,
+       |  ${NumFns.roundPortableSql("p22", 6)} AS pacf2,
+       |  ${NumFns.roundPortableSql("p33", 6)} AS pacf3,
+       |  CASE WHEN abs(p22) < thr AND abs(p33) < thr AND abs(r1) >= thr
+       |      THEN 'AR(1)'
+       |    WHEN abs(p33) < thr AND abs(p22) >= thr THEN 'AR(2)'
+       |    WHEN abs(p33) >= thr THEN 'AR(3)+'
+       |    ELSE 'white' END AS ar_hint
+       |FROM f""".stripMargin
 }
