@@ -1115,4 +1115,86 @@ object Analytics {
        |    AS order_value
        |FROM t
        |ORDER BY which""".stripMargin
+
+  /** Trim share per tail for [[qTrimmedMean]]. */
+  val TrimShare = 0.1
+
+  /** 10 %-trimmed mean of order value per priority, beside the raw
+    * mean — the robust location aggregate between mean (outlier-
+    * dragged) and median (throws away 98 % of the data): drop the k =
+    * ⌊0.1n⌋ smallest and largest values per group and average the
+    * rest. Scale shape: NO per-group row sort — each group's trimmed
+    * SUM comes from its value cells via clamped-overlap arithmetic
+    * (a cell [before, before+cnt) contributes (min(cum, n−k) −
+    * max(before, k))⁺ copies of its value — rank-from-counts
+    * generalized from rank PICKS to rank RANGES), with the cum/before
+    * windows partitioned by the 5-value priority key over cells.
+    * Integer cents exact until the final division.
+    */
+  def qTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vals = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"),
+        NumFns.roundAwayLong(col("o_totalprice") * 100).as("v"))
+    val cells = vals.groupBy(col("prio"), col("v"))
+      .agg(count(lit(1)).as("cv"))
+    val tot = cells.groupBy(col("prio"))
+      .agg(sum(col("cv")).as("n"), sum(col("v").cast(D0) * col("cv"))
+        .as("sraw"))
+      .withColumn("k", floor(col("n") * TrimShare).cast("long"))
+    val wCum = Window.partitionBy(col("prio")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trimmed = cells
+      .withColumn("cum", sum(col("cv")).over(wCum))
+      .join(broadcast(tot), Seq("prio"))
+      .select(col("prio"), col("v"), col("n"), col("k"), col("sraw"),
+        greatest(lit(0L),
+          least(col("cum"), col("n") - col("k"))
+            - greatest(col("cum") - col("cv"), col("k"))).as("keep"))
+      .groupBy(col("prio"), col("n"), col("k"), col("sraw"))
+      .agg(sum(col("v").cast(D0) * col("keep")).as("strim"),
+        sum(col("keep")).as("nkeep"))
+    trimmed.select(col("prio"), col("n").as("n_orders"),
+      col("k").as("n_trimmed_per_tail"),
+      NumFns.roundPortable(
+        col("sraw").cast("double") / col("n") / 100.0, 2).as("raw_mean"),
+      NumFns.roundPortable(
+        col("strim").cast("double") / col("nkeep") / 100.0, 2)
+        .as("trimmed_mean"))
+      .orderBy(col("prio"))
+  }
+
+  val qTrimmedMeanOracle: String =
+    s"""WITH vals AS (
+       |  SELECT o_orderpriority AS prio,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders
+       |),
+       |rk AS (
+       |  SELECT prio, v,
+       |    CAST(row_number() OVER (PARTITION BY prio ORDER BY v)
+       |      AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+       |  FROM vals
+       |),
+       |ag AS (
+       |  SELECT prio, max(n) AS n,
+       |    CAST(floor(max(n) * $TrimShare) AS BIGINT) AS k,
+       |    sum(CAST(v AS HUGEINT)) AS sraw,
+       |    sum(CASE WHEN rn > floor(n * $TrimShare)
+       |      AND rn <= n - floor(n * $TrimShare)
+       |      THEN CAST(v AS HUGEINT) END) AS strim,
+       |    CAST(sum(CASE WHEN rn > floor(n * $TrimShare)
+       |      AND rn <= n - floor(n * $TrimShare) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nkeep
+       |  FROM rk GROUP BY prio
+       |)
+       |SELECT prio, n AS n_orders, k AS n_trimmed_per_tail,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sraw AS DOUBLE) / n / 100.0", 2)} AS raw_mean,
+       |  ${NumFns.roundPortableSql(
+            "CAST(strim AS DOUBLE) / nkeep / 100.0", 2)} AS trimmed_mean
+       |FROM ag
+       |ORDER BY prio""".stripMargin
 }

@@ -1667,4 +1667,62 @@ object Similarity {
             "CASE WHEN k > 1 AND n > k THEN (b / CAST(k - 1 AS DOUBLE))" +
               " / (w / CAST(n - k AS DOUBLE)) END", 4)} AS ch_index
        |FROM chc""".stripMargin
+
+  /** IVF cell-balance audit: size distribution of the inverted-file
+    * cells — entropy vs the uniform log₂k ideal, and the max/mean
+    * imbalance factor — the ANN SERVING-cost read (probe latency is
+    * proportional to the probed cell's size, so one hot cell holding
+    * half the corpus makes nprobe=1 latency corpus-scale no matter
+    * what recall says; q_ann_recall measures quality, this measures
+    * the other axis). Shape: the shared [[cellAssigned]] frame
+    * collapses to ≤k cell counts; entropy is a per-term DECIMAL fold
+    * over that frame.
+    */
+  def qIvfBalance(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val sizes = cellAssigned(s, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // ≤k rows; feeds totals AND the entropy fold
+    val tot = sizes.agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+      max(col("c")).as("maxc"))
+    val ent = sizes.crossJoin(broadcast(tot))
+      .select((-(col("c").cast("double") / col("n"))
+        * log(col("c").cast("double") / col("n"))).cast(D).as("t"))
+      .agg(sum(col("t")).as("h"))
+    tot.crossJoin(broadcast(ent))
+      .select(col("n").as("n_vecs"), col("k").as("k_cells"),
+        col("maxc").as("max_cell"),
+        NumFns.roundPortable(
+          col("h").cast("double") / math.log(2.0), 6).as("entropy_bits"),
+        NumFns.roundPortable(
+          log(col("k").cast("double")) / math.log(2.0), 6)
+          .as("uniform_bits"),
+        NumFns.roundPortable(
+          col("maxc").cast("double")
+            / (col("n").cast("double") / col("k")), 4)
+          .as("imbalance_factor"))
+  }
+
+  val qIvfBalanceOracle: String =
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |sz AS (SELECT cell, count(*) AS c FROM cells GROUP BY cell),
+       |tt AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS k,
+       |    CAST(max(c) AS BIGINT) AS maxc
+       |  FROM sz
+       |),
+       |en AS (
+       |  SELECT CAST(sum(CAST(-(CAST(c AS DOUBLE) / n)
+       |    * ln(CAST(c AS DOUBLE) / n) AS DECIMAL(38,12))) AS DOUBLE) AS h
+       |  FROM sz CROSS JOIN tt
+       |)
+       |SELECT n AS n_vecs, k AS k_cells, maxc AS max_cell,
+       |  ${NumFns.roundPortableSql("h / ln(2.0)", 6)} AS entropy_bits,
+       |  ${NumFns.roundPortableSql(
+            "ln(CAST(k AS DOUBLE)) / ln(2.0)", 6)} AS uniform_bits,
+       |  ${NumFns.roundPortableSql(
+            "CAST(maxc AS DOUBLE) / (CAST(n AS DOUBLE) / k)", 4)}
+       |    AS imbalance_factor
+       |FROM tt, en""".stripMargin
 }
