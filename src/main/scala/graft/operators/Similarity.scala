@@ -1725,4 +1725,129 @@ object Similarity {
             "CAST(maxc AS DOUBLE) / (CAST(n AS DOUBLE) / k)", 4)}
        |    AS imbalance_factor
        |FROM tt, en""".stripMargin
+
+  /** Probe depths swept by [[qAnnProbeCurve]]. */
+  val ProbeDepths = Seq(1, 2, 4)
+
+  /** IVF nprobe tuning curve: recall@3 vs mean probed-candidate count
+    * at nprobe ∈ {1,2,4} — THE knob table an ANN deployment is tuned
+    * from (q_ann_recall certifies one operating point; this shows the
+    * whole recall-vs-cost frontier, where the next probe stops paying).
+    * Shape: queries rank all k centroids once (bounded k×queries);
+    * candidates join per-cell ONCE carrying their cell's probe rank,
+    * and every depth is a filter over that one candidate frame —
+    * deeper probes never rescan. Truth is the audited brute-force
+    * top-3; per-query top-3 windows partition on the 10-query key over
+    * cell-sized candidate sets.
+    */
+  def qAnnProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = prepared(s, dir)
+    val cells = cellAssigned(s, dir).localCheckpoint()
+    val cents = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nsq").as("cnsq"))
+    val maxP = ProbeDepths.max
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nsq").as("qnsq"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probe = q.crossJoin(broadcast(cents))
+      .withColumn("csim", VectorFns.cosineWithNorms(
+        VectorFns.dot(col("qv"), col("cv")), col("qnsq"), col("cnsq")))
+      .withColumn("crank", row_number().over(wC))
+      .filter(col("crank") <= maxP)
+      .select(col("query_id"), col("qv"), col("qnsq"),
+        col("cent_id").as("pcell"), col("crank"))
+    val cand = broadcast(probe).join(cells.as("b"),
+        col("pcell") === col("b.cell") && col("query_id") =!= col("b.vec_id"))
+      .select(col("query_id"), col("crank"),
+        col("b.vec_id").as("neighbor_id"),
+        round(VectorFns.cosineWithNorms(
+          VectorFns.dot(col("qv"), col("b.v")), col("qnsq"), col("b.nsq")),
+          4).as("sim"))
+      .localCheckpoint() // one candidate frame serves every depth
+    val truth = qAnnTopk(s, dir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("tr"))
+    val perDepth = ProbeDepths.map { pd =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val top = cand.filter(col("crank") <= pd)
+        .withColumn("rk", row_number().over(w))
+      val nc = top.groupBy(col("query_id")).agg(count(lit(1)).as("ncand"))
+        .agg(sum(col("ncand")).as("cand_total"),
+          count(lit(1)).as("nq"))
+      val hits = top.filter(col("rk") <= 3)
+        .join(truth, Seq("query_id", "neighbor_id"), "inner")
+        .agg(count(lit(1)).as("n_hits"))
+      val tt = truth.agg(count(lit(1)).as("n_true"))
+      nc.crossJoin(broadcast(hits)).crossJoin(broadcast(tt))
+        .select(lit(pd.toLong).as("nprobe"),
+          NumFns.roundPortable(
+            col("cand_total").cast("double") / col("nq"), 2)
+            .as("mean_candidates"),
+          NumFns.roundPortable(
+            col("n_hits").cast("double") / col("n_true"), 4).as("recall3"))
+    }
+    perDepth.reduce(_ union _).orderBy(col("nprobe"))
+  }
+
+  val qAnnProbeCurveOracle: String = {
+    val depths = ProbeDepths.map { pd =>
+      s"""SELECT CAST($pd AS BIGINT) AS nprobe,
+         |  (SELECT ${NumFns.roundPortableSql(
+              "CAST(count(*) AS DOUBLE)" +
+                " / (SELECT count(DISTINCT query_id) FROM cand" +
+                s" WHERE crank <= $pd)", 2)}
+         |   FROM cand WHERE crank <= $pd) AS mean_candidates,
+         |  (SELECT ${NumFns.roundPortableSql(
+              "CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM truth)", 4)}
+         |   FROM (
+         |     SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, neighbor_id) AS rk
+         |     FROM cand WHERE crank <= $pd
+         |   ) t JOIN truth USING (query_id, neighbor_id)
+         |   WHERE t.rk <= 3) AS recall3""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv, nsq AS cnsq FROM n
+       |  WHERE vec_id < $NumCentroids
+       |),
+       |qs AS (
+       |  SELECT vec_id AS query_id, v AS qv, nsq AS qnsq FROM cells
+       |  WHERE vec_id < 10
+       |),
+       |pr AS (
+       |  SELECT query_id, qv, qnsq, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dotSql("qv", "cv")} / (sqrt(qnsq) * sqrt(cnsq))
+       |        DESC, cent_id) AS crank
+       |  FROM qs CROSS JOIN cents
+       |),
+       |cand AS (
+       |  SELECT pr.query_id, pr.crank, b.vec_id AS neighbor_id,
+       |    round(${dotSql("pr.qv", "b.v")} / (sqrt(pr.qnsq) * sqrt(b.nsq)),
+       |      4) AS sim
+       |  FROM pr JOIN cells b ON pr.cell = b.cell
+       |    AND pr.query_id != b.vec_id
+       |  WHERE pr.crank <= ${ProbeDepths.max}
+       |),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${dotSql("q.v", "c.v")}
+       |          / (sqrt(q.nsq) * sqrt(c.nsq)), 4)
+       |          DESC, c.vec_id) AS rank
+       |    FROM (SELECT * FROM n WHERE vec_id < 10) q
+       |    JOIN n c ON c.vec_id != q.vec_id
+       |  ) WHERE rank <= 3
+       |)
+       |SELECT * FROM (
+       |$depths
+       |) ORDER BY nprobe""".stripMargin
+  }
 }
