@@ -1162,4 +1162,113 @@ object Curation {
        |    AS neyman_vs_prop_var
        |FROM st CROSS JOIN tot
        |ORDER BY source""".stripMargin
+
+  /** A/A validation of the content-addressed train/test split: KS
+    * distance between the two splits' document-length distributions
+    * plus the standardized mean gap — a HASH split must look like two
+    * samples of one population, so any significant drift here means
+    * the split key leaks content structure and every downstream eval
+    * is biased. The self-test q_train_test_split (counts only) can't
+    * run. Shape: (length, split) value cells → shared value spine →
+    * frame-ordered CDF cumsums (the q_ks_drift machinery, applied
+    * between splits); moments fold in DECIMAL(38,0)/HUGEINT; verdict
+    * against the two-sample KS critical value 1.36·√((n₁+n₂)/n₁n₂).
+    */
+  def qSplitAaTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(s, dir)
+      .select(col("n_chars").as("v"), splitCol.as("split"))
+      .filter(col("split").isin("train", "test"))
+    val cells = docs.groupBy(col("v"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("cb"))
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      sum(col("v").cast(D0) * col("ca")).as("sa"),
+      sum(col("v").cast(D0) * col("cb")).as("sb"),
+      sum(col("v").cast(D0) * col("v") * col("ca")).as("qa"),
+      sum(col("v").cast(D0) * col("v") * col("cb")).as("qb"))
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ks = cells
+      .withColumn("cuma", sum(col("ca")).over(wCum))
+      .withColumn("cumb", sum(col("cb")).over(wCum))
+      .crossJoin(broadcast(tot.select(col("na"), col("nb"))))
+      .select(abs(col("cuma").cast("double") / col("na")
+        - col("cumb").cast("double") / col("nb")).as("d"))
+      .agg(max(col("d")).as("ks"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val meanA = col("sa").cast("double") / naD
+    val meanB = col("sb").cast("double") / nbD
+    val varA = (col("na") * col("qa") - col("sa") * col("sa"))
+      .cast("double") / (naD * (naD - 1.0))
+    val varB = (col("nb") * col("qb") - col("sb") * col("sb"))
+      .cast("double") / (nbD * (nbD - 1.0))
+    val z = (meanA - meanB) / sqrt(varA / naD + varB / nbD)
+    tot.crossJoin(broadcast(ks))
+      .select(col("na").as("n_train"), col("nb").as("n_test"),
+        NumFns.roundPortable(col("ks"), 6).as("ks_stat"),
+        NumFns.roundPortable(
+          lit(1.36) * sqrt((naD + nbD) / (naD * nbD)), 6).as("ks_crit"),
+        NumFns.roundPortable(z, 4).as("mean_z"),
+        (col("ks") <= lit(1.36) * sqrt((naD + nbD) / (naD * nbD))
+          && abs(z) <= 1.96).as("split_unbiased"))
+  }
+
+  val qSplitAaTestOracle: String =
+    s"""WITH docs AS (
+       |  SELECT n_chars AS v, $splitCaseSql AS split FROM documents
+       |),
+       |f AS (SELECT * FROM docs WHERE split IN ('train', 'test')),
+       |cells AS (
+       |  SELECT v,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cb
+       |  FROM f GROUP BY v
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT)
+       |      AS nb,
+       |    sum(CAST(v AS HUGEINT) * ca) AS sa,
+       |    sum(CAST(v AS HUGEINT) * cb) AS sb,
+       |    sum(CAST(v AS HUGEINT) * v * ca) AS qa,
+       |    sum(CAST(v AS HUGEINT) * v * cb) AS qb
+       |  FROM cells
+       |),
+       |ks AS (
+       |  SELECT max(abs(CAST(cuma AS DOUBLE) / na
+       |    - CAST(cumb AS DOUBLE) / nb)) AS ks
+       |  FROM (
+       |    SELECT na, nb,
+       |      sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+       |    FROM cells CROSS JOIN tot
+       |    WINDOW w AS (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  )
+       |),
+       |st AS (
+       |  SELECT na, nb, ks,
+       |    CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS md,
+       |    CAST(na * qa - sa * sa AS DOUBLE)
+       |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS va,
+       |    CAST(nb * qb - sb * sb AS DOUBLE)
+       |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS vb,
+       |    1.36 * sqrt((CAST(na AS DOUBLE) + nb)
+       |      / (CAST(na AS DOUBLE) * nb)) AS crit
+       |  FROM tot CROSS JOIN ks
+       |),
+       |zz AS (
+       |  SELECT na, nb, ks, crit,
+       |    md / sqrt(va / na + vb / nb) AS z
+       |  FROM st
+       |)
+       |SELECT na AS n_train, nb AS n_test,
+       |  ${NumFns.roundPortableSql("ks", 6)} AS ks_stat,
+       |  ${NumFns.roundPortableSql("crit", 6)} AS ks_crit,
+       |  ${NumFns.roundPortableSql("z", 4)} AS mean_z,
+       |  (ks <= crit AND abs(z) <= 1.96) AS split_unbiased
+       |FROM zz""".stripMargin
 }

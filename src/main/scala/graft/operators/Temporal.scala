@@ -4150,4 +4150,191 @@ object Temporal {
        |    WHEN abs(p33) >= thr THEN 'AR(3)+'
        |    ELSE 'white' END AS ar_hint
        |FROM f""".stripMargin
+
+  /** CUSUM-of-squares variance-changepoint detector on daily revenue:
+    * C_t = (Σ_{s≤t} y_s²)/(Σ y²) − t/n, alarm at max|C_t| — the
+    * VOLATILITY-shift lens none of the level detectors (q_cusum,
+    * q_pettitt, q_page_hinkley) see: a promo era that doubles daily
+    * variance but not the mean moves C_t and nothing else. Shape: the
+    * squares fold exactly in DECIMAL(38,0) integer cents² on the
+    * calendar-bounded day frame; the cumulative sum is frame-ordered
+    * (sequential on both engines); argmax via TakeOrdered(1) with a
+    * di tie-break. The Brown–Durbin–Evans normalization √(n/2)·max|C|
+    * is reported for a scale-free read.
+    */
+  def qCusumSquares(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val sq = days.select(col("di"), (col("yc").cast(D0) * col("yc")).as("y2"))
+    val tot = sq.agg(sum(col("y2")).as("ss"), count(lit(1)).as("n"))
+    val wSeq = Window.orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = sq
+      .withColumn("cum", sum(col("y2")).over(wSeq))
+      .withColumn("t", count(lit(1)).over(wSeq))
+      .crossJoin(broadcast(tot))
+      .select(col("di"), col("n"),
+        abs(col("cum").cast("double") / col("ss").cast("double")
+          - col("t").cast("double") / col("n")).as("c"))
+    c.orderBy(col("c").desc, col("di"))
+      .limit(1)
+      .select(col("n").as("n_days"), col("di").cast("long").as("peak_di"),
+        NumFns.roundPortable(col("c"), 6).as("max_abs_c"),
+        NumFns.roundPortable(
+          col("c") * sqrt(col("n").cast("double") / 2.0), 4)
+          .as("bde_stat"))
+      .withColumn("variance_shift", col("bde_stat") > 1.36)
+  }
+
+  val qCusumSquaresOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |sq AS (SELECT di, CAST(yc AS HUGEINT) * yc AS y2 FROM days),
+       |tot AS (SELECT sum(y2) AS ss, count(*) AS n FROM sq),
+       |c AS (
+       |  SELECT di, n,
+       |    abs(CAST(sum(y2) OVER w AS DOUBLE) / CAST(ss AS DOUBLE)
+       |      - CAST(count(*) OVER w AS DOUBLE) / n) AS c
+       |  FROM sq CROSS JOIN tot
+       |  WINDOW w AS (ORDER BY di
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT n AS n_days, di AS peak_di,
+       |  ${NumFns.roundPortableSql("c", 6)} AS max_abs_c,
+       |  ${NumFns.roundPortableSql(
+            "c * sqrt(CAST(n AS DOUBLE) / 2.0)", 4)} AS bde_stat,
+       |  ${NumFns.roundPortableSql(
+            "c * sqrt(CAST(n AS DOUBLE) / 2.0)", 4)} > 1.36
+       |    AS variance_shift
+       |FROM c
+       |ORDER BY c DESC, di
+       |LIMIT 1""".stripMargin
+
+  /** AR-order selection by AIC over p ∈ {0..3}: Durbin–Levinson
+    * innovation variances σ²_p = σ²_{p−1}(1−φ_pp²) from the SAME lag
+    * moments as [[qPacf]], scored as AIC_p = n·ln(σ²_p) + 2(p+1) —
+    * the automated version of q_pacf's eyeballed cutoff (the order a
+    * forecasting consumer would actually plug in). One 3-lag window
+    * pass, DECIMAL ρ̂ folds, scalar recursion; the per-order table
+    * makes the selection auditable, not just the winner.
+    */
+  def qArOrderAic(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val days = Tables.orders(s, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+    val m = days.agg(count(lit(1)).as("n"), sum(col("yc")).as("sy"))
+    val w = Window.orderBy(col("di"))
+    val dev = days.crossJoin(broadcast(m))
+      .select(col("di"), col("n"),
+        ((col("yc") - col("sy").cast("double") / col("n")) / 100.0).as("d"))
+      .withColumn("l1", lag(col("d"), 1).over(w))
+      .withColumn("l2", lag(col("d"), 2).over(w))
+      .withColumn("l3", lag(col("d"), 3).over(w))
+    val sums = dev.agg(max(col("n")).as("n"),
+      sum((col("d") * col("d")).cast(D)).as("den"),
+      sum((col("d") * col("l1")).cast(D)).as("n1"),
+      sum((col("d") * col("l2")).cast(D)).as("n2"),
+      sum((col("d") * col("l3")).cast(D)).as("n3"))
+    val nD = col("n").cast("double")
+    val r1 = col("n1").cast("double") / col("den").cast("double")
+    val r2 = col("n2").cast("double") / col("den").cast("double")
+    val r3 = col("n3").cast("double") / col("den").cast("double")
+    val p11 = r1
+    val p22 = (r2 - r1 * r1) / (lit(1.0) - r1 * r1)
+    val p21 = r1 * (lit(1.0) - r2) / (lit(1.0) - r1 * r1)
+    val p33 = (r3 - p21 * r2 - p22 * r1) /
+      (lit(1.0) - p21 * r1 - p22 * r2)
+    val s0 = col("den").cast("double") / nD
+    val s1v = s0 * (lit(1.0) - p11 * p11)
+    val s2v = s1v * (lit(1.0) - p22 * p22)
+    val s3v = s2v * (lit(1.0) - p33 * p33)
+    val scored = sums.select(col("n"), explode(array(
+      struct(lit(0L).as("p"), (nD * log(s0) + 2.0).as("aic")),
+      struct(lit(1L).as("p"), (nD * log(s1v) + 4.0).as("aic")),
+      struct(lit(2L).as("p"), (nD * log(s2v) + 6.0).as("aic")),
+      struct(lit(3L).as("p"), (nD * log(s3v) + 8.0).as("aic")))).as("t"))
+      .select(col("n"), col("t.p").as("p"), col("t.aic").as("aic"))
+    val best = scored.agg(min(col("aic")).as("best"))
+    scored.crossJoin(broadcast(best))
+      .select(col("n").as("n_days"), col("p").as("ar_order"),
+        NumFns.roundPortable(col("aic"), 2).as("aic"),
+        (col("aic") === col("best")).as("selected"))
+      .orderBy(col("ar_order"))
+  }
+
+  val qArOrderAicOracle: String =
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |m AS (SELECT count(*) AS n, CAST(sum(yc) AS BIGINT) AS sy FROM days),
+       |dev AS (
+       |  SELECT di, n, (yc - CAST(sy AS DOUBLE) / n) / 100.0 AS d
+       |  FROM days CROSS JOIN m
+       |),
+       |lg AS (
+       |  SELECT n, d,
+       |    lag(d, 1) OVER w AS l1, lag(d, 2) OVER w AS l2,
+       |    lag(d, 3) OVER w AS l3
+       |  FROM dev WINDOW w AS (ORDER BY di)
+       |),
+       |ss AS (
+       |  SELECT max(n) AS n,
+       |    sum(CAST(d * d AS DECIMAL(38,12))) AS den,
+       |    sum(CAST(d * l1 AS DECIMAL(38,12))) AS n1,
+       |    sum(CAST(d * l2 AS DECIMAL(38,12))) AS n2,
+       |    sum(CAST(d * l3 AS DECIMAL(38,12))) AS n3
+       |  FROM lg
+       |),
+       |r AS (
+       |  SELECT n,
+       |    CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+       |    CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+       |    CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+       |    CAST(den AS DOUBLE) / CAST(n AS DOUBLE) AS s0
+       |  FROM ss
+       |),
+       |dl AS (
+       |  SELECT n, s0, r1, r2, r3,
+       |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22,
+       |    r1 * (1.0 - r2) / (1.0 - r1 * r1) AS p21
+       |  FROM r
+       |),
+       |f AS (
+       |  SELECT n, s0, r1, p22,
+       |    (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) AS p33
+       |  FROM dl
+       |),
+       |sg AS (
+       |  SELECT n, s0,
+       |    s0 * (1.0 - r1 * r1) AS s1v,
+       |    s0 * (1.0 - r1 * r1) * (1.0 - p22 * p22) AS s2v,
+       |    s0 * (1.0 - r1 * r1) * (1.0 - p22 * p22) * (1.0 - p33 * p33)
+       |      AS s3v
+       |  FROM f
+       |),
+       |scored AS (
+       |  SELECT n, CAST(0 AS BIGINT) AS p,
+       |    CAST(n AS DOUBLE) * ln(s0) + 2.0 AS aic FROM sg
+       |  UNION ALL SELECT n, 1, CAST(n AS DOUBLE) * ln(s1v) + 4.0 FROM sg
+       |  UNION ALL SELECT n, 2, CAST(n AS DOUBLE) * ln(s2v) + 6.0 FROM sg
+       |  UNION ALL SELECT n, 3, CAST(n AS DOUBLE) * ln(s3v) + 8.0 FROM sg
+       |),
+       |b AS (SELECT min(aic) AS best FROM scored)
+       |SELECT n AS n_days, p AS ar_order,
+       |  ${NumFns.roundPortableSql("aic", 2)} AS aic,
+       |  aic = best AS selected
+       |FROM scored CROSS JOIN b
+       |ORDER BY ar_order""".stripMargin
 }
