@@ -3522,4 +3522,79 @@ object Profiling {
        |  ${NumFns.roundPortableSql("sqrt(sig2)", 6)} AS sigma_new
        |FROM u""".stripMargin
   }
+
+  /** Benford expected second-digit probabilities, computed ONCE in
+    * Scala and interpolated into both engines as identical literals.
+    */
+  val Benford2P: Seq[Double] = (0 to 9).map { d2 =>
+    (1 to 9).map(d1 => math.log10(1.0 + 1.0 / (10 * d1 + d2))).sum
+  }
+
+  /** Second-digit Benford conformance of order values — the forensic
+    * follow-up to q_benford's first-digit screen (fabricators who
+    * learn the first-digit law almost never match the much flatter
+    * second-digit distribution; auditors test both). The digit comes
+    * from the integer-cents string (a ×100 shift preserves
+    * significant digits exactly — no log10/floor boundary hazards),
+    * the expected probabilities are Scala-computed literals shared
+    * verbatim with the oracle, and the χ² (9 dof) folds per-digit
+    * DECIMAL terms over the 10-row digit frame.
+    */
+  def qBenfordSecond(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val digits = Tables.orders(s, dir)
+      .select(substring(
+        NumFns.roundAwayLong(col("o_totalprice") * 100).cast("string"), 2, 1)
+        .cast("long").as("d2"))
+      .filter(col("d2").isNotNull)
+      .groupBy(col("d2")).agg(count(lit(1)).as("o"))
+    val pExpr = element_at(array(Benford2P.map(lit): _*),
+      (col("d2") + 1).cast("int"))
+    val tot = digits.agg(sum(col("o")).as("n"))
+    val terms = digits.crossJoin(broadcast(tot))
+      .withColumn("p", pExpr)
+      .withColumn("x", (((col("o") - col("n") * col("p"))
+        * (col("o") - col("n") * col("p")))
+        / (col("n") * col("p"))).cast(D))
+    val chi2 = terms.agg(sum(col("x")).as("chi2"))
+    terms.crossJoin(broadcast(chi2))
+      .select(col("d2").as("digit"), col("o").as("n_obs"),
+        NumFns.roundPortable(col("o").cast("double") / col("n"), 6)
+          .as("share"),
+        NumFns.roundPortable(col("p"), 6).as("benford_p"),
+        NumFns.roundPortable(col("chi2").cast("double"), 4).as("chi2_total"))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordSecondOracle: String = {
+    val pCase = Benford2P.zipWithIndex
+      .map { case (pv, d) => s"WHEN d2 = $d THEN $pv" }
+      .mkString("\n       |      ")
+    s"""WITH dg AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+       |      AS VARCHAR), 2, 1) AS BIGINT) AS d2
+       |  FROM orders
+       |),
+       |c AS (
+       |  SELECT d2, count(*) AS o FROM dg WHERE d2 IS NOT NULL GROUP BY 1
+       |),
+       |tt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c),
+       |tm AS (
+       |  SELECT d2, o, n,
+       |    CAST(CASE $pCase END AS DOUBLE) AS p
+       |  FROM c CROSS JOIN tt
+       |),
+       |x AS (
+       |  SELECT d2, o, n, p,
+       |    CAST((o - n * p) * (o - n * p) / (n * p) AS DECIMAL(38,12)) AS x
+       |  FROM tm
+       |),
+       |ch AS (SELECT CAST(sum(x) AS DOUBLE) AS chi2 FROM x)
+       |SELECT d2 AS digit, o AS n_obs,
+       |  ${NumFns.roundPortableSql("CAST(o AS DOUBLE) / n", 6)} AS share,
+       |  ${NumFns.roundPortableSql("p", 6)} AS benford_p,
+       |  ${NumFns.roundPortableSql("chi2", 4)} AS chi2_total
+       |FROM x CROSS JOIN ch
+       |ORDER BY digit""".stripMargin
+  }
 }

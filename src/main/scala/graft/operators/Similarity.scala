@@ -1850,4 +1850,135 @@ object Similarity {
        |$depths
        |) ORDER BY nprobe""".stripMargin
   }
+
+  /** Chance-corrected agreement between the IVF cell clustering and
+    * the ground-truth labels: adjusted Rand index + homogeneity /
+    * completeness / V-measure from one (cell, label) contingency —
+    * the standard external-validity panel (q_cluster_purity's raw
+    * purity is inflated by many small clusters; ARI and V-measure
+    * correct for chance and for the cluster-count trade-off). Shape:
+    * the shared assignment frame collapses to a ≤k×|labels|
+    * contingency; every statistic is exact integer binomials
+    * (DECIMAL(38,0) — C(n,2) is corpus²) or per-term DECIMAL entropy
+    * folds over that bounded frame.
+    */
+  def qClusterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ct = cellAssigned(s, dir)
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint() // bounded contingency; feeds all four metrics
+    val ai = ct.groupBy(col("cell")).agg(sum(col("nij")).as("a"))
+    val bj = ct.groupBy(col("label")).agg(sum(col("nij")).as("b"))
+    def c2(x: org.apache.spark.sql.Column) =
+      (x.cast(D0) * (x - 1)) / 2
+    val sij = ct.agg(sum(c2(col("nij"))).as("sij"), sum(col("nij")).as("n"))
+    val sa = ai.agg(sum(c2(col("a"))).as("sa"))
+    val sb = bj.agg(sum(c2(col("b"))).as("sb"))
+    val ent = {
+      val tot = sij.select(col("n"))
+      val hl = bj.crossJoin(broadcast(tot))
+        .select((-(col("b").cast("double") / col("n"))
+          * log(col("b").cast("double") / col("n"))).cast(D).as("t"))
+        .agg(sum(col("t")).as("hlab"))
+      val hc = ai.crossJoin(broadcast(tot))
+        .select((-(col("a").cast("double") / col("n"))
+          * log(col("a").cast("double") / col("n"))).cast(D).as("t"))
+        .agg(sum(col("t")).as("hcell"))
+      val hlc = ct.join(broadcast(ai), Seq("cell"))
+        .select((-(col("nij").cast("double")) // summed over n below
+          * log(col("nij").cast("double") / col("a"))).cast(D).as("t"))
+        .agg(sum(col("t")).as("hlc_raw"))
+      val hcl = ct.join(broadcast(bj), Seq("label"))
+        .select((-(col("nij").cast("double"))
+          * log(col("nij").cast("double") / col("b"))).cast(D).as("t"))
+        .agg(sum(col("t")).as("hcl_raw"))
+      hl.crossJoin(broadcast(hc)).crossJoin(broadcast(hlc))
+        .crossJoin(broadcast(hcl))
+    }
+    val j = sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .crossJoin(broadcast(ent))
+    val nD = col("n").cast("double")
+    val sn = nD * (nD - 1.0) / 2.0
+    val exp = col("sa").cast("double") * col("sb").cast("double") / sn
+    val ari = (col("sij").cast("double") - exp) /
+      ((col("sa").cast("double") + col("sb").cast("double")) / 2.0 - exp)
+    val hLab = col("hlab").cast("double")
+    val hCell = col("hcell").cast("double")
+    val hLC = col("hlc_raw").cast("double") / nD
+    val hCL = col("hcl_raw").cast("double") / nD
+    val homog = lit(1.0) - hLC / hLab
+    val compl = lit(1.0) - hCL / hCell
+    j.select(col("n").as("n_vecs"),
+      NumFns.roundPortable(ari, 6).as("ari"),
+      NumFns.roundPortable(homog, 6).as("homogeneity"),
+      NumFns.roundPortable(compl, 6).as("completeness"),
+      NumFns.roundPortable(
+        lit(2.0) * homog * compl / (homog + compl), 6).as("v_measure"))
+  }
+
+  val qClusterAgreementOracle: String =
+    s"""WITH $preparedSql,
+       |$cellsSql,
+       |lb AS (
+       |  SELECT cells.vec_id, cells.cell, n.label
+       |  FROM cells JOIN n USING (vec_id)
+       |),
+       |ct AS (
+       |  SELECT cell, label, count(*) AS nij FROM lb GROUP BY 1, 2
+       |),
+       |ai AS (SELECT cell, CAST(sum(nij) AS BIGINT) AS a FROM ct
+       |  GROUP BY 1),
+       |bj AS (SELECT label, CAST(sum(nij) AS BIGINT) AS b FROM ct
+       |  GROUP BY 1),
+       |si AS (
+       |  SELECT CAST(sum(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS DOUBLE)
+       |      AS sij,
+       |    CAST(sum(nij) AS BIGINT) AS n
+       |  FROM ct
+       |),
+       |sav AS (SELECT CAST(sum(CAST(a AS HUGEINT) * (a - 1) // 2) AS DOUBLE)
+       |  AS sa FROM ai),
+       |sbv AS (SELECT CAST(sum(CAST(b AS HUGEINT) * (b - 1) // 2) AS DOUBLE)
+       |  AS sb FROM bj),
+       |hl AS (
+       |  SELECT CAST(sum(CAST(-(CAST(b AS DOUBLE) / n)
+       |    * ln(CAST(b AS DOUBLE) / n) AS DECIMAL(38,12))) AS DOUBLE)
+       |    AS hlab
+       |  FROM bj CROSS JOIN si
+       |),
+       |hc AS (
+       |  SELECT CAST(sum(CAST(-(CAST(a AS DOUBLE) / n)
+       |    * ln(CAST(a AS DOUBLE) / n) AS DECIMAL(38,12))) AS DOUBLE)
+       |    AS hcell
+       |  FROM ai CROSS JOIN si
+       |),
+       |h1 AS (
+       |  SELECT CAST(sum(CAST(-CAST(nij AS DOUBLE)
+       |    * ln(CAST(nij AS DOUBLE) / a) AS DECIMAL(38,12))) AS DOUBLE)
+       |    AS hlc_raw
+       |  FROM ct JOIN ai USING (cell)
+       |),
+       |h2 AS (
+       |  SELECT CAST(sum(CAST(-CAST(nij AS DOUBLE)
+       |    * ln(CAST(nij AS DOUBLE) / b) AS DECIMAL(38,12))) AS DOUBLE)
+       |    AS hcl_raw
+       |  FROM ct JOIN bj USING (label)
+       |),
+       |f AS (
+       |  SELECT n,
+       |    (sij - sa * sb / (CAST(n AS DOUBLE) * (n - 1.0) / 2.0))
+       |      / ((sa + sb) / 2.0
+       |        - sa * sb / (CAST(n AS DOUBLE) * (n - 1.0) / 2.0)) AS ari,
+       |    1.0 - (hlc_raw / n) / hlab AS homog,
+       |    1.0 - (hcl_raw / n) / hcell AS compl
+       |  FROM si, sav, sbv, hl, hc, h1, h2
+       |)
+       |SELECT n AS n_vecs,
+       |  ${NumFns.roundPortableSql("ari", 6)} AS ari,
+       |  ${NumFns.roundPortableSql("homog", 6)} AS homogeneity,
+       |  ${NumFns.roundPortableSql("compl", 6)} AS completeness,
+       |  ${NumFns.roundPortableSql(
+            "2.0 * homog * compl / (homog + compl)", 6)} AS v_measure
+       |FROM f""".stripMargin
 }
