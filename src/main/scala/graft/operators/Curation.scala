@@ -1271,4 +1271,64 @@ object Curation {
        |  ${NumFns.roundPortableSql("z", 4)} AS mean_z,
        |  (ks <= crit AND abs(z) <= 1.96) AS split_unbiased
        |FROM zz""".stripMargin
+
+  /** Capture–recapture (Chapman) estimate of corpus size from two
+    * independent deterministic 40 % hash-samples — the
+    * coverage-estimation trick for "how big is the population we're
+    * sampling from?" when only samples are cheap (two crawl frontiers,
+    * two vendor feeds), self-certified against the exact count with a
+    * 3σ bound like the sketch family. Shape: ONE scan computes both
+    * membership flags and the intersection (content-addressed draws —
+    * rerun-identical); four exact integer counts, scalar estimate.
+    */
+  def qCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val a = draw("capA", 100) < 40
+    val b = draw("capB", 100) < 40
+    val m = Tables.documents(s, dir)
+      .select(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(col("a").cast("long")).as("na"),
+        sum(col("b").cast("long")).as("nb"),
+        sum((col("a") && col("b")).cast("long")).as("m"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    val mD = col("m").cast("double")
+    val chapman = (naD + 1.0) * (nbD + 1.0) / (mD + 1.0) - 1.0
+    val varC = (naD + 1.0) * (nbD + 1.0) * (naD - mD) * (nbD - mD) /
+      ((mD + 1.0) * (mD + 1.0) * (mD + 2.0))
+    m.select(col("n_true"), col("na").as("n_sample_a"),
+      col("nb").as("n_sample_b"), col("m").as("n_overlap"),
+      NumFns.roundPortable(chapman, 2).as("chapman_estimate"),
+      NumFns.roundPortable(sqrt(varC), 2).as("se"),
+      (abs(chapman - col("n_true")) <= sqrt(varC) * 3.0).as("within_3se"))
+  }
+
+  val qCaptureRecaptureOracle: String =
+    s"""WITH f AS (
+       |  SELECT (${drawSql("capA", 100)}) < 40 AS a,
+       |    (${drawSql("capB", 100)}) < 40 AS b
+       |  FROM documents
+       |),
+       |m AS (
+       |  SELECT count(*) AS n_true,
+       |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |  FROM f
+       |),
+       |e AS (
+       |  SELECT n_true, na, nb, m,
+       |    (CAST(na AS DOUBLE) + 1.0) * (CAST(nb AS DOUBLE) + 1.0)
+       |      / (CAST(m AS DOUBLE) + 1.0) - 1.0 AS chapman,
+       |    (CAST(na AS DOUBLE) + 1.0) * (CAST(nb AS DOUBLE) + 1.0)
+       |      * (CAST(na AS DOUBLE) - m) * (CAST(nb AS DOUBLE) - m)
+       |      / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+       |        * (CAST(m AS DOUBLE) + 2.0)) AS varc
+       |  FROM m
+       |)
+       |SELECT n_true, na AS n_sample_a, nb AS n_sample_b, m AS n_overlap,
+       |  ${NumFns.roundPortableSql("chapman", 2)} AS chapman_estimate,
+       |  ${NumFns.roundPortableSql("sqrt(varc)", 2)} AS se,
+       |  abs(chapman - n_true) <= sqrt(varc) * 3.0 AS within_3se
+       |FROM e""".stripMargin
 }

@@ -3597,4 +3597,65 @@ object Profiling {
        |FROM x CROSS JOIN ch
        |ORDER BY digit""".stripMargin
   }
+
+  /** Negative-binomial method-of-moments fit of per-customer order
+    * counts: r̂ = m²/(s²−m), p̂ = r̂/(r̂+m) — the heterogeneity MODEL
+    * on top of q_poisson_dispersion's verdict (dispersion says
+    * "clumped"; the NB r says HOW heterogeneous the customer base is —
+    * small r = a few whales dominate, the same fact q_pareto_share
+    * shows nonparametrically). Shape: customer-count cells → two
+    * DECIMAL(38,0) moments, scalar fit; r̂ is NULL when the data is
+    * UNDER-dispersed (v ≤ m), where no NB exists — mirrored on both
+    * engines.
+    */
+  def qNegbinFit(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+    val m = counts.agg(count(lit(1)).as("n"),
+      sum(col("c").cast(D0)).as("s1"),
+      sum(col("c").cast(D0) * col("c")).as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val vr = (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (nD * (nD - 1.0))
+    val r = when(vr > mean, mean * mean / (vr - mean))
+    val pp = when(vr > mean, mean * mean / (vr - mean)
+      / (mean * mean / (vr - mean) + mean))
+    m.select(col("n").as("n_customers"),
+      NumFns.roundPortable(mean, 4).as("mean_orders"),
+      NumFns.roundPortable(vr, 4).as("var_orders"),
+      NumFns.roundPortable(r, 4).as("nb_r"),
+      NumFns.roundPortable(pp, 6).as("nb_p"),
+      (vr > mean).as("overdispersed"))
+  }
+
+  val qNegbinFitOracle: String =
+    s"""WITH counts AS (
+       |  SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(c AS HUGEINT)) AS s1,
+       |    sum(CAST(c AS HUGEINT) * c) AS s2
+       |  FROM counts
+       |),
+       |st AS (
+       |  SELECT n,
+       |    CAST(s1 AS DOUBLE) / n AS mean,
+       |    CAST(n * s2 - s1 * s1 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vr
+       |  FROM m
+       |)
+       |SELECT n AS n_customers,
+       |  ${NumFns.roundPortableSql("mean", 4)} AS mean_orders,
+       |  ${NumFns.roundPortableSql("vr", 4)} AS var_orders,
+       |  ${NumFns.roundPortableSql(
+            "CASE WHEN vr > mean THEN mean * mean / (vr - mean) END", 4)}
+       |    AS nb_r,
+       |  ${NumFns.roundPortableSql(
+            "CASE WHEN vr > mean THEN (mean * mean / (vr - mean))" +
+              " / (mean * mean / (vr - mean) + mean) END", 6)} AS nb_p,
+       |  vr > mean AS overdispersed
+       |FROM st""".stripMargin
 }
