@@ -1925,4 +1925,127 @@ object PipelineOps {
        |  ${NumFns.roundPortableSql("chi2", 4)} AS cmh_chi2,
        |  (crude - 1.0) * (mh - 1.0) < 0.0 AS simpson_reversal
        |FROM r""".stripMargin
+
+  /** Cutoff and bandwidth for [[qRdd]] (quantity units). */
+  val RddCutoff = 25L
+  val RddBandwidth = 10L
+
+  /** Sharp regression-discontinuity estimate of the return-rate jump
+    * at the quantity-25 threshold: separate local-linear fits on
+    * ±10-unit windows, the discontinuity τ = α_R − α_L at the cutoff
+    * with its large-sample SE — the FOURTH causal design in the suite
+    * (beside q_diff_in_diff's panels, q_ipw_ate's weighting and
+    * q_mantel_haenszel's stratification): identification from the
+    * threshold itself, no confounder model at all. Shape: because the
+    * running variable is integer quantity, BOTH fits are exact
+    * weighted OLS over ≤10 (quantity → [returns, total]) cells —
+    * integer moments in DECIMAL(38,0)/HUGEINT, denominators cleared
+    * (qChowTest discipline), one scan, scalar algebra after.
+    */
+  def qRdd(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("q"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      .filter(col("q") >= RddCutoff - RddBandwidth
+        && col("q") < RddCutoff + RddBandwidth)
+      .groupBy(col("q")).agg(count(lit(1)).as("n"), sum(col("y")).as("ny"))
+      .withColumn("side", when(col("q") < RddCutoff, "L").otherwise("R"))
+      .withColumn("x", col("q") - RddCutoff)
+    // weighted OLS of rate on x per side: minimize over cells with
+    // weight n — moments Σn, Σnx, Σnx², Σny, Σnxy (y per row is the
+    // 0/1 flag, so cell sums are exact integers)
+    val m = cells.groupBy(col("side"))
+      .agg(sum(col("n").cast(D0)).as("w"),
+        sum((col("n") * col("x")).cast(D0)).as("wx"),
+        sum((col("n") * col("x") * col("x")).cast(D0)).as("wxx"),
+        sum(col("ny").cast(D0)).as("wy"),
+        sum((col("ny") * col("x")).cast(D0)).as("wxy"))
+    val wD = col("w").cast("double")
+    val det = (col("w") * col("wxx") - col("wx") * col("wx")).cast("double")
+    val alpha = ((col("wxx") * col("wy") - col("wx") * col("wxy"))
+      .cast("double")) / det
+    val beta = ((col("w") * col("wxy") - col("wx") * col("wy"))
+      .cast("double")) / det
+    val rate = col("wy").cast("double") / wD
+    // binomial variance of the intercept via the hat leverage at x=0:
+    // var(α) ≈ p(1−p)·Σ over cells of h0², folded as wxx²-form
+    val varA = rate * (lit(1.0) - rate) *
+      (col("wxx").cast("double") * col("wxx").cast("double")
+        * wD / (det * det))
+    val sides = m.select(col("side"), alpha.as("alpha"), beta.as("beta"),
+      varA.as("va"), col("w").cast("long").as("n_side"))
+    val l = sides.filter(col("side") === "L")
+      .select(col("alpha").as("al"), col("beta").as("bl"),
+        col("va").as("vl"), col("n_side").as("n_left"))
+    val r = sides.filter(col("side") === "R")
+      .select(col("alpha").as("ar"), col("beta").as("br"),
+        col("va").as("vr"), col("n_side").as("n_right"))
+    l.crossJoin(broadcast(r))
+      .select(col("n_left"), col("n_right"),
+        NumFns.roundPortable(col("al"), 6).as("rate_left_at_cutoff"),
+        NumFns.roundPortable(col("ar"), 6).as("rate_right_at_cutoff"),
+        NumFns.roundPortable(col("ar") - col("al"), 6).as("rdd_jump"),
+        NumFns.roundPortable(
+          (col("ar") - col("al")) / sqrt(col("vl") + col("vr")), 4)
+          .as("z"))
+      .withColumn("discontinuity", abs(col("z")) > lit(1.96))
+  }
+
+  val qRddOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS n,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ny
+       |  FROM lineitem
+       |  WHERE l_quantity >= ${RddCutoff - RddBandwidth}
+       |    AND l_quantity < ${RddCutoff + RddBandwidth}
+       |  GROUP BY 1
+       |),
+       |sided AS (
+       |  SELECT CASE WHEN q < $RddCutoff THEN 'L' ELSE 'R' END AS side,
+       |    q - $RddCutoff AS x, n, ny
+       |  FROM cells
+       |),
+       |m AS (
+       |  SELECT side,
+       |    sum(CAST(n AS HUGEINT)) AS w,
+       |    sum(CAST(n AS HUGEINT) * x) AS wx,
+       |    sum(CAST(n AS HUGEINT) * x * x) AS wxx,
+       |    sum(CAST(ny AS HUGEINT)) AS wy,
+       |    sum(CAST(ny AS HUGEINT) * x) AS wxy
+       |  FROM sided GROUP BY side
+       |),
+       |f AS (
+       |  SELECT side, CAST(w AS BIGINT) AS n_side,
+       |    CAST(wxx * wy - wx * wxy AS DOUBLE)
+       |      / CAST(w * wxx - wx * wx AS DOUBLE) AS alpha,
+       |    CAST(wy AS DOUBLE) / CAST(w AS DOUBLE) AS rate,
+       |    CAST(wxx AS DOUBLE) * CAST(wxx AS DOUBLE) * CAST(w AS DOUBLE)
+       |      / (CAST(w * wxx - wx * wx AS DOUBLE)
+       |        * CAST(w * wxx - wx * wx AS DOUBLE)) AS hterm
+       |  FROM m
+       |),
+       |v AS (
+       |  SELECT side, n_side, alpha,
+       |    rate * (1.0 - rate) * hterm AS va
+       |  FROM f
+       |),
+       |j AS (
+       |  SELECT
+       |    (SELECT n_side FROM v WHERE side = 'L') AS n_left,
+       |    (SELECT n_side FROM v WHERE side = 'R') AS n_right,
+       |    (SELECT alpha FROM v WHERE side = 'L') AS al,
+       |    (SELECT alpha FROM v WHERE side = 'R') AS ar,
+       |    (SELECT va FROM v WHERE side = 'L') AS vl,
+       |    (SELECT va FROM v WHERE side = 'R') AS vr
+       |)
+       |SELECT n_left, n_right,
+       |  ${NumFns.roundPortableSql("al", 6)} AS rate_left_at_cutoff,
+       |  ${NumFns.roundPortableSql("ar", 6)} AS rate_right_at_cutoff,
+       |  ${NumFns.roundPortableSql("ar - al", 6)} AS rdd_jump,
+       |  ${NumFns.roundPortableSql("(ar - al) / sqrt(vl + vr)", 4)} AS z,
+       |  abs(${NumFns.roundPortableSql("(ar - al) / sqrt(vl + vr)", 4)})
+       |    > 1.96 AS discontinuity
+       |FROM j""".stripMargin
 }

@@ -3658,4 +3658,70 @@ object Profiling {
               " / (mean * mean / (vr - mean) + mean) END", 6)} AS nb_p,
        |  vr > mean AS overdispersed
        |FROM st""".stripMargin
+
+  /** Storey λ for the π₀ estimate. */
+  val StoreyLambda = 0.5
+
+  /** Storey's null-proportion estimate over the shared test battery:
+    * π̂₀ = #{p > λ}/((1−λ)·m) at λ = 0.5, with the adaptive-BH
+    * discovery count it implies — the sharpening on top of q_bh_fdr
+    * (plain BH assumes EVERY hypothesis might be null and over-
+    * corrects by 1/π₀ when most tests are real effects; metrics
+    * batteries at scale are usually mostly-null, and π̂₀ says which
+    * regime this one is in). Shape: the battery frame is
+    * dimension-sized; the estimate is two counts, and the adaptive
+    * pass reuses the rank-by-|z| BH discipline (p only ever compared
+    * to thresholds).
+    */
+  def qStoreyPi0(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = testBattery(s, dir)
+    val wRank = Window.orderBy(abs(col("z")).desc, col("event_type"),
+      col("cohort"))
+    val wAll = Window.partitionBy()
+    val ranked = scored
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("nlam",
+        sum(when(col("p") > StoreyLambda, 1L).otherwise(0L)).over(wAll))
+    val pi0 = least(lit(1.0),
+      col("nlam").cast("double") / (col("m") * (1.0 - StoreyLambda)))
+    ranked
+      .withColumn("pi0", pi0)
+      .withColumn("pass",
+        col("p") <= col("rnk") * BhAlpha / (col("pi0") * col("m")))
+      .withColumn("k_star",
+        coalesce(max(when(col("pass"), col("rnk"))).over(wAll), lit(0L)))
+      .agg(max(col("m")).as("m"), max(col("nlam")).as("n_above_lambda"),
+        NumFns.roundPortable(max(col("pi0")), 6).as("pi0_hat"),
+        max(col("k_star")).as("adaptive_discoveries"))
+      .select(col("m").as("n_tests"), col("n_above_lambda"),
+        col("pi0_hat"), col("adaptive_discoveries"))
+  }
+
+  val qStoreyPi0Oracle: String =
+    s"""WITH $testBatterySql, r AS (
+       |  SELECT event_type, cohort, z, p,
+       |    CAST(row_number() OVER (ORDER BY abs(z) DESC, event_type, cohort)
+       |      AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN p > $StoreyLambda THEN 1 ELSE 0 END) OVER ()
+       |      AS BIGINT) AS nlam
+       |  FROM sc
+       |),
+       |e AS (
+       |  SELECT *,
+       |    least(1.0, CAST(nlam AS DOUBLE) / ((1.0 - $StoreyLambda) * m))
+       |      AS pi0
+       |  FROM r
+       |),
+       |f AS (
+       |  SELECT *, coalesce(max(CASE WHEN p <= rnk * $BhAlpha / (pi0 * m)
+       |    THEN rnk END) OVER (), 0) AS k_star
+       |  FROM e
+       |)
+       |SELECT max(m) AS n_tests, max(nlam) AS n_above_lambda,
+       |  ${NumFns.roundPortableSql("max(pi0)", 6)} AS pi0_hat,
+       |  CAST(max(k_star) AS BIGINT) AS adaptive_discoveries
+       |FROM f""".stripMargin
 }
