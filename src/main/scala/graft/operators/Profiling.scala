@@ -3724,4 +3724,87 @@ object Profiling {
        |  ${NumFns.roundPortableSql("max(pi0)", 6)} AS pi0_hat,
        |  CAST(max(k_star) AS BIGINT) AS adaptive_discoveries
        |FROM f""".stripMargin
+
+  /** Partial correlation of line revenue and quantity CONTROLLING for
+    * discount: r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) —
+    * the "is the raw correlation real or routed through a third
+    * variable?" one-liner under q_corr (which reports the marginal
+    * only). Shape: one scan → nine quantized integer moments (cents /
+    * integer quantity / discount permille — DECIMAL(38,0) exact);
+    * the three pairwise correlations clear denominators before IEEE
+    * (qGranger discipline); scalar algebra after.
+    */
+  def qPartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = Tables.lineitem(s, dir)
+      .select(NumFns.roundAwayLong(col("l_extendedprice") * 100).as("x"),
+        col("l_quantity").cast("long").as("y"),
+        NumFns.roundAwayLong(col("l_discount") * 1000).as("z"))
+    val m = rows.agg(count(lit(1)).cast(D0).as("n"),
+      sum(col("x").cast(D0)).as("sx"), sum(col("y").cast(D0)).as("sy"),
+      sum(col("z").cast(D0)).as("sz"),
+      sum(col("x").cast(D0) * col("x")).as("sxx"),
+      sum(col("y").cast(D0) * col("y")).as("syy"),
+      sum(col("z").cast(D0) * col("z")).as("szz"),
+      sum(col("x").cast(D0) * col("y")).as("sxy"),
+      sum(col("x").cast(D0) * col("z")).as("sxz"),
+      sum(col("y").cast(D0) * col("z")).as("syz"))
+    def cc(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      (col("n") * col(sab) - col(sa) * col(sb)).cast("double") /
+        (sqrt((col("n") * col(saa) - col(sa) * col(sa)).cast("double"))
+          * sqrt((col("n") * col(sbb) - col(sb) * col(sb)).cast("double")))
+    val rxy = cc("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = cc("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = cc("syz", "sy", "sz", "syy", "szz")
+    val partial = (rxy - rxz * ryz) /
+      sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz))
+    m.select(col("n").cast("long").as("n_rows"),
+      NumFns.roundPortable(rxy, 6).as("r_price_qty"),
+      NumFns.roundPortable(rxz, 6).as("r_price_disc"),
+      NumFns.roundPortable(ryz, 6).as("r_qty_disc"),
+      NumFns.roundPortable(partial, 6).as("partial_r"))
+  }
+
+  val qPartialCorrOracle: String = {
+    def ccSql(sab: String, sa: String, sb: String, saa: String,
+        sbb: String) =
+      s"CAST(n * $sab - $sa * $sb AS DOUBLE)" +
+        s" / (sqrt(CAST(n * $saa - $sa * $sa AS DOUBLE))" +
+        s" * sqrt(CAST(n * $sbb - $sb * $sb AS DOUBLE)))"
+    val rxy = ccSql("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = ccSql("sxz", "sx", "sz", "sxx", "szz")
+    val ryz = ccSql("syz", "sy", "sz", "syy", "szz")
+    s"""WITH rows0 AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+       |    CAST(l_quantity AS BIGINT) AS y,
+       |    CAST(round(l_discount * 1000) AS BIGINT) AS z
+       |  FROM lineitem
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(z AS HUGEINT)) AS sz,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy,
+       |    sum(CAST(z AS HUGEINT) * z) AS szz,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * z) AS sxz,
+       |    sum(CAST(y AS HUGEINT) * z) AS syz
+       |  FROM rows0
+       |),
+       |r AS (
+       |  SELECT CAST(n AS BIGINT) AS n_rows,
+       |    $rxy AS rxy, $rxz AS rxz, $ryz AS ryz
+       |  FROM m
+       |)
+       |SELECT n_rows,
+       |  ${NumFns.roundPortableSql("rxy", 6)} AS r_price_qty,
+       |  ${NumFns.roundPortableSql("rxz", 6)} AS r_price_disc,
+       |  ${NumFns.roundPortableSql("ryz", 6)} AS r_qty_disc,
+       |  ${NumFns.roundPortableSql(
+            "(rxy - rxz * ryz)" +
+              " / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))", 6)}
+       |    AS partial_r
+       |FROM r""".stripMargin
+  }
 }

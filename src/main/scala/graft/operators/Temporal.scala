@@ -4337,4 +4337,95 @@ object Temporal {
        |  aic = best AS selected
        |FROM scored CROSS JOIN b
        |ORDER BY ar_order""".stripMargin
+
+  /** Seasonal Mann–Kendall trend test: the MK statistic computed
+    * WITHIN each weekday series and pooled (S = ΣS_w, Var = ΣVar_w) —
+    * the trend test that q_mann_kendall gets wrong on seasonal data
+    * (comparing a Sunday to a Wednesday reads the weekly cycle as
+    * "trend"; restricting pairs to same-weekday kills that bias by
+    * construction). Shape: the pair join is weekday-PARTITIONED
+    * (seven ~(n/7)²-bounded tasks instead of one n² — calendar-
+    * bounded at any corpus scale), tie terms read per-(weekday,value)
+    * cells, and the pooled z/p are scalar.
+    */
+  def qSeasonalMk(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
+      .select(col("d"), col("yc"), dayofweek(col("d")).as("dw"))
+      .localCheckpoint() // feeds pairs, ties and counts
+    val a = days.select(col("dw"), col("d").as("d1"), col("yc").as("y1"))
+    val b = days.select(col("dw"), col("d").as("d2"), col("yc").as("y2"))
+    val sByW = a.join(b.hint("shuffle_hash"), Seq("dw"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("dw"))
+      .agg(sum(when(col("y2") > col("y1"), 1L)
+        .when(col("y2") < col("y1"), -1L).otherwise(0L)).as("sw"))
+    val tiesW = days.groupBy(col("dw"), col("yc"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("dw"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) * (col("c") * 2 + 5)),
+        lit(0L)).as("tw"))
+    val nW = days.groupBy(col("dw")).agg(count(lit(1)).as("nw"))
+    val pooled = sByW.join(tiesW, Seq("dw")).join(nW, Seq("dw"))
+      .select(col("sw"),
+        ((col("nw") * (col("nw") - 1) * (col("nw") * 2 + 5) - col("tw"))
+          .cast("double") / 18.0).as("vw"),
+        col("nw"))
+      .agg(sum(col("sw")).as("s"), sum(col("vw")).as("v"),
+        sum(col("nw")).as("n"), count(lit(1)).as("n_seasons"))
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("v")))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("v")))
+      .otherwise(lit(0.0))
+    pooled.select(col("n").as("n_days"), col("n_seasons"),
+      col("s").as("s_stat"),
+      NumFns.roundPortable(z, 4).as("z"),
+      NumFns.roundPortable(NumFns.normTwoSidedP(z), 6).as("p_value"),
+      when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+        .otherwise("none").as("trend"))
+  }
+
+  val qSeasonalMkOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d,
+       |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS yc
+       |  FROM orders GROUP BY 1
+       |),
+       |k AS (SELECT d, yc, dayofweek(d) AS dw FROM days),
+       |sw AS (
+       |  SELECT a.dw,
+       |    CAST(sum(CASE WHEN b.yc > a.yc THEN 1
+       |      WHEN b.yc < a.yc THEN -1 ELSE 0 END) AS BIGINT) AS sw
+       |  FROM k a JOIN k b ON a.dw = b.dw AND a.d < b.d
+       |  GROUP BY a.dw
+       |),
+       |tw AS (
+       |  SELECT dw,
+       |    CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tw
+       |  FROM (SELECT dw, yc, count(*) AS c FROM k GROUP BY dw, yc)
+       |  GROUP BY dw
+       |),
+       |nw AS (SELECT dw, count(*) AS nw FROM k GROUP BY dw),
+       |pl AS (
+       |  SELECT CAST(sum(sw) AS BIGINT) AS s,
+       |    sum(CAST(nw * (nw - 1) * (2 * nw + 5) - tw AS DOUBLE) / 18.0)
+       |      AS v,
+       |    CAST(sum(nw) AS BIGINT) AS n, count(*) AS n_seasons
+       |  FROM sw JOIN tw USING (dw) JOIN nw USING (dw)
+       |),
+       |zz AS (
+       |  SELECT n, n_seasons, s,
+       |    CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(v)
+       |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(v)
+       |      ELSE 0.0 END AS z
+       |  FROM pl
+       |)
+       |SELECT n AS n_days, n_seasons, s AS s_stat,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql("z"), 6)}
+       |    AS p_value,
+       |  CASE WHEN z > 1.96 THEN 'increasing'
+       |    WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+       |FROM zz""".stripMargin
 }
