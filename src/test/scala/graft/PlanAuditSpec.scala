@@ -277,4 +277,42 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("r7 heavy shapes hold their audited plan structure (PlanReport)") {
+    import graft.plans.PlanReport
+    // q_component_sizes: CC runs through localCheckpoints, so the final
+    // plan is label aggregation only — no cartesian, no re-derived pair
+    // join may reappear.
+    val cs = PlanReport.of(SparkEntry.queries("q_component_sizes")(spark, sf001))
+    assert(cs.cartesianProducts == 0 && cs.unpartitionedWindows == 0,
+      s"q_component_sizes: ${cs.summary}")
+    // q_dedup_threshold_sweep: ONE scored pair frame (localCheckpoint)
+    // serves every threshold — the plan must not re-run the shingle
+    // pipeline per threshold (no documents scan may survive).
+    val ts = SparkEntry.queries("q_dedup_threshold_sweep")(spark, sf001)
+    assert(!ts.queryExecution.executedPlan.toString.contains("documents.parquet"),
+      "q_dedup_threshold_sweep re-derives the corpus per threshold")
+    // q_trimmed_mean: rank-range arithmetic over cells — windows stay
+    // partitioned by the priority key, never a global row sort.
+    val tm = PlanReport.of(SparkEntry.queries("q_trimmed_mean")(spark, sf001))
+    assert(tm.cartesianProducts == 0 && tm.unpartitionedWindows == 0,
+      s"q_trimmed_mean: ${tm.summary}")
+    // q_mann_kendall: the i<j pair join runs over the calendar-bounded
+    // day AGGREGATE with one side broadcast (BNLJ) — a cartesian or a
+    // fact-level pair join would be the scale cliff.
+    val mk = SparkEntry.queries("q_mann_kendall")(spark, sf001)
+    val mkp = mk.queryExecution.executedPlan.toString
+    assert(PlanReport.of(mk).cartesianProducts == 0, "q_mann_kendall cartesian")
+    assert(mkp.contains("BroadcastNestedLoopJoin"),
+      "q_mann_kendall pair join must be broadcast-NLJ over the day frame")
+    // q_ann_probe_curve: one candidate frame (localCheckpoint) serves
+    // all depths; probe side broadcasts, corpus side never does.
+    val pc = PlanReport.of(SparkEntry.queries("q_ann_probe_curve")(spark, sf001))
+    assert(pc.cartesianProducts == 0, s"q_ann_probe_curve: ${pc.summary}")
+    // q_median_ci: bucket histogram + single-bucket refinement — no
+    // cartesian, and the only windows sit over bounded cell frames
+    // (the suite-wide window invariant covers their placement).
+    val mc = PlanReport.of(SparkEntry.queries("q_median_ci")(spark, sf001))
+    assert(mc.cartesianProducts == 0, s"q_median_ci: ${mc.summary}")
+  }
 }
