@@ -3807,4 +3807,123 @@ object Profiling {
        |    AS partial_r
        |FROM r""".stripMargin
   }
+
+  /** Length thresholds probed by [[qDkwBand]] (chars). */
+  val DkwPoints = Seq(100L, 200L, 300L, 400L, 500L, 700L, 1000L)
+
+  /** Distribution-free DKW confidence band for the document-length
+    * ECDF: F̂(x) ± ε with ε = √(ln(2/α)/2n) at α = 0.05, evaluated at
+    * seven fixed length points — the UNIFORM uncertainty statement
+    * under every CDF-derived gate in the suite (q_ks_drift thresholds,
+    * q_length_outliers cuts): any true CDF lies inside the band with
+    * 95 % confidence, no distributional assumption. Shape: seven
+    * conditional counts in ONE scan (the q_pr_curve sweep shape);
+    * everything after is scalar.
+    */
+  def qDkwBand(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("n_chars"))
+    val aggCols = count(lit(1)).as("n") +: DkwPoints.map(x =>
+      sum((col("n_chars") <= x).cast("long")).as(s"c$x"))
+    val aggs = docs.agg(aggCols.head, aggCols.tail: _*)
+    val eps = sqrt(lit(math.log(2.0 / 0.05)) / (col("n") * 2.0))
+    val rows = DkwPoints.map { x =>
+      aggs.select(lit(x).as("x"), col("n"),
+        (col(s"c$x").cast("double") / col("n")).as("f"))
+        .select(col("x"), col("n").as("n_docs"),
+          NumFns.roundPortable(col("f"), 6).as("ecdf"),
+          NumFns.roundPortable(greatest(lit(0.0), col("f") - eps), 6)
+            .as("band_lo"),
+          NumFns.roundPortable(least(lit(1.0), col("f") + eps), 6)
+            .as("band_hi"))
+    }
+    rows.reduce(_ union _).orderBy(col("x"))
+  }
+
+  val qDkwBandOracle: String = {
+    val lnTerm = math.log(2.0 / 0.05)
+    val rows = DkwPoints.map { x =>
+      s"""SELECT CAST($x AS BIGINT) AS x, n AS n_docs,
+         |  ${NumFns.roundPortableSql(s"CAST(c$x AS DOUBLE) / n", 6)}
+         |    AS ecdf,
+         |  ${NumFns.roundPortableSql(
+              s"greatest(0.0, CAST(c$x AS DOUBLE) / n" +
+                s" - sqrt($lnTerm / (n * 2.0)))", 6)} AS band_lo,
+         |  ${NumFns.roundPortableSql(
+              s"least(1.0, CAST(c$x AS DOUBLE) / n" +
+                s" + sqrt($lnTerm / (n * 2.0)))", 6)} AS band_hi
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val cs = DkwPoints.map(x =>
+      s"CAST(sum(CASE WHEN n_chars <= $x THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS c$x").mkString(",\n       |    ")
+    s"""WITH m AS (
+       |  SELECT count(*) AS n,
+       |    $cs
+       |  FROM documents
+       |)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY x""".stripMargin
+  }
+
+  /** Excess thresholds for [[qMeanResidualLife]], dollars. */
+  val MrlThresholds = Seq(100000L, 200000L, 300000L, 400000L, 500000L)
+
+  /** Mean-residual-life curve of order values: E[X−u | X>u] at five
+    * thresholds — the EVT diagnostic that VALIDATES q_pot_gpd's model
+    * choice (for a GPD tail the MRL is LINEAR in u with slope
+    * ξ/(1−ξ); curvature here says the threshold is too low and the
+    * fitted tail is fiction). Shape: five conditional integer-cents
+    * sums in one scan (exceedance counts + excess mass per u, exact
+    * in DECIMAL(38,0)); the curve is five ratios.
+    */
+  def qMeanResidualLife(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vals = Tables.orders(s, dir)
+      .select(NumFns.roundAwayLong(col("o_totalprice") * 100).as("v"))
+    val aggCols = count(lit(1)).as("n") +: MrlThresholds.flatMap { u =>
+      val uc = u * 100
+      Seq(sum(when(col("v") > uc, 1L).otherwise(0L)).as(s"k$u"),
+        sum(when(col("v") > uc, (col("v") - uc).cast(D0))
+          .otherwise(lit(0L).cast(D0))).as(s"e$u"))
+    }
+    val aggs = vals.agg(aggCols.head, aggCols.tail: _*)
+    val rows = MrlThresholds.map { u =>
+      aggs.select(lit(u).as("threshold"), col(s"k$u").as("n_exceed"),
+        NumFns.roundPortable(
+          when(col(s"k$u") > 0,
+            col(s"e$u").cast("double") / col(s"k$u") / 100.0), 2)
+          .as("mean_excess"))
+    }
+    rows.reduce(_ union _).orderBy(col("threshold"))
+  }
+
+  val qMeanResidualLifeOracle: String = {
+    val cs = MrlThresholds.flatMap { u =>
+      val uc = u * 100
+      Seq(s"CAST(sum(CASE WHEN v > $uc THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS k$u",
+        s"sum(CASE WHEN v > $uc THEN CAST(v - $uc AS HUGEINT)" +
+          s" ELSE 0 END) AS e$u")
+    }.mkString(",\n       |    ")
+    val rows = MrlThresholds.map { u =>
+      s"""SELECT CAST($u AS BIGINT) AS threshold, k$u AS n_exceed,
+         |  ${NumFns.roundPortableSql(
+              s"CASE WHEN k$u > 0 THEN" +
+                s" CAST(e$u AS DOUBLE) / k$u / 100.0 END", 2)}
+         |    AS mean_excess
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vals AS (
+       |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+       |),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    $cs
+       |  FROM vals
+       |)
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY threshold""".stripMargin
+  }
 }
