@@ -1712,4 +1712,85 @@ object Behavioral {
        |    AS burstiness
        |FROM st
        |ORDER BY event_type""".stripMargin
+
+  /** Wilson 95 % intervals on the funnel's step-conversion rates —
+    * q_funnel counts stages; this puts calibrated uncertainty on each
+    * adjacent conversion (the Wilson interval stays valid at small
+    * counts and near 0/1 where the Wald interval q_ab_conversion-style
+    * z±√(pq/n) collapses). Shape: the per-user stage frame collapses
+    * to three stage counts; both rates and bounds are scalar formulas
+    * of exact integers, spelled identically on both engines.
+    */
+  def qFunnelWilson(s: SparkSession, dir: String): DataFrame = {
+    val stages = qFunnel(s, dir)
+      .agg(count(lit(1)).as("s1"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("s3"))
+    def wilson(k: org.apache.spark.sql.Column,
+        n: org.apache.spark.sql.Column) = {
+      val z2 = 3.8416 // 1.96²
+      val p = k.cast("double") / n
+      val den = lit(1.0) + lit(z2) / n
+      val ctr = (p + lit(z2) / (n * 2.0)) / den
+      // n² in DOUBLE: a long·long square wraps at 100 TB user counts
+      val hw = (lit(1.96) * sqrt(p * (lit(1.0) - p) / n
+        + lit(z2) / (n.cast("double") * n * 4.0))) / den
+      (p, ctr - hw, ctr + hw)
+    }
+    val (p1, lo1, hi1) = wilson(col("s2"), col("s1"))
+    val (p2, lo2, hi2) = wilson(col("s3"), col("s2"))
+    val steps = stages.select(
+      struct(lit("view->click").as("step"), col("s1").as("n_from"),
+        col("s2").as("n_to"),
+        NumFns.roundPortable(p1, 6).as("rate"),
+        NumFns.roundPortable(lo1, 6).as("wilson_lo"),
+        NumFns.roundPortable(hi1, 6).as("wilson_hi")).as("a"),
+      struct(lit("click->purchase").as("step"), col("s2").as("n_from"),
+        col("s3").as("n_to"),
+        NumFns.roundPortable(p2, 6).as("rate"),
+        NumFns.roundPortable(lo2, 6).as("wilson_lo"),
+        NumFns.roundPortable(hi2, 6).as("wilson_hi")).as("b"))
+    steps.select(explode(array(col("a"), col("b"))).as("t"))
+      .select(col("t.step").as("step"), col("t.n_from").as("n_from"),
+        col("t.n_to").as("n_to"), col("t.rate").as("rate"),
+        col("t.wilson_lo").as("wilson_lo"),
+        col("t.wilson_hi").as("wilson_hi"))
+      .orderBy(col("step"))
+  }
+
+  val qFunnelWilsonOracle: String = {
+    def wilsonSql(k: String, n: String, out: String) = Seq(
+      NumFns.roundPortableSql(s"CAST($k AS DOUBLE) / $n", 6) +
+        s" AS rate",
+      NumFns.roundPortableSql(
+        s"((CAST($k AS DOUBLE) / $n + 3.8416 / ($n * 2.0))" +
+          s" - 1.96 * sqrt((CAST($k AS DOUBLE) / $n)" +
+          s" * (1.0 - CAST($k AS DOUBLE) / $n) / $n" +
+          s" + 3.8416 / (CAST($n AS DOUBLE) * $n * 4.0)))" +
+          s" / (1.0 + 3.8416 / $n)", 6) + s" AS wilson_lo",
+      NumFns.roundPortableSql(
+        s"((CAST($k AS DOUBLE) / $n + 3.8416 / ($n * 2.0))" +
+          s" + 1.96 * sqrt((CAST($k AS DOUBLE) / $n)" +
+          s" * (1.0 - CAST($k AS DOUBLE) / $n) / $n" +
+          s" + 3.8416 / (CAST($n AS DOUBLE) * $n * 4.0)))" +
+          s" / (1.0 + 3.8416 / $n)", 6) + s" AS wilson_hi").mkString(",\n  ")
+    s"""WITH f AS ($qFunnelOracle),
+       |m AS (
+       |  SELECT count(*) AS s1,
+       |    CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s2,
+       |    CAST(sum(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s3
+       |  FROM f
+       |)
+       |SELECT * FROM (
+       |SELECT 'view->click' AS step, s1 AS n_from, s2 AS n_to,
+       |  ${wilsonSql("s2", "s1", "a")}
+       |FROM m
+       |UNION ALL
+       |SELECT 'click->purchase', s2, s3,
+       |  ${wilsonSql("s3", "s2", "b")}
+       |FROM m
+       |) ORDER BY step""".stripMargin
+  }
 }

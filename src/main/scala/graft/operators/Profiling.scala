@@ -3926,4 +3926,78 @@ object Profiling {
        |$rows
        |) ORDER BY threshold""".stripMargin
   }
+
+  /** Cochran–Armitage trend test: does the RETURN RATE trend
+    * monotonically across ordered quantity levels? — the ordered-
+    * alternative version of q_chi2_independence/q_gtest (which only
+    * say "dependent"): T = Σ sᵢ(aᵢ − nᵢp̄) with integer scores, Var =
+    * p̄(1−p̄)(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N) — concentrating all power on the
+    * dose-response direction a pricing team actually asks about.
+    * Shape: ≤50 (quantity → [returns, total]) cells from one scan;
+    * every sum is exact DECIMAL(38,0)/HUGEINT integers with cleared
+    * denominators; z/p scalar after.
+    */
+  def qCochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("q"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+      .groupBy(col("q")).agg(count(lit(1)).as("n"), sum(col("y")).as("a"))
+    val m = cells.agg(
+      sum(col("n").cast(D0)).as("nn"), sum(col("a").cast(D0)).as("aa"),
+      sum(col("n").cast(D0) * col("q")).as("ns"),
+      sum(col("n").cast(D0) * col("q") * col("q")).as("nss"),
+      sum(col("a").cast(D0) * col("q")).as("as_"),
+      count(lit(1)).as("k"))
+    val nD = col("nn").cast("double")
+    val pbar = col("aa").cast("double") / nD
+    // T cleared over N: N·T = N·Σs·a − Σs·n·ΣA  (exact integers)
+    val tN = (col("nn") * col("as_") - col("ns") * col("aa")).cast("double")
+    val varS = (col("nn") * col("nss") - col("ns") * col("ns")).cast("double")
+    val z = tN / nD /
+      sqrt(pbar * (lit(1.0) - pbar) * (varS / nD))
+    m.select(col("k").as("n_levels"), col("nn").cast("long").as("n_rows"),
+      NumFns.roundPortable(pbar, 6).as("overall_rate"),
+      NumFns.roundPortable(z, 4).as("z"),
+      NumFns.roundPortable(NumFns.normTwoSidedP(z), 6).as("p_value"),
+      when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+        .otherwise("none").as("trend"))
+  }
+
+  val qCochranArmitageOracle: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS q, count(*) AS n,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a
+       |  FROM lineitem GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT count(*) AS k,
+       |    sum(CAST(n AS HUGEINT)) AS nn, sum(CAST(a AS HUGEINT)) AS aa,
+       |    sum(CAST(n AS HUGEINT) * q) AS ns,
+       |    sum(CAST(n AS HUGEINT) * q * q) AS nss,
+       |    sum(CAST(a AS HUGEINT) * q) AS as_
+       |  FROM cells
+       |),
+       |c AS (
+       |  SELECT k, nn,
+       |    CAST(aa AS DOUBLE) / CAST(nn AS DOUBLE) AS pbar,
+       |    CAST(nn * as_ - ns * aa AS DOUBLE) AS tn,
+       |    CAST(nn * nss - ns * ns AS DOUBLE) AS vs
+       |  FROM m
+       |),
+       |zz AS (
+       |  SELECT k, nn, pbar,
+       |    tn / CAST(nn AS DOUBLE)
+       |      / sqrt(pbar * (1.0 - pbar) * (vs / CAST(nn AS DOUBLE))) AS z
+       |  FROM c
+       |)
+       |SELECT k AS n_levels, CAST(nn AS BIGINT) AS n_rows,
+       |  ${NumFns.roundPortableSql("pbar", 6)} AS overall_rate,
+       |  ${NumFns.roundPortableSql("z", 4)} AS z,
+       |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql("z"), 6)}
+       |    AS p_value,
+       |  CASE WHEN z > 1.96 THEN 'increasing'
+       |    WHEN z < -1.96 THEN 'decreasing' ELSE 'none' END AS trend
+       |FROM zz""".stripMargin
 }
