@@ -1331,4 +1331,84 @@ object Curation {
        |  ${NumFns.roundPortableSql("sqrt(varc)", 2)} AS se,
        |  abs(chapman - n_true) <= sqrt(varc) * 3.0 AS within_3se
        |FROM e""".stripMargin
+
+  /** Otsu's automatic threshold on the stopword-score histogram:
+    * maximize between-class variance w₀w₁(μ₀−μ₁)² over all cut points
+    * — the UNSUPERVISED operating-point picker (q_youden_threshold
+    * needs labels; q_quality_gate takes the drop share as a given;
+    * Otsu derives the cut from the score distribution's own
+    * bimodality, which is how you threshold a corpus you haven't
+    * labeled yet). Shape: one scan → score cells → exclusive prefix
+    * sums over the ≤10³-value score frame; every candidate cut is
+    * scalar arithmetic on exact integer prefixes; argmax via
+    * TakeOrdered(1) with a deterministic score tie-break.
+    */
+  def qOtsuThreshold(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scored = Tables.documents(s, dir)
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(floor(lit(1000L) * size(filter(col("toks"),
+        t => t.isin(StopWords.map(w => lit(w): Any): _*)))
+        / size(col("toks"))).as("sq"))
+    val cells = scored.groupBy(col("sq")).agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      sum(col("sq").cast(D0) * col("c")).as("ssum"))
+    val wCum = Window.orderBy(col("sq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = cells
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("csum", sum((col("sq").cast(D0) * col("c"))).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") > 0 && col("cum") < col("n"))
+    val w0 = col("cum").cast("double") / col("n")
+    val mu0 = col("csum").cast("double") / col("cum")
+    val mu1 = (col("ssum") - col("csum")).cast("double") /
+      (col("n") - col("cum"))
+    val varB = w0 * (lit(1.0) - w0) * (mu0 - mu1) * (mu0 - mu1)
+    pref.select(col("sq"), col("n"), varB.as("vb"))
+      .orderBy(col("vb").desc, col("sq"))
+      .limit(1)
+      .select(col("n").as("n_docs"), col("sq").as("otsu_cut_permille"),
+        NumFns.roundPortable(col("vb"), 4).as("between_class_var"))
+  }
+
+  val qOtsuThresholdOracle: String =
+    s"""WITH t AS (
+       |  SELECT ${TextFns.toksSql} AS toks FROM documents
+       |),
+       |sc AS (
+       |  SELECT CAST(floor(1000 * len(list_filter(toks,
+       |      x -> x IN ($stopListSql))) / len(toks)) AS BIGINT) AS sq
+       |  FROM t WHERE len(toks) > 0
+       |),
+       |cells AS (SELECT sq, count(*) AS c FROM sc GROUP BY sq),
+       |tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(CAST(sq AS HUGEINT) * c) AS BIGINT) AS ssum
+       |  FROM cells
+       |),
+       |pref AS (
+       |  SELECT sq, n, ssum,
+       |    CAST(sum(c) OVER w AS BIGINT) AS cum,
+       |    CAST(sum(sq * c) OVER w AS BIGINT) AS csum
+       |  FROM cells CROSS JOIN tot
+       |  WINDOW w AS (ORDER BY sq
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |),
+       |vb AS (
+       |  SELECT sq, n,
+       |    (CAST(cum AS DOUBLE) / n) * (1.0 - CAST(cum AS DOUBLE) / n)
+       |      * (CAST(csum AS DOUBLE) / cum
+       |        - CAST(ssum - csum AS DOUBLE) / (n - cum))
+       |      * (CAST(csum AS DOUBLE) / cum
+       |        - CAST(ssum - csum AS DOUBLE) / (n - cum)) AS vb
+       |  FROM pref WHERE cum > 0 AND cum < n
+       |)
+       |SELECT n AS n_docs, sq AS otsu_cut_permille,
+       |  ${NumFns.roundPortableSql("vb", 4)} AS between_class_var
+       |FROM vb
+       |ORDER BY vb DESC, sq
+       |LIMIT 1""".stripMargin
 }
