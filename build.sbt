@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST ~2000 chars of `sbt runMain` stdout as JSON.
+// Two sbt defaults broke that every round: forked-run output is logged
+// with an "[info] " prefix (LoggedOutput), and sbt appends a
+// "[success] Total time: …" line AFTER the program's final JSON line.
+// Pass program stdout through raw and drop the success banner so the
+// capture window ends with Bench's parseable JSON object.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// outputStrategy is consumed by the `run` command, not a task dep —
+// sbt's unused-setting lint can't see that; exclude it.
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -66,12 +66,17 @@ object Bench {
       }
     }
     // The driver captures only the LAST 2000 chars of stdout and parses
-    // the JSON it finds there — a 210-query dict (~5KB even at 3
-    // decimals) can never fit, which is why every prior round recorded
-    // parsed:null. So: dump the FULL per-query map to a file and print
-    // it first (for humans and the judge), then end stdout with a
-    // compact line — total + the slowest queries, in descending time,
-    // trimmed to fit the capture window — as the parse target.
+    // the JSON it finds there. Every prior final-line format overflowed
+    // that window (r7's 403-entry t_cs array alone was ~1.6 KB, plus the
+    // slowest-queries dict, plus sbt's trailing "[success] Total time"
+    // line — the line's HEAD fell outside the capture and parsed:null
+    // again). So: the FULL per-query map goes to bench_full.json
+    // (committed) and is printed once for the transcript; the FINAL
+    // stdout line is a compact (<600 B) JSON object — total, count,
+    // distribution stats, slowest queries — that always fits. build.sbt
+    // pairs this with outputStrategy := StdoutOutput (no "[info] "
+    // prefix) and showSuccess := false (no trailing sbt line), so the
+    // capture window ends with exactly this parseable object.
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -83,22 +88,15 @@ object Bench {
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     println(full)
-    // Final (driver-parsed) line: the driver captures only the LAST
-    // ~2000 chars of stdout, and 310 "name":sec entries (~7 KB) can
-    // never fit — but 310 positional centisecond integers (~1.3 KB)
-    // can. `t_cs[i]` is the time of the i-th query in ASCENDING
-    // alphabetical order of SparkEntry.queries keys (the order `suite`
-    // already has), in centiseconds, -1 for a failed query — the full
-    // name→seconds map stays in bench_full.json and the stdout dump
-    // above. A small named dict of the slowest queries rides along for
-    // eyeballing.
-    val tcs = results.map { case (_, v) =>
-      if (v < 0) "-1" else Math.round(v * 100).toString
-    }.mkString("[", ",", "]")
-    val slowestFirst = results.sortBy(-_._2).take(6)
+    val sorted = results.map(_._2).filter(_ >= 0).sorted
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(((sorted.length - 1) * p).round.toInt)
+    val slowestFirst = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val compactQs = slowestFirst.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries_file":"bench_full.json","q_order":"alphabetical","q_unit":"centisec","t_cs":$tcs,"queries":$compactQs,"sf":"$sfDir"}""")
+    val nFail = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"median":${f3(pct(0.5))},"p95":${f3(pct(0.95))},"max":${f3(pct(1.0))},"queries_file":"bench_full.json","queries":$compactQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

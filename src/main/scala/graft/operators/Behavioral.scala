@@ -1600,9 +1600,15 @@ object Behavioral {
   def qSessionGapSensitivity(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    // localCheckpoint: the three threshold aggregates below each consume
+    // this frame — without it they would re-derive the events scan + the
+    // user-partitioned lag window (the shared-sliver discipline of
+    // qDedupThresholdSweep), contradicting "three parameters, one scan"
     val gapped = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
       .withColumn("prev", lag(col("us"), 1).over(w))
+      .select(col("us"), col("prev")) // 2 longs/row is all the sweeps read
+      .localCheckpoint()
     val perGap = SessionGapsMin.map { g =>
       val gapUs = g * 60L * 1000000L
       gapped.agg(

@@ -1968,11 +1968,13 @@ object PipelineOps {
     val beta = ((col("w") * col("wxy") - col("wx") * col("wy"))
       .cast("double")) / det
     val rate = col("wy").cast("double") / wD
-    // binomial variance of the intercept via the hat leverage at x=0:
-    // var(α) ≈ p(1−p)·Σ over cells of h0², folded as wxx²-form
+    // binomial variance of the intercept: α̂ = Σ c_i y_i with
+    // c = (wxx − wx·x)/det per unit weight, and
+    // Σ n(wxx − wx·x)² = wxx²·w − 2·wxx·wx² + wx²·wxx = wxx·det,
+    // so Var(α̂) = p(1−p)·wxx/det EXACTLY (the earlier wxx²·w/det²
+    // form dropped the cross term and inflated the SE)
     val varA = rate * (lit(1.0) - rate) *
-      (col("wxx").cast("double") * col("wxx").cast("double")
-        * wD / (det * det))
+      (col("wxx").cast("double") / det)
     val sides = m.select(col("side"), alpha.as("alpha"), beta.as("beta"),
       varA.as("va"), col("w").cast("long").as("n_side"))
     val l = sides.filter(col("side") === "L")
@@ -2021,9 +2023,8 @@ object PipelineOps {
        |    CAST(wxx * wy - wx * wxy AS DOUBLE)
        |      / CAST(w * wxx - wx * wx AS DOUBLE) AS alpha,
        |    CAST(wy AS DOUBLE) / CAST(w AS DOUBLE) AS rate,
-       |    CAST(wxx AS DOUBLE) * CAST(wxx AS DOUBLE) * CAST(w AS DOUBLE)
-       |      / (CAST(w * wxx - wx * wx AS DOUBLE)
-       |        * CAST(w * wxx - wx * wx AS DOUBLE)) AS hterm
+       |    CAST(wxx AS DOUBLE)
+       |      / CAST(w * wxx - wx * wx AS DOUBLE) AS hterm
        |  FROM m
        |),
        |v AS (

@@ -3963,10 +3963,15 @@ object Temporal {
     * seven daily revenues, then L = Σ_j j·R_j asks whether revenue
     * rises MONOTONICALLY through the week — the ordered-hypothesis
     * power that q_friedman (any difference) throws away. Shape: the
-    * day frame gets ISO week/weekday keys; in-block ranks are
-    * 7-row partitioned windows (entity-parallel, never global);
-    * complete blocks filter exactly; L, E[L] = bk(k+1)²/4 and
-    * Var[L] = bk²(k+1)(k²−1)/144 are exact integers until z.
+    * day frame is keyed by the week's MONDAY (`date_trunc('week')`,
+    * identical in both engines) — NOT by (year(d), weekofyear(d)),
+    * whose keys disagree at year boundaries (an ISO week's days carry
+    * mismatched calendar years, so two half-weeks from opposite ends
+    * of one year could merge into a statistically malformed 7-day
+    * pseudo-block); in-block ranks are 7-row partitioned windows
+    * (entity-parallel, never global); complete blocks filter exactly;
+    * L, E[L] = bk(k+1)²/4 and Var[L] = bk²(k+1)(k²−1)/144 are exact
+    * integers until z.
     */
   def qPageTrend(s: SparkSession, dir: String): DataFrame = {
     val k = 7
@@ -3974,20 +3979,20 @@ object Temporal {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(sum(NumFns.roundAwayLong(col("o_totalprice") * 100)).as("yc"))
       .select(col("d"), col("yc"),
-        weekofyear(col("d")).as("wk"), year(col("d")).as("yr"),
+        date_trunc("week", col("d")).cast("date").as("wk0"),
         dayofweek(col("d")).as("dw"))
-    val wBlock = Window.partitionBy(col("yr"), col("wk"))
+    val wBlock = Window.partitionBy(col("wk0"))
     val complete = days
       .withColumn("nb", count(lit(1)).over(wBlock))
       .filter(col("nb") === k)
-    val wRank = Window.partitionBy(col("yr"), col("wk"))
+    val wRank = Window.partitionBy(col("wk0"))
       .orderBy(col("yc"), col("d"))
     val ranked = complete
       .withColumn("r", row_number().over(wRank).cast("long"))
       // treatment index: Monday=1 … Sunday=7 (dayofweek is Sun=1)
       .withColumn("j", ((col("dw") + 5) % 7 + 1).cast("long"))
     val m = ranked.agg(
-      (countDistinct(col("yr"), col("wk"))).as("b"),
+      (countDistinct(col("wk0"))).as("b"),
       sum(col("j") * col("r")).as("l"))
     val bD = col("b").cast("double")
     val e = bD * k * (k + 1.0) * (k + 1.0) / 4.0
@@ -4008,22 +4013,22 @@ object Temporal {
        |  FROM orders GROUP BY 1
        |),
        |keyed AS (
-       |  SELECT d, yc, weekofyear(d) AS wk, year(d) AS yr,
+       |  SELECT d, yc, CAST(date_trunc('week', d) AS DATE) AS wk0,
        |    dayofweek(d) AS dw0
        |  FROM days
        |),
        |cb AS (
-       |  SELECT *, count(*) OVER (PARTITION BY yr, wk) AS nb FROM keyed
+       |  SELECT *, count(*) OVER (PARTITION BY wk0) AS nb FROM keyed
        |),
        |ranked AS (
-       |  SELECT yr, wk,
-       |    CAST(row_number() OVER (PARTITION BY yr, wk ORDER BY yc, d)
+       |  SELECT wk0,
+       |    CAST(row_number() OVER (PARTITION BY wk0 ORDER BY yc, d)
        |      AS BIGINT) AS r,
        |    CAST((dw0 + 6) % 7 + 1 AS BIGINT) AS j
        |  FROM cb WHERE nb = 7
        |),
        |m AS (
-       |  SELECT CAST(count(DISTINCT (yr, wk)) AS BIGINT) AS b,
+       |  SELECT CAST(count(DISTINCT wk0) AS BIGINT) AS b,
        |    CAST(sum(j * r) AS BIGINT) AS l
        |  FROM ranked
        |),

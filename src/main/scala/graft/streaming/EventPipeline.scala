@@ -383,10 +383,17 @@ object EventPipeline {
     * clears it (repeat signups before converting don't reset the
     * clock; repeat purchases without a fresh signup emit nothing).
     * State is one timestamp per un-converted user — bounded by the
-    * live-user domain, not stream length — and micro-batch events fold
-    * in (us, event_type) order so replays and batch boundaries can't
-    * reorder a user's funnel. Append mode: each conversion is final
-    * the moment it is emitted.
+    * live-user domain, not stream length. Each micro-batch's events
+    * fold in (us, event_type) order, which makes the fold insensitive
+    * to arrival order WITHIN a batch; there is no watermark buffer, so
+    * the operator ASSUMES a user's events do not arrive out of order
+    * ACROSS batch boundaries (a signup delivered after its
+    * later-timestamped purchase was already folded would be treated as
+    * a fresh pending signup, diverging from the batch fold). That
+    * matches checkpointed-replay and in-order transports (per-key
+    * ordered logs); a genuinely disordered transport needs an upstream
+    * watermark-buffered sort before this operator. Append mode: each
+    * conversion is final the moment it is emitted.
     */
   def timeToConvertStream(events: Dataset[FunnelEvent]): Dataset[Conversion] = {
     import events.sparkSession.implicits._
