@@ -81,13 +81,138 @@ object BinaryPipeline {
   /** The pixel-level decode behind [[decodeImage]], exposed for kernels
     * that need the raster (perceptual hashing, thumbnailing) and not just
     * the dimensions. Same corrupt-payload contract: None, never throw.
+    * Tries the JDK's ImageIO codecs (PNG/BMP/GIF/JPEG/WBMP) first, then
+    * the two hand-rolled pure-JVM containers ImageIO lacks: QOI and
+    * binary PNM (P5/P6) — both common in ML image dumps precisely
+    * because they are trivial to encode.
     */
   def decodeImageBuffered(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try {
+    (try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     } catch {
       case _: java.io.IOException | _: RuntimeException => None
+    }).orElse(decodeQoi(payload)).orElse(decodePnm(payload))
+
+  /** QOI ("Quite OK Image", qoiformat.org, public spec) decoder — 14-byte
+    * header (magic "qoif", BE u32 dims, channels, colorspace) + a chunk
+    * stream of RGB/RGBA literals, 64-slot hash-index refs, 2-bit DIFFs,
+    * LUMA deltas and RLE runs. Pure Scala, bounded by width·height;
+    * None (never throw) on truncated/corrupt streams, matching the
+    * [[decodeImageBuffered]] contract.
+    */
+  def decodeQoi(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (payload.length < 22 || payload(0) != 'q' || payload(1) != 'o' ||
+      payload(2) != 'i' || payload(3) != 'f') return None
+    def u32(i: Int): Long =
+      ((payload(i) & 0xffL) << 24) | ((payload(i + 1) & 0xffL) << 16) |
+        ((payload(i + 2) & 0xffL) << 8) | (payload(i + 3) & 0xffL)
+    val w = u32(4)
+    val h = u32(8)
+    val channels = payload(12) & 0xff
+    if (w <= 0 || h <= 0 || w * h > 64_000_000L ||
+      (channels != 3 && channels != 4)) return None
+    val n = (w * h).toInt
+    val px = new Array[Int](n) // ARGB
+    val index = new Array[Int](64)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var p = 14
+    var o = 0
+    def idxPos: Int = ((r * 3 + g * 5 + b * 7 + a * 11) & 0x3f)
+    while (o < n) {
+      if (p >= payload.length) return None // truncated stream
+      val tag = payload(p) & 0xff
+      p += 1
+      var run = 0
+      if (tag == 0xfe) { // QOI_OP_RGB
+        if (p + 3 > payload.length) return None
+        r = payload(p) & 0xff; g = payload(p + 1) & 0xff; b = payload(p + 2) & 0xff
+        p += 3
+      } else if (tag == 0xff) { // QOI_OP_RGBA
+        if (p + 4 > payload.length) return None
+        r = payload(p) & 0xff; g = payload(p + 1) & 0xff
+        b = payload(p + 2) & 0xff; a = payload(p + 3) & 0xff
+        p += 4
+      } else (tag >> 6) match {
+        case 0 => // QOI_OP_INDEX
+          val v = index(tag & 0x3f)
+          a = (v >>> 24) & 0xff; r = (v >>> 16) & 0xff
+          g = (v >>> 8) & 0xff; b = v & 0xff
+        case 1 => // QOI_OP_DIFF (2-bit channel deltas, bias 2)
+          r = (r + ((tag >> 4) & 3) - 2) & 0xff
+          g = (g + ((tag >> 2) & 3) - 2) & 0xff
+          b = (b + (tag & 3) - 2) & 0xff
+        case 2 => // QOI_OP_LUMA (green delta bias 32, dr/db rel. green)
+          if (p >= payload.length) return None
+          val dg = (tag & 0x3f) - 32
+          val rb = payload(p) & 0xff
+          p += 1
+          r = (r + dg - 8 + ((rb >> 4) & 0xf)) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg - 8 + (rb & 0xf)) & 0xff
+        case _ => // QOI_OP_RUN (bias -1)
+          run = (tag & 0x3f)
+      }
+      val argb = (a << 24) | (r << 16) | (g << 8) | b
+      index(idxPos) = argb
+      var k = 0
+      while (k <= run && o < n) { px(o) = argb; o += 1; k += 1 }
+      if (run > 0 && k <= run) return None // run overflowed the raster
     }
+    val img = new java.awt.image.BufferedImage(w.toInt, h.toInt,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, w.toInt, h.toInt, px, 0, w.toInt)
+    Some(img)
+  }
+
+  /** Binary PNM decoder (P5 graymap / P6 pixmap, 8-bit maxval) — header
+    * is ASCII "P5|P6", '#' comments, whitespace-separated width height
+    * maxval, one whitespace byte, then the raw raster. None on anything
+    * malformed or truncated.
+    */
+  def decodePnm(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (payload.length < 7 || payload(0) != 'P' ||
+      (payload(1) != '5' && payload(1) != '6')) return None
+    val gray = payload(1) == '5'
+    var p = 2
+    def nextInt(): Int = { // skip whitespace + comments, parse ASCII int
+      while (p < payload.length &&
+        (payload(p).toChar.isWhitespace || payload(p) == '#')) {
+        if (payload(p) == '#')
+          while (p < payload.length && payload(p) != '\n') p += 1
+        else p += 1
+      }
+      var v = -1
+      while (p < payload.length && payload(p) >= '0' && payload(p) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (payload(p) - '0')
+        if (v > 64_000_000) return -1
+        p += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0 || maxv != 255 || w.toLong * h > 64_000_000L ||
+      p >= payload.length) return None
+    p += 1 // the single whitespace byte after maxval
+    val bpp = if (gray) 1 else 3
+    if (payload.length - p < w.toLong * h * bpp) return None
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = p + (y.toLong * w + x).toInt * bpp
+        val rgb =
+          if (gray) { val v = payload(o) & 0xff; (v << 16) | (v << 8) | v }
+          else ((payload(o) & 0xff) << 16) | ((payload(o + 1) & 0xff) << 8) |
+            (payload(o + 2) & 0xff)
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    Some(img)
+  }
 
   /** 64-bit perceptual average-hash: bilinear-downscale to 8×8,
     * luminance per cell, bit i set iff cell i is brighter than the mean.

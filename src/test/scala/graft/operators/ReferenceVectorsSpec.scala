@@ -137,4 +137,47 @@ class ReferenceVectorsSpec extends SparkSpec {
     dailyReqs.foreach(r =>
       assert(r.getAs[String]("ingest_key") == r.getAs[String]("run_key")))
   }
+
+  test("all six sensor wrappers (loca2_sensor.py:166-278) are one parameterization") {
+    // The reference ships six @sensor functions — {tasmax, tasmin, pr} ×
+    // {daily, monthly} — that all delegate to sensor_implementation with
+    // only (variable, monthly) varying. Replay the whole grid through the
+    // ONE library path (downloadableFiles → runRequests) and assert each
+    // wrapper's observable contract: the variable filter, the
+    // daily-vs-monthly filename regex, the tag columns, and the
+    // run_key/ingest_key namespace split.
+    import org.apache.spark.sql.types._
+    val variables = Seq("tasmax", "tasmin", "pr")
+    val members = Seq("r1i1p1f1", "r2i1p1f1")
+    val rows = for {
+      v <- variables; m <- members
+      f <- Seq(
+        s"$v.ACCESS-CM2.historical.$m.1950-2014.LOCA_16thdeg_v20220413.cent.nc",
+        s"$v.ACCESS-CM2.historical.$m.1950-2014.LOCA_16thdeg_v20220413.monthly.cent.nc",
+        "index.html")
+    } yield ("ACCESS-CM2", "historical", m, f)
+    val listing = spark.createDataFrame(
+      rows.map { case (a, b, c, d) => org.apache.spark.sql.Row(a, b, c, d) }.asJava,
+      StructType(Seq("model", "scenario", "memberid", "filename")
+        .map(StructField(_, StringType))))
+    for (v <- variables; monthly <- Seq(false, true)) {
+      val reqs = Catalog.runRequests(
+        Catalog.downloadableFiles(listing, v, monthly = monthly),
+        monthly = monthly).collect()
+      assert(reqs.length == members.length,
+        s"sensor($v, monthly=$monthly) emitted ${reqs.length} requests")
+      reqs.foreach { r =>
+        assert(r.getAs[String]("variable") == v)
+        val runKey = r.getAs[String]("run_key")
+        assert(runKey.contains(s"/$v.") &&
+          runKey.contains(if (monthly) ".monthly.cent.nc" else ".cent.nc") &&
+          (monthly || !runKey.contains(".monthly.")),
+          s"sensor($v, monthly=$monthly) leaked key $runKey")
+        assert(r.getAs[String]("ingest_key") ==
+          (if (monthly) "/monthly" + runKey else runKey))
+        assert(r.getAs[String]("model") == "ACCESS-CM2")
+        assert(r.getAs[String]("scenario") == "historical")
+      }
+    }
+  }
 }
