@@ -1,0 +1,789 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.NumFns
+import graft.sources.Tables
+
+/** Causal-inference and advanced hypothesis-testing operators (r9):
+  * the estimators an experimentation / measurement platform runs beside
+  * the suite's A/B family — instrumental variables, delta-method ratio
+  * CIs, robust rank tests, variance-homogeneity and stationarity gates,
+  * extreme-value and duration fits, and ordered-attribute privacy
+  * distance. Shared discipline with the rest of the engine: integer or
+  * quantized-DECIMAL accumulation wherever a sum crosses group order,
+  * identical literal double formulas on both engines, portable rounding
+  * on every emitted double, and windows only over bounded domains
+  * (calendar days, value cells, QI groups) — never over fact-scale
+  * partitions.
+  */
+object Inference {
+  private val D = DecimalType(38, 12)
+  private val D0 = DecimalType(38, 0)
+
+  // ----------------------------------------------------------------- IV
+
+  /** Instrumental-variable (Wald / 2SLS with a single binary
+    * instrument) estimate of the effect of discount on extended price,
+    * per return flag. The parity of the supplier key plays the
+    * instrument role z ∈ {0,1}: β̂_IV = (ȳ₁−ȳ₀)/(x̄₁−x̄₀) — the
+    * reduced-form effect over the first stage, the workhorse estimator
+    * when treatment is confounded but an exogenous shifter exists
+    * (encouragement designs, lottery assignments). Shape: ONE lineitem
+    * scan → 8 quantized-integer sums per flag (map-side combined, no
+    * shuffle beyond the ≤3-row flag aggregate). Exactness: Σround(x·10⁶)
+    * as exact integers; every emitted double is one literal formula of
+    * those integers, portably rounded.
+    */
+  def qIv2sls(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_returnflag"),
+      (pmod(col("l_suppkey"), lit(2L)) === 1L).as("z"),
+      NumFns.roundAwayLong(col("l_discount") * 1e6).as("xq"),
+      NumFns.roundAwayLong(col("l_extendedprice") * 1e6).as("yq"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("z"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("z"), col("xq")).otherwise(0L).cast(D0)).as("sx1"),
+        sum(when(!col("z"), col("xq")).otherwise(0L).cast(D0)).as("sx0"),
+        sum(when(col("z"), col("yq")).otherwise(0L).cast(D0)).as("sy1"),
+        sum(when(!col("z"), col("yq")).otherwise(0L).cast(D0)).as("sy0"))
+      .select(col("l_returnflag"), col("n1"), col("n0"),
+        NumFns.roundPortable(
+          (col("sx1").cast("double") / col("n1")
+            - col("sx0").cast("double") / col("n0")) / 1e6, 8).as("first_stage"),
+        NumFns.roundPortable(
+          (col("sy1").cast("double") / col("n1")
+            - col("sy0").cast("double") / col("n0")) / 1e6, 6).as("reduced_form"),
+        NumFns.roundPortable(
+          (col("sy1").cast("double") / col("n1")
+            - col("sy0").cast("double") / col("n0"))
+            / (col("sx1").cast("double") / col("n1")
+              - col("sx0").cast("double") / col("n0")), 4).as("beta_iv"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qIv2slsOracle: String =
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    (l_suppkey % 2 = 1) AS z,
+       |    CAST(round(l_discount * 1e6) AS BIGINT) AS xq,
+       |    CAST(round(l_extendedprice * 1e6) AS BIGINT) AS yq
+       |  FROM lineitem
+       |),
+       |g AS (
+       |  SELECT l_returnflag,
+       |    CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN z THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+       |    sum(CASE WHEN z THEN CAST(xq AS HUGEINT) ELSE 0 END) AS sx1,
+       |    sum(CASE WHEN z THEN 0 ELSE CAST(xq AS HUGEINT) END) AS sx0,
+       |    sum(CASE WHEN z THEN CAST(yq AS HUGEINT) ELSE 0 END) AS sy1,
+       |    sum(CASE WHEN z THEN 0 ELSE CAST(yq AS HUGEINT) END) AS sy0
+       |  FROM b GROUP BY l_returnflag
+       |)
+       |SELECT l_returnflag, n1, n0,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0) / 1e6",
+            8)} AS first_stage,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) / 1e6",
+            6)} AS reduced_form,
+       |  ${NumFns.roundPortableSql(
+            "(CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0) / " +
+            "(CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)",
+            4)} AS beta_iv
+       |FROM g ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------- delta method
+
+  /** Delta-method CI for the ratio metric value-per-event, per event
+    * type — THE standard fix for "users, not events, are the
+    * randomization unit": R̂ = Σy_u/Σn_u over user-level totals, with
+    * Var(R̂) ≈ (σ²_y − 2R̂σ_yn + R̂²σ²_n)/(U·n̄²) from user-level moments
+    * (Deng et al., KDD'18 framing). Naive per-event variance understates
+    * the CI whenever a user's events correlate — i.e. always. Shape: one
+    * events scan → user-level quantized totals (shuffles bare
+    * (type, user, 2 longs) rows) → per-type moment aggregate over the
+    * user-domain frame. Exactness: y_u is an exact Σround(value·10⁶);
+    * the cross-moments are double products of exact integers summed as
+    * DECIMAL so user order can't move the CI.
+    */
+  def qDeltaMethod(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(NumFns.roundAwayLong(col("value") * 1e6)).as("yq"),
+        count(lit(1)).as("nu"))
+    val m = users.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("u"),
+        sum(col("yq").cast(D0)).as("sy"),
+        sum(col("nu").cast(D0)).as("sn"),
+        sum((col("yq").cast("double") * col("yq")).cast(D)).as("syy"),
+        sum((col("nu") * col("nu")).cast(D0)).as("snn"),
+        sum((col("yq").cast("double") * col("nu")).cast(D)).as("syn"))
+      .select(col("event_type"), col("u").cast("double").as("u"),
+        col("sy").cast("double").as("sy"), col("sn").cast("double").as("sn"),
+        col("syy").cast("double").as("syy"),
+        col("snn").cast("double").as("snn"),
+        col("syn").cast("double").as("syn"))
+    val r = col("sy") / col("sn")
+    val ybar = col("sy") / col("u")
+    val nbar = col("sn") / col("u")
+    val vy = (col("syy") - col("u") * ybar * ybar) / (col("u") - 1)
+    val vn = (col("snn") - col("u") * nbar * nbar) / (col("u") - 1)
+    val cyn = (col("syn") - col("u") * ybar * nbar) / (col("u") - 1)
+    val se = sqrt((vy - lit(2.0) * r * cyn + r * r * vn)
+      / (col("u") * nbar * nbar))
+    m.select(col("event_type"), col("u").cast("long").as("n_users"),
+        NumFns.roundPortable(r / 1e6, 6).as("ratio"),
+        NumFns.roundPortable(se / 1e6, 6).as("se"),
+        NumFns.roundPortable((r - lit(1.959963984540054) * se) / 1e6, 6)
+          .as("ci_lo"),
+        NumFns.roundPortable((r + lit(1.959963984540054) * se) / 1e6, 6)
+          .as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val qDeltaMethodOracle: String =
+    s"""WITH users AS (
+       |  SELECT event_type, user_id,
+       |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS yq,
+       |    count(*) AS nu
+       |  FROM events GROUP BY 1, 2
+       |),
+       |m AS (
+       |  SELECT event_type,
+       |    CAST(count(*) AS DOUBLE) AS u,
+       |    CAST(sum(CAST(yq AS HUGEINT)) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(nu AS HUGEINT)) AS DOUBLE) AS sn,
+       |    CAST(sum(CAST(CAST(yq AS DOUBLE) * yq AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS syy,
+       |    CAST(sum(CAST(nu AS HUGEINT) * nu) AS DOUBLE) AS snn,
+       |    CAST(sum(CAST(CAST(yq AS DOUBLE) * nu AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS syn
+       |  FROM users GROUP BY event_type
+       |),
+       |c AS (
+       |  SELECT event_type, u, sy / sn AS r,
+       |    (syy - u * (sy / u) * (sy / u)) / (u - 1) AS vy,
+       |    (snn - u * (sn / u) * (sn / u)) / (u - 1) AS vn,
+       |    (syn - u * (sy / u) * (sn / u)) / (u - 1) AS cyn,
+       |    sn / u AS nbar
+       |  FROM m
+       |),
+       |f AS (
+       |  SELECT event_type, u, r,
+       |    sqrt((vy - 2.0 * r * cyn + r * r * vn) / (u * nbar * nbar)) AS se
+       |  FROM c
+       |)
+       |SELECT event_type, CAST(u AS BIGINT) AS n_users,
+       |  ${NumFns.roundPortableSql("r / 1e6", 6)} AS ratio,
+       |  ${NumFns.roundPortableSql("se / 1e6", 6)} AS se,
+       |  ${NumFns.roundPortableSql(
+            "(r - 1.959963984540054 * se) / 1e6", 6)} AS ci_lo,
+       |  ${NumFns.roundPortableSql(
+            "(r + 1.959963984540054 * se) / 1e6", 6)} AS ci_hi
+       |FROM f ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------- Brunner–Munzel
+
+  /** The two document sources [[qBrunnerMunzel]] compares. */
+  val BmSourceA = "src0"
+  val BmSourceB = "src1"
+
+  /** Brunner–Munzel rank test on document length between two sources —
+    * the Mann–Whitney replacement when the two distributions may differ
+    * in SHAPE as well as location (MW's equal-variance-of-ranks
+    * assumption fails exactly when one source mixes short and long
+    * docs). Statistic per Brunner & Munzel (2000): global and
+    * within-sample midranks, per-sample rank variances S²_k, and
+    * W = n₁n₂(R̄₂−R̄₁) / ((n₁+n₂)·√(n₁S₁²+n₂S₂²)). Engine: n_chars is an
+    * integer, so EVERY member of a (value, sample) cell shares one
+    * global and one within-sample midrank — both tests run entirely on
+    * the ≤|values| cell frame (counts + two running sums), never
+    * ranking rows. The cell windows order by value over the bounded
+    * value domain. Exactness: midranks are half-integers from integer
+    * cumulative counts; the S²_k terms are double squares summed as
+    * DECIMAL.
+    */
+  def qBrunnerMunzel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("source").isin(BmSourceA, BmSourceB))
+      .select(col("n_chars").as("v"),
+        (col("source") === BmSourceB).as("isB"))
+    val cells = docs.groupBy(col("v"))
+      .agg(sum(when(col("isB"), 0L).otherwise(1L)).as("c1"),
+        sum(when(col("isB"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = cells
+      .withColumn("cumAll", sum(col("c1") + col("c2")).over(w))
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      // midrank of every member of this cell, globally and within-sample
+      .withColumn("rg",
+        (col("cumAll") - (col("c1") + col("c2"))).cast("double")
+          + (col("c1") + col("c2") + 1).cast("double") / 2)
+      .withColumn("r1",
+        (col("cum1") - col("c1")).cast("double")
+          + (col("c1") + 1).cast("double") / 2)
+      .withColumn("r2",
+        (col("cum2") - col("c2")).cast("double")
+          + (col("c2") + 1).cast("double") / 2)
+      .localCheckpoint()
+    val tot = ranked.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum((col("c1") * col("rg")).cast(D)).as("sr1"),
+      sum((col("c2") * col("rg")).cast(D)).as("sr2"))
+    val dev = ranked.crossJoin(broadcast(tot))
+      .withColumn("rb1", col("sr1").cast("double") / col("n1"))
+      .withColumn("rb2", col("sr2").cast("double") / col("n2"))
+      .withColumn("d1", col("rg") - col("r1") - col("rb1")
+        + (col("n1") + 1).cast("double") / 2)
+      .withColumn("d2", col("rg") - col("r2") - col("rb2")
+        + (col("n2") + 1).cast("double") / 2)
+      .groupBy(col("n1"), col("n2"), col("rb1"), col("rb2"))
+      .agg(sum((col("c1") * col("d1") * col("d1")).cast(D)).as("ss1"),
+        sum((col("c2") * col("d2") * col("d2")).cast(D)).as("ss2"))
+    dev.select(col("n1"), col("n2"),
+        NumFns.roundPortable(col("rb1"), 6).as("rbar_a"),
+        NumFns.roundPortable(col("rb2"), 6).as("rbar_b"),
+        NumFns.roundPortable(
+          col("n1") * col("n2") * (col("rb2") - col("rb1"))
+            / ((col("n1") + col("n2"))
+              * sqrt(col("n1") * (col("ss1").cast("double") / (col("n1") - 1))
+                + col("n2") * (col("ss2").cast("double") / (col("n2") - 1)))),
+          6).as("bm_stat"))
+  }
+
+  val qBrunnerMunzelOracle: String =
+    s"""WITH d AS (
+       |  SELECT n_chars AS v, (source = '$BmSourceB') AS isB
+       |  FROM documents WHERE source IN ('$BmSourceA', '$BmSourceB')
+       |),
+       |cells AS (
+       |  SELECT v,
+       |    CAST(sum(CASE WHEN isB THEN 0 ELSE 1 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN isB THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM d GROUP BY v
+       |),
+       |rk AS (
+       |  SELECT v, c1, c2,
+       |    CAST(sum(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS DOUBLE)
+       |      + (c1 + c2 + 1) / 2.0 AS rg,
+       |    CAST(sum(c1) OVER (ORDER BY v) - c1 AS DOUBLE)
+       |      + (c1 + 1) / 2.0 AS r1,
+       |    CAST(sum(c2) OVER (ORDER BY v) - c2 AS DOUBLE)
+       |      + (c2 + 1) / 2.0 AS r2
+       |  FROM cells
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+       |    CAST(sum(CAST(c1 * rg AS DECIMAL(38,12))) AS DOUBLE) AS sra,
+       |    CAST(sum(CAST(c2 * rg AS DECIMAL(38,12))) AS DOUBLE) AS srb
+       |  FROM rk
+       |),
+       |dev AS (
+       |  SELECT n1, n2, sra / n1 AS rb1, srb / n2 AS rb2,
+       |    CAST(sum(CAST(c1 * (rg - r1 - sra / n1 + (n1 + 1) / 2.0)
+       |      * (rg - r1 - sra / n1 + (n1 + 1) / 2.0) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS ss1,
+       |    CAST(sum(CAST(c2 * (rg - r2 - srb / n2 + (n2 + 1) / 2.0)
+       |      * (rg - r2 - srb / n2 + (n2 + 1) / 2.0) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS ss2
+       |  FROM rk, tot GROUP BY n1, n2, rb1, rb2
+       |)
+       |SELECT n1, n2,
+       |  ${NumFns.roundPortableSql("rb1", 6)} AS rbar_a,
+       |  ${NumFns.roundPortableSql("rb2", 6)} AS rbar_b,
+       |  ${NumFns.roundPortableSql(
+            "n1 * n2 * (rb2 - rb1) / ((n1 + n2) * " +
+            "sqrt(n1 * (ss1 / (n1 - 1)) + n2 * (ss2 / (n2 - 1))))",
+            6)} AS bm_stat
+       |FROM dev""".stripMargin
+
+  // ----------------------------------------------------------- Bartlett
+
+  /** Bartlett's variance-homogeneity test across sources on document
+    * length — the PARAMETRIC sibling of [[Profiling.qLevene]]'s
+    * Brown–Forsythe: sharper under near-normality, and the classical
+    * precondition certificate for the suite's pooled-variance consumers
+    * (ANOVA, Cohen's d). T = [(N−k)·ln S²_p − Σ(n_j−1)·ln S²_j] / C with
+    * the standard small-sample correction C. Shape: one corpus scan →
+    * ≤|sources| cells of exact integer (n, Σx, Σx²) → one-row
+    * reduction; ln over per-group doubles derived from exact integers,
+    * the cross-group sums DECIMAL.
+    */
+  def qBartlett(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("n_chars").cast(D0)).as("sx"),
+        sum((col("n_chars") * col("n_chars")).cast(D0)).as("sxx"))
+      .withColumn("s2",
+        (col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double") / col("nj"))
+          / (col("nj") - 1))
+    val m = g.agg(count(lit(1)).as("k"), sum(col("nj")).as("n"),
+      sum(((col("nj") - 1) * col("s2")).cast(D)).as("pooled_ss"),
+      sum(((col("nj") - 1) * log(col("s2"))).cast(D)).as("slog"),
+      sum((lit(1.0) / (col("nj") - 1)).cast(D)).as("sinv"))
+    m.select(col("k"), col("n"),
+      NumFns.roundPortable(
+        ((col("n") - col("k"))
+          * log(col("pooled_ss").cast("double") / (col("n") - col("k")))
+          - col("slog").cast("double"))
+          / (lit(1.0) + (col("sinv").cast("double")
+            - lit(1.0) / (col("n") - col("k"))) / (lit(3.0) * (col("k") - 1))),
+        6).as("bartlett_stat"))
+      .select(col("k").as("n_sources"), col("n").as("n_docs"),
+        col("bartlett_stat"))
+  }
+
+  val qBartlettOracle: String =
+    s"""WITH g AS (
+       |  SELECT source, count(*) AS nj,
+       |    (CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE)
+       |      - CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+       |        * CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE) / count(*))
+       |      / (count(*) - 1) AS s2
+       |  FROM documents GROUP BY source
+       |),
+       |m AS (
+       |  SELECT count(*) AS k, CAST(sum(nj) AS BIGINT) AS n,
+       |    CAST(sum(CAST((nj - 1) * s2 AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS pooled_ss,
+       |    CAST(sum(CAST((nj - 1) * ln(s2) AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS slog,
+       |    CAST(sum(CAST(1.0 / (nj - 1) AS DECIMAL(38,12))) AS DOUBLE)
+       |      AS sinv
+       |  FROM g
+       |)
+       |SELECT k AS n_sources, n AS n_docs,
+       |  ${NumFns.roundPortableSql(
+            "((n - k) * ln(pooled_ss / (n - k)) - slog) / " +
+            "(1.0 + (sinv - 1.0 / (n - k)) / (3.0 * (k - 1)))",
+            6)} AS bartlett_stat
+       |FROM m""".stripMargin
+
+  // --------------------------------------------------------------- KPSS
+
+  /** Bartlett-kernel truncation lag for [[qKpss]] — Schwert's
+    * ⌊4(n/100)^¼⌋ at the suite's ~2,500-day calendar (the DAY domain is
+    * sf-invariant: more data densifies days, it doesn't add them), fixed
+    * so both engines test the identical statistic.
+    */
+  val KpssLag = 8
+
+  /** KPSS level-stationarity test on daily revenue — the
+    * REVERSED-null complement of [[Temporal.qDickeyFuller]]: DF's null
+    * is a unit root, KPSS's null is stationarity, and the textbook
+    * practice is to run both (agreement ⇒ confidence, disagreement ⇒
+    * fractional/near-integration). η = n⁻²ΣS_t²/σ̂²_lr with partial sums
+    * S_t of the demeaned series and a Bartlett-weighted long-run
+    * variance at lag [[KpssLag]]. Engine: daily revenue in exact cents;
+    * S_t = (n·Y_t − t·ΣY)/n is kept as its exact DECIMAL numerator
+    * (running integer sums over the bounded day domain), so ΣS_t² is
+    * exact before the single final division; the autocovariances are
+    * exact integer products summed as DECIMAL. All windows order the
+    * ≤|days| calendar frame.
+    */
+  def qKpss(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.lineitem(s, dir)
+      .groupBy(datediff(to_date(col("l_shipdate")), lit("1992-01-01")).as("di"))
+      .agg(sum(NumFns.roundAwayLong(col("l_extendedprice") * 100)).as("y"))
+    val w = Window.orderBy(col("di"))
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagged = (1 to KpssLag).foldLeft(
+      days.withColumn("t", row_number().over(w))
+        .withColumn("cy", sum(col("y").cast(D0)).over(wc))) {
+      (df, j) => df.withColumn(s"y$j", lag(col("y"), j).over(w))
+    }.localCheckpoint()
+    val tot = lagged.agg(count(lit(1)).as("n"), sum(col("y").cast(D0)).as("sy"))
+    val j = lagged.crossJoin(broadcast(tot))
+      // exact numerator of n·S_t: n·Y_t − t·ΣY  (DECIMAL, no rounding)
+      .withColumn("snum", col("cy") * col("n") - col("sy") * col("t"))
+    val gammas = (0 to KpssLag).map { jj =>
+      val yj = if (jj == 0) col("y") else col(s"y$jj")
+      // exact numerator of n²·e_t·e_{t−j}: (n·y_t − ΣY)(n·y_{t−j} − ΣY)
+      sum(when(yj.isNotNull,
+        (col("y") * col("n") - col("sy")) * (yj * col("n") - col("sy")))
+        .otherwise(lit(0).cast(D0))).as(s"g$jj")
+    }
+    val agg = j.groupBy(col("n"))
+      .agg(sum(col("snum") * col("snum")).as("ss2"), gammas: _*)
+    // σ²_lr·n³ in exact units: γ0n + 2Σ w_j γ_jn with w_j = 1 − j/(l+1)
+    val lrn = (1 to KpssLag).foldLeft(col("g0").cast("double")) { (acc, jj) =>
+      acc + (lit(2.0 * (1.0 - jj.toDouble / (KpssLag + 1)))
+        * col(s"g$jj").cast("double"))
+    }
+    agg.select(col("n").as("n_days"), lit(KpssLag.toLong).as("lag"),
+        // η = (ΣS²/n²)/σ̂² = (Σsnum²/n⁴) / (Σγnum/n³) = Σsnum² / (n·Σγnum)
+        NumFns.roundPortable(
+          col("ss2").cast("double") / (col("n") * lrn), 6).as("kpss_eta"))
+      .withColumn("level_stationary", col("kpss_eta") <= 0.463)
+  }
+
+  val qKpssOracle: String = {
+    val lagCols = (1 to KpssLag)
+      .map(j => s"lag(y, $j) OVER (ORDER BY di) AS y$j").mkString(",\n    ")
+    val gammaCols = (0 to KpssLag).map { j =>
+      val yj = if (j == 0) "y" else s"y$j"
+      s"""sum(CASE WHEN $yj IS NOT NULL
+         |      THEN (CAST(y AS HUGEINT) * n - sy)
+         |        * (CAST($yj AS HUGEINT) * n - sy) ELSE 0 END) AS g$j"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val lr = (1 to KpssLag).foldLeft("CAST(g0 AS DOUBLE)") { (acc, j) =>
+      s"$acc + ${2.0 * (1.0 - j.toDouble / (KpssLag + 1))} * CAST(g$j AS DOUBLE)"
+    }
+    s"""WITH days AS (
+       |  SELECT date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+       |      AS di,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS y
+       |  FROM lineitem GROUP BY 1
+       |),
+       |lagged AS (
+       |  SELECT di, y, row_number() OVER (ORDER BY di) AS t,
+       |    sum(CAST(y AS HUGEINT)) OVER (ORDER BY di) AS cy,
+       |    $lagCols
+       |  FROM days
+       |),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy
+       |  FROM days
+       |),
+       |agg AS (
+       |  SELECT n,
+       |    sum((cy * n - sy * t) * (cy * n - sy * t)) AS ss2,
+       |    $gammaCols
+       |  FROM lagged, tot GROUP BY n
+       |)
+       |SELECT n AS n_days, CAST($KpssLag AS BIGINT) AS lag,
+       |  ${NumFns.roundPortableSql(
+            s"CAST(ss2 AS DOUBLE) / (n * ($lr))", 6)} AS kpss_eta,
+       |  ${NumFns.roundPortableSql(
+            s"CAST(ss2 AS DOUBLE) / (n * ($lr))", 6)} <= 0.463
+       |    AS level_stationary
+       |FROM agg""".stripMargin
+  }
+
+  // ---------------------------------------------------------- Cox–Stuart
+
+  /** Cox–Stuart sign test for monotone trend in daily order counts —
+    * the assumption-free trend gate beside [[Temporal.qMannKendall]]
+    * (O(n) instead of MK's O(n²) pair space, and valid under any
+    * marginal distribution): pair day i with day i+⌈n/2⌉, count rises
+    * vs falls, normal-approximate the binomial. Engine: the pairing is
+    * one self-join of the ≤|days| calendar frame on a row-number
+    * offset; everything after is integer counting and one portable
+    * normal p. The z tiebreak and verdict derive from integers, so
+    * cross-engine ordering never touches the p-value.
+    */
+  def qCoxStuart(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("d"))
+    val rn = days.withColumn("t", row_number().over(w)).localCheckpoint()
+    val tot = rn.agg(count(lit(1)).as("n"))
+    val m = rn.crossJoin(broadcast(tot))
+      .withColumn("m", floor((col("n") + 1) / lit(2)).cast("long"))
+    val paired = m.alias("a")
+      .join(m.alias("b"),
+        col("a.t") + col("a.m") === col("b.t"))
+      .select(col("a.n").as("n"),
+        (col("b.c") > col("a.c")).as("pos"),
+        (col("b.c") < col("a.c")).as("neg"))
+    paired.groupBy(col("n"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("neg"), 1L).otherwise(0L)).as("n_neg"))
+      .withColumn("nt", col("n_pos") + col("n_neg"))
+      .select(col("n").as("n_days"), col("n_pairs"), col("n_pos"),
+        col("n_neg"),
+        NumFns.roundPortable(
+          (col("n_pos") - col("nt").cast("double") / 2)
+            / sqrt(col("nt").cast("double") / 4), 6).as("z"),
+        NumFns.roundPortable(NumFns.normTwoSidedP(
+          (col("n_pos") - col("nt").cast("double") / 2)
+            / sqrt(col("nt").cast("double") / 4)), 6).as("p_value"))
+  }
+
+  val qCoxStuartOracle: String = {
+    val z = "(n_pos - nt / 2.0) / sqrt(nt / 4.0)"
+    s"""WITH days AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS c
+       |  FROM orders GROUP BY 1
+       |),
+       |rn AS (
+       |  SELECT d, c, row_number() OVER (ORDER BY d) AS t FROM days
+       |),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rn),
+       |m AS (SELECT rn.*, n, (n + 1) // 2 AS m FROM rn, tot),
+       |paired AS (
+       |  SELECT a.n, (b.c > a.c) AS pos, (b.c < a.c) AS neg
+       |  FROM m a JOIN m b ON a.t + a.m = b.t
+       |),
+       |agg AS (
+       |  SELECT n, count(*) AS n_pairs,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN neg THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       |  FROM paired GROUP BY n
+       |)
+       |SELECT n AS n_days, n_pairs, n_pos, n_neg,
+       |  ${NumFns.roundPortableSql(z.replace("nt", "(n_pos + n_neg)"), 6)}
+       |    AS z,
+       |  ${NumFns.roundPortableSql(
+            NumFns.normTwoSidedPSql(z.replace("nt", "(n_pos + n_neg)")), 6)}
+       |    AS p_value
+       |FROM agg""".stripMargin
+  }
+
+  // -------------------------------------------------------- Weibull fit
+
+  /** Weibull fit of customer inter-order intervals by the method of
+    * moments on log-durations: if T ~ Weibull(k, λ) then ln T is a
+    * (reversed) Gumbel with Var = π²/(6k²) and mean = ln λ − γ/k, so
+    * k̂ = π/(σ̂·√6) and λ̂ = exp(m̂ + γ/k̂) — the shape parameter is THE
+    * reorder-behavior diagnostic (k<1 ⇒ churn-like bursts then silence,
+    * k>1 ⇒ rhythmic replenishment) feeding inventory and CRM timing.
+    * Closed-form and one-pass where the MLE needs iteration. Shape:
+    * intervals from a customer-partitioned lag (entity-partitioned
+    * window — never partitionless), then ONE moment aggregate; ln over
+    * integer day gaps, sums DECIMAL.
+    */
+  def qWeibullFit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"))
+      .withColumn("gap",
+        datediff(to_date(col("o_orderdate")),
+          to_date(lag(col("o_orderdate"), 1).over(w))))
+      .filter(col("gap") >= 1)
+      .select(col("gap"), log(col("gap").cast("double")).as("l"))
+    val m = gaps.agg(count(lit(1)).as("n"),
+        sum(col("gap").cast(D0)).as("sg"),
+        sum(col("l").cast(D)).as("sl"),
+        sum((col("l") * col("l")).cast(D)).as("sll"))
+      .select(col("n").cast("double").as("n"),
+        col("sg").cast("double").as("sg"),
+        col("sl").cast("double").as("sl"),
+        col("sll").cast("double").as("sll"))
+    val mean = col("sl") / col("n")
+    val sd = sqrt((col("sll") - col("n") * mean * mean) / (col("n") - 1))
+    val k = lit(math.Pi) / (sd * sqrt(lit(6.0)))
+    m.select(col("n").cast("long").as("n_gaps"),
+      NumFns.roundPortable(col("sg") / col("n"), 6).as("mean_gap_days"),
+      NumFns.roundPortable(k, 6).as("shape_k"),
+      NumFns.roundPortable(
+        exp(mean + lit(0.5772156649015329) / k), 6).as("scale_lambda"))
+  }
+
+  val qWeibullFitOracle: String =
+    s"""WITH gaps AS (
+       |  SELECT date_diff('day',
+       |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+       |        ORDER BY o_orderdate) AS DATE),
+       |      CAST(o_orderdate AS DATE)) AS gap
+       |  FROM orders
+       |),
+       |g AS (
+       |  SELECT gap, ln(CAST(gap AS DOUBLE)) AS l FROM gaps WHERE gap >= 1
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(gap AS HUGEINT)) AS DOUBLE) AS sg,
+       |    CAST(sum(CAST(l AS DECIMAL(38,12))) AS DOUBLE) AS sl,
+       |    CAST(sum(CAST(l * l AS DECIMAL(38,12))) AS DOUBLE) AS sll
+       |  FROM g
+       |),
+       |c AS (
+       |  SELECT n, sg, sl / n AS mean,
+       |    ${math.Pi} / (sqrt((sll - n * (sl / n) * (sl / n)) / (n - 1))
+       |      * sqrt(6.0)) AS k
+       |  FROM m
+       |)
+       |SELECT CAST(n AS BIGINT) AS n_gaps,
+       |  ${NumFns.roundPortableSql("sg / n", 6)} AS mean_gap_days,
+       |  ${NumFns.roundPortableSql("k", 6)} AS shape_k,
+       |  ${NumFns.roundPortableSql(
+            "exp(mean + 0.5772156649015329 / k)", 6)} AS scale_lambda
+       |FROM c""".stripMargin
+
+  // --------------------------------------------------------- Gumbel fit
+
+  /** Return period (months) for [[qGumbelFit]]'s return level. */
+  val GumbelT = 12
+
+  /** Gumbel fit of monthly-maximum daily revenue by the method of
+    * moments (block-maxima EVT — the classical complement of
+    * [[Temporal.qPotGpd]]'s peaks-over-threshold view): β̂ = σ√6/π,
+    * μ̂ = m − γβ̂, and the T-month return level μ̂ − β̂·ln(−ln(1−1/T)) —
+    * "what daily revenue should we provision for once a year?".
+    * Engine: daily cents are exact integer sums; block maxima are
+    * integer maxes over the ≤|months| calendar domain; ONE moment
+    * aggregate ends the plan. Identical literal constants (π, γ) on
+    * both engines.
+    */
+  def qGumbelFit(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.lineitem(s, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum(NumFns.roundAwayLong(col("l_extendedprice") * 100)).as("y"))
+    val blocks = days.groupBy(trunc(col("d"), "month").as("mo"))
+      .agg(max(col("y")).as("bm"))
+    val m = blocks.agg(count(lit(1)).as("nb"),
+        sum(col("bm").cast(D0)).as("sb"),
+        sum((col("bm").cast("double") * col("bm")).cast(D)).as("sbb"))
+      .select(col("nb").cast("double").as("nb"),
+        col("sb").cast("double").as("sb"), col("sbb").cast("double").as("sbb"))
+    val mean = col("sb") / col("nb")
+    val sd = sqrt((col("sbb") - col("nb") * mean * mean) / (col("nb") - 1))
+    val beta = sd * sqrt(lit(6.0)) / lit(math.Pi)
+    val mu = mean - lit(0.5772156649015329) * beta
+    m.select(col("nb").cast("long").as("n_blocks"),
+      NumFns.roundPortable(mu / 100, 4).as("gumbel_mu"),
+      NumFns.roundPortable(beta / 100, 4).as("gumbel_beta"),
+      NumFns.roundPortable(
+        (mu - beta * log(-log(lit(1.0) - lit(1.0) / GumbelT))) / 100, 4)
+        .as(s"return_level_$GumbelT"))
+  }
+
+  val qGumbelFitOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS d,
+       |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS y
+       |  FROM lineitem GROUP BY 1
+       |),
+       |blocks AS (
+       |  SELECT date_trunc('month', d) AS mo, max(y) AS bm FROM days
+       |  GROUP BY 1
+       |),
+       |m AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nb,
+       |    CAST(sum(CAST(bm AS HUGEINT)) AS DOUBLE) AS sb,
+       |    CAST(sum(CAST(CAST(bm AS DOUBLE) * bm AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS sbb
+       |  FROM blocks
+       |),
+       |c AS (
+       |  SELECT nb, sb / nb AS mean,
+       |    sqrt((sbb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) * sqrt(6.0)
+       |      / ${math.Pi} AS beta
+       |  FROM m
+       |)
+       |SELECT CAST(nb AS BIGINT) AS n_blocks,
+       |  ${NumFns.roundPortableSql(
+            "(mean - 0.5772156649015329 * beta) / 100", 4)} AS gumbel_mu,
+       |  ${NumFns.roundPortableSql("beta / 100", 4)} AS gumbel_beta,
+       |  ${NumFns.roundPortableSql(
+            "(mean - 0.5772156649015329 * beta - beta * " +
+            s"ln(-ln(1.0 - 1.0 / $GumbelT))) / 100", 4)}
+       |    AS return_level_$GumbelT
+       |FROM c""".stripMargin
+
+  // -------------------------------------------------------- t-closeness
+
+  /** Account-balance band width for the ordered sensitive attribute. */
+  val TCloseBand = 2000.0
+
+  /** t-closeness threshold flagged in the per-segment rollup. */
+  val TCloseT = 0.25
+
+  /** t-closeness audit of the customer table — the distribution-aware
+    * step past [[Profiling.qKAnonymity]]'s k/l counts: an equivalence
+    * class can be k-anonymous AND l-diverse yet still leak ("this
+    * nation-segment is overwhelmingly top-band"), so t-closeness bounds
+    * the ordered-EMD between each class's sensitive distribution and
+    * the global one: t = Σ|cum(P−Q)|/(m−1) over the m balance bands.
+    * Engine: counts per (segment, nation, band) and global per band;
+    * the class×band grid is completed by a ≤|classes|×|bands| cross
+    * join of two broadcast-sized frames, cum runs partitioned BY CLASS
+    * over the band order, and the rollup is per segment. Exact rational
+    * shares; one scan of customer.
+    */
+  def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+      floor(col("c_acctbal") / TCloseBand).cast("long").as("band"))
+    val cls = cust.groupBy(col("seg"), col("nat"), col("band"))
+      .agg(count(lit(1)).as("cc")).localCheckpoint()
+    val glob = cls.groupBy(col("band")).agg(sum(col("cc")).as("gc"))
+    val sizes = cls.groupBy(col("seg"), col("nat")).agg(sum(col("cc")).as("cn"))
+    val tot = glob.agg(sum(col("gc")).as("gn"), count(lit(1)).as("m"))
+    // complete class × band grid (absent cells are genuine zeros in P)
+    val grid = sizes.crossJoin(broadcast(glob)).crossJoin(broadcast(tot))
+      .join(cls, Seq("seg", "nat", "band"), "left")
+      .withColumn("diff",
+        coalesce(col("cc"), lit(0L)).cast("double") / col("cn")
+          - col("gc").cast("double") / col("gn"))
+    val w = Window.partitionBy(col("seg"), col("nat")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = grid.withColumn("cum", sum(col("diff").cast(D)).over(w))
+      .groupBy(col("seg"), col("nat"), col("m"))
+      .agg(sum(abs(col("cum"))).as("sabs"))
+      .withColumn("t", col("sabs").cast("double") / (col("m") - 1))
+    t.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_classes"),
+        NumFns.roundPortable(max(col("t")), 6).as("max_t"),
+        NumFns.roundPortable(
+          sum(col("t").cast(D)).cast("double") / count(lit(1)), 6)
+          .as("avg_t"),
+        sum(when(col("t") > TCloseT, 1L).otherwise(0L)).as("n_over"))
+      .select(col("seg").as("segment"), col("n_classes"), col("max_t"),
+        col("avg_t"), col("n_over"))
+      .orderBy(col("segment"))
+  }
+
+  val qTClosenessOracle: String =
+    s"""WITH cust AS (
+       |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+       |    CAST(floor(c_acctbal / $TCloseBand) AS BIGINT) AS band
+       |  FROM customer
+       |),
+       |cls AS (
+       |  SELECT seg, nat, band, count(*) AS cc FROM cust GROUP BY 1, 2, 3
+       |),
+       |gdist AS (
+       |  SELECT band, CAST(sum(cc) AS BIGINT) AS gc FROM cls GROUP BY band
+       |),
+       |sizes AS (
+       |  SELECT seg, nat, CAST(sum(cc) AS BIGINT) AS cn FROM cls
+       |  GROUP BY seg, nat
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(gc) AS BIGINT) AS gn, count(*) AS m FROM gdist
+       |),
+       |grid AS (
+       |  SELECT s.seg, s.nat, g.band, t.m,
+       |    COALESCE(c.cc, 0) / CAST(s.cn AS DOUBLE)
+       |      - g.gc / CAST(t.gn AS DOUBLE) AS diff
+       |  FROM sizes s CROSS JOIN gdist g CROSS JOIN tot t
+       |  LEFT JOIN cls c ON c.seg = s.seg AND c.nat = s.nat
+       |    AND c.band = g.band
+       |),
+       |cum AS (
+       |  SELECT seg, nat, m,
+       |    sum(CAST(diff AS DECIMAL(38,12)))
+       |      OVER (PARTITION BY seg, nat ORDER BY band) AS cum
+       |  FROM grid
+       |),
+       |t AS (
+       |  SELECT seg, nat,
+       |    CAST(sum(abs(cum)) AS DOUBLE) / (m - 1) AS t
+       |  FROM cum GROUP BY seg, nat, m
+       |)
+       |SELECT seg AS segment, count(*) AS n_classes,
+       |  ${NumFns.roundPortableSql("max(t)", 6)} AS max_t,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) / count(*)",
+            6)} AS avg_t,
+       |  CAST(sum(CASE WHEN t > $TCloseT THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_over
+       |FROM t GROUP BY seg ORDER BY segment""".stripMargin
+}
