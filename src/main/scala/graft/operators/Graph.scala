@@ -1124,4 +1124,160 @@ object Graph {
             "CAST(giant AS DOUBLE) / n_all", 6)} AS giant_share
        |FROM hist CROSS JOIN tot
        |ORDER BY size""".stripMargin
+
+  /** Truss order for [[qKtruss]]: every surviving edge sits in at least
+    * TrussK − 2 triangles among surviving edges.
+    */
+  val TrussK = 4
+
+  /** Peel rounds unrolled on both engines (the [[CoreRounds]]
+    * discipline: idempotent at the fixpoint, certified by the output).
+    */
+  val TrussRounds = 4
+
+  /** k-truss of the international trade graph (nations linked when a
+    * customer in one buys from a supplier in the other), restricted to
+    * above-mean-support pairs — the TRIANGLE-grade cohesion core one
+    * notch stronger than [[qKcore]]'s degree grade: an edge survives
+    * only while it closes ≥ k−2 triangles with OTHER survivors, so
+    * bridges and hub spokes that k-core keeps are peeled away (the
+    * standard community-core / spam-ring primitive, Cohen 2008). Shape:
+    * ONE fact scan builds the ≤C(|nations|,2) support cells (map-side
+    * combined); the peel loop then runs entirely on the bounded
+    * nation-pair frame — each round one oriented triangle enumeration
+    * (x<y<z via two joins) + a 3-projection support count + a semi-join,
+    * localCheckpoint'd so round r never replays rounds 1..r−1. Early
+    * exit at the fixpoint produces the SAME result as the oracle's
+    * unconditional [[TrussRounds]] unroll; the `converged` column
+    * certifies it from the final frame alone. Exact integer counting
+    * throughout — the threshold compare sup·n ≥ Σsup clears the mean's
+    * division.
+    */
+  def qKtruss(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("nc") =!= col("ns"))
+      .groupBy(least(col("nc"), col("ns")).as("a"),
+        greatest(col("nc"), col("ns")).as("b"))
+      .agg(count(lit(1)).as("sup"))
+    val tot = sup.agg(count(lit(1)).as("np"), sum(col("sup")).as("ss"))
+    var edges = sup.crossJoin(broadcast(tot))
+      .filter(col("sup") * col("np") >= col("ss"))
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.as("ab")
+        .join(e.as("bc"), col("ab.b") === col("bc.a"))
+        .join(e.as("ac"),
+          col("ac.a") === col("ab.a") && col("ac.b") === col("bc.b"))
+        .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+      tri.select(col("x").as("a"), col("y").as("b"))
+        .union(tri.select(col("y").as("a"), col("z").as("b")))
+        .union(tri.select(col("x").as("a"), col("z").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("tsup"))
+    }
+    var round = 0
+    var done = false
+    while (round < TrussRounds && !done) {
+      val keep = support(edges).filter(col("tsup") >= TrussK - 2)
+        .select(col("a"), col("b")).localCheckpoint()
+      done = keep.count() == edges.count()
+      if (!done) edges = keep
+      round += 1
+    }
+    // certificate from the FINAL frame: truss iff every remaining edge
+    // still closes >= k-2 triangles among the remaining edges
+    val fin = edges.join(support(edges), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("tsup"), lit(0L)).as("tsup"))
+    val nodes = fin.select(col("a").as("id"))
+      .union(fin.select(col("b").as("id"))).distinct()
+      .agg(count(lit(1)).as("n_truss_nodes"))
+    fin.agg(count(lit(1)).as("n_truss_edges"),
+        coalesce(min(col("tsup") >= TrussK - 2), lit(true)).as("converged"))
+      .crossJoin(broadcast(nodes))
+      .select(lit(TrussK.toLong).as("k"),
+        lit(TrussRounds.toLong).as("rounds"),
+        col("n_truss_nodes"), col("n_truss_edges"), col("converged"))
+  }
+
+  /** Peel CTEs pinned MATERIALIZED for the same reason as
+    * [[qKcoreOracle]]: each level is referenced by the triangle join
+    * three times.
+    */
+  val qKtrussOracle: String = {
+    val peels = (0 until TrussRounds).map { r =>
+      s"""t$r AS MATERIALIZED (
+         |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+         |  FROM e$r ab JOIN e$r bc ON ab.b = bc.a
+         |  JOIN e$r ac ON ac.a = ab.a AND ac.b = bc.b
+         |),
+         |s$r AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS tsup FROM (
+         |    SELECT x AS a, y AS b FROM t$r
+         |    UNION ALL SELECT y, z FROM t$r
+         |    UNION ALL SELECT x, z FROM t$r
+         |  ) GROUP BY 1, 2
+         |),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e$r e
+         |  JOIN s$r s ON s.a = e.a AND s.b = e.b
+         |    AND s.tsup >= ${TrussK - 2}
+         |)""".stripMargin
+    }.mkString(",\n")
+    val R = TrussRounds
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT least(c_nationkey, s_nationkey) AS a,
+       |    greatest(c_nationkey, s_nationkey) AS b, count(*) AS sup
+       |  FROM orders
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey != s_nationkey
+       |  GROUP BY 1, 2
+       |),
+       |tot AS (SELECT count(*) AS np, sum(sup) AS ss FROM f),
+       |e0 AS MATERIALIZED (
+       |  SELECT a, b FROM f, tot WHERE sup * np >= ss
+       |),
+       |$peels,
+       |tf AS (
+       |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+       |  FROM e$R ab JOIN e$R bc ON ab.b = bc.a
+       |  JOIN e$R ac ON ac.a = ab.a AND ac.b = bc.b
+       |),
+       |sf AS (
+       |  SELECT a, b, count(*) AS tsup FROM (
+       |    SELECT x AS a, y AS b FROM tf
+       |    UNION ALL SELECT y, z FROM tf
+       |    UNION ALL SELECT x, z FROM tf
+       |  ) GROUP BY 1, 2
+       |),
+       |fin AS (
+       |  SELECT e.a, e.b, COALESCE(s.tsup, 0) AS tsup
+       |  FROM e$R e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+       |),
+       |nn AS (
+       |  SELECT count(*) AS n_truss_nodes FROM (
+       |    SELECT DISTINCT id FROM (
+       |      SELECT a AS id FROM fin UNION ALL SELECT b FROM fin
+       |    )
+       |  )
+       |),
+       |ea AS (
+       |  SELECT count(*) AS n_truss_edges,
+       |    COALESCE(min(tsup >= ${TrussK - 2}), TRUE) AS converged
+       |  FROM fin
+       |)
+       |SELECT CAST($TrussK AS BIGINT) AS k,
+       |  CAST($TrussRounds AS BIGINT) AS rounds,
+       |  n_truss_nodes, n_truss_edges, converged
+       |FROM ea CROSS JOIN nn""".stripMargin
+  }
 }

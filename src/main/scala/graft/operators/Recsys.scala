@@ -305,4 +305,117 @@ object Recsys {
             "1.0 - CAST(n_with_recs AS DOUBLE) / n_catalog", 6)}
        |    AS cold_share
        |FROM cat, ow, nb""".stripMargin
+
+  /** Minimum co-rater support for a Slope One deviation to be used. */
+  val SlopeOneMinSupport = 2L
+
+  /** Weighted Slope One rating prediction (Lemire & Maclachlan 2005)
+    * evaluated in-sample over the purchase matrix — the deviation-based
+    * CF predictor beside [[qItemCf]]'s neighbor RANKING: for items j,i
+    * the average rating deviation dev_ji = Σ_c(r_cj−r_ci)/n_ji, and for
+    * a (customer, target) pair the prediction
+    * r̂ = Σ_i (dev_ji + r_ci)·n_ji / Σ_i n_ji over the customer's other
+    * rated items. The whole estimator COLLAPSES TO INTEGER ARITHMETIC:
+    * with sdiff_ji = Σ(r_cj−r_ci) kept unreduced, the weighted numerator
+    * is Σ_i (sdiff_ji + r_ci·n_ji) — exact int64/DECIMAL sums, ONE
+    * double division per prediction, so both engines agree bit-for-bit
+    * before the final portable rounding. Ratings are per-(customer,part)
+    * total quantities (exact integers). Shape: the capped incidence
+    * frame (the [[CfMaxBasket]] discipline) is localCheckpoint'd once
+    * and feeds the pair-deviation aggregate AND the triple self-join;
+    * both are the item_cf pair-join shape (Σ C(b,2) bounded), shuffled
+    * as bare key/long rows via shuffle_hash; the error rollup is a
+    * one-row moment aggregate. MAE/RMSE on the in-sample predictions
+    * plus coverage complete the eval card.
+    */
+  def qSlopeOne(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val D0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val inc = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .agg(sum(NumFns.roundAwayLong(col("l_quantity"))).as("rq"))
+    val keep = inc.groupBy(col("cust")).agg(count(lit(1)).as("b"))
+      .filter(col("b") <= CfMaxBasket).select(col("cust"))
+    val ki = inc.join(keep.hint("shuffle_hash"), Seq("cust"), "left_semi")
+      .localCheckpoint()
+    // pair deviations, kept UNREDUCED as (Σdiff, n) integer pairs
+    val dev = ki.select(col("cust"), col("part").as("pj"), col("rq").as("rj"))
+      .join(ki.select(col("cust"), col("part").as("pi"), col("rq").as("ri"))
+        .hint("shuffle_hash"), Seq("cust"))
+      .filter(col("pj") =!= col("pi"))
+      .groupBy(col("pj"), col("pi"))
+      .agg(count(lit(1)).as("n_ji"),
+        sum((col("rj") - col("ri")).cast(D0)).as("sdiff"))
+      .filter(col("n_ji") >= SlopeOneMinSupport)
+    // in-sample prediction triples: target j and context i both rated
+    val triples = ki.select(col("cust"), col("part").as("pj"), col("rq").as("rj"))
+      .join(ki.select(col("cust"), col("part").as("pi"), col("rq").as("ri"))
+        .hint("shuffle_hash"), Seq("cust"))
+      .filter(col("pj") =!= col("pi"))
+      .join(dev.hint("shuffle_hash"), Seq("pj", "pi"))
+    val preds = triples.groupBy(col("cust"), col("pj"), col("rj"))
+      .agg(sum(col("sdiff") + col("ri") * col("n_ji")).as("num"),
+        sum(col("n_ji").cast(D0)).as("den"))
+      .withColumn("pred", col("num").cast("double") / col("den").cast("double"))
+      .withColumn("err", col("pred") - col("rj"))
+    val nRatings = ki.agg(count(lit(1)).as("n_ratings"))
+    preds.agg(count(lit(1)).as("n_predicted"),
+        sum(abs(col("err")).cast(D)).as("sae"),
+        sum((col("err") * col("err")).cast(D)).as("sse"))
+      .crossJoin(broadcast(nRatings))
+      .select(col("n_ratings"), col("n_predicted"),
+        NumFns.roundPortable(
+          col("n_predicted").cast("double") / col("n_ratings"), 6)
+          .as("coverage"),
+        NumFns.roundPortable(
+          col("sae").cast("double") / col("n_predicted"), 6).as("mae"),
+        NumFns.roundPortable(
+          sqrt(col("sse").cast("double") / col("n_predicted")), 6).as("rmse"))
+  }
+
+  val qSlopeOneOracle: String =
+    s"""WITH inc AS (
+       |  SELECT o_custkey AS cust, l_partkey AS part,
+       |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS rq
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |),
+       |keep AS (
+       |  SELECT cust FROM inc GROUP BY cust HAVING count(*) <= $CfMaxBasket
+       |),
+       |ki AS (SELECT inc.* FROM inc JOIN keep USING (cust)),
+       |dev AS (
+       |  SELECT a.part AS pj, b.part AS pi, count(*) AS n_ji,
+       |    sum(CAST(a.rq - b.rq AS HUGEINT)) AS sdiff
+       |  FROM ki a JOIN ki b ON a.cust = b.cust AND a.part != b.part
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $SlopeOneMinSupport
+       |),
+       |preds AS (
+       |  SELECT a.cust, a.part AS pj, a.rq AS rj,
+       |    CAST(sum(d.sdiff + CAST(b.rq AS HUGEINT) * d.n_ji) AS DOUBLE)
+       |      / CAST(sum(CAST(d.n_ji AS HUGEINT)) AS DOUBLE) AS pred
+       |  FROM ki a
+       |  JOIN ki b ON a.cust = b.cust AND a.part != b.part
+       |  JOIN dev d ON d.pj = a.part AND d.pi = b.part
+       |  GROUP BY 1, 2, 3
+       |),
+       |err AS (
+       |  SELECT pred - rj AS err FROM preds
+       |),
+       |agg AS (
+       |  SELECT count(*) AS n_predicted,
+       |    CAST(sum(CAST(abs(err) AS DECIMAL(38,12))) AS DOUBLE) AS sae,
+       |    CAST(sum(CAST(err * err AS DECIMAL(38,12))) AS DOUBLE) AS sse
+       |  FROM err
+       |),
+       |nr AS (SELECT count(*) AS n_ratings FROM ki)
+       |SELECT n_ratings, n_predicted,
+       |  ${NumFns.roundPortableSql(
+            "CAST(n_predicted AS DOUBLE) / n_ratings", 6)} AS coverage,
+       |  ${NumFns.roundPortableSql("sae / n_predicted", 6)} AS mae,
+       |  ${NumFns.roundPortableSql("sqrt(sse / n_predicted)", 6)} AS rmse
+       |FROM agg, nr""".stripMargin
 }
