@@ -786,4 +786,173 @@ object Inference {
        |  CAST(sum(CASE WHEN t > $TCloseT THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_over
        |FROM t GROUP BY seg ORDER BY segment""".stripMargin
+
+  // ------------------------------------------------- Anderson–Darling
+
+  /** Anderson–Darling normality test of log document length — the
+    * tail-weighted EDF test (AD weights the tails where KS is blind,
+    * which is exactly where length-mixture contamination shows up):
+    * A² = −n − (1/n)Σ(2i−1)[lnΦ(zᵢ) + ln(1−Φ(z_{n+1−i}))], with the
+    * small-sample factor (1 + 0.75/n + 2.25/n²) and the 5% critical
+    * value 0.752 (Stephens 1974). Engine: n_chars is an integer, so all
+    * members of a value cell share one z — both rank-weight sums
+    * collapse to CLOSED-FORM integer cell weights c(2s+c) and
+    * c(2n−2s−c) from cumulative counts, and the whole test runs on the
+    * ≤|values| cell frame (no row ranked). Φ from the shared
+    * Abramowitz–Stegun literal ([[NumFns.normTwoSidedP]]), products
+    * DECIMAL-folded.
+    */
+  def qAndersonDarling(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("n_chars").as("v"), log(col("n_chars").cast("double")).as("x"))
+    val cells = docs.groupBy(col("v"), col("x"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("x").cast(D)).as("sx"),
+        sum((col("x") * col("x")).cast(D)).as("sxx"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      sum(col("sx")).as("sxt"), sum(col("sxx")).as("sxxt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = cells.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("mu", col("sxt").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("sxxt").cast("double")
+          - col("sxt").cast("double") * col("sxt").cast("double") / col("n"))
+          / (col("n") - 1)))
+      .withColumn("zv", (col("x") - col("mu")) / col("sd"))
+      .withColumn("p", NumFns.normTwoSidedP(col("zv")))
+      .withColumn("phi",
+        when(col("zv") >= 0, lit(1.0) - col("p") / 2).otherwise(col("p") / 2))
+      .withColumn("s0", col("cum") - col("c"))
+    val terms = z.select(col("n"),
+      // Σ_{i∈cell}(2i−1) = c(2s+c) on lnΦ(z); the reversed-rank weight
+      // Σ(2(n+1−i)−1) = c(2n−2s−c) on ln(1−Φ(z))
+      ((col("c") * (lit(2) * col("s0") + col("c"))).cast("double")
+        * log(col("phi"))).as("t1"),
+      ((col("c") * (lit(2) * col("n") - lit(2) * col("s0") - col("c")))
+        .cast("double") * log(lit(1.0) - col("phi"))).as("t2"))
+    terms.groupBy(col("n"))
+      .agg(sum(col("t1").cast(D)).as("s1"), sum(col("t2").cast(D)).as("s2"))
+      .withColumn("a2",
+        -col("n").cast("double")
+          - (col("s1").cast("double") + col("s2").cast("double")) / col("n"))
+      .withColumn("a2_star", col("a2")
+        * (lit(1.0) + lit(0.75) / col("n") + lit(2.25) / (col("n") * col("n"))))
+      .select(col("n").as("n_docs"),
+        NumFns.roundPortable(col("a2"), 6).as("ad_stat"),
+        NumFns.roundPortable(col("a2_star"), 6).as("ad_stat_adj"),
+        (NumFns.roundPortable(col("a2_star"), 6) > 0.752).as("reject_normal"))
+  }
+
+  val qAndersonDarlingOracle: String = {
+    val phi = "(CASE WHEN zv >= 0 THEN 1.0 - p / 2 ELSE p / 2 END)"
+    s"""WITH d AS (
+       |  SELECT n_chars AS v, ln(CAST(n_chars AS DOUBLE)) AS x FROM documents
+       |),
+       |cells AS (
+       |  SELECT v, x, count(*) AS c,
+       |    sum(CAST(x AS DECIMAL(38,12))) AS sx,
+       |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx
+       |  FROM d GROUP BY v, x
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(sx) AS DOUBLE) AS sxt, CAST(sum(sxx) AS DOUBLE) AS sxxt
+       |  FROM cells
+       |),
+       |z AS (
+       |  SELECT c, n,
+       |    sum(c) OVER (ORDER BY v) - c AS s0,
+       |    (x - sxt / n)
+       |      / sqrt((sxxt - sxt * sxt / n) / (n - 1)) AS zv
+       |  FROM cells, tot
+       |),
+       |pz AS (
+       |  SELECT c, n, s0, zv,
+       |    ${NumFns.normTwoSidedPSql("zv")} AS p
+       |  FROM z
+       |),
+       |terms AS (
+       |  SELECT n,
+       |    CAST(c * (2 * s0 + c) AS DOUBLE) * ln($phi) AS t1,
+       |    CAST(c * (2 * n - 2 * s0 - c) AS DOUBLE) * ln(1.0 - $phi) AS t2
+       |  FROM pz
+       |),
+       |agg AS (
+       |  SELECT n,
+       |    -CAST(n AS DOUBLE)
+       |      - (CAST(sum(CAST(t1 AS DECIMAL(38,12))) AS DOUBLE)
+       |        + CAST(sum(CAST(t2 AS DECIMAL(38,12))) AS DOUBLE)) / n AS a2
+       |  FROM terms GROUP BY n
+       |),
+       |f AS (
+       |  SELECT n, a2,
+       |    a2 * (1.0 + 0.75 / n + 2.25 / (n * n)) AS a2s
+       |  FROM agg
+       |)
+       |SELECT n AS n_docs,
+       |  ${NumFns.roundPortableSql("a2", 6)} AS ad_stat,
+       |  ${NumFns.roundPortableSql("a2s", 6)} AS ad_stat_adj,
+       |  ${NumFns.roundPortableSql("a2s", 6)} > 0.752 AS reject_normal
+       |FROM f""".stripMargin
+  }
+
+  // ------------------------------------------------- Hodges–Lehmann
+
+  /** Hodges–Lehmann shift estimator between the [[BmSourceA]] and
+    * [[BmSourceB]] document-length samples — the robust EFFECT SIZE
+    * companion to [[qBrunnerMunzel]]'s test: the median of ALL n_a·n_b
+    * pairwise differences (the estimator behind the Mann–Whitney CI),
+    * 50% breakdown where the mean difference has none. Engine: the
+    * pair space never materializes per-row — both samples collapse to
+    * integer value cells first, the difference distribution is the
+    * ≤|V|² convolution of the two cell frames with integer weights
+    * c_a·c_b, and the weighted LOWER median is rank-picked from the
+    * cumulative weight (exact integers end to end, zero doubles until
+    * the emitted column). |V| is bounded by the value domain, not by
+    * rows, so the convolution is sf-invariant.
+    */
+  def qHodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("source").isin(BmSourceA, BmSourceB))
+      .select(col("n_chars").as("v"),
+        (col("source") === BmSourceB).as("isB"))
+    val ca = docs.filter(!col("isB")).groupBy(col("v").as("va"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = docs.filter(col("isB")).groupBy(col("v").as("vb"))
+      .agg(count(lit(1)).as("cb"))
+    val diff = cb.crossJoin(ca)
+      .groupBy((col("vb") - col("va")).as("d"))
+      .agg(sum(col("cb") * col("ca")).as("w"))
+    val win = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = diff.withColumn("cw", sum(col("w")).over(win))
+      .crossJoin(broadcast(diff.agg(sum(col("w")).as("tw"))))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .agg(min(col("d")).as("hl_shift"), max(col("tw")).as("n_pairs"))
+      .select(col("n_pairs"), col("hl_shift"))
+  }
+
+  val qHodgesLehmannOracle: String =
+    s"""WITH d AS (
+       |  SELECT n_chars AS v, (source = '$BmSourceB') AS isB
+       |  FROM documents WHERE source IN ('$BmSourceA', '$BmSourceB')
+       |),
+       |ca AS (
+       |  SELECT v AS va, count(*) AS ca FROM d WHERE NOT isB GROUP BY v
+       |),
+       |cb AS (
+       |  SELECT v AS vb, count(*) AS cb FROM d WHERE isB GROUP BY v
+       |),
+       |diff AS (
+       |  SELECT vb - va AS d, CAST(sum(cb * ca) AS BIGINT) AS w
+       |  FROM cb CROSS JOIN ca GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM diff),
+       |cum AS (
+       |  SELECT d, sum(w) OVER (ORDER BY d) AS cw, tw FROM diff, tot
+       |)
+       |SELECT max(tw) AS n_pairs, min(d) AS hl_shift
+       |FROM cum WHERE cw * 2 >= tw""".stripMargin
 }
