@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-9 additions: semantic invariants of the causal-inference /
+  * advanced-test batch. The oracle gate proves cross-engine equality;
+  * these pin the MATH — identities the estimators must satisfy no
+  * matter what the data says.
+  */
+class Round9NewOpsSpec extends SparkSpec {
+
+  test("iv 2sls: beta is exactly reduced form over first stage, arms partition") {
+    val rows = Inference.qIv2sls(spark, sf001).collect()
+    assert(rows.length == 3)
+    val total = Tables.lineitem(spark, sf001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total)
+    rows.foreach { r =>
+      val (fs, rf, b) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // relative: the emitted columns are independently rounded, and a
+      // weak first stage amplifies its rounding into beta's magnitude
+      assert(math.abs(b - rf / fs) / math.abs(b) < 1e-4, s"wald identity: $r")
+    }
+  }
+
+  test("delta method: point estimate inside its own CI, equals the plain ratio") {
+    val rows = Inference.qDeltaMethod(spark, sf001).collect()
+    assert(rows.length == 5)
+    val plain = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg((sum(col("value")) / count(lit(1))).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (t, ratio, se, lo, hi) =
+        (r.getString(0), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))
+      assert(se > 0 && lo <= ratio && ratio <= hi, s"CI sanity: $r")
+      assert(math.abs(ratio - plain(t)) < 1e-4,
+        s"point estimate is the plain ratio: $r vs ${plain(t)}")
+    }
+  }
+
+  test("brunner-munzel: rank means reconstruct the total rank sum") {
+    val r = Inference.qBrunnerMunzel(spark, sf001).collect().head
+    val (n1, n2) = (r.getLong(0), r.getLong(1))
+    val (rb1, rb2) = (r.getDouble(2), r.getDouble(3))
+    val n = n1 + n2
+    // Σ all midranks = N(N+1)/2 regardless of ties
+    assert(math.abs(n1 * rb1 + n2 * rb2 - n * (n + 1) / 2.0) < 1e-3)
+  }
+
+  test("bartlett: nonnegative statistic over all sources") {
+    val r = Inference.qBartlett(spark, sf001).collect().head
+    assert(r.getLong(0) == 20)
+    assert(r.getDouble(2) >= 0.0)
+  }
+
+  test("kpss: eta positive, day domain matches the calendar") {
+    val r = Inference.qKpss(spark, sf001).collect().head
+    val days = Tables.lineitem(spark, sf001)
+      .select(to_date(col("l_shipdate"))).distinct().count()
+    assert(r.getLong(0) == days && r.getLong(1) == Inference.KpssLag)
+    assert(r.getDouble(2) > 0.0)
+  }
+
+  test("cox-stuart: pair accounting and z/p consistency") {
+    val r = Inference.qCoxStuart(spark, sf001).collect().head
+    val (nd, np, pos, neg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(np == nd / 2 && pos + neg <= np)
+    val (z, p) = (r.getDouble(4), r.getDouble(5))
+    assert(p >= 0.0 && p <= 1.0)
+    assert((pos > neg) == (z > 0) || pos == neg)
+  }
+
+  test("weibull fit: positive shape and scale, mean gap bracketed by the fit") {
+    val r = Inference.qWeibullFit(spark, sf001).collect().head
+    val (mean, k, lam) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(r.getLong(0) > 0 && mean > 0 && k > 0 && lam > 0)
+    // Weibull mean = λΓ(1+1/k) stays within a small factor of the
+    // sample mean when the log-moment fit is sane
+    assert(lam / mean < 3.0 && mean / lam < 3.0)
+  }
+
+  test("gumbel fit: positive spread, return level above location") {
+    val r = Inference.qGumbelFit(spark, sf001).collect().head
+    val (mu, beta, rl) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(r.getLong(0) > 0 && beta > 0)
+    // −ln(−ln(1−1/T)) > 0 for T ≥ 2, so the return level exceeds μ
+    assert(rl > mu)
+  }
+
+  test("t-closeness: t bounded by [0,1], rollup internally consistent") {
+    val rows = Inference.qTCloseness(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (maxT, avgT, over) = (r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(maxT >= 0 && maxT <= 1 && avgT >= 0 && avgT <= maxT + 1e-12)
+      assert(over >= 0 && over <= r.getLong(1))
+      assert((maxT > Inference.TCloseT) == (over > 0))
+    }
+  }
+
+  test("ktruss: converged fixpoint, truss is a subgraph of the thresholded base") {
+    val r = Graph.qKtruss(spark, sf001).collect().head
+    assert(r.getBoolean(4), "bounded rounds must reach the fixpoint here")
+    val (nodes, edges) = (r.getLong(2), r.getLong(3))
+    // every truss node closes ≥ k−2 triangles on some edge ⇒ degree ≥ k−1
+    assert(edges == 0 || edges * 2 >= nodes * (Graph.TrussK - 1))
+  }
+
+  test("slope one: rmse dominates mae, coverage within [0,1]") {
+    val r = Recsys.qSlopeOne(spark, sf001).collect().head
+    val (nr, np) = (r.getLong(0), r.getLong(1))
+    val (cov, mae, rmse) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(np <= nr && cov > 0 && cov <= 1.0)
+    assert(mae >= 0 && rmse >= mae) // Jensen: √E[e²] ≥ E|e|
+  }
+
+  test("anderson-darling: Stephens adjustment direction and verdict consistency") {
+    val r = Inference.qAndersonDarling(spark, sf001).collect().head
+    val (a2, a2s) = (r.getDouble(1), r.getDouble(2))
+    assert(r.getLong(0) > 0)
+    assert(a2 > 0 && a2s > a2) // (1 + 0.75/n + 2.25/n²) > 1
+    assert(r.getBoolean(3) == (a2s > 0.752))
+  }
+
+  test("hodges-lehmann: pair count exact, shift inside the difference range") {
+    val r = Inference.qHodgesLehmann(spark, sf001).collect().head
+    val docs = Tables.documents(spark, sf001)
+      .filter(col("source").isin(Inference.BmSourceA, Inference.BmSourceB))
+    val na = docs.filter(col("source") === Inference.BmSourceA).count()
+    val nb = docs.filter(col("source") === Inference.BmSourceB).count()
+    assert(r.getLong(0) == na * nb)
+    val ext = docs.agg(min(col("n_chars")), max(col("n_chars"))).collect().head
+    val (lo, hi) = (ext.getLong(0), ext.getLong(1))
+    assert(r.getLong(1) >= lo - hi && r.getLong(1) <= hi - lo)
+  }
+}
