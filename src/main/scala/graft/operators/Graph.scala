@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.NumFns
@@ -1279,5 +1280,191 @@ object Graph {
        |  CAST($TrussRounds AS BIGINT) AS rounds,
        |  n_truss_nodes, n_truss_edges, converged
        |FROM ea CROSS JOIN nn""".stripMargin
+  }
+
+  /** Borůvka rounds for [[qMstBoruvka]]: components at least halve per
+    * round, so 5 rounds suffice for the ≤25-node nation graph
+    * (⌈log₂ 25⌉ = 5); the `converged` column certifies the fixpoint.
+    */
+  val MstRounds = 5
+
+  /** Maximum spanning forest of the nation trade graph by Borůvka's
+    * algorithm — the "trade backbone": the strongest acyclic subnetwork
+    * touching every trading nation (classic network-backbone
+    * extraction; flip the comparison and it's the textbook MST). THE
+    * distributed MST algorithm: each round every component picks its
+    * best outgoing edge under the STRICT total order (support DESC,
+    * a, b) — distinct weights ⇒ the picked set is provably acyclic —
+    * then components merge via the same pointer-doubling
+    * connected-components loop the dedup stack uses
+    * ([[Dedup.connectedComponents]]). O(log n) rounds of
+    * component-domain joins + one window per round; nothing but bare
+    * (comp, a, b, sup) rows ever shuffles, so the shape holds on a
+    * billion-node graph even though the nation instantiation is
+    * bounded. The oracle unrolls the SAME rounds with one recursive
+    * transitive-closure CTE per round (the q_component_sizes
+    * discipline). Early exit at the empty-pick fixpoint produces the
+    * same forest as the oracle's unconditional unroll. Exact integer
+    * support weights end to end; `n_components = n_nodes − n_edges`
+    * is the forest invariant the output exposes.
+    */
+  def qMstBoruvka(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("nc") =!= col("ns"))
+      .groupBy(least(col("nc"), col("ns")).as("a"),
+        greatest(col("nc"), col("ns")).as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .localCheckpoint()
+    val nodes = f.select(col("a").as("id"))
+      .union(f.select(col("b").as("id"))).distinct().localCheckpoint()
+    def labelsOf(forest: DataFrame): DataFrame = {
+      val sym = forest.select(col("a").as("src"), col("b").as("dst"))
+        .union(forest.select(col("b").as("src"), col("a").as("dst")))
+      nodes.join(Dedup.connectedComponents(sym), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("lab"))
+    }
+    var forest = f.filter(lit(false)).localCheckpoint()
+    var round = 0
+    var done = false
+    while (round < MstRounds && !done) {
+      val lab = labelsOf(forest)
+      val cand = f
+        .join(lab.select(col("id").as("a"), col("lab").as("la")), Seq("a"))
+        .join(lab.select(col("id").as("b"), col("lab").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+      val both = cand
+        .select(col("la").as("comp"), col("a"), col("b"), col("sup"))
+        .union(cand
+          .select(col("lb").as("comp"), col("a"), col("b"), col("sup")))
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("sup").desc, col("a"), col("b"))
+      val picks = both.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a"), col("b"), col("sup")).distinct()
+        .localCheckpoint()
+      done = picks.head(1).isEmpty
+      if (!done) forest = forest.union(picks).localCheckpoint()
+      round += 1
+    }
+    val labF = labelsOf(forest)
+    val cross = f
+      .join(labF.select(col("id").as("a"), col("lab").as("la")), Seq("a"))
+      .join(labF.select(col("id").as("b"), col("lab").as("lb")), Seq("b"))
+      .filter(col("la") =!= col("lb"))
+      .agg(count(lit(1)).as("n_crossing"))
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val nc = labF.agg(countDistinct(col("lab")).as("n_components"))
+    forest.agg(count(lit(1)).as("n_mst_edges"),
+        coalesce(sum(col("sup")), lit(0L)).as("total_weight"))
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(cross))
+      .select(col("n_nodes"), col("n_components"), col("n_mst_edges"),
+        col("total_weight"), (col("n_crossing") === 0L).as("converged"))
+  }
+
+  /** One recursive transitive-closure CTE per Borůvka round (the
+    * [[qComponentSizesOracle]] labeling), candidate/pick CTEs between;
+    * the pick window uses the identical strict total order.
+    */
+  val qMstBoruvkaOracle: String = {
+    val rounds = (0 until MstRounds).map { r =>
+      s"""sym$r AS (
+         |  SELECT a AS src, b AS dst FROM forest$r
+         |  UNION ALL SELECT b, a FROM forest$r
+         |),
+         |reach$r(id, rr) AS (
+         |  SELECT DISTINCT src, src FROM sym$r
+         |  UNION
+         |  SELECT sym$r.dst, reach$r.rr FROM sym$r
+         |  JOIN reach$r ON sym$r.src = reach$r.id
+         |),
+         |lab$r AS (
+         |  SELECT n.id, COALESCE(c.lab, n.id) AS lab
+         |  FROM nodes n LEFT JOIN
+         |    (SELECT id, min(rr) AS lab FROM reach$r GROUP BY id) c
+         |    ON c.id = n.id
+         |),
+         |cand$r AS (
+         |  SELECT la.lab AS comp, f.a, f.b, f.sup
+         |  FROM f JOIN lab$r la ON la.id = f.a
+         |  JOIN lab$r lb ON lb.id = f.b
+         |  WHERE la.lab != lb.lab
+         |  UNION ALL
+         |  SELECT lb.lab, f.a, f.b, f.sup
+         |  FROM f JOIN lab$r la ON la.id = f.a
+         |  JOIN lab$r lb ON lb.id = f.b
+         |  WHERE la.lab != lb.lab
+         |),
+         |picks$r AS (
+         |  SELECT DISTINCT a, b, sup FROM (
+         |    SELECT a, b, sup,
+         |      row_number() OVER (PARTITION BY comp
+         |        ORDER BY sup DESC, a, b) AS rn
+         |    FROM cand$r
+         |  ) WHERE rn = 1
+         |),
+         |forest${r + 1} AS MATERIALIZED (
+         |  SELECT a, b, sup FROM forest$r
+         |  UNION ALL SELECT a, b, sup FROM picks$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    val R = MstRounds
+    s"""WITH RECURSIVE f AS MATERIALIZED (
+       |  SELECT least(c_nationkey, s_nationkey) AS a,
+       |    greatest(c_nationkey, s_nationkey) AS b, count(*) AS sup
+       |  FROM orders
+       |  JOIN lineitem ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE c_nationkey != s_nationkey
+       |  GROUP BY 1, 2
+       |),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT a AS id FROM f UNION ALL SELECT b FROM f
+       |  )
+       |),
+       |forest0 AS (SELECT a, b, sup FROM f WHERE FALSE),
+       |$rounds,
+       |symF AS (
+       |  SELECT a AS src, b AS dst FROM forest$R
+       |  UNION ALL SELECT b, a FROM forest$R
+       |),
+       |reachF(id, rr) AS (
+       |  SELECT DISTINCT src, src FROM symF
+       |  UNION
+       |  SELECT symF.dst, reachF.rr FROM symF
+       |  JOIN reachF ON symF.src = reachF.id
+       |),
+       |labF AS (
+       |  SELECT n.id, COALESCE(c.lab, n.id) AS lab
+       |  FROM nodes n LEFT JOIN
+       |    (SELECT id, min(rr) AS lab FROM reachF GROUP BY id) c
+       |    ON c.id = n.id
+       |),
+       |cross_cnt AS (
+       |  SELECT count(*) AS n_crossing
+       |  FROM f JOIN labF la ON la.id = f.a
+       |  JOIN labF lb ON lb.id = f.b
+       |  WHERE la.lab != lb.lab
+       |),
+       |agg AS (
+       |  SELECT count(*) AS n_mst_edges,
+       |    COALESCE(CAST(sum(sup) AS BIGINT), 0) AS total_weight
+       |  FROM forest$R
+       |),
+       |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       |nc AS (SELECT count(DISTINCT lab) AS n_components FROM labF)
+       |SELECT n_nodes, n_components, n_mst_edges, total_weight,
+       |  (n_crossing = 0) AS converged
+       |FROM agg CROSS JOIN nn CROSS JOIN nc CROSS JOIN cross_cnt"""
+      .stripMargin
   }
 }

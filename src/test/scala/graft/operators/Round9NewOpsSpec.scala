@@ -126,6 +126,16 @@ class Round9NewOpsSpec extends SparkSpec {
     assert(r.getBoolean(3) == (a2s > 0.752))
   }
 
+  test("mst boruvka: spanning forest invariants hold") {
+    val r = Graph.qMstBoruvka(spark, sf001).collect().head
+    val (nn, nc, ne, w) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(r.getBoolean(4), "bounded rounds must span the trade graph")
+    // forest identity: components + edges = nodes (acyclicity certificate)
+    assert(nc + ne == nn)
+    assert(w > 0 && ne < nn)
+  }
+
   test("hodges-lehmann: pair count exact, shift inside the difference range") {
     val r = Inference.qHodgesLehmann(spark, sf001).collect().head
     val docs = Tables.documents(spark, sf001)
