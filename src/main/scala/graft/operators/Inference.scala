@@ -955,4 +955,132 @@ object Inference {
        |)
        |SELECT max(tw) AS n_pairs, min(d) AS hl_shift
        |FROM cum WHERE cw * 2 >= tw""".stripMargin
+
+  // --------------------------------------------- Jonckheere–Terpstra
+
+  /** Jonckheere–Terpstra ordered-alternative test: does order value
+    * (price band) trend UPWARD across the ordered priority classes? The
+    * k-sample test with the ordering BUILT IN — Kruskal–Wallis asks
+    * "any difference", JT asks "monotone in the given group order" and
+    * buys its power from that (the complement of [[Temporal]]'s Page L,
+    * which needs blocks). J = Σ_{g<h} [#(x_g<x_h) + ½#(x_g=x_h)] over
+    * all between-group pairs, normal-approximated with the standard
+    * tie-corrected variance (Hollander–Wolfe). Engine: observations
+    * collapse to the ≤|bands|×k grid (price quantized to 1k-bands), so
+    * the pair "space" is a 10-pair-of-groups × grid join, never a row
+    * pair; 2J stays an exact integer (2·c_h·below_g + c_h·c_g); the
+    * variance terms are single double products of exact integer
+    * aggregates in one literal order. z ranks by exact integers; p is
+    * the shared portable normal.
+    */
+  def qJonckheere(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("g"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bands = cells.select(col("v")).distinct()
+    val grps = cells.select(col("g")).distinct()
+    val grid = grps.crossJoin(bands)
+      .join(cells, Seq("g", "v"), "left")
+      .withColumn("c0", coalesce(col("c"), lit(0L)))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("below", sum(col("c0")).over(wcum) - col("c0"))
+      .localCheckpoint()
+    val j2 = cum.select(col("g").as("gl"), col("v"),
+        col("c0").as("cg"), col("below").as("belowg"))
+      .join(cum.select(col("g").as("gh"), col("v"), col("c0").as("ch")),
+        Seq("v"))
+      .filter(col("gl") < col("gh"))
+      .agg(sum(lit(2L) * col("ch") * col("belowg")
+        + col("ch") * col("cg")).as("j2"))
+    val gm = cells.groupBy(col("g")).agg(sum(col("c")).as("ni"))
+      .agg(count(lit(1)).as("k"), sum(col("ni")).as("n"),
+        sum(col("ni") * col("ni")).as("sn2"),
+        sum(col("ni").cast("double") * (col("ni") - 1) * (col("ni") * 2 + 5))
+          .as("sn25"),
+        sum(col("ni").cast("double") * (col("ni") - 1) * (col("ni") - 2))
+          .as("sn3"),
+        sum(col("ni").cast("double") * (col("ni") - 1)).as("snn"))
+    val tm = cells.groupBy(col("v")).agg(sum(col("c")).as("tj"))
+      .agg(sum(col("tj").cast("double") * (col("tj") - 1) * (col("tj") * 2 + 5))
+          .as("st25"),
+        sum(col("tj").cast("double") * (col("tj") - 1) * (col("tj") - 2))
+          .as("st3"),
+        sum(col("tj").cast("double") * (col("tj") - 1)).as("stt"))
+    val m = j2.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("j", col("j2").cast("double") / 2)
+      .withColumn("ej",
+        (col("nd") * col("nd") - col("sn2").cast("double")) / 4)
+      .withColumn("varj",
+        (col("nd") * (col("nd") - 1) * (col("nd") * 2 + 5)
+          - col("sn25") - col("st25")) / 72
+          + col("sn3") * col("st3")
+            / (col("nd") * 36 * (col("nd") - 1) * (col("nd") - 2))
+          + col("snn") * col("stt") / (col("nd") * 8 * (col("nd") - 1)))
+      .withColumn("z", (col("j") - col("ej")) / sqrt(col("varj")))
+    m.select(col("n").as("n_orders"), col("k").as("n_groups"),
+      NumFns.roundPortable(col("j"), 1).as("jt_stat"),
+      NumFns.roundPortable(col("ej"), 1).as("jt_mean"),
+      NumFns.roundPortable(col("z"), 6).as("z"),
+      NumFns.roundPortable(NumFns.normTwoSidedP(col("z")), 6).as("p_value"))
+  }
+
+  val qJonckheereOracle: String = {
+    val varj =
+      "(nd * (nd - 1) * (2 * nd + 5) - sn25 - st25) / 72" +
+      " + sn3 * st3 / (36 * nd * (nd - 1) * (nd - 2))" +
+      " + snn * stt / (8 * nd * (nd - 1))"
+    val z = s"((j2 / 2 - (nd * nd - sn2) / 4) / sqrt($varj))"
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS v,
+       |    count(*) AS c
+       |  FROM orders GROUP BY 1, 2
+       |),
+       |grid AS (
+       |  SELECT gg.g, bb.v, COALESCE(c.c, 0) AS c0
+       |  FROM (SELECT DISTINCT g FROM cells) gg
+       |  CROSS JOIN (SELECT DISTINCT v FROM cells) bb
+       |  LEFT JOIN cells c ON c.g = gg.g AND c.v = bb.v
+       |),
+       |cum AS (
+       |  SELECT g, v, c0,
+       |    sum(c0) OVER (PARTITION BY g ORDER BY v) - c0 AS below
+       |  FROM grid
+       |),
+       |j AS (
+       |  SELECT CAST(sum(2 * h.c0 * l.below + h.c0 * l.c0) AS DOUBLE) AS j2
+       |  FROM cum l JOIN cum h ON l.v = h.v AND l.g < h.g
+       |),
+       |gm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(ni) AS BIGINT) AS n,
+       |    CAST(sum(ni * ni) AS DOUBLE) AS sn2,
+       |    sum(CAST(ni AS DOUBLE) * (ni - 1) * (2 * ni + 5)) AS sn25,
+       |    sum(CAST(ni AS DOUBLE) * (ni - 1) * (ni - 2)) AS sn3,
+       |    sum(CAST(ni AS DOUBLE) * (ni - 1)) AS snn
+       |  FROM (SELECT g, CAST(sum(c) AS BIGINT) AS ni FROM cells GROUP BY g)
+       |),
+       |tm AS (
+       |  SELECT
+       |    sum(CAST(tj AS DOUBLE) * (tj - 1) * (2 * tj + 5)) AS st25,
+       |    sum(CAST(tj AS DOUBLE) * (tj - 1) * (tj - 2)) AS st3,
+       |    sum(CAST(tj AS DOUBLE) * (tj - 1)) AS stt
+       |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS tj FROM cells GROUP BY v)
+       |),
+       |m AS (
+       |  SELECT n, k, j2, CAST(n AS DOUBLE) AS nd, sn2, sn25, sn3, snn,
+       |    st25, st3, stt
+       |  FROM j, gm, tm
+       |)
+       |SELECT n AS n_orders, k AS n_groups,
+       |  ${NumFns.roundPortableSql("j2 / 2", 1)} AS jt_stat,
+       |  ${NumFns.roundPortableSql("(nd * nd - sn2) / 4", 1)} AS jt_mean,
+       |  ${NumFns.roundPortableSql(z, 6)} AS z,
+       |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql(z), 6)} AS p_value
+       |FROM m""".stripMargin
+  }
 }

@@ -136,6 +136,17 @@ class Round9NewOpsSpec extends SparkSpec {
     assert(w > 0 && ne < nn)
   }
 
+  test("jonckheere: J bounded by the total pair space, mean at its center") {
+    val r = Inference.qJonckheere(spark, sf001).collect().head
+    val n = r.getLong(0)
+    val (j, ej) = (r.getDouble(2), r.getDouble(3))
+    // J counts between-group pairs: 0 ≤ J ≤ C(n,2); E[J] is its center
+    assert(j >= 0 && j <= n * (n - 1) / 2.0)
+    assert(ej > 0 && ej < n * (n - 1) / 2.0)
+    val p = r.getDouble(5)
+    assert(p >= 0 && p <= 1)
+  }
+
   test("hodges-lehmann: pair count exact, shift inside the difference range") {
     val r = Inference.qHodgesLehmann(spark, sf001).collect().head
     val docs = Tables.documents(spark, sf001)
