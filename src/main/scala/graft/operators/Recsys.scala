@@ -326,7 +326,12 @@ object Recsys {
     * both are the item_cf pair-join shape (Σ C(b,2) bounded), shuffled
     * as bare key/long rows via shuffle_hash; the error rollup is a
     * one-row moment aggregate. MAE/RMSE on the in-sample predictions
-    * plus coverage complete the eval card.
+    * plus coverage complete the eval card. The pair self-join runs
+    * TWICE on purpose: checkpointing the shared 11M-row pair sliver
+    * measured 6.2s → 13.1s at sf0.1 (the r5 lesson again — block
+    * traffic for a codegen-fused join's output costs more than
+    * recomputing it), so each consumer recomputes from the checkpointed
+    * incidence frame.
     */
   def qSlopeOne(s: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
