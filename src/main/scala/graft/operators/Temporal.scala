@@ -2586,10 +2586,17 @@ object Temporal {
       ssr(a2, b2, c2, n(true)).as("s2"))
     val f = ((col("sp") - col("s1") - col("s2")) / 2.0) /
       ((col("s1") + col("s2")) / (col("n1") + col("n2") - 4))
+    // emit INTENSIVE error scales, not raw SSRs: the SSR is dollars²
+    // summed over the fact (grows with sf², 1.2e19 at sf1 — past the
+    // 2^52 bound roundPortable needs), while the per-day RMSE grows
+    // only linearly with data density and survives any realistic scale
     wide.select(col("n1").cast("long").as("n_pre"),
         col("n2").cast("long").as("n_post"),
-        NumFns.roundPortable(col("sp"), 2).as("ssr_pooled"),
-        NumFns.roundPortable(col("s1") + col("s2"), 2).as("ssr_split"),
+        NumFns.roundPortable(
+          sqrt(col("sp") / (col("n1") + col("n2"))), 4).as("rmse_pooled"),
+        NumFns.roundPortable(
+          sqrt((col("s1") + col("s2")) / (col("n1") + col("n2"))), 4)
+          .as("rmse_split"),
         NumFns.roundPortable(f, 4).as("f_stat"))
       .withColumn("structural_break", col("f_stat") > 3.0)
   }
@@ -2643,15 +2650,19 @@ object Temporal {
        |),
        |r AS (
        |  SELECT n_pre, n_post,
-       |    ${NumFns.roundPortableSql("sp", 2)} AS ssr_pooled,
-       |    ${NumFns.roundPortableSql("s1 + s2", 2)} AS ssr_split,
+       |    ${NumFns.roundPortableSql(
+              "sqrt(sp / (CAST(n_pre AS DOUBLE) + n_post))", 4)}
+       |      AS rmse_pooled,
+       |    ${NumFns.roundPortableSql(
+              "sqrt((s1 + s2) / (CAST(n_pre AS DOUBLE) + n_post))", 4)}
+       |      AS rmse_split,
        |    ${NumFns.roundPortableSql(
               "((sp - s1 - s2) / 2.0)" +
                 " / ((s1 + s2) / (CAST(n_pre AS DOUBLE) + n_post - 4))",
               4)} AS f_stat
        |  FROM sr
        |)
-       |SELECT n_pre, n_post, ssr_pooled, ssr_split, f_stat,
+       |SELECT n_pre, n_post, rmse_pooled, rmse_split, f_stat,
        |  f_stat > 3.0 AS structural_break
        |FROM r""".stripMargin
   }
