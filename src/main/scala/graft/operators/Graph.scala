@@ -126,7 +126,7 @@ object Graph {
   }
 
   val qTriangleCountOracle: String =
-    """WITH e AS (
+    """WITH e AS MATERIALIZED (
       |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
       |    greatest(c_nationkey, s_nationkey) AS b
       |  FROM orders
@@ -508,7 +508,7 @@ object Graph {
   }
 
   val qClusteringCoeffOracle: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
        |    greatest(c_nationkey, s_nationkey) AS b
        |  FROM orders
@@ -585,7 +585,7 @@ object Graph {
   }
 
   val qModularityOracle: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
        |    greatest(c_nationkey, s_nationkey) AS b
        |  FROM orders
@@ -1093,8 +1093,33 @@ object Graph {
       .orderBy(col("size"))
   }
 
-  val qComponentSizesOracle: String =
-    s"""WITH RECURSIVE li AS MATERIALIZED (
+  /** Oracle label-propagation rounds: min-label + pointer-jump doubles
+    * the effective reach per round, so 12 rounds cover any component of
+    * diameter ≤ 2¹² — far past anything a co-occurrence graph produces
+    * (the Spark side iterates to the TRUE fixpoint, so an unconverged
+    * oracle would fail the gate, not silently agree). r9: the previous
+    * recursive-CTE transitive closure was O(V·E) — it enumerated every
+    * (node, reachable-root) pair, which on the sf1 co-supply graph
+    * (10k suppliers, ~4·10⁷ edges, near-complete) never finished.
+    */
+  val CcOracleRounds = 12
+
+  val qComponentSizesOracle: String = {
+    val rounds = (1 to CcOracleRounds).map { r =>
+      s"""hop$r AS MATERIALIZED (
+         |  SELECT id, min(lab) AS lab FROM (
+         |    SELECT id, lab FROM lab${r - 1}
+         |    UNION ALL
+         |    SELECT ed.sb AS id, l.lab FROM ed JOIN lab${r - 1} l
+         |      ON ed.sa = l.id
+         |  ) GROUP BY id
+         |),
+         |lab$r AS MATERIALIZED (
+         |  SELECT h.id, least(h.lab, coalesce(h2.lab, h.lab)) AS lab
+         |  FROM hop$r h LEFT JOIN hop$r h2 ON h.lab = h2.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS MATERIALIZED (
        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem
        |),
        |fan AS (
@@ -1105,13 +1130,14 @@ object Graph {
        |  FROM li a JOIN li b ON a.p = b.p AND a.su < b.su
        |  WHERE a.p IN (SELECT p FROM fan)
        |),
-       |ed AS (SELECT sa, sb FROM pr UNION ALL SELECT sb, sa FROM pr),
-       |reach(id, r) AS (
-       |  SELECT DISTINCT sa, sa FROM ed
-       |  UNION
-       |  SELECT ed.sb, reach.r FROM ed JOIN reach ON ed.sa = reach.id
+       |ed AS MATERIALIZED (
+       |  SELECT sa, sb FROM pr UNION ALL SELECT sb, sa FROM pr
        |),
-       |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+       |lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT sa AS id, sa AS lab FROM ed
+       |),
+       |$rounds,
+       |cl AS (SELECT id, lab AS cluster FROM lab$CcOracleRounds),
        |sz AS (SELECT cluster, count(*) AS szv FROM cl GROUP BY cluster),
        |hist AS (SELECT szv, count(*) AS n_components FROM sz GROUP BY szv),
        |tot AS (
@@ -1125,6 +1151,7 @@ object Graph {
             "CAST(giant AS DOUBLE) / n_all", 6)} AS giant_share
        |FROM hist CROSS JOIN tot
        |ORDER BY size""".stripMargin
+  }
 
   /** Truss order for [[qKtruss]]: every surviving edge sits in at least
     * TrussK − 2 triangles among surviving edges.
