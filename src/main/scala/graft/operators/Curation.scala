@@ -800,8 +800,13 @@ object Curation {
       .drop("lo_rank", "hi_rank")
       .join(broadcast(cells.select(col("gv").as("v_hi"), col("lo_rank"), col("hi_rank"))),
         (col("lo") + 1).between(col("lo_rank"), col("hi_rank")), "left")
-      .select(col("doc_id"), col("source"), col("n_chars"), round(col("p"), 6).as("src_pct"),
-        round(col("v_lo") + col("frac") *
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        // roundPortable, NOT built-in round: at sf1 the (r−1)/(n−1)
+        // grid is dense enough to land on 6th-decimal half boundaries,
+        // where Spark's decimal-repr rounding and the oracle's binary
+        // rounding disagree (3 of 50k rows)
+        NumFns.roundPortable(col("p"), 6).as("src_pct"),
+        NumFns.roundPortable(col("v_lo") + col("frac") *
           (coalesce(col("v_hi"), col("v_lo")) - col("v_lo")), 4).as("norm_chars"))
       .orderBy(col("doc_id"))
   }
@@ -871,7 +876,7 @@ object Curation {
        |ORDER BY n_tokens DESC, source""".stripMargin
 
   val qQuantileNormOracle: String =
-    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    s"""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
       |ns AS (SELECT source, count(*) AS n_src FROM d GROUP BY source),
       |tot AS (SELECT count(*) AS n_all FROM d),
       |cells AS (
@@ -902,8 +907,9 @@ object Curation {
       |    CAST(floor(h) AS BIGINT) AS lo, h - CAST(floor(h) AS BIGINT) AS frac
       |  FROM y
       |)
-      |SELECT z.doc_id, z.source, z.n_chars, round(z.p, 6) AS src_pct,
-      |  round(a.gv + z.frac * (coalesce(b.gv, a.gv) - a.gv), 4) AS norm_chars
+      |SELECT z.doc_id, z.source, z.n_chars,
+      |  ${NumFns.roundPortableSql("z.p", 6)} AS src_pct,
+      |  ${NumFns.roundPortableSql("a.gv + z.frac * (coalesce(b.gv, a.gv) - a.gv)", 4)} AS norm_chars
       |FROM z
       |JOIN cl a ON z.lo BETWEEN a.lo_rank AND a.hi_rank
       |LEFT JOIN cl b ON (z.lo + 1) BETWEEN b.lo_rank AND b.hi_rank
