@@ -59,13 +59,20 @@ object NumFns {
   def noNegZeroSql(x: String): String =
     s"(CASE WHEN ($x) = 0 THEN CAST(0.0 AS DOUBLE) ELSE ($x) END)"
 
-  /** Order-independent `round(avg(x), digits)`: exact decimal sum ÷ n. */
+  /** Order-independent `round(avg(x), digits)`: exact decimal sum ÷ n.
+    * The final rounding is [[roundPortable]], NOT the engines' built-in
+    * `round(x, d)` — Spark rounds the shortest DECIMAL representation
+    * while DuckDB rounds the BINARY value, and at sf1 the q_pinball_loss
+    * mean landed exactly on a 6th-decimal half boundary where the two
+    * disagree by one final digit (r9). Requires |mean|·10^digits < 2^52
+    * — every consumer's mean is a per-row average, far inside that.
+    */
   def stableMean(x: Column, n: Column, digits: Int): Column =
-    noNegZero(round(sum(x.cast(D)).cast("double") / n, digits))
+    roundPortable(sum(x.cast(D)).cast("double") / n, digits)
 
   def stableMeanSql(x: String, n: String, digits: Int): String =
-    noNegZeroSql(
-      s"round(CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / $n, $digits)")
+    roundPortableSql(
+      s"CAST(sum(CAST($x AS DECIMAL(38,12))) AS DOUBLE) / $n", digits)
 
   /** EXACT round-half-away-from-zero of a double to a long — the same
     * value Spark's `round(x, 0)` and DuckDB's `round(x)` produce, but

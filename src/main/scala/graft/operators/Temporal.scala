@@ -2001,27 +2001,40 @@ object Temporal {
     val test = cells.filter(col("day") >= cut)
     val qs = Analytics.exactPercentiles(train, "r_name", "rev_cents",
       PinballTaus.map { case (name, p) => p -> name })
+    // EXACT integer loss: τ = k/10 and qhat has ≤4 decimals, so
+    // 10·10⁴·L = max(k·d4, (k−10)·d4) with d4 = 10⁴·cents − round(10⁴·qhat)
+    // is an exact int64 — the double form (t·diff summed through a
+    // decimal cast) put the sf1 ASIA/p90 MEAN exactly on a 6th-decimal
+    // half boundary, where the engines' per-row double→DECIMAL casts
+    // disagreed by an ulp and flipped the emitted digit (r9)
     val melted = test.join(broadcast(qs), Seq("r_name"))
       .select(col("r_name"), col("rev_cents"),
         explode(array(PinballTaus.map { case (name, p) =>
-          struct(lit(name).as("tau"), lit(p).as("t"), col(name).as("qhat"))
+          struct(lit(name).as("tau"),
+            lit(math.round(p * 10).toInt).as("k"),
+            NumFns.roundAwayLong(col(name) * 1e4).as("q4"))
         }: _*)).as("x"))
       .select(col("r_name"), col("rev_cents"), col("x.tau").as("tau"),
-        col("x.t").as("t"), col("x.qhat").as("qhat"))
-    val diff = col("rev_cents") - col("qhat")
+        col("x.k").as("k"), col("x.q4").as("q4"))
+    val d4 = col("rev_cents") * 10000L - col("q4")
     melted
-      .withColumn("loss", greatest(col("t") * diff, (col("t") - 1) * diff))
+      .withColumn("loss_s", greatest(col("k") * d4, (col("k") - 10) * d4))
       .groupBy(col("r_name"), col("tau"))
       .agg(count(lit(1)).as("n_test"),
-        NumFns.roundPortable(max(col("qhat")) / 100.0, 4).as("q_forecast"),
-        NumFns.stableMean(col("loss") / 100.0, count(lit(1)), 6).as("pinball"))
+        NumFns.roundPortable(max(col("q4")).cast("double") / 1e6, 4)
+          .as("q_forecast"),
+        NumFns.roundPortable(
+          sum(col("loss_s").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / 1e7 / count(lit(1)), 6).as("pinball"))
       .orderBy(col("r_name"), col("tau"))
   }
 
   val qPinballLossOracle: String = {
     val melt = PinballTaus.map { case (name, p) =>
-      s"""SELECT te.r_name, te.rev_cents, '$name' AS tau, $p AS t,
-         |    q.$name AS qhat FROM te JOIN q USING (r_name)""".stripMargin
+      s"""SELECT te.r_name, te.rev_cents, '$name' AS tau,
+         |    ${math.round(p * 10).toInt} AS k,
+         |    CAST(round(q.$name * 1e4) AS BIGINT) AS q4
+         |  FROM te JOIN q USING (r_name)""".stripMargin
     }.mkString("\n|  UNION ALL\n|  ")
     val qCols = PinballTaus.map { case (name, p) =>
       s"round(quantile_cont(rev_cents, $p), 4) AS $name" }.mkString(", ")
@@ -2046,13 +2059,16 @@ object Temporal {
        |),
        |l AS (
        |  SELECT r_name, tau,
-       |    greatest(t * (rev_cents - qhat), (t - 1) * (rev_cents - qhat))
-       |      AS loss, qhat
+       |    greatest(k * (rev_cents * 10000 - q4),
+       |      (k - 10) * (rev_cents * 10000 - q4)) AS loss_s, q4
        |  FROM m
        |)
        |SELECT r_name, tau, count(*) AS n_test,
-       |  ${NumFns.roundPortableSql("max(qhat) / 100.0", 4)} AS q_forecast,
-       |  ${NumFns.stableMeanSql("loss / 100.0", "count(*)", 6)} AS pinball
+       |  ${NumFns.roundPortableSql("CAST(max(q4) AS DOUBLE) / 1e6", 4)}
+       |    AS q_forecast,
+       |  ${NumFns.roundPortableSql(
+            "CAST(sum(CAST(loss_s AS HUGEINT)) AS DOUBLE) / 1e7 / count(*)",
+            6)} AS pinball
        |FROM l
        |GROUP BY r_name, tau
        |ORDER BY r_name, tau""".stripMargin
