@@ -149,4 +149,56 @@ object NumFns {
     s"(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t" +
       s" - 0.284496736) * $t + 0.254829592) * $t * exp(-($x * $x)))"
   }
+
+  /** Standard normal CDF from the SAME A&S literal as
+    * [[normTwoSidedP]]: Φ(z) = 1 − p/2 for z ≥ 0, p/2 otherwise.
+    */
+  def normCdf(z: Column): Column =
+    when(z >= 0, lit(1.0) - normTwoSidedP(z) / 2)
+      .otherwise(normTwoSidedP(z) / 2)
+
+  def normCdfSql(z: String): String =
+    s"(CASE WHEN ($z) >= 0 THEN 1.0 - ${normTwoSidedPSql(z)} / 2" +
+      s" ELSE ${normTwoSidedPSql(z)} / 2 END)"
+
+  /** Standard normal density, identical literal 1/√(2π). */
+  def normPdf(z: Column): Column =
+    lit(0.3989422804014327) * exp(-(z * z) / 2)
+
+  def normPdfSql(z: String): String =
+    s"(0.3989422804014327 * exp(-(($z) * ($z)) / 2))"
+
+  /** Crude normal-quantile START for the Newton refinement (A&S
+    * 26.2.22, |ε| < 3e-3): for q = min(p, 1−p) and t = √(−2 ln q),
+    * x = t − (2.30753 + 0.27061t)/(1 + 0.99229t + 0.04481t²), signed
+    * by which tail p is in. NEVER use this alone — always through
+    * the stepwise Newton columns (see q_fligner_killeen), which
+    * converge it against [[normCdf]] so both engines land on the
+    * identical double.
+    */
+  def normQuantileStart(p: Column): Column = {
+    val q = least(p, lit(1.0) - p)
+    val t = sqrt(lit(-2.0) * log(q))
+    val x = t - (lit(2.30753) + lit(0.27061) * t) /
+      (lit(1.0) + lit(0.99229) * t + lit(0.04481) * t * t)
+    when(p >= 0.5, x).otherwise(-x)
+  }
+
+  def normQuantileStartSql(p: String): String = {
+    val q = s"least($p, 1.0 - ($p))"
+    val t = s"sqrt(-2.0 * ln($q))"
+    s"(CASE WHEN ($p) >= 0.5 THEN 1 ELSE -1 END * " +
+      s"($t - (2.30753 + 0.27061 * $t) / " +
+      s"(1.0 + 0.99229 * $t + 0.04481 * $t * $t)))"
+  }
+
+  /** One Newton step toward Φ(z) = p: z − (Φ(z) − p)/φ(z). Applied as
+    * successive named columns (never nested in one expression — the
+    * CDF literal would expand exponentially).
+    */
+  def normQuantileStep(z: Column, p: Column): Column =
+    z - (normCdf(z) - p) / normPdf(z)
+
+  def normQuantileStepSql(z: String, p: String): String =
+    s"(($z) - (${normCdfSql(z)} - ($p)) / ${normPdfSql(z)})"
 }

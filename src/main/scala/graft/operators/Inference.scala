@@ -1083,4 +1083,143 @@ object Inference {
        |  ${NumFns.roundPortableSql(NumFns.normTwoSidedPSql(z), 6)} AS p_value
        |FROM m""".stripMargin
   }
+
+  // ------------------------------------------------ Fligner–Killeen
+
+  /** Newton refinement steps for the portable normal quantile. */
+  val FkNewtonSteps = 5
+
+  /** χ² critical value at α = 0.05, df = 19 (20 sources − 1) — the
+    * same literal [[Profiling.MoodsCrit19]] gates Mood's test with.
+    */
+  val FkCrit19 = 30.14352720564616
+
+  /** Fligner–Killeen scale test across sources on document length —
+    * the RANK-based member completing the variance-test trio
+    * (q_bartlett: parametric, sharp under normality;
+    * [[Profiling.qLevene]]: Brown–Forsythe, robust location;
+    * Fligner–Killeen: normal-scores ranks, the most outlier-immune of
+    * the three and scipy's recommendation for non-normal data).
+    * Scores a(r) = Φ⁻¹((1 + r/(N+1))/2) over pooled midranks of
+    * |x − med_g|; X² = Σ n_g(ā_g − ā)²/V, df = k−1. Engine: |x−med_g|
+    * has ≤4 decimals (integer lengths, 4-decimal group medians), so
+    * the pooled sample collapses to ≤|groups|·|values| cells sharing
+    * one midrank and ONE score each; Φ⁻¹ is the A&S start + 
+    * [[FkNewtonSteps]] Newton steps against the engine-shared CDF
+    * literal, as STEPWISE named columns (z0..z5 — nesting the CDF
+    * would expand the literal exponentially); moments are
+    * DECIMAL-folded cell sums. No row is ever ranked, no partitionless
+    * window exceeds the value-cell domain.
+    */
+  def qFlignerKilleen(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val med = Analytics.exactPercentiles(docs, "source", "n_chars",
+      Seq(0.5 -> "med"))
+    val cells = docs.join(broadcast(med), Seq("source"))
+      .groupBy(col("source"), abs(col("n_chars") - col("med")).as("u"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // pooled midrank per value cell: value-domain window over u
+    val uc = cells.groupBy(col("u")).agg(sum(col("c")).as("cu"))
+      .withColumn("cum", sum(col("cu")).over(Window.orderBy(col("u"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r", (col("cum") - col("cu")).cast("double")
+        + (col("cu") + 1).cast("double") / 2)
+    val tot = uc.agg(sum(col("cu")).as("n"))
+    val scored0 = uc.crossJoin(broadcast(tot))
+      .withColumn("p", (lit(1.0) + col("r") / (col("n") + 1)) / 2)
+      .withColumn("z0", NumFns.normQuantileStart(col("p")))
+    val scored = (1 to FkNewtonSteps).foldLeft(scored0) { (df, i) =>
+      df.withColumn(s"z$i",
+        NumFns.normQuantileStep(col(s"z${i - 1}"), col("p")))
+    }.withColumn("a", col(s"z$FkNewtonSteps"))
+      .select(col("u"), col("a"), col("n"))
+    val withScores = cells.join(broadcast(scored), Seq("u"))
+    val grp = withScores.groupBy(col("source"))
+      .agg(sum(col("c")).as("ng"), sum((col("c") * col("a")).cast(D)).as("sa"))
+    val glob = withScores.agg(max(col("n")).as("n"),
+      sum((col("c") * col("a")).cast(D)).as("sat"),
+      sum((col("c") * col("a") * col("a")).cast(D)).as("saa"))
+    val j = grp.crossJoin(broadcast(glob))
+      .withColumn("abar", col("sat").cast("double") / col("n"))
+      .withColumn("dg", col("sa").cast("double") / col("ng") - col("abar"))
+    j.groupBy(col("n"), col("abar"), col("saa"))
+      .agg(count(lit(1)).as("k"),
+        sum((col("ng") * col("dg") * col("dg")).cast(D)).as("num"))
+      .select(col("k").as("n_sources"), col("n").as("n_docs"),
+        NumFns.roundPortable(
+          col("num").cast("double")
+            / ((col("saa").cast("double") - col("n") * col("abar") * col("abar"))
+              / (col("n") - 1)), 6).as("fk_stat"))
+      .withColumn("reject_equal_scale", col("fk_stat") > FkCrit19)
+  }
+
+  val qFlignerKilleenOracle: String = {
+    val newton = (1 to FkNewtonSteps).map { i =>
+      s"""nz$i AS (
+         |  SELECT u, cu, p, n,
+         |    ${NumFns.normQuantileStepSql(s"z${i - 1}", "p")} AS z$i
+         |  FROM nz${i - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH med AS (
+       |  SELECT source, round(quantile_cont(n_chars, 0.5), 4) AS med
+       |  FROM documents GROUP BY source
+       |),
+       |cells AS MATERIALIZED (
+       |  SELECT d.source, abs(d.n_chars - m.med) AS u, count(*) AS c
+       |  FROM documents d JOIN med m ON d.source = m.source
+       |  GROUP BY 1, 2
+       |),
+       |uc AS (
+       |  SELECT u, CAST(sum(c) AS BIGINT) AS cu FROM cells GROUP BY u
+       |),
+       |rk AS (
+       |  SELECT u, cu,
+       |    CAST(sum(cu) OVER (ORDER BY u) - cu AS DOUBLE)
+       |      + (cu + 1) / 2.0 AS r
+       |  FROM uc
+       |),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uc),
+       |nz0 AS (
+       |  SELECT u, cu, (1.0 + r / (n + 1)) / 2 AS p, n,
+       |    ${NumFns.normQuantileStartSql("((1.0 + r / (n + 1)) / 2)")} AS z0
+       |  FROM rk, tot
+       |),
+       |$newton,
+       |sc AS (SELECT u, z$FkNewtonSteps AS a, n FROM nz$FkNewtonSteps),
+       |ws AS (
+       |  SELECT cells.source, cells.c, sc.a, sc.n
+       |  FROM cells JOIN sc ON cells.u = sc.u
+       |),
+       |grp AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS ng,
+       |    sum(CAST(c * a AS DECIMAL(38,12))) AS sa
+       |  FROM ws GROUP BY source
+       |),
+       |gall AS (
+       |  SELECT max(n) AS n,
+       |    CAST(sum(CAST(c * a AS DECIMAL(38,12))) AS DOUBLE) AS sat,
+       |    CAST(sum(CAST(c * a * a AS DECIMAL(38,12))) AS DOUBLE) AS saa
+       |  FROM ws
+       |),
+       |j AS (
+       |  SELECT grp.ng,
+       |    CAST(grp.sa AS DOUBLE) / grp.ng - sat / n AS dg,
+       |    n, sat / n AS abar, saa
+       |  FROM grp, gall
+       |),
+       |ag AS (
+       |  SELECT n, abar, saa, count(*) AS k,
+       |    CAST(sum(CAST(ng * dg * dg AS DECIMAL(38,12))) AS DOUBLE) AS num
+       |  FROM j GROUP BY n, abar, saa
+       |)
+       |SELECT k AS n_sources, n AS n_docs,
+       |  ${NumFns.roundPortableSql(
+            "num / ((saa - n * abar * abar) / (n - 1))", 6)} AS fk_stat,
+       |  ${NumFns.roundPortableSql(
+            "num / ((saa - n * abar * abar) / (n - 1))", 6)} > $FkCrit19
+       |    AS reject_equal_scale
+       |FROM ag""".stripMargin
+  }
 }

@@ -147,6 +147,31 @@ class Round9NewOpsSpec extends SparkSpec {
     assert(p >= 0 && p <= 1)
   }
 
+  test("fligner-killeen: portable normal quantile inverts the shared CDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the Newton scheme must invert the engine's own Phi to ~1e-9 —
+    // spot-check over a grid including deep tails
+    val ps = Seq(0.001, 0.025, 0.2, 0.5, 0.7, 0.975, 0.999)
+    val df0 = ps.toDF("p").withColumn("z0",
+      graft.functions.NumFns.normQuantileStart(col("p")))
+    val zN = (1 to Inference.FkNewtonSteps).foldLeft(df0) { (df, i) =>
+      df.withColumn(s"z$i",
+        graft.functions.NumFns.normQuantileStep(col(s"z${i - 1}"), col("p")))
+    }.withColumn("back",
+      graft.functions.NumFns.normCdf(col(s"z${Inference.FkNewtonSteps}")))
+    // 5e-9, not machine precision: the A&S 7.1.26 coefficients sum to
+    // 1 − 1e-9, so the shared CDF literal itself is discontinuous by
+    // ~1e-9 at z = 0 — the inversion cannot beat the function's own gap
+    zN.select(col("p"), col("back")).collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 5e-9,
+        s"Phi(qnorm(p)) != p at ${r.getDouble(0)}")
+    }
+    val fk = Inference.qFlignerKilleen(spark, sf001).collect().head
+    assert(fk.getLong(0) == 20 && fk.getDouble(2) >= 0.0)
+    assert(fk.getBoolean(3) == (fk.getDouble(2) > Inference.FkCrit19))
+  }
+
   test("hodges-lehmann: pair count exact, shift inside the difference range") {
     val r = Inference.qHodgesLehmann(spark, sf001).collect().head
     val docs = Tables.documents(spark, sf001)
