@@ -1222,4 +1222,114 @@ object Inference {
        |    AS reject_equal_scale
        |FROM ag""".stripMargin
   }
+
+  // ------------------------------------------------------------ TOST
+
+  /** Relative equivalence margin: δ = 5% of the pooled mean. */
+  val TostMarginShare = 0.05
+
+  /** TOST equivalence test of mean event value between the two
+    * user-parity arms, per event type — the inference DIRECTION the
+    * A/B family lacked: q_ab_conversion / q_welch_ttest ask "is B
+    * better?", TOST asks "are A and B the SAME within δ?" (the
+    * regulatory / do-no-harm question a failed superiority test does
+    * NOT answer). Two one-sided Welch z-tests against ±δ (δ =
+    * [[TostMarginShare]] of the pooled mean, derived deterministically
+    * from the same quantized moments); equivalence ⇔ max(p₁, p₂) < .05.
+    * Engine: one events scan → per-(type, arm) quantized-integer
+    * moments (map-side combined); every emitted double is one literal
+    * formula of exact integers; one-sided p's from the shared portable
+    * normal split by the sign branch both engines spell identically.
+    */
+  def qTostEquivalence(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      (pmod(col("user_id"), lit(2L)) === 1L).as("arm"),
+      NumFns.roundAwayLong(col("value") * 1e6).as("vq"))
+    val m = ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("arm"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm"), col("vq")).otherwise(0L).cast(D0)).as("sb"),
+        sum(when(!col("arm"), col("vq")).otherwise(0L).cast(D0)).as("sa"),
+        sum(when(col("arm"), col("vq").cast("double") * col("vq"))
+          .otherwise(0.0).cast(D)).as("sbb"),
+        sum(when(!col("arm"), col("vq").cast("double") * col("vq"))
+          .otherwise(0.0).cast(D)).as("saa"))
+      .select(col("event_type"),
+        col("na").cast("double").as("na"), col("nb").cast("double").as("nb"),
+        col("sa").cast("double").as("sa"), col("sb").cast("double").as("sb"),
+        col("saa").cast("double").as("saa"), col("sbb").cast("double").as("sbb"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("saa") - col("na") * ma * ma) / (col("na") - 1)
+    val vb = (col("sbb") - col("nb") * mb * mb) / (col("nb") - 1)
+    val se = sqrt(va / col("na") + vb / col("nb"))
+    val diff = mb - ma
+    val delta = (lit(TostMarginShare) * (col("sa") + col("sb"))
+      / (col("na") + col("nb")))
+    def pUpper(t: org.apache.spark.sql.Column) = // one-sided P(Z > t)
+      when(t >= 0, NumFns.normTwoSidedP(t) / 2)
+        .otherwise(lit(1.0) - NumFns.normTwoSidedP(t) / 2)
+    val p1 = pUpper((diff + delta) / se)          // H0: diff ≤ −δ
+    val p2 = pUpper((delta - diff) / se)          // H0: diff ≥ +δ
+    val pT = greatest(p1, p2)
+    m.select(col("event_type"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        NumFns.roundPortable(diff / 1e6, 6).as("diff"),
+        NumFns.roundPortable(delta / 1e6, 6).as("margin"),
+        NumFns.roundPortable(se / 1e6, 6).as("se"),
+        NumFns.roundPortable(pT, 6).as("p_tost"))
+      .withColumn("equivalent", col("p_tost") < 0.05)
+      .orderBy(col("event_type"))
+  }
+
+  val qTostEquivalenceOracle: String = {
+    def pUpper(t: String) =
+      s"(CASE WHEN ($t) >= 0 THEN ${NumFns.normTwoSidedPSql(t)} / 2" +
+        s" ELSE 1.0 - ${NumFns.normTwoSidedPSql(t)} / 2 END)"
+    val p1 = pUpper("((diff + delta) / se)")
+    val p2 = pUpper("((delta - diff) / se)")
+    s"""WITH b AS (
+       |  SELECT event_type, (user_id % 2 = 1) AS arm,
+       |    CAST(round(value * 1e6) AS BIGINT) AS vq
+       |  FROM events
+       |),
+       |m AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN arm THEN 0 ELSE 1 END) AS DOUBLE) AS na,
+       |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+       |    CAST(sum(CASE WHEN arm THEN 0 ELSE CAST(vq AS HUGEINT) END)
+       |      AS DOUBLE) AS sa,
+       |    CAST(sum(CASE WHEN arm THEN CAST(vq AS HUGEINT) ELSE 0 END)
+       |      AS DOUBLE) AS sb,
+       |    CAST(sum(CAST(CASE WHEN arm THEN 0.0
+       |      ELSE CAST(vq AS DOUBLE) * vq END AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS saa,
+       |    CAST(sum(CAST(CASE WHEN arm THEN CAST(vq AS DOUBLE) * vq
+       |      ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS sbb
+       |  FROM b GROUP BY event_type
+       |),
+       |c AS (
+       |  SELECT event_type, na, nb,
+       |    sb / nb - sa / na AS diff,
+       |    $TostMarginShare * (sa + sb) / (na + nb) AS delta,
+       |    sqrt(((saa - na * (sa / na) * (sa / na)) / (na - 1)) / na
+       |      + ((sbb - nb * (sb / nb) * (sb / nb)) / (nb - 1)) / nb) AS se
+       |  FROM m
+       |),
+       |f AS (
+       |  SELECT event_type, na, nb, diff, delta, se,
+       |    greatest($p1, $p2) AS pt
+       |  FROM c
+       |)
+       |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  ${NumFns.roundPortableSql("diff / 1e6", 6)} AS diff,
+       |  ${NumFns.roundPortableSql("delta / 1e6", 6)} AS margin,
+       |  ${NumFns.roundPortableSql("se / 1e6", 6)} AS se,
+       |  ${NumFns.roundPortableSql("greatest(" + p1 + ", " + p2 + ")", 6)}
+       |    AS p_tost,
+       |  ${NumFns.roundPortableSql("greatest(" + p1 + ", " + p2 + ")", 6)}
+       |    < 0.05 AS equivalent
+       |FROM f ORDER BY event_type""".stripMargin
+  }
 }

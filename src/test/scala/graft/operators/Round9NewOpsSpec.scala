@@ -172,6 +172,19 @@ class Round9NewOpsSpec extends SparkSpec {
     assert(fk.getBoolean(3) == (fk.getDouble(2) > Inference.FkCrit19))
   }
 
+  test("tost: equivalence verdict consistent, diff well inside the margin here") {
+    val rows = Inference.qTostEquivalence(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (diff, margin, p) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(6))
+      assert(margin > 0 && p >= 0 && p <= 1)
+      assert(r.getBoolean(7) == (p < 0.05))
+      // arms are a user-parity split of one distribution: |diff| < δ
+      assert(math.abs(diff) < margin, s"split drift exceeds margin: $r")
+    }
+  }
+
   test("hodges-lehmann: pair count exact, shift inside the difference range") {
     val r = Inference.qHodgesLehmann(spark, sf001).collect().head
     val docs = Tables.documents(spark, sf001)
