@@ -172,7 +172,7 @@ class Round9NewOpsSpec extends SparkSpec {
     assert(fk.getBoolean(3) == (fk.getDouble(2) > Inference.FkCrit19))
   }
 
-  test("tost: equivalence verdict consistent, diff well inside the margin here") {
+  test("tost: verdict consistent with p, and p honest about the margin") {
     val rows = Inference.qTostEquivalence(spark, sf001).collect()
     assert(rows.length == 5)
     rows.foreach { r =>
@@ -180,8 +180,11 @@ class Round9NewOpsSpec extends SparkSpec {
         (r.getDouble(3), r.getDouble(4), r.getDouble(6))
       assert(margin > 0 && p >= 0 && p <= 1)
       assert(r.getBoolean(7) == (p < 0.05))
-      // arms are a user-parity split of one distribution: |diff| < δ
-      assert(math.abs(diff) < margin, s"split drift exceeds margin: $r")
+      // TOST can only conclude equivalence when the point estimate is
+      // actually inside the margin — at sf0.001's n (~100/arm) the
+      // noise legitimately exceeds the 5% margin, so the verdict must
+      // then be NOT-equivalent (p ≥ .5 when |diff| ≥ δ)
+      if (math.abs(diff) >= margin) assert(p >= 0.5 && !r.getBoolean(7))
     }
   }
 
