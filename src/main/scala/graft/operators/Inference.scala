@@ -1332,4 +1332,119 @@ object Inference {
        |    < 0.05 AS equivalent
        |FROM f ORDER BY event_type""".stripMargin
   }
+
+  // ---------------------------------------------- distance correlation
+
+  /** Character-band width for [[qDistanceCorr]] — bounds the x value
+    * domain (and with it the cell-pair frame) independent of sf.
+    */
+  val DcorBand = 8L
+
+  /** Distance correlation (Székely–Rizzo) between document length band
+    * and token count — the dependence measure that sees what Pearson,
+    * Spearman and binned MI can miss (dCor = 0 ⇔ INDEPENDENCE, any
+    * relationship shape). The O(n²) pairwise-distance definition never
+    * touches row pairs here: both variables are integers (length in
+    * [[DcorBand]]-char bands, whitespace token counts), so the sample
+    * collapses to joint value cells and every double-centering moment
+    * is a WEIGHTED sum over the ≤|X|·|Y| cell-pair frame —
+    * sf-invariant, exact int64/DECIMAL until six final double ops
+    * (dCov² = S₁/N² + S₂ₐS₂ᵦ/N⁴ − 2S₃/N³, per variable and crossed).
+    * Shape: one corpus scan → joint cells → one broadcast cell
+    * self-join feeding one global and one per-cell aggregate.
+    */
+  def qDistanceCorr(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(floor(col("n_chars") / DcorBand).cast("long").as("x"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val pairs = cells.select(col("x").as("xa"), col("y").as("ya"),
+        col("w").as("wa"))
+      .crossJoin(broadcast(cells.select(col("x").as("xb"), col("y").as("yb"),
+        col("w").as("wb"))))
+      .withColumn("ad", abs(col("xa") - col("xb")))
+      .withColumn("bd", abs(col("ya") - col("yb")))
+    val glob = pairs.agg(
+      sum((col("wa") * col("wb") * col("ad") * col("bd")).cast(D0)).as("s1ab"),
+      sum((col("wa") * col("wb") * col("ad") * col("ad")).cast(D0)).as("s1aa"),
+      sum((col("wa") * col("wb") * col("bd") * col("bd")).cast(D0)).as("s1bb"),
+      sum((col("wa") * col("wb") * col("ad")).cast(D0)).as("s2a"),
+      sum((col("wa") * col("wb") * col("bd")).cast(D0)).as("s2b"))
+    val rows = pairs.groupBy(col("xa"), col("ya"), col("wa"))
+      .agg(sum((col("wb") * col("ad")).cast(D0)).as("rsa"),
+        sum((col("wb") * col("bd")).cast(D0)).as("rsb"))
+      .agg(sum(col("wa")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("wa") * col("rsa") * col("rsb")).as("s3ab"),
+        sum(col("wa") * col("rsa") * col("rsa")).as("s3aa"),
+        sum(col("wa") * col("rsb") * col("rsb")).as("s3bb"))
+    val j = rows.crossJoin(broadcast(glob))
+      .withColumn("nd", col("n").cast("double"))
+    def dform(s1: String, x2: org.apache.spark.sql.Column,
+        s3: String): org.apache.spark.sql.Column =
+      (col(s1).cast("double") / (col("nd") * col("nd"))
+        + x2 / (col("nd") * col("nd") * col("nd") * col("nd"))
+        - lit(2.0) * col(s3).cast("double")
+          / (col("nd") * col("nd") * col("nd")))
+    val dcov2 = dform("s1ab", col("s2a").cast("double") * col("s2b").cast("double"), "s3ab")
+    val dvarx = dform("s1aa", col("s2a").cast("double") * col("s2a").cast("double"), "s3aa")
+    val dvary = dform("s1bb", col("s2b").cast("double") * col("s2b").cast("double"), "s3bb")
+    j.select(col("n").cast("long").as("n_docs"), col("n_cells"),
+      NumFns.roundPortable(sqrt(dcov2), 6).as("dcov"),
+      NumFns.roundPortable(
+        sqrt(dcov2 / sqrt(dvarx * dvary)), 6).as("dcor"))
+  }
+
+  val qDistanceCorrOracle: String = {
+    def dform(s1: String, x2: String, s3: String) =
+      s"(CAST($s1 AS DOUBLE) / (nd * nd)" +
+        s" + $x2 / (nd * nd * nd * nd)" +
+        s" - 2.0 * CAST($s3 AS DOUBLE) / (nd * nd * nd))"
+    val dcov2 = dform("s1ab", "CAST(s2a AS DOUBLE) * CAST(s2b AS DOUBLE)", "s3ab")
+    val dvarx = dform("s1aa", "CAST(s2a AS DOUBLE) * CAST(s2a AS DOUBLE)", "s3aa")
+    val dvary = dform("s1bb", "CAST(s2b AS DOUBLE) * CAST(s2b AS DOUBLE)", "s3bb")
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT CAST(floor(n_chars / $DcorBand) AS BIGINT) AS x,
+       |    CAST(len(${graft.functions.TextFns.toksSql}) AS BIGINT) AS y,
+       |    count(*) AS w
+       |  FROM documents GROUP BY 1, 2
+       |),
+       |pairs AS (
+       |  SELECT a.w AS wa, b.w AS wb, a.x AS xa, a.y AS ya,
+       |    abs(a.x - b.x) AS ad, abs(a.y - b.y) AS bd
+       |  FROM cells a CROSS JOIN cells b
+       |),
+       |gb AS (
+       |  SELECT
+       |    sum(CAST(wa * wb * ad * bd AS HUGEINT)) AS s1ab,
+       |    sum(CAST(wa * wb * ad * ad AS HUGEINT)) AS s1aa,
+       |    sum(CAST(wa * wb * bd * bd AS HUGEINT)) AS s1bb,
+       |    sum(CAST(wa * wb * ad AS HUGEINT)) AS s2a,
+       |    sum(CAST(wa * wb * bd AS HUGEINT)) AS s2b
+       |  FROM pairs
+       |),
+       |rs AS (
+       |  SELECT xa, ya, wa,
+       |    CAST(sum(CAST(wb * ad AS HUGEINT)) AS BIGINT) AS rsa,
+       |    CAST(sum(CAST(wb * bd AS HUGEINT)) AS BIGINT) AS rsb
+       |  FROM pairs GROUP BY 1, 2, 3
+       |),
+       |agg AS (
+       |  SELECT CAST(sum(wa) AS BIGINT) AS n, count(*) AS n_cells,
+       |    sum(CAST(wa AS HUGEINT) * rsa * rsb) AS s3ab,
+       |    sum(CAST(wa AS HUGEINT) * rsa * rsa) AS s3aa,
+       |    sum(CAST(wa AS HUGEINT) * rsb * rsb) AS s3bb
+       |  FROM rs
+       |),
+       |j AS (
+       |  SELECT n, n_cells, CAST(n AS DOUBLE) AS nd,
+       |    s1ab, s1aa, s1bb, s2a, s2b, s3ab, s3aa, s3bb
+       |  FROM agg, gb
+       |)
+       |SELECT n AS n_docs, n_cells,
+       |  ${NumFns.roundPortableSql(s"sqrt($dcov2)", 6)} AS dcov,
+       |  ${NumFns.roundPortableSql(
+            s"sqrt($dcov2 / sqrt($dvarx * $dvary))", 6)} AS dcor
+       |FROM j""".stripMargin
+  }
 }

@@ -188,6 +188,15 @@ class Round9NewOpsSpec extends SparkSpec {
     }
   }
 
+  test("distance correlation: strong dependence between length and tokens, in [0,1]") {
+    val r = Inference.qDistanceCorr(spark, sf001).collect().head
+    val (dcov, dcor) = (r.getDouble(2), r.getDouble(3))
+    assert(r.getLong(0) == 500 && r.getLong(1) > 0)
+    assert(dcov >= 0 && dcor >= 0 && dcor <= 1.0 + 1e-9)
+    // token count is nearly proportional to length: dCor must be high
+    assert(dcor > 0.9, s"length/token dependence should be strong: $dcor")
+  }
+
   test("hodges-lehmann: pair count exact, shift inside the difference range") {
     val r = Inference.qHodgesLehmann(spark, sf001).collect().head
     val docs = Tables.documents(spark, sf001)
