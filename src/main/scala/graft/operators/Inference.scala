@@ -1447,4 +1447,109 @@ object Inference {
             s"sqrt($dcov2 / sqrt($dvarx * $dvary))", 6)} AS dcor
        |FROM j""".stripMargin
   }
+
+  // ------------------------------------------------- Van der Waerden
+
+  /** Van der Waerden normal-scores location test across sources on
+    * document length — the LOCATION sibling of [[qFlignerKilleen]]'s
+    * scale test and the power-optimal compromise in the k-sample
+    * location family: ANOVA's efficiency under normality with
+    * Kruskal–Wallis's rank robustness (scores are Φ⁻¹(r/(N+1)) of the
+    * pooled midranks of x itself, not of |x−med|). X² = Σ n_g ā_g²/s²
+    * with s² = Σa²/(N−1), df = k−1, gated on the same χ²₁₉ literal.
+    * Engine: identical machinery to Fligner–Killeen — bounded value
+    * cells, one midrank window, A&S start + [[FkNewtonSteps]] stepwise
+    * Newton columns, DECIMAL-folded moments.
+    */
+  def qVanDerWaerden(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars").as("u"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val uc = cells.groupBy(col("u")).agg(sum(col("c")).as("cu"))
+      .withColumn("cum", sum(col("cu")).over(Window.orderBy(col("u"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("r", (col("cum") - col("cu")).cast("double")
+        + (col("cu") + 1).cast("double") / 2)
+    val tot = uc.agg(sum(col("cu")).as("n"))
+    val scored0 = uc.crossJoin(broadcast(tot))
+      .withColumn("p", col("r") / (col("n") + 1))
+      .withColumn("z0", NumFns.normQuantileStart(col("p")))
+    val scored = (1 to FkNewtonSteps).foldLeft(scored0) { (df, i) =>
+      df.withColumn(s"z$i",
+        NumFns.normQuantileStep(col(s"z${i - 1}"), col("p")))
+    }.withColumn("a", col(s"z$FkNewtonSteps"))
+      .select(col("u"), col("a"), col("n"))
+    val ws = cells.join(broadcast(scored), Seq("u"))
+    val grp = ws.groupBy(col("source"))
+      .agg(sum(col("c")).as("ng"), sum((col("c") * col("a")).cast(D)).as("sa"))
+    val glob = ws.agg(max(col("n")).as("n"),
+      sum((col("c") * col("a") * col("a")).cast(D)).as("saa"))
+    grp.crossJoin(broadcast(glob))
+      .withColumn("abar", col("sa").cast("double") / col("ng"))
+      .groupBy(col("n"), col("saa"))
+      .agg(count(lit(1)).as("k"),
+        sum((col("ng") * col("abar") * col("abar")).cast(D)).as("num"))
+      .select(col("k").as("n_sources"), col("n").as("n_docs"),
+        NumFns.roundPortable(
+          col("num").cast("double")
+            / (col("saa").cast("double") / (col("n") - 1)), 6).as("vdw_stat"))
+      .withColumn("reject_equal_location", col("vdw_stat") > FkCrit19)
+  }
+
+  val qVanDerWaerdenOracle: String = {
+    val newton = (1 to FkNewtonSteps).map { i =>
+      s"""nz$i AS (
+         |  SELECT u, p, n, ${NumFns.normQuantileStepSql(s"z${i - 1}", "p")}
+         |    AS z$i
+         |  FROM nz${i - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT source, n_chars AS u, count(*) AS c
+       |  FROM documents GROUP BY 1, 2
+       |),
+       |uc AS (
+       |  SELECT u, CAST(sum(c) AS BIGINT) AS cu FROM cells GROUP BY u
+       |),
+       |rk AS (
+       |  SELECT u, cu,
+       |    CAST(sum(cu) OVER (ORDER BY u) - cu AS DOUBLE)
+       |      + (cu + 1) / 2.0 AS r
+       |  FROM uc
+       |),
+       |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM uc),
+       |nz0 AS (
+       |  SELECT u, r / (n + 1) AS p, n,
+       |    ${NumFns.normQuantileStartSql("(r / (n + 1))")} AS z0
+       |  FROM rk, tot
+       |),
+       |$newton,
+       |sc AS (SELECT u, z$FkNewtonSteps AS a, n FROM nz$FkNewtonSteps),
+       |ws AS (
+       |  SELECT cells.source, cells.c, sc.a, sc.n
+       |  FROM cells JOIN sc ON cells.u = sc.u
+       |),
+       |grp AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS ng,
+       |    CAST(sum(CAST(c * a AS DECIMAL(38,12))) AS DOUBLE) AS sa
+       |  FROM ws GROUP BY source
+       |),
+       |gb AS (
+       |  SELECT max(n) AS n,
+       |    CAST(sum(CAST(c * a * a AS DECIMAL(38,12))) AS DOUBLE) AS saa
+       |  FROM ws
+       |),
+       |ag AS (
+       |  SELECT n, saa, count(*) AS k,
+       |    CAST(sum(CAST(ng * (sa / ng) * (sa / ng) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS num
+       |  FROM grp, gb GROUP BY n, saa
+       |)
+       |SELECT k AS n_sources, n AS n_docs,
+       |  ${NumFns.roundPortableSql("num / (saa / (n - 1))", 6)} AS vdw_stat,
+       |  ${NumFns.roundPortableSql("num / (saa / (n - 1))", 6)} > $FkCrit19
+       |    AS reject_equal_location
+       |FROM ag""".stripMargin
+  }
 }

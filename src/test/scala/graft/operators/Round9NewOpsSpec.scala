@@ -197,6 +197,13 @@ class Round9NewOpsSpec extends SparkSpec {
     assert(dcor > 0.9, s"length/token dependence should be strong: $dcor")
   }
 
+  test("van der waerden: nonnegative statistic, verdict matches the gate") {
+    val r = Inference.qVanDerWaerden(spark, sf001).collect().head
+    assert(r.getLong(0) == 20 && r.getLong(1) == 500)
+    assert(r.getDouble(2) >= 0.0)
+    assert(r.getBoolean(3) == (r.getDouble(2) > Inference.FkCrit19))
+  }
+
   test("hodges-lehmann: pair count exact, shift inside the difference range") {
     val r = Inference.qHodgesLehmann(spark, sf001).collect().head
     val docs = Tables.documents(spark, sf001)
