@@ -777,11 +777,11 @@ object Graph {
     * materialized artifact every graph health check reads.
     */
   private val edgeMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String, String), DataFrame]
 
-  private def cappedPairEdges(s: SparkSession, dir: String,
+  private[graft] def cappedPairEdges(s: SparkSession, dir: String,
       keyCol: String, itemCol: String): DataFrame =
-    edgeMemo.getOrElseUpdate((s, dir, keyCol), {
+    edgeMemo.getOrElseUpdate((s, dir, keyCol, itemCol), {
       val li = Tables.lineitem(s, dir)
         .select(col(keyCol).as("p"), col(itemCol).as("su")).distinct()
         .localCheckpoint()

@@ -385,8 +385,9 @@ object Inference {
     * S_t of the demeaned series and a Bartlett-weighted long-run
     * variance at lag [[KpssLag]]. Engine: daily revenue in exact cents;
     * S_t = (n·Y_t − t·ΣY)/n is kept as its exact DECIMAL numerator
-    * (running integer sums over the bounded day domain), so ΣS_t² is
-    * exact before the single final division; the autocovariances are
+    * (running integer sums over the bounded day domain) and rounded
+    * portably to integer cents before squaring (see inline note on the
+    * DECIMAL headroom this buys); the autocovariances are
     * exact integer products summed as DECIMAL. All windows order the
     * ≤|days| calendar frame.
     */
@@ -403,8 +404,20 @@ object Inference {
     }.localCheckpoint()
     val tot = lagged.agg(count(lit(1)).as("n"), sum(col("y").cast(D0)).as("sy"))
     val j = lagged.crossJoin(broadcast(tot))
-      // exact numerator of n·S_t: n·Y_t − t·ΣY  (DECIMAL, no rounding)
+      // exact numerator of n·S_t: n·Y_t − t·ΣY  (DECIMAL, no rounding);
+      // ΣS² is then accumulated intensively as Σ roundAway(snum/n)² —
+      // the q_chow_test lesson applied pre-aggregation: Σsnum² at sf1
+      // sits at ~1e37 with <1 decade of DECIMAL(38,0) headroom
+      // (overflow→NULL at sf10), while Σ round(S_t)² ~1e28 survives past
+      // sf1000. The division runs in double (exact-int→double cast, ÷n —
+      // identical IEEE on both engines), [[NumFns.roundAwayLong]] is the
+      // portable binary rounding, and the square of the rounded long is
+      // exact DECIMAL again; quantizing S_t (~1e12 cents) to integers
+      // perturbs η at the 1e-13 relative level, 7 orders below the
+      // emitted 6-decimal rounding.
       .withColumn("snum", col("cy") * col("n") - col("sy") * col("t"))
+      .withColumn("snl",
+        NumFns.roundAwayLong(col("snum").cast("double") / col("n")).cast(D0))
     val gammas = (0 to KpssLag).map { jj =>
       val yj = if (jj == 0) col("y") else col(s"y$jj")
       // exact numerator of n²·e_t·e_{t−j}: (n·y_t − ΣY)(n·y_{t−j} − ΣY)
@@ -413,16 +426,16 @@ object Inference {
         .otherwise(lit(0).cast(D0))).as(s"g$jj")
     }
     val agg = j.groupBy(col("n"))
-      .agg(sum(col("snum") * col("snum")).as("ss2"), gammas: _*)
+      .agg(sum(col("snl") * col("snl")).as("ss2"), gammas: _*)
     // σ²_lr·n³ in exact units: γ0n + 2Σ w_j γ_jn with w_j = 1 − j/(l+1)
     val lrn = (1 to KpssLag).foldLeft(col("g0").cast("double")) { (acc, jj) =>
       acc + (lit(2.0 * (1.0 - jj.toDouble / (KpssLag + 1)))
         * col(s"g$jj").cast("double"))
     }
     agg.select(col("n").as("n_days"), lit(KpssLag.toLong).as("lag"),
-        // η = (ΣS²/n²)/σ̂² = (Σsnum²/n⁴) / (Σγnum/n³) = Σsnum² / (n·Σγnum)
+        // η = (ΣS²/n²)/σ̂² = (ΣS²/n²) / (Σγnum/n³) = n·ΣS² / Σγnum
         NumFns.roundPortable(
-          col("ss2").cast("double") / (col("n") * lrn), 6).as("kpss_eta"))
+          col("ss2").cast("double") * col("n") / lrn, 6).as("kpss_eta"))
       .withColumn("level_stationary", col("kpss_eta") <= 0.463)
   }
 
@@ -459,15 +472,17 @@ object Inference {
        |),
        |agg AS (
        |  SELECT n,
-       |    sum((cy * n - sy * t) * (cy * n - sy * t)) AS ss2,
+       |    sum(CAST(round(CAST(cy * n - sy * t AS DOUBLE) / n) AS HUGEINT)
+       |      * CAST(round(CAST(cy * n - sy * t AS DOUBLE) / n) AS HUGEINT))
+       |      AS ss2,
        |    $gammaCols
        |  FROM lagged, tot GROUP BY n
        |)
        |SELECT n AS n_days, CAST($KpssLag AS BIGINT) AS lag,
        |  ${NumFns.roundPortableSql(
-            s"CAST(ss2 AS DOUBLE) / (n * ($lr))", 6)} AS kpss_eta,
+            s"CAST(ss2 AS DOUBLE) * n / ($lr)", 6)} AS kpss_eta,
        |  ${NumFns.roundPortableSql(
-            s"CAST(ss2 AS DOUBLE) / (n * ($lr))", 6)} <= 0.463
+            s"CAST(ss2 AS DOUBLE) * n / ($lr)", 6)} <= 0.463
        |    AS level_stationary
        |FROM agg""".stripMargin
   }
@@ -822,8 +837,15 @@ object Inference {
           / (col("n") - 1)))
       .withColumn("zv", (col("x") - col("mu")) / col("sd"))
       .withColumn("p", NumFns.normTwoSidedP(col("zv")))
-      .withColumn("phi",
-        when(col("zv") >= 0, lit(1.0) - col("p") / 2).otherwise(col("p") / 2))
+      // clamp Φ away from {0, 1}: past |z|≈8.3 the A&S tail saturates to
+      // exactly 1.0 and log(1−Φ) would hit log(0) — Spark's log returns
+      // NULL (term silently dropped, A² understated) while the oracle's
+      // ln(0) errors loudly. The identical clamp on both engines keeps
+      // the divergence class closed on heavier-tailed data; it is the
+      // identity on every |z| the current gates produce.
+      .withColumn("phi", least(greatest(
+        when(col("zv") >= 0, lit(1.0) - col("p") / 2).otherwise(col("p") / 2),
+        lit(1e-300)), lit(1.0) - lit(1e-16)))
       .withColumn("s0", col("cum") - col("c"))
     val terms = z.select(col("n"),
       // Σ_{i∈cell}(2i−1) = c(2s+c) on lnΦ(z); the reversed-rank weight
@@ -846,7 +868,11 @@ object Inference {
   }
 
   val qAndersonDarlingOracle: String = {
-    val phi = "(CASE WHEN zv >= 0 THEN 1.0 - p / 2 ELSE p / 2 END)"
+    // same Φ clamp as the engine side (see qAndersonDarling): identity on
+    // the gated data, closes the log(0) silent-vs-loud divergence class.
+    val phi = "least(greatest(" +
+      "(CASE WHEN zv >= 0 THEN 1.0 - p / 2 ELSE p / 2 END)" +
+      ", 1e-300), 1.0 - 1e-16)"
     s"""WITH d AS (
        |  SELECT n_chars AS v, ln(CAST(n_chars AS DOUBLE)) AS x FROM documents
        |),
@@ -974,8 +1000,14 @@ object Inference {
     * the shared portable normal.
     */
   def qJonckheere(s: SparkSession, dir: String): DataFrame = {
+    // the ordered alternative needs an EXPLICIT group rank: priorities
+    // are ranked by the integer prefix before '-' ('1-URGENT' → 1), not
+    // by accidental lexicographic order of the full string — on the
+    // TPC-H domain the two coincide, but a priority domain without
+    // sortable digit prefixes would silently invert the trend.
     val cells = Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority").as("g"),
+      .groupBy(substring_index(col("o_orderpriority"), "-", 1)
+          .cast("int").as("g"),
         floor(col("o_totalprice") / 1000.0).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
@@ -1035,7 +1067,7 @@ object Inference {
       " + snn * stt / (8 * nd * (nd - 1))"
     val z = s"((j2 / 2 - (nd * nd - sn2) / 4) / sqrt($varj))"
     s"""WITH cells AS (
-       |  SELECT o_orderpriority AS g,
+       |  SELECT CAST(split_part(o_orderpriority, '-', 1) AS INT) AS g,
        |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS v,
        |    count(*) AS c
        |  FROM orders GROUP BY 1, 2
@@ -1267,9 +1299,9 @@ object Inference {
     val diff = mb - ma
     val delta = (lit(TostMarginShare) * (col("sa") + col("sb"))
       / (col("na") + col("nb")))
-    def pUpper(t: org.apache.spark.sql.Column) = // one-sided P(Z > t)
-      when(t >= 0, NumFns.normTwoSidedP(t) / 2)
-        .otherwise(lit(1.0) - NumFns.normTwoSidedP(t) / 2)
+    // one-sided P(Z > t) = Φ(−t): the branch-on-sign literal lives in
+    // ONE place ([[NumFns.normCdf]]) instead of a local duplicate.
+    def pUpper(t: org.apache.spark.sql.Column) = NumFns.normCdf(-t)
     val p1 = pUpper((diff + delta) / se)          // H0: diff ≤ −δ
     val p2 = pUpper((delta - diff) / se)          // H0: diff ≥ +δ
     val pT = greatest(p1, p2)
@@ -1284,9 +1316,8 @@ object Inference {
   }
 
   val qTostEquivalenceOracle: String = {
-    def pUpper(t: String) =
-      s"(CASE WHEN ($t) >= 0 THEN ${NumFns.normTwoSidedPSql(t)} / 2" +
-        s" ELSE 1.0 - ${NumFns.normTwoSidedPSql(t)} / 2 END)"
+    // one-sided P(Z > t) = Φ(−t), via the shared CDF literal.
+    def pUpper(t: String) = NumFns.normCdfSql(s"(-($t))")
     val p1 = pUpper("((diff + delta) / se)")
     val p2 = pUpper("((delta - diff) / se)")
     s"""WITH b AS (

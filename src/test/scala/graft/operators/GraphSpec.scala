@@ -93,4 +93,18 @@ class GraphSpec extends SparkSpec {
         s"iters=$iters gave $got")
     }
   }
+
+  test("edgeMemo keys on itemCol: same keyCol, different itemCol ≠ same frame") {
+    // regression for the r9 verdict's latent memo-key wrinkle: the memo
+    // key once omitted itemCol, so a second graph pairing an existing
+    // keyCol with a DIFFERENT itemCol silently got the first graph's
+    // edge set back. Same keyCol (l_orderkey), two item domains —
+    // the returned edge sets must differ.
+    val parts = Graph.cappedPairEdges(spark, sf001, "l_orderkey", "l_partkey")
+    val supps = Graph.cappedPairEdges(spark, sf001, "l_orderkey", "l_suppkey")
+    val onlyInParts = parts.exceptAll(supps).count()
+    val onlyInSupps = supps.exceptAll(parts).count()
+    assert(onlyInParts + onlyInSupps > 0,
+      "distinct itemCols under one keyCol must yield distinct edge frames")
+  }
 }

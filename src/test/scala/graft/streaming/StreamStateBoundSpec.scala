@@ -147,4 +147,42 @@ class StreamStateBoundSpec extends SparkSpec {
         s"indexed $indexed outside [$families, ${nDocs - strictWithin}]")
     } finally q.stop()
   }
+
+  test("wauStream state is exactly one fixed-size HLL per anchor day at sf0.1") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sf01)
+      .select(col("ts"), col("user_id"))
+    val dir = chunkedDir(events, "ts", 20)
+    val st = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2020-01-01")).cast("long").as("day"))
+      .as[EventPipeline.DayVisit]
+    val q = EventPipeline.wauStream(st)
+      .writeStream.format("memory").queryName("ssb_wau")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // the O(calendar)·O(1) claim is exact: one 2^12-register HLL per
+      // anchor day (each visit day fans to 7 anchors), NEVER a row per
+      // user — state keys == distinct anchor days, independent of the
+      // 100k visits / 1500 users folded through them
+      val anchorDays = events
+        .select(datediff(to_date(col("ts")), lit("2020-01-01"))
+          .cast("long").as("day"), col("user_id"))
+        .select(explode(sequence(col("day"),
+          col("day") + (EventPipeline.WauWindow - 1))).as("anchor"))
+        .agg(countDistinct(col("anchor"))).head().getLong(0)
+      val dayUserPairs = events
+        .select(datediff(to_date(col("ts")), lit("2020-01-01"))
+          .cast("long").as("day"), col("user_id"))
+        .distinct().count()
+      val state = stateRows(q)
+      assert(state == anchorDays, s"state $state != $anchorDays anchor days")
+      // and the sketch state is far below the exact-distinct alternative
+      // (a row per live (window-day, user) pair)
+      assert(state < dayUserPairs / 10,
+        s"state $state not an order below the $dayUserPairs exact-state rows")
+    } finally q.stop()
+  }
 }
