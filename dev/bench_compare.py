@@ -28,12 +28,16 @@ def load(spec: str) -> dict:
     else:
         with open(spec) as f:
             raw = f.read()
-    d = json.loads(raw)
-    return d["queries"]
+    return json.loads(raw)
 
 
 def main(old_spec: str, new_spec: str) -> int:
-    old, new = load(old_spec), load(new_spec)
+    old_doc, new_doc = load(old_spec), load(new_spec)
+    old, new = old_doc["queries"], new_doc["queries"]
+    # Bench itself now reruns round-over-round movers in a fresh JVM and
+    # records {sweep, isolated} pairs — surface them so nobody re-does
+    # the rerun by hand.
+    iso = new_doc.get("isolated") or {}
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -53,13 +57,18 @@ def main(old_spec: str, new_spec: str) -> int:
             movers.append((r, q, a, b))
     movers.sort(reverse=True)
     if movers:
-        print(f"\n{len(movers)} queries moved >{THRESH}x — rerun these in "
-              f"isolation before reading them as plan changes:")
+        print(f"\n{len(movers)} queries moved >{THRESH}x:")
         for r, q, a, b in movers:
-            print(f"  {q}: {a:.2f}s -> {b:.2f}s  ({r:.2f}x)")
-        names = " ".join(q for _, q, _, _ in movers)
-        print(f'\n  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 '
-              f'sbt -batch "runMain graft.Bench {names}"')
+            tail = ""
+            if q in iso:
+                tail = f"  [isolated fresh-JVM rerun: {iso[q][1]:.2f}s]"
+            print(f"  {q}: {a:.2f}s -> {b:.2f}s  ({r:.2f}x){tail}")
+        unresolved = [q for _, q, _, _ in movers if q not in iso]
+        if unresolved:
+            names = " ".join(unresolved)
+            print(f'\n  movers without a recorded isolation number — rerun:\n'
+                  f'  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 '
+                  f'sbt -batch "runMain graft.Bench {names}"')
     else:
         print(f"\nno query moved >{THRESH}x — round-over-round movement is "
               f"within sweep noise")
