@@ -584,6 +584,72 @@ object Dedup {
     */
   val IncrementalCutover = 300L
 
+  /** Bucket count of the persisted band index — matches the session's
+    * shuffle partitioning so a probe join against the index elides the
+    * index-side exchange entirely (the probe batch shuffles to the
+    * bucket layout; the 100 TB index never moves).
+    */
+  val BandIndexBuckets = 32
+
+  private val bandIndexTables = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** The corpus's LSH band index as a RESIDENT-ENGINE ARTIFACT (r9
+    * verdict ask #6): a parquet table bucketed+sorted on (band, bkey) in
+    * the session catalog, not a session-lifetime in-memory frame.
+    *
+    * Refresh contract:
+    *   - `persistedBandIndex(s, dir)` builds the table from the
+    *     established corpus (doc_id < [[IncrementalCutover]]) on first
+    *     touch and returns it from the catalog afterwards — the cheap
+    *     read path every admission batch probes.
+    *   - `refreshBandIndex(s, dir, docs)` APPENDS one admitted batch's
+    *     band rows (same bucket spec, so appended files land in the
+    *     bucket layout) — the per-batch maintenance writers run after
+    *     admission; nothing ever rescans the corpus.
+    *   - a full rebuild is `dropBandIndex` + `persistedBandIndex` —
+    *     only needed if the band scheme itself ([[NumBands]]×
+    *     [[RowsPerBand]], hash seeds) changes.
+    *
+    * [[qIncrementalMinhash]] consumes this table, so the oracle gate
+    * proves the persisted artifact is byte-equivalent to the in-session
+    * derivation every round.
+    */
+  def persistedBandIndex(s: SparkSession, dir: String): DataFrame = {
+    val name = bandIndexTables.getOrElseUpdate((s, dir), {
+      val tbl = "band_idx_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      if (!s.catalog.tableExists(tbl)) {
+        bandIndexOf(Tables.documents(s, dir)
+            .filter(col("doc_id") < IncrementalCutover))
+          .write.format("parquet")
+          .bucketBy(BandIndexBuckets, "band", "bkey").sortBy("band", "bkey")
+          .mode("overwrite").saveAsTable(tbl)
+      }
+      tbl
+    })
+    s.table(name)
+  }
+
+  /** Append one admitted batch's band rows to the persisted index (see
+    * the refresh contract on [[persistedBandIndex]]).
+    */
+  def refreshBandIndex(s: SparkSession, dir: String, docs: DataFrame): Unit = {
+    persistedBandIndex(s, dir) // ensure it exists
+    bandIndexOf(docs)
+      .write.format("parquet")
+      .bucketBy(BandIndexBuckets, "band", "bkey").sortBy("band", "bkey")
+      .mode("append").saveAsTable(bandIndexTables((s, dir)))
+  }
+
+  /** Drop the persisted band index (full-rebuild path of the refresh
+    * contract).
+    */
+  def dropBandIndex(s: SparkSession, dir: String): Unit =
+    bandIndexTables.remove((s, dir)).foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+
   val qIncrementalDedupOracle: String =
     s"""WITH fp AS (
        |  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
@@ -613,7 +679,11 @@ object Dedup {
   def qIncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
     val base = shingled(s, dir)
     val cut = lit(IncrementalCutover)
-    val index = bandFrame(base.filter(col("doc_id") < cut))
+    // the corpus side is the PERSISTED artifact ([[persistedBandIndex]]):
+    // bucketed on (band, bkey), so the probe join shuffles only the
+    // arriving batch's band rows into the bucket layout — the index-side
+    // exchange is elided (at 100 TB: the index never moves)
+    val index = persistedBandIndex(s, dir)
     val probe = bandFrame(base.filter(col("doc_id") >= cut))
     val cand = probe.as("a")
       .join(index.as("b").hint("shuffle_hash"),
