@@ -1125,4 +1125,35 @@ object RelationalPlus {
             "1.0 / CAST(sum(s2) AS DOUBLE)", 2)} AS effective_n
        |FROM t GROUP BY nation, n_suppliers
        |ORDER BY nation""".stripMargin
+
+  /** Row count for [[qSynthPushdown]] — big enough that the timed plan
+    * measures generation + aggregation throughput, small enough for the
+    * sf-independent bench slot (~5M rows, 32 generator slices).
+    */
+  val SynthRows = 5000000L
+
+  /** DSv2 scan + column-pruning exercise over [[graft.sources
+    * .SynthSource]] at bench scale (r9 verdict ask #7): the V2 read
+    * path (TableProvider → ScanBuilder → PartitionReader) gets a TIMED
+    * plan in the suite, not just a ScalaTest. The aggregate touches
+    * ONLY `id`, so SupportsPushDownRequiredColumns must narrow the
+    * generator to one column (asserted in PlanAuditSpec) — the DSv2
+    * analog of parquet projection pruning. All emitted values are
+    * exact functions of the 0..n-1 id domain, so the DuckDB twin is
+    * `range(n)` — the generator's random columns never reach the
+    * output. sf-dir independent by construction.
+    */
+  def qSynthPushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft-synth")
+      .option("rows", SynthRows).option("parts", 32).option("seed", 7)
+      .load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_id"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
+  val qSynthPushdownOracle: String =
+    s"""SELECT count(*) AS n_rows,
+       |  CAST(sum(r) AS BIGINT) AS sum_id,
+       |  CAST(min(r) AS BIGINT) AS min_id,
+       |  CAST(max(r) AS BIGINT) AS max_id
+       |FROM range($SynthRows) t(r)""".stripMargin
 }

@@ -57,6 +57,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("the DSv2 synth scan is pruned to the one aggregated column") {
+    // SupportsPushDownRequiredColumns must narrow the generator: the
+    // BatchScan's output carries id and nothing else (the DSv2 analog
+    // of parquet projection pruning reaching the reader)
+    val p = plans("q_synth_pushdown")
+    assert(p.contains("BatchScan"), s"no DSv2 scan in plan:\n$p")
+    val scanLine = p.linesIterator.find(_.contains("BatchScan")).get
+    assert(scanLine.contains("id") && !scanLine.contains("amount")
+      && !scanLine.contains("category") && !scanLine.contains("user"),
+      s"synth scan not pruned to id: $scanLine")
+  }
+
   test("robust-stats frames broadcast back onto the corpus scan") {
     // med/mad are #sources-row aggregates; the corpus side must stay
     // un-shuffled (no exchange between its scan and the final joins)
