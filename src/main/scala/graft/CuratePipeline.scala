@@ -28,14 +28,18 @@ object CuratePipeline {
   case class Summary(nInput: Long, nWritten: Long, bySplit: Map[String, Long],
       nTailDropped: Long, nSequences: Long)
 
-  def run(spark: SparkSession, dir: String, outDir: String): Summary = {
+  /** The dedup→scrub→quality→split stage as one lazy frame — extracted
+    * so the sf1 harness ([[graft.dev.Sf1Pipeline]]) can PlanReport-audit
+    * the exact plan [[run]] executes.
+    */
+  private[graft] def curatedFrame(spark: SparkSession, dir: String) = {
     val docs = Tables.documents(spark, dir)
     // keep one document per normalized-text fingerprint (first writer wins)
     val keepers = docs
       .select(md5(TextFns.normalized(col("text"))).as("fp"), col("doc_id"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val curated = Curation
+    Curation
       .withQuality(
         docs.join(keepers, Seq("doc_id"), "left_semi")
           .withColumn("text",
@@ -44,7 +48,11 @@ object CuratePipeline {
       .withColumn("split", Curation.splitCol)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         col("n_tokens"), round(col("score"), 4).as("quality_score"), col("split"))
-      .persist()
+  }
+
+  def run(spark: SparkSession, dir: String, outDir: String): Summary = {
+    val docs = Tables.documents(spark, dir)
+    val curated = curatedFrame(spark, dir).persist()
     try {
       // perplexity tail-drop: the LM is built on the CURATED corpus
       // (post-dedup — duplicate mass would otherwise dominate the
