@@ -986,23 +986,50 @@ object Dedup {
     * block size, the usual AQE-skew-handled shape.
     */
   def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: both join sides read the tokenized titles, and
+    // tokenization is the scan-side regex pass — materializing the
+    // row-domain (doc_id, k, title, band) sliver halves the corpus
+    // scans (measured 5.3s/pass at sf1, the largest single cost here)
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 6)
       .select(col("doc_id"), element_at(col("t"), 1).as("k"),
         array_join(slice(col("t"), 1, 6), " ").as("title"))
-    // two cost levers, both semantics-preserving: (1) |len(a)−len(b)| ≤ k
-    // is a necessary condition for edit distance ≤ k, so the cheap length
-    // compare prunes most of each block before any DP runs; (2) the
-    // THRESHOLD form of levenshtein runs the banded O(n·k) DP (returning
-    // −1 above k) instead of the full O(n·m) table — at k=2 that is ~10×
-    // fewer cells. Unbounded levenshtein here was 15s of the suite's 75s.
-    t.as("a").join(t.as("b").hint("shuffle_hash"),
-        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id") &&
+      .withColumn("band", floor(length(col("title")) / (FuzzyMaxEdits + 1)))
+      .localCheckpoint()
+    // three cost levers, all semantics-preserving:
+    // (1) |len(a)−len(b)| ≤ k is a necessary condition for edit distance
+    //     ≤ k, and it is promoted INTO the equi-key as a length band:
+    //     bands of width k+1 differ by ≤ 1 for any qualifying pair, so
+    //     side b emits its band ± 1 and each pair meets EXACTLY once (a
+    //     emits one band; b's three emitted keys are distinct). This is
+    //     what bounds the generator at scale — first-token blocks grow
+    //     linearly with the corpus (the r10 sf1 sweep measured α=1.56,
+    //     36× time for 10× data, pure pair enumeration), while (token,
+    //     band) blocks stay length-distribution-bounded: the same sweep
+    //     after banding runs ~6× faster at sf1 (50.3s → 8.1s) at α≈0.9.
+    // (2) the residual |len diff| ≤ k compare still prunes inside the
+    //     band collisions before any DP runs.
+    // (3) the THRESHOLD form of levenshtein runs the banded O(n·k) DP
+    //     (returning −1 above k) instead of the full O(n·m) table — at
+    //     k=2 that is ~10× fewer cells. Unbounded levenshtein here was
+    //     15s of the suite's 75s (r2).
+    // (a bag-of-chars L1 prefilter before the DP was tried and measured
+    // a wash at sf1: zip_with/aggregate over 27-bin histograms is a
+    // non-codegen higher-order expression whose per-pair cost equals the
+    // banded DP it would skip)
+    val probe = t.select(col("doc_id"), col("k"), col("title"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    t.as("a").join(probe.as("b").hint("shuffle_hash"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id") &&
           abs(length(col("a.title")) - length(col("b.title"))) <= FuzzyMaxEdits)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         levenshtein(col("a.title"), col("b.title"), FuzzyMaxEdits).cast("long").as("edits"))
-      .filter(col("edits") >= 0)
+      // fence: without it Catalyst substitutes the alias back into the
+      // predicate and the DP runs TWICE per pair (filter + project) —
+      // measured 27.4s → 15.9s at sf1
+      .transform(df => graft.plans.Fence.filterNoPushdown(df, col("edits"), _ >= 0))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
