@@ -63,8 +63,10 @@ object Sf1Pipeline {
       .filter(col("split") =!= col("expected")).count())
     bad("email-scrub",
       corpus.filter(col("text").rlike("[a-z0-9._]+@[a-z0-9.]+")).count())
+    // cache required: Spark disallows filtering ONLY _corrupt_record on
+    // a raw JSON scan (same as the toy spec)
     val jsonl = graft.sources.Interchange.readJsonl(spark, s"$out/jsonl",
-      corpus.drop("split").schema)
+      corpus.drop("split").schema).cache()
     bad("jsonl-corrupt", jsonl.filter(col("_corrupt_record").isNotNull).count())
     require(jsonl.count() == s.nWritten, "jsonl rowcount != corpus")
     // packing-manifest tape: gapless offsets in doc order, checked with
