@@ -688,61 +688,92 @@ object Graph {
     * promiscuous customer certifies less than a selective one. The
     * co-purchase complement of [[Recsys.qItemCf]]'s cosine: AA is THE
     * standard missing-edge ranker (which suppliers serve the same demand
-    * but are never compared). Shape at 100 TB: the distinct edge list
-    * materializes once and feeds the degree aggregate and both self-join
-    * sides; degree-capped customers bound the per-key fan-out at
-    * C(cap, 2); the join shuffles bare (cust, supp, w) rows shuffle_hash
-    * (derived side, never driver-built); pair scores are map-side-
-    * combined sums. Determinism: each weight is the same 1/ln(integer)
-    * double on both engines, summed as DECIMAL (order-free), emitted
-    * rounded, with pair-key tiebreaks on the top-N sort.
+    * but are never compared). Shape at 100 TB (r10, rebuilt after the
+    * scaling curve flagged α=1.54): the pair stream is linear in the
+    * corpus but its GROUP DOMAIN (supplier pairs) grows quadratically
+    * with the supplier count, so map-side combining stops compressing
+    * past sf0.1 and every per-pair byte shuffled is paid in full. Two
+    * consequences engineered in: (1) the weight rides an integer
+    * lattice — 1/ln(d) depends only on the capped degree, so
+    * wq = ⌊10¹²/ln(d)+½⌋ is the SAME exact long on both engines
+    * (identical IEEE quotient, identical half-up floor) and the pair
+    * aggregate sums bare longs instead of BigDecimal-backed
+    * DECIMAL(38,12) — the r9 plan spent most of its 130 s at sf1 in
+    * decimal adds and 16-byte shuffle payloads (headroom: wq ≤ 1.44e12,
+    * so Σ stays under 2⁶³ up to ~6.4M common neighbors per pair —
+    * orders of magnitude past a 100 TB corpus's per-pair overlap);
+    * (2) pairs are generated by exploding per-customer neighbor-list
+    * combinations instead of the edge self-join — the groupBy(c) reuses
+    * the degree join's hash partitioning (no extra exchange) and the
+    * C(d,2)-bounded flatten never materializes the join's d² diagonal
+    * rows. One edge-frame shuffle for degrees, one for the capped join,
+    * one narrow (long,long,long) shuffle for the pair aggregate; top-N
+    * via TakeOrdered with pair-key tiebreaks.
     */
   def qCommonNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    // no localCheckpoint: both consumers (degrees, capped join) carry the
+    // IDENTICAL distinct subtree, so ReuseExchange runs it once — the
+    // block-manager round-trip the checkpoint paid was pure overhead
     val edges = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("su"))
       .distinct()
-      .localCheckpoint()
     val deg = edges.groupBy(col("c")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= 2 && col("d") <= LinkMaxDeg)
-    val weighted = edges.join(deg.hint("shuffle_hash"), Seq("c"))
-      .select(col("c"), col("su"), (lit(1.0) / log(col("d"))).as("w"))
-    weighted.select(col("c"), col("su").as("sa"), col("w"))
-      .join(weighted.select(col("c"), col("su").as("sb")).hint("shuffle_hash"),
-        Seq("c"))
-      .filter(col("sa") < col("sb"))
-      .groupBy(col("sa"), col("sb"))
-      .agg(count(lit(1)).as("n_common"),
-        sum(col("w").cast(D)).as("aa"))
-      .select(col("sa").as("supp_a"), col("sb").as("supp_b"),
+      .select(col("c"),
+        floor(lit(1e12) / log(col("d").cast("double")) + lit(0.5))
+          .cast("long").as("wq"))
+    val byCust = edges.join(deg.hint("shuffle_hash"), Seq("c"))
+      .groupBy(col("c")) // reuses the join's partitioning: no exchange
+      .agg(sort_array(collect_list(col("su"))).as("sus"),
+        first(col("wq")).as("wq"))
+    // the pair key is PACKED into one long (sa<<32 | sb — suppkeys are
+    // positive int32-range at any TPC-H scale factor ever published):
+    // the group-domain is supplier², so past sf0.1 map-side combining
+    // stops compressing and every per-pair byte and hash/compare in the
+    // 10⁸-row aggregate is paid in full; one long key beats a two-long
+    // struct on all three
+    byCust
+      .select(col("wq"), explode(flatten(transform(col("sus"), (x, i) =>
+        transform(slice(col("sus"), i + lit(2), size(col("sus"))), y =>
+          shiftleft(x.cast("long"), 32).bitwiseOR(y.cast("long"))))))
+        .as("pk"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_common"), sum(col("wq")).as("aa"))
+      .select(shiftright(col("pk"), 32).as("supp_a"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).as("supp_b"),
         col("n_common"),
-        NumFns.roundPortable(col("aa").cast("double"), 6).as("aa_score"))
+        NumFns.roundPortable(col("aa").cast("double") / lit(1e12), 6)
+          .as("aa_score"))
       .orderBy(col("aa_score").desc, col("supp_a"), col("supp_b"))
       .limit(LinkTopN)
   }
 
+  // the CTEs are MATERIALIZED (r9 graph-oracle discipline): DuckDB
+  // inlines plain CTEs per use, so `w` (used twice) and `e` (three
+  // times) re-ran the fact distinct-join on every expansion — 45+ min
+  // of spill-thrash at sf1 vs 28 s materialized, same rows
   val qCommonNeighborsOracle: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS su
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |),
-       |deg AS (
-       |  SELECT c, count(*) AS d FROM e GROUP BY c
+       |deg AS MATERIALIZED (
+       |  SELECT c, CAST(floor(1e12 / ln(count(*)) + 0.5) AS BIGINT) AS wq
+       |  FROM e GROUP BY c
        |  HAVING count(*) >= 2 AND count(*) <= $LinkMaxDeg
        |),
-       |w AS (
-       |  SELECT e.c, e.su, 1.0 / ln(deg.d) AS w
-       |  FROM e JOIN deg ON e.c = deg.c
+       |w AS MATERIALIZED (
+       |  SELECT e.c, e.su, deg.wq FROM e JOIN deg ON e.c = deg.c
        |),
        |p AS (
        |  SELECT a.su AS supp_a, b.su AS supp_b, count(*) AS n_common,
-       |    sum(CAST(a.w AS DECIMAL(38,12))) AS aa
+       |    sum(a.wq) AS aa
        |  FROM w a JOIN w b ON a.c = b.c AND a.su < b.su
        |  GROUP BY a.su, b.su
        |)
        |SELECT supp_a, supp_b, n_common,
-       |  ${NumFns.roundPortableSql("CAST(aa AS DOUBLE)", 6)} AS aa_score
+       |  ${NumFns.roundPortableSql("CAST(aa AS DOUBLE) / 1e12", 6)} AS aa_score
        |FROM p
        |ORDER BY aa_score DESC, supp_a, supp_b
        |LIMIT $LinkTopN""".stripMargin

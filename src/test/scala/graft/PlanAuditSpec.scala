@@ -258,13 +258,19 @@ class PlanAuditSpec extends SparkSpec {
 
   test("round-5 continuation heavy shapes hold their audited structure (PlanReport)") {
     import graft.plans.PlanReport
-    // q_common_neighbors: the weighted incidence frame self-joins
-    // shuffle_hash (fact-derived — broadcast would drive the pair
-    // generation through the driver); no cartesian anywhere.
+    // q_common_neighbors (r10 shape): degrees attach shuffle_hash
+    // (fact-derived — broadcast would drive the capped join through the
+    // driver), pairs come from the neighbor-list combination explode
+    // (NOT an edge self-join), and the collect_list groupBy must reuse
+    // the join's hash partitioning — so exactly ONE ShuffledHashJoin
+    // and no cartesian anywhere.
     val cn = PlanReport.of(SparkEntry.queries("q_common_neighbors")(spark, sf001))
     assert(cn.cartesianProducts == 0, s"q_common_neighbors: ${cn.summary}")
     assert(plans("q_common_neighbors").contains("ShuffledHashJoin"),
-      "q_common_neighbors lost its shuffle_hash pair join")
+      "q_common_neighbors lost its shuffle_hash degree join")
+    assert(!plans("q_common_neighbors").contains("SortMergeJoin"),
+      "q_common_neighbors grew a second (sort-merge) join — the pair " +
+        "stream must come from the combination explode, not a self-join")
     // q_minhash_recall: both index frames (bands, blocked-exact) join
     // shuffle-side; the only broadcast is the 1-row truth count.
     val mr = PlanReport.of(SparkEntry.queries("q_minhash_recall")(spark, sf001))
