@@ -813,17 +813,23 @@ object Graph {
   private[graft] def cappedPairEdges(s: SparkSession, dir: String,
       keyCol: String, itemCol: String): DataFrame =
     edgeMemo.getOrElseUpdate((s, dir, keyCol, itemCol), {
-      val li = Tables.lineitem(s, dir)
-        .select(col(keyCol).as("p"), col(itemCol).as("su")).distinct()
-        .localCheckpoint()
-      val fan = li.groupBy(col("p")).agg(count(lit(1)).as("f"))
-        .filter(col("f") <= CoreMaxFanout)
-      val capped = li.join(fan.hint("shuffle_hash"), Seq("p"))
-      capped.select(col("p"), col("su").as("sa"))
-        .join(capped.select(col("p"), col("su").as("sb")).hint("shuffle_hash"),
-          Seq("p"))
-        .filter(col("sa") < col("sb"))
-        .select(col("sa"), col("sb")).distinct()
+      // r10 (scaling curve): the r9 shape was distinct → fan count →
+      // fan join → pair SELF-join — three exchanges of the fact sliver
+      // plus the join's d² diagonal rows. collect_set groups straight
+      // off the scan (map-side partial sets, one exchange on the key),
+      // the hub cap is a size() filter on the collected set, and pairs
+      // come from exploding sorted-list combinations (C(f,2) rows, no
+      // diagonal, sa<sb by construction) — the qCommonNeighbors r10
+      // discipline applied to the shared edge derivation. Only the
+      // (sa, sb) pair distinct still shuffles edge-domain rows.
+      Tables.lineitem(s, dir)
+        .groupBy(col(keyCol).as("p"))
+        .agg(sort_array(collect_set(col(itemCol))).as("sus"))
+        .filter(size(col("sus")).between(2, CoreMaxFanout.toInt))
+        .select(explode(flatten(transform(col("sus"), (x, i) =>
+          transform(slice(col("sus"), i + lit(2), size(col("sus"))), y =>
+            struct(x.as("sa"), y.as("sb")))))).as("e"))
+        .select(col("e.sa").as("sa"), col("e.sb").as("sb")).distinct()
         .localCheckpoint()
     })
 

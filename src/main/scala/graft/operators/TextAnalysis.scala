@@ -1129,9 +1129,9 @@ object TextAnalysis {
     * rationals, DECIMAL-stable sums, vocabulary(²)-bounded frames.
     */
   /** Unrounded 1-row entropy frame `(t_pairs, n_types, n_bigram_types,
-    * hu, hc)` over an arbitrary document frame — shared by the exact
-    * [[qCondEntropy]] emission and the sampled certification pass of
-    * [[qCondEntropyApprox]].
+    * hu, hc)` over an arbitrary document frame — the exact
+    * [[qCondEntropy]] emission ([[qCondEntropyApprox]] fuses the same
+    * aggregates with its sampled twin over one shared bigram frame).
     */
   private def condEntropyCore(docs: DataFrame): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
@@ -1224,13 +1224,55 @@ object TextAnalysis {
     * relative of exact — a drifting sample estimate reds the row.
     */
   def qCondEntropyApprox(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val full = condEntropyCore(docs)
-    val samp = condEntropyCore(docs.filter(
-        TextFns.hash28(concat(lit("ce:"), col("doc_id").cast("string")))
-          % CondEntropySampleMod === 0))
-      .select(col("hu").as("hu_s"), col("hc").as("hc_s"))
-    full.crossJoin(broadcast(samp))
+    // r10 (scaling curve): the r9 form ran condEntropyCore TWICE — two
+    // tokenize/explode passes and two checkpointed bigram frames over
+    // the same corpus. Fused: each bigram carries its document's sample
+    // bit, so ONE scan/checkpoint feeds both the exact aggregates
+    // (count/sum over all rows) and the sampled ones (sum of the bit) —
+    // c2s/c1s are EXACTLY the sample pass's pair/unigram counts, the
+    // per-term doubles are the identical IEEE expressions, and the
+    // DECIMAL sums are order-independent, so the emission is bit-equal
+    // to the two-pass form at half the scan and shuffle cost.
+    val D = org.apache.spark.sql.types.DecimalType(38, 12)
+    val bg = Tables.documents(s, dir)
+      .select(
+        (TextFns.hash28(concat(lit("ce:"), col("doc_id").cast("string")))
+          % CondEntropySampleMod === 0).cast("long").as("samp"),
+        TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("samp"), explode(
+        transform(sequence(lit(0), size(col("toks")) - 2), i =>
+          struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"), col("samp"))
+      .localCheckpoint() // three marginal aggregates share it
+    val pair = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"), sum(col("samp")).as("c2s"))
+    val uni = bg.groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"), sum(col("samp")).as("c1s"))
+    val sPair = pair.join(uni.hint("shuffle_hash"), Seq("w1"))
+      .agg(sum(col("c2")).as("t_pairs"),
+        count(lit(1)).as("n_bigram_types"),
+        sum((col("c2") * log(col("c2") / col("c1").cast("double"))).cast(D))
+          .as("s_cond"),
+        sum(col("c2s")).as("t_pairs_s"),
+        sum(when(col("c2s") > 0,
+          (col("c2s") * log(col("c2s") / col("c1s").cast("double"))).cast(D)))
+          .as("s_cond_s"))
+    val sUni = uni.agg(count(lit(1)).as("n_types"),
+      sum((col("c1") * log(col("c1").cast("double"))).cast(D)).as("s_nlnn"),
+      sum(col("c1")).as("t_uni"),
+      sum(when(col("c1s") > 0,
+        (col("c1s") * log(col("c1s").cast("double"))).cast(D))).as("s_nlnn_s"),
+      sum(col("c1s")).as("t_uni_s"))
+    sPair.crossJoin(broadcast(sUni))
+      .select(col("t_pairs"), col("n_types"), col("n_bigram_types"),
+        (log(col("t_uni").cast("double"))
+          - col("s_nlnn").cast("double") / col("t_uni")).as("hu"),
+        ((-col("s_cond").cast("double")) / col("t_pairs")).as("hc"),
+        (log(col("t_uni_s").cast("double"))
+          - col("s_nlnn_s").cast("double") / col("t_uni_s")).as("hu_s"),
+        ((-col("s_cond_s").cast("double")) / col("t_pairs_s")).as("hc_s"))
       .select(col("t_pairs"), col("n_types"), col("n_bigram_types"),
         round(col("hu"), 4).as("h_unigram"),
         round(col("hc"), 4).as("h_cond"),
