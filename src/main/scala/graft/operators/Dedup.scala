@@ -620,6 +620,15 @@ object Dedup {
       val tbl = "band_idx_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       if (!s.catalog.tableExists(tbl)) {
+        // a warehouse directory with no catalog entry is an orphan of a
+        // previous process (each JVM here gets a fresh in-memory catalog
+        // over the same persistent spark-warehouse): clear it first, or
+        // saveAsTable refuses with LOCATION_ALREADY_EXISTS on every
+        // re-run after the first
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
         bandIndexOf(Tables.documents(s, dir)
             .filter(col("doc_id") < IncrementalCutover))
           .write.format("parquet")

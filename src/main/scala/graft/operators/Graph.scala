@@ -810,28 +810,34 @@ object Graph {
   private val edgeMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String, String), DataFrame]
 
+  /** The un-checkpointed edge derivation — split out so its plan shape
+    * stays auditable (the memoized frame's lineage is truncated).
+    * r10 (scaling curve): the r9 shape was distinct → fan count →
+    * fan join → pair SELF-join — three exchanges of the fact sliver
+    * plus the join's d² diagonal rows. collect_set groups straight
+    * off the scan (map-side partial sets, one exchange on the key),
+    * the hub cap is a size() filter on the collected set, and pairs
+    * come from exploding sorted-list combinations (C(f,2) rows, no
+    * diagonal, sa<sb by construction) — the qCommonNeighbors r10
+    * discipline applied to the shared edge derivation. Only the
+    * (sa, sb) pair distinct still shuffles edge-domain rows; the plan
+    * contains NO join at all.
+    */
+  private[graft] def pairEdgesFrame(s: SparkSession, dir: String,
+      keyCol: String, itemCol: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col(keyCol).as("p"))
+      .agg(sort_array(collect_set(col(itemCol))).as("sus"))
+      .filter(size(col("sus")).between(2, CoreMaxFanout.toInt))
+      .select(explode(flatten(transform(col("sus"), (x, i) =>
+        transform(slice(col("sus"), i + lit(2), size(col("sus"))), y =>
+          struct(x.as("sa"), y.as("sb")))))).as("e"))
+      .select(col("e.sa").as("sa"), col("e.sb").as("sb")).distinct()
+
   private[graft] def cappedPairEdges(s: SparkSession, dir: String,
       keyCol: String, itemCol: String): DataFrame =
-    edgeMemo.getOrElseUpdate((s, dir, keyCol, itemCol), {
-      // r10 (scaling curve): the r9 shape was distinct → fan count →
-      // fan join → pair SELF-join — three exchanges of the fact sliver
-      // plus the join's d² diagonal rows. collect_set groups straight
-      // off the scan (map-side partial sets, one exchange on the key),
-      // the hub cap is a size() filter on the collected set, and pairs
-      // come from exploding sorted-list combinations (C(f,2) rows, no
-      // diagonal, sa<sb by construction) — the qCommonNeighbors r10
-      // discipline applied to the shared edge derivation. Only the
-      // (sa, sb) pair distinct still shuffles edge-domain rows.
-      Tables.lineitem(s, dir)
-        .groupBy(col(keyCol).as("p"))
-        .agg(sort_array(collect_set(col(itemCol))).as("sus"))
-        .filter(size(col("sus")).between(2, CoreMaxFanout.toInt))
-        .select(explode(flatten(transform(col("sus"), (x, i) =>
-          transform(slice(col("sus"), i + lit(2), size(col("sus"))), y =>
-            struct(x.as("sa"), y.as("sb")))))).as("e"))
-        .select(col("e.sa").as("sa"), col("e.sb").as("sb")).distinct()
-        .localCheckpoint()
-    })
+    edgeMemo.getOrElseUpdate((s, dir, keyCol, itemCol),
+      pairEdgesFrame(s, dir, keyCol, itemCol).localCheckpoint())
 
   /** Supplier co-supply edges (suppliers sharing a part), hub-capped. */
   private def coSupplyEdges(s: SparkSession, dir: String): DataFrame =

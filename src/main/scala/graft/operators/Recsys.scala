@@ -331,7 +331,13 @@ object Recsys {
     * measured 6.2s → 13.1s at sf0.1 (the r5 lesson again — block
     * traffic for a codegen-fused join's output costs more than
     * recomputing it), so each consumer recomputes from the checkpointed
-    * incidence frame.
+    * incidence frame. r10 re-measured the OTHER alternative too: the
+    * [[graft.operators.Graph.qCommonNeighbors]] combination-explode
+    * rebuild (collected baskets, packed-long pairs) ran 62.8s vs this
+    * shape's 52.1s at sf1 — here both pair consumers need the (rj, ri)
+    * payload, so the explode's per-pair array traffic exceeds the
+    * already-capped codegen self-join it would replace (the same
+    * finding [[qItemCf]] recorded at r5). The shape stands.
     */
   def qSlopeOne(s: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)

@@ -107,4 +107,29 @@ class GraphSpec extends SparkSpec {
     assert(onlyInParts + onlyInSupps > 0,
       "distinct itemCols under one keyCol must yield distinct edge frames")
   }
+
+  test("pairEdgesFrame is join-free and matches the self-join reference") {
+    // r10: the shared edge derivation is collect_set + combination
+    // explode — its physical plan must carry NO join (the r9 shape's
+    // fan join + pair self-join were three exchanges of the fact
+    // sliver). Shape pin first, then semantic parity against the
+    // brute-force self-join computed inline.
+    import org.apache.spark.sql.functions._
+    val frame = Graph.pairEdgesFrame(spark, sf001, "l_partkey", "l_suppkey")
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"edge derivation must be join-free, got:\n$plan")
+    val li = graft.sources.Tables.lineitem(spark, sf001)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("su")).distinct()
+    val fan = li.groupBy(col("p")).agg(count(lit(1)).as("f"))
+      .filter(col("f") <= Graph.CoreMaxFanout)
+    val capped = li.join(fan, Seq("p"))
+    val ref = capped.select(col("p"), col("su").as("sa"))
+      .join(capped.select(col("p"), col("su").as("sb")), Seq("p"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb")).distinct()
+    assert(frame.exceptAll(ref).count() == 0 &&
+      ref.exceptAll(frame).count() == 0,
+      "combination-explode edges must equal the self-join reference set")
+  }
 }
