@@ -444,14 +444,22 @@ object Dedup {
         throw new IllegalStateException(
           s"connectedComponents: no fixpoint after $maxRounds doubling rounds — " +
             "impossible for any finite graph; investigate the edge list")
-      val prop = edges.join(labels, col("src") === col("id"))
+      // shuffle_hash fences (r10): both joins are fenced against
+      // broadcast — checkpointed frames carry PLAN-ESTIMATED sizes (a
+      // post-aggregate explode estimates small), and at sf1 the planner
+      // read the 8·10⁷-row symmetrized edge frame as broadcastable and
+      // OOM'd the driver building it. The node-domain build sides
+      // shuffle as bare (id, label) longs, the function's contract.
+      val prop = edges.join(labels.hint("shuffle_hash"),
+          col("src") === col("id"))
         .select(col("dst").as("id"), col("cluster"))
       val hopped = labels.union(prop)
         .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
       // pointer doubling: follow my label's label (always present — every
       // cluster value is some endpoint's id) and keep the lower
       val m = hopped.select(col("id").as("m_id"), col("cluster").as("m_cluster"))
-      labels = hopped.join(m, col("cluster") === col("m_id"), "left")
+      labels = hopped.join(m.hint("shuffle_hash"),
+          col("cluster") === col("m_id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("m_cluster"), col("cluster"))).as("cluster"))
         .localCheckpoint()

@@ -810,6 +810,12 @@ object Graph {
   private val edgeMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String, String), DataFrame]
 
+  // eviction contract: see graft.SessionMemo — drops this session's
+  // edge frames so the next consumer re-derives from current tables
+  graft.SessionMemo.register("graph.edgeMemo") { s =>
+    edgeMemo.filterInPlace((k, _) => k._1 ne s)
+  }
+
   /** The un-checkpointed edge derivation — split out so its plan shape
     * stays auditable (the memoized frame's lineage is truncated).
     * r10 (scaling curve): the r9 shape was distinct → fan count →

@@ -148,6 +148,11 @@ object Recsys {
   private val cfMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // eviction contract: see graft.SessionMemo
+  graft.SessionMemo.register("recsys.cfMemo") { s =>
+    cfMemo.filterInPlace((k, _) => k._1 ne s)
+  }
+
   private def cfTable(s: SparkSession, dir: String): DataFrame =
     cfMemo.getOrElseUpdate((s, dir), qItemCf(s, dir).localCheckpoint())
 
