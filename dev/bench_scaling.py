@@ -16,6 +16,13 @@ dispatch), which UNDERSTATES alpha for cheap queries and never hides a
 superlinear one, so the report flags on alpha alone but also prints a
 floor-filtered view (t_hi >= T_MIN) where the exponent is trustworthy.
 
+Isolated pairs (r10 verdict ask #5): when a Bench JSON carries an
+"isolated" map ({query: [sweep_s, fresh_jvm_s]}), the isolated time
+REPLACES the sweep time for that query on that side — the r10 record
+showed sweep-vs-isolated gaps of 3x on heavy queries under host
+contention, so an alpha fit on unisolated sweep numbers can flag (or
+hide) the wrong queries. Replaced queries are marked `iso` in the table.
+
 Usage: dev/bench_scaling.py <lo.json> <hi.json> [scale_ratio=10] [--md out.md]
 """
 import json, math, sys
@@ -29,7 +36,10 @@ def load(path):
     with open(path) as f:
         d = json.loads(f.read().strip().splitlines()[0])
     qs = {k: v for k, v in d["queries"].items() if v >= 0}
-    return qs, d.get("sf", "?"), d.get("value")
+    iso = {k: v[1] for k, v in (d.get("isolated") or {}).items()
+           if isinstance(v, list) and len(v) == 2 and v[1] >= 0}
+    qs.update(iso)  # fresh-JVM rerun beats the contended sweep number
+    return qs, d.get("sf", "?"), d.get("value"), set(iso)
 
 
 def main():
@@ -41,8 +51,8 @@ def main():
             args.remove(md_out)
     lo_path, hi_path = args[0], args[1]
     ratio = float(args[2]) if len(args) > 2 else 10.0
-    lo, lo_sf, lo_total = load(lo_path)
-    hi, hi_sf, hi_total = load(hi_path)
+    lo, lo_sf, lo_total, lo_iso = load(lo_path)
+    hi, hi_sf, hi_total, hi_iso = load(hi_path)
     common = sorted(set(lo) & set(hi))
     only_lo, only_hi = sorted(set(lo) - set(hi)), sorted(set(hi) - set(lo))
     rows = []
@@ -77,7 +87,9 @@ def main():
     for q, tl, th, a in shown:
         mark = " **<-- superlinear**" if a > ALPHA_FLAG and th >= T_MIN else (
             " (flagged, but t_hi below floor)" if a > ALPHA_FLAG else "")
-        lines.append(f"| `{q}` | {tl:.3f} | {th:.3f} | {a:.2f}{mark} |")
+        tls = f"{tl:.3f}" + (" iso" if q in lo_iso else "")
+        ths = f"{th:.3f}" + (" iso" if q in hi_iso else "")
+        lines.append(f"| `{q}` | {tls} | {ths} | {a:.2f}{mark} |")
     lines.append("")
     lines.append(f"(rows with alpha <= {ALPHA_FLAG} AND t_hi < {T_MIN}s "
                  f"omitted: {len(rows) - len(shown)} queries, all cheap "

@@ -81,7 +81,12 @@ object Bench {
     pb.redirectErrorStream(true)
     pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
     val proc = pb.start()
-    val finished = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    // 120s per child: every suite query's isolated steady-state is
+    // <20s at sf0.1 (the only scale the driver isolates at); a child
+    // that needs longer is itself the finding. The old 300s cap let a
+    // handful of children eat the driver's whole bench budget — the
+    // r10 rc=124 timeout.
+    val finished = proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) { proc.destroyForcibly(); proc.waitFor() }
     val childJson = cwd.resolve("bench_full.json")
     val t =
@@ -106,9 +111,26 @@ object Bench {
     t
   }
 
+  /** Host contention snapshot: 1/5/15-min load averages plus the
+    * running-process count from /proc/loadavg. The r10 sweep regressed
+    * +55% on byte-identical code because co-tenants outside the cgroup
+    * were loading the host (r11 measured isolated q_slope_one spanning
+    * 8.0–13.4s on the same binary while loadavg sat at 10–21); the
+    * bench record now carries the evidence needed to adjudicate that
+    * without a rebuild-and-bisect.
+    */
+  private def loadavg(): String =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+")
+      s"""[${parts(0)},${parts(1)},${parts(2)},"${parts(3)}"]"""
+    } catch { case _: Throwable => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -167,30 +189,61 @@ object Bench {
     // prefix) and showSuccess := false (no trailing sbt line), so the
     // capture window ends with exactly this parseable object.
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Round-over-round drift gate (r10 verdict ask #6): the median
+    // sweep/prior ratio over every MATCHED query ≥0.3s. A broad median
+    // drift means host contention (code changes move individual
+    // queries, not the whole suite — the r10 +55% sweep was exactly
+    // this), so when it exceeds 1.25× the record carries
+    // drift_exceeded:true and the sweep should be read as
+    // contention-suspect rather than committed as a regression.
+    val prior = priorRun(sfDir)
+    val ratios = results.collect {
+      case (q, t) if t > 0 && prior.getOrElse(q, -1.0) >= 0.3 => t / prior(q)
+    }.sorted
+    val driftMedian =
+      if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+    val driftExceeded = driftMedian > 1.25 || driftMedian < 0.6
+    if (driftExceeded)
+      System.err.println(f"[bench] DRIFT GATE: median ratio vs prior " +
+        f"sweep = $driftMedian%.3f on ${ratios.size} matched queries — " +
+        "host-contention suspect; treat this sweep as unreliable")
     // Automated isolation rerun (r9 verdict ask #4): compare against the
     // prior committed bench_full.json for the same sf-dir; every query
-    // that moved >1.5× in either direction gets ONE fresh-JVM rerun and
-    // bench_full.json records {sweep, isolated} side by side — the
-    // sweep's shared-JVM contention is measured, not hand-adjudicated.
-    // Skipped when Bench was invoked with explicit query args (that IS
-    // the isolation child) and capped at 16 reruns (logged, never
-    // silent) to bound the harness tail.
+    // that moved >1.5× AND >1s in either direction gets ONE fresh-JVM
+    // rerun and bench_full.json records {sweep, isolated} side by side —
+    // the sweep's shared-JVM contention is measured, not
+    // hand-adjudicated. Skipped when Bench was invoked with explicit
+    // query args (that IS the isolation child). Bounded THREE ways so
+    // the tail always fits the driver's bench budget (the r10 rc=124
+    // lesson: 16 children × up to 300s each blew it): ≤8 children, 120s
+    // per child, and a global wall budget (SPARK_GRAFT_ISO_BUDGET,
+    // default 300s) checked before each launch. Every skip is logged.
+    val isoBudgetSec =
+      sys.env.get("SPARK_GRAFT_ISO_BUDGET").flatMap(_.toDoubleOption)
+        .getOrElse(300.0)
     val isolated: Seq[(String, Double, Double)] =
       if (args.nonEmpty) Seq.empty
       else {
-        val prior = priorRun(sfDir)
         val movers = results.collect {
           case (q, t) if t > 0 && prior.getOrElse(q, -1.0) > 0 &&
             (t / prior(q) > 1.5 || prior(q) / t > 1.5) &&
-            math.abs(t - prior(q)) > 0.2 =>
+            math.abs(t - prior(q)) > 1.0 =>
             (q, t, math.max(t / prior(q), prior(q) / t))
         }.sortBy(-_._3)
-        if (movers.size > 16)
+        if (movers.size > 8)
           System.err.println(s"[bench] ${movers.size} movers flagged; " +
-            s"isolating the 16 most extreme, skipping ${movers.size - 16}")
-        movers.take(16).flatMap { case (q, sweepT, _) =>
-          System.err.println(s"[bench] isolating $q (sweep ${f3(sweepT)}s)")
-          isolatedRun(q, sfDir).map(isoT => (q, sweepT, isoT))
+            s"isolating the 8 most extreme, skipping ${movers.size - 8}")
+        val isoStart = System.nanoTime()
+        movers.take(8).flatMap { case (q, sweepT, _) =>
+          val spent = (System.nanoTime() - isoStart) / 1e9
+          if (spent > isoBudgetSec) {
+            System.err.println(f"[bench] isolation budget exhausted " +
+              f"($spent%.0fs > $isoBudgetSec%.0fs) — skipping $q")
+            None
+          } else {
+            System.err.println(s"[bench] isolating $q (sweep ${f3(sweepT)}s)")
+            isolatedRun(q, sfDir).map(isoT => (q, sweepT, isoT))
+          }
         }
       }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -199,8 +252,10 @@ object Bench {
     val isoJson = isolated
       .map { case (q, sw, iso) => "\"" + q + "\":[" + f3(sw) + "," + f3(iso) + "]" }
       .mkString("{", ",", "}")
+    val meta = s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()},""" +
+      s""""drift_median":${f3(driftMedian)},"drift_exceeded":$driftExceeded"""
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"isolated":$isoJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$fullQs,"isolated":$isoJson,$meta,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -220,7 +275,7 @@ object Bench {
     val isoCompact = isolated.sortBy(-_._2).take(8)
       .map { case (q, sw, iso) => "\"" + q + "\":[" + f3(sw) + "," + f3(iso) + "]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"median":${f3(pct(0.5))},"p95":${f3(pct(0.95))},"max":${f3(pct(1.0))},"queries_file":"bench_full.json","isolated":$isoCompact,"queries":$compactQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"n_failed":$nFail,"median":${f3(pct(0.5))},"p95":${f3(pct(0.95))},"max":${f3(pct(1.0))},"queries_file":"bench_full.json","isolated":$isoCompact,"drift_median":${f3(driftMedian)},"drift_exceeded":$driftExceeded,"queries":$compactQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,18 +37,25 @@ import org.apache.spark.sql.SparkSession
 object SessionMemo {
 
   private val evictors = scala.collection.concurrent.TrieMap
-    .empty[String, SparkSession => Unit]
+    .empty[String, SparkSession => Int]
 
-  /** Register (or replace) the evictor for one memo site. */
-  def register(name: String)(f: SparkSession => Unit): Unit =
+  /** Register (or replace) the evictor for one memo site. The evictor
+    * returns HOW MANY entries it actually dropped (r10 advice: an
+    * eviction log that names memos that held nothing overstates what
+    * was freed).
+    */
+  def register(name: String)(f: SparkSession => Int): Unit =
     evictors.put(name, f)
 
-  /** Drop every registered memo's entries for `s`; returns the memo
-    * names that were asked to evict (sorted, for deterministic logs).
+  /** Drop every registered memo's entries for `s` (and, as a hygiene
+    * sweep, entries belonging to any STOPPED session — memo maps are
+    * keyed by SparkSession, so a session that was never explicitly
+    * evicted would otherwise pin its checkpointed frames forever).
+    * Returns only the memo names that actually dropped at least one
+    * entry (sorted, for deterministic logs).
     */
-  def evict(s: SparkSession): Seq[String] = {
-    val names = evictors.keys.toSeq.sorted
-    names.foreach(n => evictors(n)(s))
-    names
-  }
+  def evict(s: SparkSession): Seq[String] =
+    evictors.toSeq.sortBy(_._1).collect {
+      case (name, f) if f(s) > 0 => name
+    }
 }

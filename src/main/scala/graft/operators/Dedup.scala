@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NumFns, TextFns}
@@ -334,31 +335,54 @@ object Dedup {
 
   val ContainmentThreshold = 0.8
 
+  /** Deterministic per-hash index-block bound for containment blocking:
+    * a block (one shingle hash's posting list) keeps only the
+    * [[ContainmentBlockCap]] smallest doc ids. One popular (boilerplate)
+    * shingle otherwise makes a hot block whose candidate count grows
+    * quadratically with corpus size — the r10 scaling curve measured
+    * α=1.27 on the uncapped plan. The cap is the [[graft.operators
+    * .Graph.CoreMaxFanout]] discipline applied to the inverted index,
+    * and it is MIRRORED in the oracle (row_number over doc_b), so
+    * parity is exact even when it binds.
+    */
+  val ContainmentBlockCap = 1024
+
   /** Containment near-dup (|A∩B| / |A|): catches a document that is a
     * subset/quote of a longer one even when symmetric Jaccard is low.
     * Candidates come from an inverted index on A's MINIMUM shingle hash:
     * if A ⊆ B then min(A) ∈ B, so recall is exact for FULL containment
-    * (true subsets). Pairs with partial containment in [threshold, 1)
-    * are found best-effort — they are missed iff A's single minimum
-    * shingle happens to be absent from B (blocking on several of A's
-    * smallest hashes would tighten recall at proportional index cost).
-    * The oracle shares the same blocking scheme, so parity holds exactly.
-    * The index side explodes B's hashed shingles as bare (hash, doc_b)
-    * longs — 16 bytes/row through the shuffle; B's shingle SET re-joins
-    * by id only for the surviving candidates (the minhash trick — never
-    * carry sets through an explode). shuffle_hash everywhere for the
-    * usual derived-corpus reason.
+    * (true subsets) while the block stays un-hot. Pairs with partial
+    * containment in [threshold, 1) are found best-effort — they are
+    * missed iff A's single minimum shingle happens to be absent from
+    * B's kept block (blocking on several of A's smallest hashes would
+    * tighten recall at proportional index cost). The oracle shares the
+    * same blocking scheme AND the same [[ContainmentBlockCap]], so
+    * parity holds exactly.
+    *
+    * Scale shape (r11): ONLY bare longs ride the candidate shuffle —
+    * the index side is (hash, doc_b) pairs capped per hash, and the
+    * probe side is (mn, doc_a); BOTH shingle sets re-join by id for the
+    * surviving candidates (the minhash trick). The previous plan
+    * carried A's full shingle ARRAY through the candidate join, which
+    * multiplied the hot-block skew by the payload width. shuffle_hash
+    * everywhere for the usual derived-corpus reason.
     */
   def qMinhashContainment(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
-    val probe = sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+    val probe = sh.select(col("doc_id").as("doc_a"),
       array_min(col("hs")).as("mn"))
     val index = sh.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("doc_b"))))
+      .filter(col("rn") <= ContainmentBlockCap)
+      .select(col("doc_b"), col("h"))
     val cands = probe
       .join(index.hint("shuffle_hash"),
         col("mn") === col("h") && col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("hs_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
     val pairs = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -371,12 +395,23 @@ object Dedup {
 
   val qMinhashContainmentOracle: String =
     s"""WITH $shingledSql,
-       |probe AS (SELECT doc_id AS doc_a, hs AS hs_a, list_min(hs) AS mn FROM s),
-       |idx AS (SELECT doc_id AS doc_b, hs AS hs_b, unnest(hs) AS h FROM s)
+       |probe AS (SELECT doc_id AS doc_a, list_min(hs) AS mn FROM s),
+       |idx AS (
+       |  SELECT doc_b, h FROM (SELECT doc_id AS doc_b, unnest(hs) AS h FROM s)
+       |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_b)
+       |    <= $ContainmentBlockCap
+       |),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM probe JOIN idx ON mn = h AND doc_a != doc_b
+       |)
        |SELECT doc_a, doc_b,
-       |  round(len(list_intersect(hs_a, hs_b))::DOUBLE / len(hs_a), 6) AS containment
-       |FROM probe JOIN idx ON mn = h AND doc_a != doc_b
-       |WHERE round(len(list_intersect(hs_a, hs_b))::DOUBLE / len(hs_a), 6) >= $ContainmentThreshold
+       |  round(len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(sa.hs), 6)
+       |    AS containment
+       |FROM cand
+       |JOIN s sa ON cand.doc_a = sa.doc_id
+       |JOIN s sb ON cand.doc_b = sb.doc_id
+       |WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE / len(sa.hs), 6)
+       |  >= $ContainmentThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Near-dup clusters: connected components over the Jaccard near-dup
@@ -630,13 +665,35 @@ object Dedup {
       if (!s.catalog.tableExists(tbl)) {
         // a warehouse directory with no catalog entry is an orphan of a
         // previous process (each JVM here gets a fresh in-memory catalog
-        // over the same persistent spark-warehouse): clear it first, or
-        // saveAsTable refuses with LOCATION_ALREADY_EXISTS on every
-        // re-run after the first
+        // over the same persistent spark-warehouse): it must move aside
+        // or saveAsTable refuses with LOCATION_ALREADY_EXISTS on every
+        // re-run after the first. r11 (advice): the orphan is RENAMED to
+        // a timestamped quarantine path and WARNED about, never silently
+        // deleted — it may hold batches a previous process appended via
+        // refreshBandIndex, and the bucket spec needed to re-register it
+        // as a table is not recoverable from bare parquet files. An
+        // operator who wants those appends back re-reads the quarantine
+        // dir as plain parquet and replays refreshBandIndex.
         val loc = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), tbl)
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        if (fs.exists(loc)) {
+          val quarantine = new org.apache.hadoop.fs.Path(
+            loc.getParent, s"${tbl}_orphan_${System.currentTimeMillis}")
+          fs.rename(loc, quarantine)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"band index dir $loc had no catalog entry (previous process?); " +
+              s"moved to $quarantine instead of deleting — rebuild proceeds " +
+              "from the established corpus, prior incremental appends are " +
+              "preserved in the quarantine dir")
+          // retention: every fresh JVM over a shared warehouse orphans
+          // one dir, so keep only the 3 newest quarantines per table
+          val stale = fs.globStatus(new org.apache.hadoop.fs.Path(
+              loc.getParent, s"${tbl}_orphan_*"))
+            .sortBy(-_.getPath.getName.split("_").last.toLong)
+            .drop(3)
+          stale.foreach(st => fs.delete(st.getPath, true))
+        }
         bandIndexOf(Tables.documents(s, dir)
             .filter(col("doc_id") < IncrementalCutover))
           .write.format("parquet")
@@ -988,6 +1045,18 @@ object Dedup {
   /** Max edit distance for a fuzzy title match. */
   val FuzzyMaxEdits = 2
 
+  /** Deterministic a-side bound per (first-token, length-band) block in
+    * [[qDedupFuzzy]]: only a block's [[FuzzyBlockCap]] smallest doc ids
+    * serve as the smaller-id pair member, so per-block pair work is
+    * Cap·|block| instead of |block|² (the containment/[[graft.operators
+    * .Graph.CoreMaxFanout]] hot-block discipline — popular first tokens
+    * otherwise make block membership, and therefore pair count,
+    * quadratic in corpus size; the r10/r11 curve measured α 1.56 → 1.17
+    * from banding alone, and this cap removes the residual). Mirrored
+    * in the oracle, so parity is exact even when it binds.
+    */
+  val FuzzyBlockCap = 512
+
   /** Edit-distance (fuzzy) near-dup over the normalized 6-token title:
     * pairs whose openings differ by ≤ [[FuzzyMaxEdits]] single-character
     * edits — the "same article, retyped headline" catcher that set-based
@@ -1023,8 +1092,28 @@ object Dedup {
     //     what bounds the generator at scale — first-token blocks grow
     //     linearly with the corpus (the r10 sf1 sweep measured α=1.56,
     //     36× time for 10× data, pure pair enumeration), while (token,
-    //     band) blocks stay length-distribution-bounded: the same sweep
-    //     after banding runs ~6× faster at sf1 (50.3s → 8.1s) at α≈0.9.
+    //     band) blocks stay length-distribution-bounded. RECONCILED
+    //     RECORD (r11, closing the r10 verdict's ask #4): the in-round
+    //     r10 claim of "8.1s at sf1, α≈0.9" does NOT reproduce — a
+    //     single-query fresh-JVM run on a quiet r11 host measured
+    //     16.2s at sf1 (vs the committed 20.2s sweep; the sweep was
+    //     contention-inflated but roughly honest, the 8.1s claim was
+    //     a lucky quiet-moment read). Post-banding the honest curve is
+    //     ~1.1s sf0.1 → 16.2s sf1 isolated, α≈1.17: banding took α
+    //     from 1.56 to ~1.17, not to 0.9. The residual superlinearity
+    //     is the popular-first-token block (its membership grows
+    //     linearly with the corpus, so its pair count grows
+    //     quadratically) — CLOSED by lever (4) below. dev/SCALING.md
+    //     and BENCH_sf1.json carry the same isolated numbers.
+    // (4) the a-side of every (token, band) block is capped at the
+    //     [[FuzzyBlockCap]] smallest doc ids (row_number, deterministic)
+    //     — the containment/CoreMaxFanout hot-block discipline. Work per
+    //     block drops from |block|² to Cap·|block|, so TOTAL work is
+    //     linear in the corpus. Recall cost: a pair is missed iff its
+    //     SMALLER-id member is not among its block's Cap earliest docs —
+    //     best-effort beyond that bound, same contract as containment
+    //     blocking, and the cap is MIRRORED in the oracle so parity is
+    //     exact even when it binds.
     // (2) the residual |len diff| ≤ k compare still prunes inside the
     //     band collisions before any DP runs.
     // (3) the THRESHOLD form of levenshtein runs the banded O(n·k) DP
@@ -1037,7 +1126,10 @@ object Dedup {
     // banded DP it would skip)
     val probe = t.select(col("doc_id"), col("k"), col("title"),
       explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    t.as("a").join(probe.as("b").hint("shuffle_hash"),
+    val aCapped = t.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k"), col("band")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= FuzzyBlockCap).drop("rn")
+    aCapped.as("a").join(probe.as("b").hint("shuffle_hash"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(length(col("a.title")) - length(col("b.title"))) <= FuzzyMaxEdits)
@@ -1055,10 +1147,19 @@ object Dedup {
        |t AS (
        |  SELECT doc_id, t[1] AS k, array_to_string(t[1:6], ' ') AS title
        |  FROM t0 WHERE len(t) >= 6
+       |),
+       |ta AS (
+       |  SELECT doc_id, k, title FROM (
+       |    SELECT doc_id, k, title,
+       |      CAST(floor(length(title) / ${FuzzyMaxEdits + 1}) AS BIGINT) AS band
+       |    FROM t
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY k, band ORDER BY doc_id)
+       |    <= $FuzzyBlockCap
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  levenshtein(a.title, b.title) AS edits
-       |FROM t a JOIN t b ON a.k = b.k AND a.doc_id < b.doc_id
+       |FROM ta a JOIN t b ON a.k = b.k AND a.doc_id < b.doc_id
        |WHERE levenshtein(a.title, b.title) <= $FuzzyMaxEdits
        |ORDER BY doc_a, doc_b""".stripMargin
 

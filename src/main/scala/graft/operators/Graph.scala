@@ -811,9 +811,13 @@ object Graph {
     .empty[(SparkSession, String, String, String), DataFrame]
 
   // eviction contract: see graft.SessionMemo — drops this session's
-  // edge frames so the next consumer re-derives from current tables
+  // edge frames (plus any stopped session's) so the next consumer
+  // re-derives from current tables; returns the dropped-entry count
   graft.SessionMemo.register("graph.edgeMemo") { s =>
-    edgeMemo.filterInPlace((k, _) => k._1 ne s)
+    val before = edgeMemo.size
+    edgeMemo.filterInPlace((k, _) =>
+      (k._1 ne s) && !k._1.sparkContext.isStopped)
+    before - edgeMemo.size
   }
 
   /** The un-checkpointed edge derivation — split out so its plan shape
@@ -832,6 +836,12 @@ object Graph {
   private[graft] def pairEdgesFrame(s: SparkSession, dir: String,
       keyCol: String, itemCol: String): DataFrame =
     Tables.lineitem(s, dir)
+      // explicit null fence (r11 advice): collect_set silently drops
+      // nulls, so without this a null item would count toward the
+      // oracle's HAVING count(*) fan bound but not the frame's — benign
+      // on TPC-H's non-null keys, divergent on nullable inputs. Both
+      // sides now filter nulls, so parity holds for any input.
+      .filter(col(keyCol).isNotNull && col(itemCol).isNotNull)
       .groupBy(col(keyCol).as("p"))
       .agg(sort_array(collect_set(col(itemCol))).as("sus"))
       .filter(size(col("sus")).between(2, CoreMaxFanout.toInt))
@@ -924,6 +934,7 @@ object Graph {
     }.mkString(",\n")
     s"""WITH li AS MATERIALIZED (
        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem
+       |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
        |),
        |fan AS (
        |  SELECT p FROM li GROUP BY p HAVING count(*) <= $CoreMaxFanout
@@ -998,6 +1009,7 @@ object Graph {
   val qAssortativityOracle: String =
     s"""WITH li AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS p, l_partkey AS su FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
        |),
        |fan AS (
        |  SELECT p FROM li GROUP BY p HAVING count(*) <= $CoreMaxFanout
@@ -1076,6 +1088,7 @@ object Graph {
   val qRichClubOracle: String =
     s"""WITH li AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey AS p, l_partkey AS su FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
        |),
        |fan AS (
        |  SELECT p FROM li GROUP BY p HAVING count(*) <= $CoreMaxFanout
@@ -1117,19 +1130,41 @@ object Graph {
     * size histogram plus the giant-component share — THE macro
     * connectivity read (percolation state) that degree/kcore/triangle
     * stats can't give: a giant share near 1 says the supply network is
-    * one fabric; many mid-size islands say regional silos. Shape:
-    * edges are the audited capped pair join; labels come from the
-    * O(log d)-round pointer-doubling [[Dedup.connectedComponents]]
-    * engine (the r2 dedup lesson reused verbatim — shuffles carry bare
-    * (id, label) longs); everything after is dimension-sized
+    * one fabric; many mid-size islands say regional silos.
+    *
+    * Shape (r11): CC runs on the BIPARTITE (part, supplier) incidence
+    * sliver, NOT the pair-expanded co-supply edges. Connectivity is
+    * identical by construction — two suppliers share a pair-expanded
+    * component iff they are linked through kept parts, which is exactly
+    * bipartite reachability — but the edge count is the distinct
+    * incidence sliver (Σ f over kept parts, linear in the fact table)
+    * instead of Σ C(f,2) pair rows (~4·10⁷ at sf1 on a near-complete
+    * 10k-supplier graph; the r10 scaling curve measured α=1.60 on the
+    * pair-expanded plan — co-occurrence pair expansion densifies
+    * superlinearly as the corpus grows, and THIS query never needs the
+    * pairs). Part nodes ride the label domain encoded as -(p+1)
+    * (disjoint from positive supplier ids); only supplier labels are
+    * kept for the histogram, so the extra part nodes cost one filter.
+    * The bipartite graph's diameter is 2× the co-supply graph's, which
+    * pointer doubling absorbs as ≤ +1 round. Consumers that genuinely
+    * need pair edges (kcore, assortativity, rich-club) keep
+    * [[cappedPairEdges]]. Labels come from the O(log d)-round
+    * pointer-doubling [[Dedup.connectedComponents]] engine (shuffles
+    * carry bare (id, label) longs); everything after is dimension-sized
     * (per-component counts → size histogram). Oracle: recursive-CTE
-    * min-label reachability, the q_dedup_cluster pattern.
+    * min-label reachability over the pair-expanded edges — same
+    * components, so the histogram matches exactly.
     */
   def qComponentSizes(s: SparkSession, dir: String): DataFrame = {
-    val pairs = coSupplyEdges(s, dir)
-    val sym = pairs.select(col("sa").as("src"), col("sb").as("dst"))
-      .union(pairs.select(col("sb").as("src"), col("sa").as("dst")))
-    val labels = Dedup.connectedComponents(sym)
+    val inc = Tables.lineitem(s, dir)
+      .filter(col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+      .groupBy(col("l_partkey").as("p"))
+      .agg(collect_set(col("l_suppkey")).as("sus"))
+      .filter(size(col("sus")).between(2, CoreMaxFanout.toInt))
+      .select(col("p"), explode(col("sus")).as("su"))
+    val sym = inc.select((-col("p") - 1).as("src"), col("su").as("dst"))
+      .union(inc.select(col("su").as("src"), (-col("p") - 1).as("dst")))
+    val labels = Dedup.connectedComponents(sym).filter(col("id") >= 0)
     val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
     val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
     val tot = sizes.agg(sum(col("sz")).as("n_all"),
@@ -1170,6 +1205,7 @@ object Graph {
     }.mkString(",\n")
     s"""WITH li AS MATERIALIZED (
        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS su FROM lineitem
+       |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
        |),
        |fan AS (
        |  SELECT p FROM li GROUP BY p HAVING count(*) <= $CoreMaxFanout

@@ -148,9 +148,12 @@ object Recsys {
   private val cfMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  // eviction contract: see graft.SessionMemo
+  // eviction contract: see graft.SessionMemo; returns the dropped count
   graft.SessionMemo.register("recsys.cfMemo") { s =>
-    cfMemo.filterInPlace((k, _) => k._1 ne s)
+    val before = cfMemo.size
+    cfMemo.filterInPlace((k, _) =>
+      (k._1 ne s) && !k._1.sparkContext.isStopped)
+    before - cfMemo.size
   }
 
   private def cfTable(s: SparkSession, dir: String): DataFrame =
@@ -332,17 +335,45 @@ object Recsys {
     * as bare key/long rows via shuffle_hash; the error rollup is a
     * one-row moment aggregate. MAE/RMSE on the in-sample predictions
     * plus coverage complete the eval card. The pair self-join runs
-    * TWICE on purpose: checkpointing the shared 11M-row pair sliver
-    * measured 6.2s → 13.1s at sf0.1 (the r5 lesson again — block
-    * traffic for a codegen-fused join's output costs more than
-    * recomputing it), so each consumer recomputes from the checkpointed
-    * incidence frame. r10 re-measured the OTHER alternative too: the
+    * TWICE on purpose: checkpointing the shared pair sliver measured
+    * 6.2s → 13.1s at sf0.1 (the r5 lesson again — block traffic for a
+    * codegen-fused join's output costs more than recomputing it), so
+    * each consumer recomputes from the checkpointed incidence frame.
+    * r10 re-measured the OTHER alternative too: the
     * [[graft.operators.Graph.qCommonNeighbors]] combination-explode
     * rebuild (collected baskets, packed-long pairs) ran 62.8s vs this
     * shape's 52.1s at sf1 — here both pair consumers need the (rj, ri)
     * payload, so the explode's per-pair array traffic exceeds the
     * already-capped codegen self-join it would replace (the same
-    * finding [[qItemCf]] recorded at r5). The shape stands.
+    * finding [[qItemCf]] recorded at r5).
+    *
+    * r11 — ANTISYMMETRY HALVING: dev is antisymmetric (sdiff_ij =
+    * −sdiff_ji, n_ij = n_ji), so every pairwise stage now enumerates
+    * UNORDERED pairs (pa < pb) and the prediction join emits each
+    * surviving row's two directed contributions via a 2-element
+    * explode: target pa gets (sdiff + r_b·n), target pb gets
+    * (−sdiff + r_a·n) — the same integer sums in a different grouping
+    * order, so results are bit-identical and the oracle is unchanged.
+    * This halves BOTH pair enumerations (22.6M → 11.3M rows at sf0.1,
+    * measured), the dev aggregation exchange, and both sides of the
+    * dev equi-join; the final (cust, target) rollup sees the same
+    * contribution count as before but map-side partial aggregation
+    * collapses it before the exchange.
+    *
+    * r11 regression note (the r10 verdict's #1 ask): q_slope_one's
+    * 5.5s (r9 sweep) → 49s (r10 sweep) / 16.6s (r10 isolated) on
+    * byte-identical code was REPRODUCED as measurement noise, not an
+    * engine change: the r9-built binary (936d97f) and HEAD both
+    * measured 13.2–13.4s isolated back-to-back on the r11 host, and
+    * repeated isolated runs of the same binary spanned 8.0–13.4s at
+    * the driver's -Xmx8g (and 23.9–137.6s at -Xmx32g — large heaps
+    * LOSE on this cache-bound hash-join plan) while /proc/loadavg sat
+    * at 10–21 from co-tenants outside the cgroup. Data drift was ruled
+    * out mechanically: all 423 per-query row counts in
+    * CORRECTNESS_r09 == CORRECTNESS_r10 on the driver's own runs. The
+    * fix is (a) this halving, which cuts the real work, and (b) the
+    * bench harness now records loadavg and gates on round-over-round
+    * drift (see [[graft.Bench]]).
     */
   def qSlopeOne(s: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
@@ -356,24 +387,34 @@ object Recsys {
       .filter(col("b") <= CfMaxBasket).select(col("cust"))
     val ki = inc.join(keep.hint("shuffle_hash"), Seq("cust"), "left_semi")
       .localCheckpoint()
-    // pair deviations, kept UNREDUCED as (Σdiff, n) integer pairs
-    val dev = ki.select(col("cust"), col("part").as("pj"), col("rq").as("rj"))
-      .join(ki.select(col("cust"), col("part").as("pi"), col("rq").as("ri"))
+    // unordered pair enumeration (pa < pb): half the ordered rows
+    def halfPairs = ki.select(col("cust"), col("part").as("pa"), col("rq").as("ra"))
+      .join(ki.select(col("cust"), col("part").as("pb"), col("rq").as("rb"))
         .hint("shuffle_hash"), Seq("cust"))
-      .filter(col("pj") =!= col("pi"))
-      .groupBy(col("pj"), col("pi"))
+      .filter(col("pa") < col("pb"))
+    // pair deviations, kept UNREDUCED as (Σdiff, n) integer pairs;
+    // stored once per unordered pair (antisymmetric in the directions)
+    val dev = halfPairs
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_ji"),
-        sum((col("rj") - col("ri")).cast(D0)).as("sdiff"))
+        sum((col("ra") - col("rb")).cast(D0)).as("sdiff"))
       .filter(col("n_ji") >= SlopeOneMinSupport)
-    // in-sample prediction triples: target j and context i both rated
-    val triples = ki.select(col("cust"), col("part").as("pj"), col("rq").as("rj"))
-      .join(ki.select(col("cust"), col("part").as("pi"), col("rq").as("ri"))
-        .hint("shuffle_hash"), Seq("cust"))
-      .filter(col("pj") =!= col("pi"))
-      .join(dev.hint("shuffle_hash"), Seq("pj", "pi"))
-    val preds = triples.groupBy(col("cust"), col("pj"), col("rj"))
-      .agg(sum(col("sdiff") + col("ri") * col("n_ji")).as("num"),
-        sum(col("n_ji").cast(D0)).as("den"))
+    // each co-rated (cust, pa<pb) row contributes to BOTH directed
+    // targets; the 2-element explode replaces the ordered re-enumeration
+    val contrib = halfPairs
+      .join(dev.hint("shuffle_hash"), Seq("pa", "pb"))
+      .select(col("cust"), explode(array(
+        struct(col("pa").as("pj"), col("ra").as("rj"),
+          (col("sdiff") + col("rb") * col("n_ji")).as("num"),
+          col("n_ji").as("den")),
+        struct(col("pb").as("pj"), col("rb").as("rj"),
+          (-col("sdiff") + col("ra") * col("n_ji")).as("num"),
+          col("n_ji").as("den")))).as("c"))
+      .select(col("cust"), col("c.pj").as("pj"), col("c.rj").as("rj"),
+        col("c.num").as("num1"), col("c.den").as("den1"))
+    val preds = contrib.groupBy(col("cust"), col("pj"), col("rj"))
+      .agg(sum(col("num1")).as("num"),
+        sum(col("den1").cast(D0)).as("den"))
       .withColumn("pred", col("num").cast("double") / col("den").cast("double"))
       .withColumn("err", col("pred") - col("rj"))
     val nRatings = ki.agg(count(lit(1)).as("n_ratings"))

@@ -25,9 +25,17 @@ class SessionMemoSpec extends SparkSpec {
   test("evict clears every registered family for the session") {
     val cf = Recsys.qCfCoverage(spark, sf001)
     cf.collect() // touch the cfMemo so recsys registers + memoizes
+    // touch the graph family too so this test is order-independent
+    // (r10 advice: Graph's evictor registers at object init, which a
+    // -z filtered run would otherwise never trigger) — and evict()
+    // now reports only memos that actually DROPPED entries, so the
+    // frame must be memoized, not merely registered
+    Graph.cappedPairEdges(spark, sf001, "l_partkey", "l_suppkey")
     val evicted = SessionMemo.evict(spark)
     assert(evicted.contains("recsys.cfMemo") &&
       evicted.contains("graph.edgeMemo"),
       s"both touched families must evict, got $evicted")
+    assert(SessionMemo.evict(spark).isEmpty,
+      "a second evict with nothing memoized must report no drops")
   }
 }
