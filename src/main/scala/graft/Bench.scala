@@ -81,12 +81,17 @@ object Bench {
     pb.redirectErrorStream(true)
     pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
     val proc = pb.start()
-    // 120s per child: every suite query's isolated steady-state is
-    // <20s at sf0.1 (the only scale the driver isolates at); a child
-    // that needs longer is itself the finding. The old 300s cap let a
-    // handful of children eat the driver's whole bench budget — the
-    // r10 rc=124 timeout.
-    val finished = proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+    // 120s per child by default: every suite query's isolated
+    // steady-state is <20s at sf0.1 (the only scale the driver isolates
+    // at); a child that needs longer is itself the finding. The old
+    // 300s cap let a handful of children eat the driver's whole bench
+    // budget — the r10 rc=124 timeout. SPARK_GRAFT_ISO_CHILD_TIMEOUT
+    // raises it for builder-run sf1 records, where one warm + two timed
+    // runs of a 40s query plus JVM start legitimately exceed 120s.
+    val childTimeoutSec = sys.env.get("SPARK_GRAFT_ISO_CHILD_TIMEOUT")
+      .flatMap(_.toLongOption).getOrElse(120L)
+    val finished = proc.waitFor(
+      childTimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) { proc.destroyForcibly(); proc.waitFor() }
     val childJson = cwd.resolve("bench_full.json")
     val t =

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
 import graft.sources.Tables
 
 /** Climate-surface operators (SURVEY.md §2, table 1): the reference's ETL
@@ -680,4 +681,54 @@ object Catalog {
        |SELECT status, count(*) AS n_keys, CAST(sum(sz) AS BIGINT) AS bytes
        |FROM d GROUP BY status
        |ORDER BY status""".stripMargin
+
+  /** Timed, oracle-gated JSONL interchange round-trip (r10 verdict
+    * polish ask: give [[graft.sources.Interchange]] — the OTHER
+    * non-parquet IO path — a bench-exercised plan the way
+    * q_synth_pushdown exercises the DSv2 source). The corpus is
+    * exported as gzip JSONL shards and re-read with the EXPLICIT
+    * schema + PERMISSIVE corrupt-record contract, then audited
+    * per (source, lang): row counts, extensive char sums, a
+    * 60-bit-md5 content fold over (doc_id, text), and the corrupt-line
+    * count — zero everywhere iff the boundary is lossless. The oracle
+    * computes the same audit straight from parquet, so the gate proves
+    * export→import fidelity, not just that the code ran. The export
+    * lands in a deterministic per-sf tmp dir (overwritten per run —
+    * idempotent); shard count follows upstream partitioning per the
+    * [[graft.sources.Interchange.writeJsonl]] 100 TB contract.
+    */
+  def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stamp = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_jsonl_$stamp").getAbsolutePath
+    graft.sources.Interchange.writeJsonl(docs, out)
+    val back = graft.sources.Interchange.readJsonl(s, out, docs.schema)
+    back.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        // XOR fold of per-row content hashes: exact, order-insensitive,
+        // closed over int64 at ANY corpus size (a sum of 60-bit hashes
+        // would outgrow int64 and a double fold is addition-order
+        // dependent); doc_id in the hash makes every row's contribution
+        // unique, so any single corrupted row flips the fold
+        expr("bit_xor(CAST(conv(substring(" +
+          "md5(concat_ws(':', doc_id, text)), 1, 15), 16, 10) AS BIGINT))")
+          .as("content_fold"),
+        count(col("_corrupt_record")).as("n_corrupt"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val qJsonlRoundtripOracle: String =
+    s"""SELECT source, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       |  bit_xor(${TextFns.hash60Sql(
+            "CAST(doc_id AS VARCHAR) || ':' || text")}) AS content_fold,
+       |  CAST(0 AS BIGINT) AS n_corrupt
+       |FROM documents
+       |GROUP BY source, lang
+       |ORDER BY source, lang""".stripMargin
 }

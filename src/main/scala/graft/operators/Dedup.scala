@@ -1098,13 +1098,18 @@ object Dedup {
     //     single-query fresh-JVM run on a quiet r11 host measured
     //     16.2s at sf1 (vs the committed 20.2s sweep; the sweep was
     //     contention-inflated but roughly honest, the 8.1s claim was
-    //     a lucky quiet-moment read). Post-banding the honest curve is
+    //     a lucky quiet-moment read). Post-banding the honest curve was
     //     ~1.1s sf0.1 → 16.2s sf1 isolated, α≈1.17: banding took α
     //     from 1.56 to ~1.17, not to 0.9. The residual superlinearity
-    //     is the popular-first-token block (its membership grows
+    //     driver is the popular-first-token block (its membership grows
     //     linearly with the corpus, so its pair count grows
-    //     quadratically) — CLOSED by lever (4) below. dev/SCALING.md
-    //     and BENCH_sf1.json carry the same isolated numbers.
+    //     quadratically) — structurally closed by lever (4) below. The
+    //     COMMITTED r11 record (fresh-JVM isolated at BOTH scales,
+    //     dev/SCALING.md + BENCH_sf1.json): 1.53s sf0.1 → 16.24s sf1,
+    //     α = 1.03; at sf1 the cap's measured effect is inside the
+    //     host-noise band (±30% — see dev/SLOPE_ONE_RCA.md) because
+    //     sf1 blocks rarely exceed it; its value is the structural
+    //     bound at 100×, not a speedup today.
     // (4) the a-side of every (token, band) block is capped at the
     //     [[FuzzyBlockCap]] smallest doc ids (row_number, deterministic)
     //     — the containment/CoreMaxFanout hot-block discipline. Work per
