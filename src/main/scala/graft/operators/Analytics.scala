@@ -262,7 +262,9 @@ object Analytics {
     val custAvg = ord.groupBy(col("o_custkey").as("ck"))
       .agg((sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
         .cast("double") / count(lit(1))).as("avg_price"))
-    ord.join(custAvg, col("o_custkey") === col("ck"))
+    // custAvg is per-CUSTOMER (entity-domain): shuffle_hash, never
+    // broadcast (r12 engine-wide PlanAuditSpec ban)
+    ord.join(custAvg.hint("shuffle_hash"), col("o_custkey") === col("ck"))
       .filter(col("o_totalprice") > col("avg_price") * 2.0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         graft.functions.NumFns.roundPortable(col("avg_price"), 2).as("cust_avg"))

@@ -33,16 +33,20 @@ object Behavioral {
     val e = ev(s, dir)
     val t1 = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+    // every stage frame is per-USER (entity-domain, ~10⁸ rows at 100×):
+    // pin shuffle_hash so no stage ever rides a broadcast (r12 engine-
+    // wide PlanAuditSpec ban; all frames arrive user-keyed from their
+    // aggregates, so the joins are cheap co-shuffles)
     val t2 = e.filter(col("event_type") === "click")
-      .join(t1, "user_id")
+      .join(t1.hint("shuffle_hash"), "user_id")
       .filter(col("us") > col("view_us"))
       .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
     val t3 = e.filter(col("event_type") === "purchase")
-      .join(t2, "user_id")
+      .join(t2.hint("shuffle_hash"), "user_id")
       .filter(col("us") > col("click_us"))
       .groupBy(col("user_id")).agg(min(col("us")).as("purchase_us"))
-    t1.join(t2, Seq("user_id"), "left")
-      .join(t3, Seq("user_id"), "left")
+    t1.join(t2.hint("shuffle_hash"), Seq("user_id"), "left")
+      .join(t3.hint("shuffle_hash"), Seq("user_id"), "left")
       .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
         (lit(1L)
           + when(col("click_us").isNotNull, 1L).otherwise(0L)
@@ -71,14 +75,17 @@ object Behavioral {
   /** Cohort retention: users grouped by first-active day; for each
     * (cohort_day, day_offset) the count of distinct users active that
     * many days after their first day. Two aggregations on user_id plus
-    * one equi-join — the first-seen table is tiny relative to the event
-    * log (one row per user) and broadcast-eligible at any scale.
+    * one equi-join — the first-seen frame is one row per USER, i.e.
+    * entity-domain: smaller than the log but GROWING with it (~10⁸ rows
+    * at 100×), so it joins back shuffle_hash, never broadcast (r12; the
+    * log is already user-keyed for its own aggregate, so the join adds
+    * one cheap co-shuffle).
     */
   def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
     val act = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
     val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
-    act.join(first, "user_id")
+    act.join(first.hint("shuffle_hash"), "user_id")
       .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).cast("bigint").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_day"),
@@ -872,8 +879,8 @@ object Behavioral {
       .join(t2.hint("shuffle_hash"), "user_id")
       .filter(col("us") > col("t2") && col("us") <= col("t2") + FunnelStepUs)
       .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
-    val staged = t1.join(t2, Seq("user_id"), "left")
-      .join(t3, Seq("user_id"), "left")
+    val staged = t1.join(t2.hint("shuffle_hash"), Seq("user_id"), "left")
+      .join(t3.hint("shuffle_hash"), Seq("user_id"), "left")
       .select((lit(1L)
         + when(col("t2").isNotNull, 1L).otherwise(0L)
         + when(col("t3").isNotNull, 1L).otherwise(0L)).as("stage"))
@@ -1271,8 +1278,10 @@ object Behavioral {
         .select(col("o_custkey"), expr("((r - 1) * 10) div n").as(decCol))
     }
     val (y1, y2) = TransitionYears
+    // both yearly frames are per-CUSTOMER (entity-domain) — shuffle_hash,
+    // never broadcast (r12 engine-wide PlanAuditSpec ban)
     yearly(y1, "decile_from")
-      .join(yearly(y2, "decile_to"), Seq("o_custkey"))
+      .join(yearly(y2, "decile_to").hint("shuffle_hash"), Seq("o_custkey"))
       .groupBy(col("decile_from"), col("decile_to"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("decile_from"), col("decile_to"))

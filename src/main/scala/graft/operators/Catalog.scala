@@ -682,6 +682,23 @@ object Catalog {
        |FROM d GROUP BY status
        |ORDER BY status""".stripMargin
 
+  /** One JVM-exit recursive delete per distinct tmp export dir (idempotent
+    * registration — [[qJsonlRoundtrip]] runs twice per bench pass).
+    */
+  private val exitCleanups =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def cleanupOnExit(path: String): Unit =
+    if (exitCleanups.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          val root = java.nio.file.Paths.get(path)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }))
+
   /** Timed, oracle-gated JSONL interchange round-trip (r10 verdict
     * polish ask: give [[graft.sources.Interchange]] — the OTHER
     * non-parquet IO path — a bench-exercised plan the way
@@ -693,16 +710,22 @@ object Catalog {
     * count — zero everywhere iff the boundary is lossless. The oracle
     * computes the same audit straight from parquet, so the gate proves
     * export→import fidelity, not just that the code ran. The export
-    * lands in a deterministic per-sf tmp dir (overwritten per run —
-    * idempotent); shard count follows upstream partitioning per the
+    * lands in a per-(sf, JVM) tmp dir — the sf hash keys idempotent
+    * reuse WITHIN a process, the pid keeps two concurrent graft JVMs
+    * benching the same sf dir from racing each other's
+    * SaveMode.Overwrite (r11 advice) — and a shutdown hook removes it,
+    * so a bench host never accumulates corpus copies. Shard count
+    * follows upstream partitioning per the
     * [[graft.sources.Interchange.writeJsonl]] 100 TB contract.
     */
   def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val stamp = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString +
+      "_" + ProcessHandle.current.pid
     val out = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_jsonl_$stamp").getAbsolutePath
+    cleanupOnExit(out)
     graft.sources.Interchange.writeJsonl(docs, out)
     val back = graft.sources.Interchange.readJsonl(s, out, docs.schema)
     back.groupBy(col("source"), col("lang"))
@@ -713,9 +736,13 @@ object Catalog {
         // closed over int64 at ANY corpus size (a sum of 60-bit hashes
         // would outgrow int64 and a double fold is addition-order
         // dependent); doc_id in the hash makes every row's contribution
-        // unique, so any single corrupted row flips the fold
+        // unique, so any single corrupted row flips the fold. concat
+        // (not concat_ws) so a NULL text null-propagates and bit_xor
+        // drops the row on BOTH engines — concat_ws would hash bare
+        // 'doc_id' here while the oracle's || yields NULL (r11 advice)
         expr("bit_xor(CAST(conv(substring(" +
-          "md5(concat_ws(':', doc_id, text)), 1, 15), 16, 10) AS BIGINT))")
+          "md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10)" +
+          " AS BIGINT))")
           .as("content_fold"),
         count(col("_corrupt_record")).as("n_corrupt"))
       .orderBy(col("source"), col("lang"))

@@ -371,10 +371,9 @@ object Dedup {
     val sh = shingled(s, dir)
     val probe = sh.select(col("doc_id").as("doc_a"),
       array_min(col("hs")).as("mn"))
-    val index = sh.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("doc_b"))))
-      .filter(col("rn") <= ContainmentBlockCap)
+    val index = graft.plans.Postings.capped(
+        sh.select(col("doc_id").as("doc_b"), explode(col("hs")).as("h")),
+        ContainmentBlockCap, col("doc_b"), col("h"))
       .select(col("doc_b"), col("h"))
     val cands = probe
       .join(index.hint("shuffle_hash"),
@@ -398,8 +397,7 @@ object Dedup {
        |probe AS (SELECT doc_id AS doc_a, list_min(hs) AS mn FROM s),
        |idx AS (
        |  SELECT doc_b, h FROM (SELECT doc_id AS doc_b, unnest(hs) AS h FROM s)
-       |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_b)
-       |    <= $ContainmentBlockCap
+       |  ${graft.plans.Postings.cappedSql(ContainmentBlockCap, "doc_b", "h")}
        |),
        |cand AS (
        |  SELECT doc_a, doc_b FROM probe JOIN idx ON mn = h AND doc_a != doc_b
@@ -680,7 +678,14 @@ object Dedup {
         if (fs.exists(loc)) {
           val quarantine = new org.apache.hadoop.fs.Path(
             loc.getParent, s"${tbl}_orphan_${System.currentTimeMillis}")
-          fs.rename(loc, quarantine)
+          // rename returns false instead of throwing on most filesystems;
+          // proceeding anyway would hit LOCATION_ALREADY_EXISTS below
+          // with a misleading "moved to quarantine" already logged
+          if (!fs.rename(loc, quarantine))
+            throw new IllegalStateException(
+              s"band index dir $loc has no catalog entry and could not be " +
+                s"moved to quarantine $quarantine — refusing to rebuild " +
+                "over it; move or remove the directory and retry")
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"band index dir $loc had no catalog entry (previous process?); " +
               s"moved to $quarantine instead of deleting — rebuild proceeds " +
@@ -688,11 +693,15 @@ object Dedup {
               "preserved in the quarantine dir")
           // retention: every fresh JVM over a shared warehouse orphans
           // one dir, so keep only the 3 newest quarantines per table
+          // tolerate manually renamed dirs matching the glob: skip any
+          // name whose suffix isn't the numeric timestamp we stamp
           val stale = fs.globStatus(new org.apache.hadoop.fs.Path(
               loc.getParent, s"${tbl}_orphan_*"))
-            .sortBy(-_.getPath.getName.split("_").last.toLong)
+            .flatMap(st =>
+              st.getPath.getName.split("_").last.toLongOption.map((st, _)))
+            .sortBy(-_._2)
             .drop(3)
-          stale.foreach(st => fs.delete(st.getPath, true))
+          stale.foreach { case (st, _) => fs.delete(st.getPath, true) }
         }
         bandIndexOf(Tables.documents(s, dir)
             .filter(col("doc_id") < IncrementalCutover))
@@ -993,6 +1002,13 @@ object Dedup {
        |GROUP BY x.doc_id
        |ORDER BY x.doc_id""".stripMargin
 
+  /** Deterministic per-hash train-posting bound for [[qEvalOverlap]] —
+    * the [[ContainmentBlockCap]] discipline applied to the decontam
+    * train index, mirrored in the oracle so parity is exact when it
+    * binds. See the hot-block rationale on [[graft.plans.Postings]].
+    */
+  val EvalOverlapTrainCap = 1024
+
   /** Exact n-gram collision decontamination — the industry-standard
     * complement to [[graft.operators.Curation.qDecontaminate]]'s
     * near-dup form: an eval (val/test) document is contaminated if it
@@ -1001,17 +1017,31 @@ object Dedup {
     * inside a long train page" case near-dup misses). Reports per
     * contaminated eval doc: distinct colliding shingles, distinct train
     * docs hit, and the smallest offender. Shape: the train side is an
-    * inverted (hash, doc_id) index of bare longs, the eval side probes
-    * it with one hash join, both aggregates combine map-side — at 100 TB
-    * the train index is the persisted table, and screening a new eval
-    * set costs one join on the eval set's size.
+    * inverted (hash, doc_id) index of bare longs CAPPED per hash at
+    * [[EvalOverlapTrainCap]] postings (the [[graft.plans.Postings]]
+    * hot-block discipline — without it one boilerplate shingle shared by
+    * k train × m eval docs emits k·m candidate rows, the exact quadratic
+    * mechanism r11 fixed in containment and fuzzy; this was the last
+    * uncapped inverted-index join and the board's worst measured
+    * exponent, α 1.04). The cap is EXACT for the detection verdict and
+    * for `n_shared` and `first_train` (a hash survives iff it has ≥1
+    * train posting, and the smallest train ids are the ones kept);
+    * `n_train_docs` saturates at the cap for a hash hotter than it —
+    * the right trade, since "how MANY train pages share this boilerplate
+    * shingle" stops being decontamination signal long before 1024. The
+    * eval side probes with one hash join, both aggregates combine
+    * map-side — at 100 TB the train index is the persisted table, and
+    * screening a new eval set costs one join on the eval set's size,
+    * with per-hash join fanout now bounded BY CONSTRUCTION.
     */
   def qEvalOverlap(s: SparkSession, dir: String): DataFrame = {
     val tagged = shingled(s, dir)
       .join(Tables.documents(s, dir)
         .select(col("doc_id"), Curation.splitCol.as("split")), Seq("doc_id"))
-    val trainIdx = tagged.filter(col("split") === "train")
-      .select(col("doc_id").as("train_doc"), explode(col("hs")).as("h"))
+    val trainIdx = graft.plans.Postings.capped(
+      tagged.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), explode(col("hs")).as("h")),
+      EvalOverlapTrainCap, col("train_doc"), col("h"))
     val evalProbe = tagged.filter(col("split") =!= "train")
       .select(col("doc_id").as("eval_doc"), col("split").as("eval_split"),
         explode(col("hs")).as("h"))
@@ -1027,8 +1057,11 @@ object Dedup {
     s"""WITH $shingledSql,
        |sp AS (SELECT doc_id, ${Curation.splitCaseSql} AS split FROM documents),
        |tr AS (
-       |  SELECT s.doc_id AS train_doc, unnest(hs) AS h
-       |  FROM s JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'
+       |  SELECT train_doc, h FROM (
+       |    SELECT s.doc_id AS train_doc, unnest(hs) AS h
+       |    FROM s JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split = 'train'
+       |  )
+       |  ${graft.plans.Postings.cappedSql(EvalOverlapTrainCap, "train_doc", "h")}
        |),
        |ev AS (
        |  SELECT s.doc_id AS eval_doc, sp.split AS eval_split, unnest(hs) AS h
@@ -1131,9 +1164,8 @@ object Dedup {
     // banded DP it would skip)
     val probe = t.select(col("doc_id"), col("k"), col("title"),
       explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    val aCapped = t.withColumn("rn", row_number().over(
-        Window.partitionBy(col("k"), col("band")).orderBy(col("doc_id"))))
-      .filter(col("rn") <= FuzzyBlockCap).drop("rn")
+    val aCapped = graft.plans.Postings.capped(
+      t, FuzzyBlockCap, col("doc_id"), col("k"), col("band"))
     aCapped.as("a").join(probe.as("b").hint("shuffle_hash"),
         col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -1159,8 +1191,7 @@ object Dedup {
        |      CAST(floor(length(title) / ${FuzzyMaxEdits + 1}) AS BIGINT) AS band
        |    FROM t
        |  )
-       |  QUALIFY row_number() OVER (PARTITION BY k, band ORDER BY doc_id)
-       |    <= $FuzzyBlockCap
+       |  ${graft.plans.Postings.cappedSql(FuzzyBlockCap, "doc_id", "k", "band")}
        |)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  levenshtein(a.title, b.title) AS edits

@@ -1170,7 +1170,9 @@ object PipelineOps {
     val bins = Tables.customer(s, dir)
       .select(col("c_custkey"),
         floor(col("c_acctbal") / 1000).cast("long").as("bin"))
-      .join(freq, col("c_custkey") === col("o_custkey"), "left")
+      // freq is per-CUSTOMER (entity-domain, grows with the data):
+      // shuffle_hash, never broadcast (r12 engine-wide PlanAuditSpec ban)
+      .join(freq.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left")
       .withColumn("good", coalesce(col("n_ord"), lit(0L)) >= WoeGoodMinOrders)
       .groupBy(col("bin"))
       .agg(sum(when(col("good"), 1L).otherwise(0L)).as("n_good"),
@@ -1379,7 +1381,9 @@ object PipelineOps {
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
         NumFns.roundAwayLong(col("c_acctbal") * 100).as("bal"),
         (col("c_custkey") % 2 === 1).as("treated"))
-      .join(outcomes, col("c_custkey") === col("o_custkey"), "left")
+      // outcomes is per-CUSTOMER (entity-domain): shuffle_hash, never
+      // broadcast (r12 ban — this subtree is replayed 3× pre-AQE)
+      .join(outcomes.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("seg"), col("bal"), col("treated"),
         coalesce(col("rev"), lit(0L)).as("y"))
     val wSeq = Window.partitionBy(col("seg"))

@@ -198,7 +198,9 @@ object Temporal {
         "left_anti")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_unconverted"))
     views.groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
-      .join(unconverted, Seq("user_id"), "left")
+      // per-USER frame: shuffle_hash, never broadcast (r12 ban); both
+      // sides arrive user-keyed from their aggregates
+      .join(unconverted.hint("shuffle_hash"), Seq("user_id"), "left")
       .select(col("user_id"), col("n_views"),
         coalesce(col("n_unconverted"), lit(0L)).as("n_unconverted"))
       .withColumn("unconverted_ratio",
@@ -404,8 +406,13 @@ object Temporal {
     * per-user median (a half-integer at worst — exact in binary), and an
     * integer-vs-exact-double compare: no accumulation anywhere, so the
     * flag set is bit-stable on both engines. Shape at 100 TB: one
-    * map-side-combined (user, day) count, one dimension-sized median
-    * frame joined back — the log is scanned once and never re-shuffled.
+    * map-side-combined (user, day) count, then the per-USER median frame
+    * joins back shuffle_hash — the frame is ENTITY-domain (one row per
+    * user, ~10⁸ rows at 100×), so broadcasting it is the r1 cliff; both
+    * sides are already user-keyed out of their aggregates, so the hash
+    * join is one cheap co-shuffle. (r12: this was the one broadcast(
+    * fact-derived-frame) in the engine; PlanAuditSpec now bans the
+    * class structurally.)
     */
   val BurstFactor = 2L
 
@@ -416,7 +423,7 @@ object Temporal {
       .groupBy(col("user_id"), col("day_epoch"))
       .agg(count(lit(1)).as("n_events"))
     val med = days.groupBy(col("user_id")).agg(median(col("n_events")).as("med"))
-    days.join(broadcast(med), Seq("user_id"))
+    days.join(med.hint("shuffle_hash"), Seq("user_id"))
       .filter(col("n_events") > lit(BurstFactor) * col("med"))
       .select(col("user_id"), col("day_epoch"), col("n_events"),
         round(col("med"), 1).as("median_daily"))
@@ -1782,9 +1789,14 @@ object Temporal {
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(col("c_custkey"), col("r_name"))
+    // `ends` is one row per ORDER — fact-cardinality, not a dimension:
+    // shuffle_hash, never broadcast (r12 engine-wide PlanAuditSpec ban)
     val spans = Tables.orders(s, dir)
-      .join(ends, col("o_orderkey") === col("l_orderkey"))
-      .join(geo, col("o_custkey") === col("c_custkey"))
+      .join(ends.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+      // broadcast the customer-DIMENSION side explicitly: left free,
+      // Catalyst picks the (small at test scale) fact-side subtree as
+      // the build and ships the per-order aggregate over the wire
+      .join(broadcast(geo), col("o_custkey") === col("c_custkey"))
       .select(col("r_name"),
         datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("start_day"),
         (datediff(col("end_date"), lit("1992-01-01")) + 1).cast("long").as("stop_day"))

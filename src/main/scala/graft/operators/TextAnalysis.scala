@@ -238,7 +238,11 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
-    tf.join(dfreq, "word")
+    // dfreq is VOCABULARY-domain (one row per word — Heaps-law growth,
+    // billions of rows on a 100 TB crawl): left to itself Catalyst
+    // auto-broadcasts it at test scale, which is the r1 cliff at 100×.
+    // The r12 engine-wide PlanAuditSpec ban caught exactly this site.
+    tf.join(dfreq.hint("shuffle_hash"), "word")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))

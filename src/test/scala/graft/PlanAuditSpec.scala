@@ -143,6 +143,133 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("entity-domain fact-derived frames never broadcast, engine-wide") {
+    // The r12 structural form of the r1-cliff doctrine. The old test
+    // above checks three dedup/LM queries by name; q_burst_detect
+    // escaped it by broadcasting a per-USER median frame derived from
+    // events (one row per user — ~10⁸ rows at 100×, an executor OOM).
+    // Here EVERY query's physical plan is walked: a BroadcastExchange
+    // subtree that aggregates a FACT table (lineitem/orders/events/
+    // documents/embeddings) GROUPED BY an entity key is a failure,
+    // unless a limit bounds the frame between the exchange and the
+    // aggregate (top-k candidates are k·shards rows by construction).
+    // Value-domain buckets, calendar frames, per-source stats and 1-row
+    // scalars all pass: their grouping keys are not entity keys.
+    import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec,
+      CollectLimitExec, LocalLimitExec, GlobalLimitExec,
+      TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val entityKey =
+      ("(?i)(custkey|user_?id|suppkey|partkey|orderkey|nationkey|doc_?id|" +
+        "vec_?id|neighbor|event_id|session|^word$|^w$|^w1$|^w2$|^part$|" +
+        "^cust$|^item$|^pa$|^pb$)").r
+    val factScan = "(lineitem|orders|events|documents|embeddings)\\.parquet".r
+    def subtreeHasFactScan(p: SparkPlan): Boolean = {
+      var found = false
+      def visit(n: SparkPlan): Unit = {
+        n match {
+          case f: FileSourceScanExec
+              if factScan.findFirstIn(f.metadata.getOrElse("Location", ""))
+                .isDefined => found = true
+          case _ =>
+        }
+        n.children.foreach(visit)
+        n match { case a: AdaptiveSparkPlanExec => visit(a.executedPlan); case _ => }
+      }
+      visit(p)
+      found
+    }
+    // A frame keyed by an entity id is still bounded BY CONSTRUCTION
+    // when a literal bound on that id sits in the subtree (the ANN/eval
+    // query sets: `vec_id < 10` is 10 rows at ANY corpus size, and
+    // broadcasting the query set against the corpus is exactly the
+    // right 100 TB plan; same for q_gapfill's `user_id < GapfillUsers`
+    // demo slice). Only upper bounds / equality / IN against literals
+    // qualify — a modulo or fraction filter scales with the data and
+    // does NOT bound. (Auto-broadcasts of raw un-aggregated fact slices
+    // are left to Catalyst: scan-size stats are accurate byte counts,
+    // so at real scale those frames exceed the threshold and re-plan as
+    // shuffles; the hazard this test closes is the entity AGGREGATE,
+    // whose small test-scale estimate hides unbounded growth.)
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+      EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
+      LessThanOrEqual, Literal}
+    def attrIs(e: Expression, key: String) = e match {
+      case a: Attribute => a.name == key
+      case _ => false
+    }
+    def boundsKey(cond: Expression, key: String): Boolean = cond match {
+      case And(l, r) => boundsKey(l, key) || boundsKey(r, key)
+      case LessThan(a, _: Literal) if attrIs(a, key) => true
+      case LessThanOrEqual(a, _: Literal) if attrIs(a, key) => true
+      case GreaterThan(_: Literal, a) if attrIs(a, key) => true
+      case GreaterThanOrEqual(_: Literal, a) if attrIs(a, key) => true
+      case EqualTo(a, _: Literal) if attrIs(a, key) => true
+      case EqualTo(_: Literal, a) if attrIs(a, key) => true
+      case In(a, vs) if attrIs(a, key) && vs.forall(_.isInstanceOf[Literal]) => true
+      case _ => false
+    }
+    def hasBoundingFilter(p: SparkPlan, key: String): Boolean = {
+      var found = false
+      def visit(n: SparkPlan): Unit = {
+        n match {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if boundsKey(f.condition, key) => found = true
+          case _ =>
+        }
+        n.children.foreach(visit)
+        n match { case a: AdaptiveSparkPlanExec => visit(a.executedPlan); case _ => }
+      }
+      visit(p)
+      found
+    }
+    // The broadcast frame's cardinality is governed by the TOPMOST
+    // aggregate on each path from the exchange: descent stops there
+    // (q_heavy_hitters broadcasts a per-TYPE total computed on top of a
+    // per-user partial — the broadcast frame is type-sized and fine).
+    // Descent also stops at limits: whatever sits below one is bounded.
+    def offendingAggs(p: SparkPlan): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def visit(n: SparkPlan): Unit = {
+        n match {
+          case _: CollectLimitExec | _: LocalLimitExec | _: GlobalLimitExec |
+              _: TakeOrderedAndProjectExec => return
+          case agg: BaseAggregateExec =>
+            val keys = agg.groupingExpressions
+              .flatMap(e => e.name +: e.references.map(_.name).toSeq)
+            val hits = keys.filter(k => entityKey.findFirstIn(k).isDefined)
+            if (hits.nonEmpty && subtreeHasFactScan(agg)) out += hits.head
+            return // the frame above this point has THIS aggregate's keys
+          case _ =>
+        }
+        n.children.foreach(visit)
+        n match { case a: AdaptiveSparkPlanExec => visit(a.executedPlan); case _ => }
+      }
+      visit(n = p)
+      out.toSeq
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf001).queryExecution.executedPlan
+      val broadcasts = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+      def visit(n: SparkPlan): Unit = {
+        n match { case b: BroadcastExchangeExec => broadcasts += b; case _ => }
+        n.children.foreach(visit)
+        n.subqueries.foreach(visit)
+        n match { case a: AdaptiveSparkPlanExec => visit(a.executedPlan); case _ => }
+      }
+      visit(plan)
+      broadcasts.flatMap(b => offendingAggs(b)
+        .filterNot(k => hasBoundingFilter(b, k))
+        .headOption.map(k => s"$name('$k')"))
+    }.distinct
+    assert(offenders.isEmpty,
+      s"queries broadcasting a fact-derived ENTITY-domain aggregate " +
+        s"(an entity frame grows with the data — use .hint(\"shuffle_hash\") " +
+        s"like q_burst_detect): ${offenders.mkString(", ")}")
+  }
+
   test("r4 heavy shapes hold their audited plan structure (PlanReport)") {
     import graft.plans.PlanReport
     // q_item_cf: one customer-keyed exchange feeds four consumers; the
