@@ -163,6 +163,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // r12 (guide §5): a resident driver never GCs between queries, so
+      // the ContextCleaner — which reaps DEAD localCheckpoint blocks and
+      // shuffle state only after their RDD objects are collected — runs
+      // on Spark's default 30min periodic GC, longer than a whole sweep.
+      // Hundreds of queries of dead checkpoint blocks pile into the
+      // unified-memory storage pool, squeezing execution memory and GC
+      // headroom until late-suite hash joins crawl (q_slope_one measured
+      // 21.3s in-sweep vs 4.3s in a fresh JVM, SAME code — see
+      // OPTIMIZATION_r12.md). A 90s periodic GC keeps the resident JVM
+      // at steady state; memoized frames (cfMemo etc.) stay referenced
+      // and are never reaped.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

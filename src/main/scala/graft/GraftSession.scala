@@ -36,6 +36,12 @@ object GraftSession {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // resident-driver hygiene (r12, guide §5): without periodic driver
+      // GC the ContextCleaner never reaps dead localCheckpoint blocks —
+      // a long-lived session accumulates every past query's lineage
+      // blocks in the storage pool (see Bench.scala for the measured
+      // in-sweep degradation this caused). 90s keeps steady state.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

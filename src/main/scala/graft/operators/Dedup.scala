@@ -125,8 +125,17 @@ object Dedup {
     * unordered — shared edge set for the pair query, the cluster
     * operator, and the decontamination check in [[Curation]].
     */
-  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val blocked = shingled(s, dir)
+  private[operators] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(shingled(s, dir))
+
+  /** As [[jaccardPairs]], over an ALREADY-SHINGLED `(doc_id, hs)` frame —
+    * r12 (guide §1.2): callers that also consume the shingle table
+    * directly (q_minhash_recall, q_minhash_est) pass their own
+    * checkpointed frame so the tokenize→shingle→md5 pipeline (the most
+    * expensive stage) runs ONCE per query instead of once per call.
+    */
+  private[operators] def jaccardPairsOf(sh: DataFrame): DataFrame = {
+    val blocked = sh
       .withColumn("mn", array_min(col("hs")))
       .withColumn("mx", array_max(col("hs")))
     val a = blocked.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("mn"), col("mx"))
@@ -265,7 +274,9 @@ object Dedup {
     * nothing new shuffles at corpus scale. All counts exact integers.
     */
   def qMinhashRecall(s: SparkSession, dir: String): DataFrame = {
-    val base = shingled(s, dir).localCheckpoint()
+    // r12: one shingle run feeds bands, verification AND the truth set
+    // (was two — see [[jaccardPairsOf]]); shingled() already checkpoints
+    val base = shingled(s, dir)
     val bands = bandFrame(base)
     val cand = bands.as("a")
       .join(bands.as("b").hint("shuffle_hash"),
@@ -280,8 +291,10 @@ object Dedup {
         .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (jaccardOut >= JaccardThreshold).as("is_true"))
-    val truth = jaccardPairs(s, dir)
+    val truth = jaccardPairsOf(base)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_truth"))
+      // feeds the hit join AND n_truth: one pair-join run, not two
+      .localCheckpoint()
     val joined = verified.join(truth.hint("shuffle_hash"),
       Seq("doc_a", "doc_b"), "left")
     val candAgg = joined.agg(
@@ -458,6 +471,13 @@ object Dedup {
     * means a logic bug and throws rather than returning partial labels.
     */
   def connectedComponents(edgesIn: DataFrame, maxRounds: Int = 64): DataFrame = {
+    // NOTE (r12): an "unrolled" variant (r lazy pointer-doubling rounds as
+    // one plan, no per-round checkpoint) was tried for the dimension-bounded
+    // MST caller and REVERTED: each doubling round references the previous
+    // round's plan twice, so r lazy rounds build a 2^r-leaf plan tree that
+    // wedges Catalyst analysis long before execution. The per-round
+    // localCheckpoint below is load-bearing — it is what keeps plan growth
+    // linear in rounds — not an overhead to optimize away.
     // edge derivation (e.g. the shingle pipeline) runs once, not per round
     val edges = edgesIn.localCheckpoint()
     // only edge endpoints participate in propagation — near-dup nodes are
@@ -513,9 +533,12 @@ object Dedup {
     * pair sliver, nothing corpus-quadratic.
     */
   def qMinhashEst(s: SparkSession, dir: String): DataFrame = {
-    val sigs = shingled(s, dir).select(col("doc_id"),
+    // r12: one shingle run feeds signatures AND pairs (was two — see
+    // [[jaccardPairsOf]])
+    val base = shingled(s, dir)
+    val sigs = base.select(col("doc_id"),
       expr(s"minhash_sigs(hs, $NumPerms)").as("sigs"))
-    val pairs = jaccardPairs(s, dir).localCheckpoint()
+    val pairs = jaccardPairsOf(base).localCheckpoint()
     val matches = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), _ + _)
@@ -853,7 +876,11 @@ object Dedup {
     * buffered window partition).
     */
   def qSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    // r12 (guide §1.2): clusters feeds BOTH the size aggregate and the
+    // weight join; without the checkpoint the documents⋈labels prefix
+    // (and its sort) planned and ran twice
     val clusters = qDedupCluster(s, dir).select(col("doc_id"), col("cluster"))
+      .localCheckpoint()
     val sizes = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n_cluster"))
     clusters.join(sizes, Seq("cluster"))
       .select(col("doc_id"), col("cluster"), col("n_cluster"),

@@ -891,7 +891,11 @@ object Graph {
     while (round < CoreRounds && !done) {
       val deg = degrees(edges).localCheckpoint()
       val keep = deg.filter(col("d") >= CoreK).select(col("id"))
-      done = keep.count() == deg.count()
+      // r12: both convergence counts in ONE aggregate over the
+      // checkpointed degree frame (was two separate count() jobs)
+      val cnts = deg.agg(count(lit(1)),
+        coalesce(sum(when(col("d") >= CoreK, 1L).otherwise(0L)), lit(0L))).head()
+      done = cnts.getLong(1) == cnts.getLong(0)
       if (!done) {
         edges = edges
           .join(keep.select(col("id").as("sa")).hint("shuffle_hash"),
@@ -1297,11 +1301,16 @@ object Graph {
     }
     var round = 0
     var done = false
+    // r12: carry the surviving-edge count across rounds instead of
+    // re-counting the (checkpointed) previous frame — one driver action
+    // per round, not two; peel semantics unchanged
+    var edgeCount = edges.count()
     while (round < TrussRounds && !done) {
       val keep = support(edges).filter(col("tsup") >= TrussK - 2)
         .select(col("a"), col("b")).localCheckpoint()
-      done = keep.count() == edges.count()
-      if (!done) edges = keep
+      val keepCount = keep.count()
+      done = keepCount == edgeCount
+      if (!done) { edges = keep; edgeCount = keepCount }
       round += 1
     }
     // certificate from the FINAL frame: truss iff every remaining edge
@@ -1443,10 +1452,13 @@ object Graph {
         .select(col("id"), coalesce(col("cluster"), col("id")).as("lab"))
     }
     var forest = f.filter(lit(false)).localCheckpoint()
+    var forestEmpty = true // round 1 labels are all-singleton by construction
     var round = 0
     var done = false
     while (round < MstRounds && !done) {
-      val lab = labelsOf(forest)
+      val lab =
+        if (forestEmpty) nodes.select(col("id"), col("id").as("lab"))
+        else labelsOf(forest)
       val cand = f
         .join(lab.select(col("id").as("a"), col("lab").as("la")), Seq("a"))
         .join(lab.select(col("id").as("b"), col("lab").as("lb")), Seq("b"))
@@ -1462,7 +1474,7 @@ object Graph {
         .select(col("a"), col("b"), col("sup")).distinct()
         .localCheckpoint()
       done = picks.head(1).isEmpty
-      if (!done) forest = forest.union(picks).localCheckpoint()
+      if (!done) { forest = forest.union(picks).localCheckpoint(); forestEmpty = false }
       round += 1
     }
     val labF = labelsOf(forest)

@@ -1166,6 +1166,9 @@ object Inference {
         NumFns.normQuantileStep(col(s"z${i - 1}"), col("p")))
     }.withColumn("a", col(s"z$FkNewtonSteps"))
       .select(col("u"), col("a"), col("n"))
+      // r12 (guide §1.2): withScores feeds BOTH grp and glob — without
+      // this the Newton-scores pipeline planned and ran twice
+      .localCheckpoint()
     val withScores = cells.join(broadcast(scored), Seq("u"))
     val grp = withScores.groupBy(col("source"))
       .agg(sum(col("c")).as("ng"), sum((col("c") * col("a")).cast(D)).as("sa"))
@@ -1291,26 +1294,38 @@ object Inference {
         col("na").cast("double").as("na"), col("nb").cast("double").as("nb"),
         col("sa").cast("double").as("sa"), col("sb").cast("double").as("sb"),
         col("saa").cast("double").as("saa"), col("sbb").cast("double").as("sbb"))
-    val ma = col("sa") / col("na")
-    val mb = col("sb") / col("nb")
-    val va = (col("saa") - col("na") * ma * ma) / (col("na") - 1)
-    val vb = (col("sbb") - col("nb") * mb * mb) / (col("nb") - 1)
-    val se = sqrt(va / col("na") + vb / col("nb"))
-    val diff = mb - ma
-    val delta = (lit(TostMarginShare) * (col("sa") + col("sb"))
-      / (col("na") + col("nb")))
-    // one-sided P(Z > t) = Φ(−t): the branch-on-sign literal lives in
-    // ONE place ([[NumFns.normCdf]]) instead of a local duplicate.
-    def pUpper(t: org.apache.spark.sql.Column) = NumFns.normCdf(-t)
-    val p1 = pUpper((diff + delta) / se)          // H0: diff ≤ −δ
-    val p2 = pUpper((delta - diff) / se)          // H0: diff ≥ +δ
-    val pT = greatest(p1, p2)
-    m.select(col("event_type"),
+    // r12 (guide §1.2/§7.2): every moment below is a NAMED column, never
+    // a nested expression. The old single-select form inlined se/diff/
+    // delta into both one-sided CDFs and then roundPortable (which
+    // references its argument ~18×) multiplied the whole tree again —
+    // a ~170 KB physical plan whose analysis/codegen dominated the
+    // query (2.6 s for a 100k-row scan). CollapseProject keeps a
+    // non-cheap alias referenced more than once staged, so the chain
+    // below stays ~10 KB. Identical arithmetic, identical results.
+    val staged = m
+      .withColumn("ma", col("sa") / col("na"))
+      .withColumn("mb", col("sb") / col("nb"))
+      .withColumn("va", (col("saa") - col("na") * col("ma") * col("ma"))
+        / (col("na") - 1))
+      .withColumn("vb", (col("sbb") - col("nb") * col("mb") * col("mb"))
+        / (col("nb") - 1))
+      .withColumn("se0", sqrt(col("va") / col("na") + col("vb") / col("nb")))
+      .withColumn("diff0", col("mb") - col("ma"))
+      .withColumn("delta0", lit(TostMarginShare) * (col("sa") + col("sb"))
+        / (col("na") + col("nb")))
+      // one-sided P(Z > t) = Φ(−t): the branch-on-sign literal lives in
+      // ONE place ([[NumFns.normCdf]]) instead of a local duplicate.
+      .withColumn("p1", NumFns.normCdf(-((col("diff0") + col("delta0"))
+        / col("se0"))))                            // H0: diff ≤ −δ
+      .withColumn("p2", NumFns.normCdf(-((col("delta0") - col("diff0"))
+        / col("se0"))))                            // H0: diff ≥ +δ
+      .withColumn("pt", greatest(col("p1"), col("p2")))
+    staged.select(col("event_type"),
         col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
-        NumFns.roundPortable(diff / 1e6, 6).as("diff"),
-        NumFns.roundPortable(delta / 1e6, 6).as("margin"),
-        NumFns.roundPortable(se / 1e6, 6).as("se"),
-        NumFns.roundPortable(pT, 6).as("p_tost"))
+        NumFns.roundPortable(col("diff0") / 1e6, 6).as("diff"),
+        NumFns.roundPortable(col("delta0") / 1e6, 6).as("margin"),
+        NumFns.roundPortable(col("se0") / 1e6, 6).as("se"),
+        NumFns.roundPortable(col("pt"), 6).as("p_tost"))
       .withColumn("equivalent", col("p_tost") < 0.05)
       .orderBy(col("event_type"))
   }
@@ -1511,6 +1526,9 @@ object Inference {
         NumFns.normQuantileStep(col(s"z${i - 1}"), col("p")))
     }.withColumn("a", col(s"z$FkNewtonSteps"))
       .select(col("u"), col("a"), col("n"))
+      // r12 (guide §1.2): ws feeds BOTH grp and glob — without this the
+      // Newton-scores pipeline (window + broadcast) planned and ran twice
+      .localCheckpoint()
     val ws = cells.join(broadcast(scored), Seq("u"))
     val grp = ws.groupBy(col("source"))
       .agg(sum(col("c")).as("ng"), sum((col("c") * col("a")).cast(D)).as("sa"))

@@ -633,27 +633,45 @@ object PipelineOps {
     * over the KEY-COUNT frame (|distinct keys| rows, never the fact).
     */
   def qJoinSkew(s: SparkSession, dir: String): DataFrame = {
-    val keys = Seq(
-      ("lineitem.l_orderkey", Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))),
-      ("lineitem.l_partkey", Tables.lineitem(s, dir).select(col("l_partkey").as("k"))),
-      ("lineitem.l_suppkey", Tables.lineitem(s, dir).select(col("l_suppkey").as("k"))),
-      ("orders.o_custkey", Tables.orders(s, dir).select(col("o_custkey").as("k"))),
-      ("events.user_id", Tables.events(s, dir).select(col("user_id").as("k"))))
-    keys.map { case (name, df) =>
-      val counts = df.groupBy(col("k")).agg(count(lit(1)).as("c"))
-      val stats = Analytics.exactPercentilesMulti(
-        counts.select(lit(name).as("grp"), col("c").cast("double").as("c")),
-        "grp", Seq("c" -> Seq(0.5 -> "p50_rows", 0.99 -> "p99_rows")),
-        countAs = Some("c" -> "n_keys"))
-      val ext = counts.agg(
-        sum(col("c")).as("n_rows"), max(col("c")).as("max_rows"))
-      stats.crossJoin(broadcast(ext))
-        .select(col("grp").as("join_key"), col("n_keys"), col("n_rows"),
-          col("p50_rows"), col("p99_rows"), col("max_rows"),
-          NumFns.roundPortable(
-            col("max_rows").cast("double") * col("n_keys") / col("n_rows"), 4)
-            .as("skew_factor"))
-    }.reduce(_ unionAll _)
+    // r12 rework (guide §1.2/§2.4): the old shape built a per-key plan
+    // TWICE (percentile engine + a separate sum/max agg both re-derived
+    // the key-count frame) and unioned five such plans — 10 fact scans,
+    // 10 count exchanges, 10 jobs. Now: lineitem's three keys melt
+    // scan-side (unpivot = Expand, ONE lineitem pass), the three frames
+    // union BEFORE the count aggregate (one (grp,k) exchange serves all
+    // five keys), and the ≤|distinct keys| count frame is
+    // localCheckpoint'd once so the percentile engine and the sum/max
+    // extremes both read the materialized sliver instead of replaying
+    // the scans. 3 fact scans, 1 count exchange, 2 jobs; identical
+    // counts feed the identical engine, so every output value is
+    // unchanged.
+    val keyed = Tables.lineitem(s, dir)
+      .unpivot(
+        Array.empty[Column],
+        Array(col("l_orderkey").as("lineitem.l_orderkey"),
+          col("l_partkey").as("lineitem.l_partkey"),
+          col("l_suppkey").as("lineitem.l_suppkey")),
+        "grp", "k")
+      .unionAll(Tables.orders(s, dir)
+        .select(lit("orders.o_custkey").as("grp"), col("o_custkey").as("k")))
+      .unionAll(Tables.events(s, dir)
+        .select(lit("events.user_id").as("grp"), col("user_id").as("k")))
+    val counts = keyed.groupBy(col("grp"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("grp"), col("c"))
+      .localCheckpoint() // ≤|distinct keys| rows; feeds stats AND extremes
+    val stats = Analytics.exactPercentilesMulti(
+      counts.select(col("grp"), col("c").cast("double").as("c")),
+      "grp", Seq("c" -> Seq(0.5 -> "p50_rows", 0.99 -> "p99_rows")),
+      countAs = Some("c" -> "n_keys"))
+    val ext = counts.groupBy(col("grp")).agg(
+      sum(col("c")).as("n_rows"), max(col("c")).as("max_rows"))
+    stats.join(broadcast(ext), Seq("grp")) // 5-row frames: literal-bounded
+      .select(col("grp").as("join_key"), col("n_keys"), col("n_rows"),
+        col("p50_rows"), col("p99_rows"), col("max_rows"),
+        NumFns.roundPortable(
+          col("max_rows").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_factor"))
       .orderBy(col("join_key"))
   }
 

@@ -2032,6 +2032,11 @@ object Profiling {
         sum((col("l_discount") * col("l_quantity")).cast(D)).as("sxy"),
         sum((col("l_discount") * col("l_discount")).cast(D)).as("sxx"),
         sum((col("l_quantity") * col("l_quantity")).cast(D)).as("syy"))
+      // r12 (guide §1.2): cells feeds BOTH the pooled broadcast and the
+      // per-stratum select; without a checkpoint the ≤3-row aggregate —
+      // and the full lineitem scan under it — planned twice (2 parquet
+      // scans in the before-plan, no exchange reuse). One scan now.
+      .localCheckpoint()
     def corr(n: Column, sx: Column, sy: Column, sxy: Column, sxx: Column,
         syy: Column): Column =
       (n.cast("double") * sxy.cast("double")
@@ -2202,19 +2207,28 @@ object Profiling {
         side(false, "n").as("n2"), side(false, "sx").cast("double").as("s2"),
         side(false, "sx2").cast("double").as("q2"))
       .filter(col("n1") > 1 && col("n2") > 1)
-    val m1 = col("s1") / col("n1")
-    val m2 = col("s2") / col("n2")
-    val v1 = (col("q1") - col("n1") * (m1 * m1)) / (col("n1") - 1)
-    val v2 = (col("q2") - col("n2") * (m2 * m2)) / (col("n2") - 1)
-    val sp = sqrt(((col("n1") - 1) * v1 + (col("n2") - 1) * v2)
-      / (col("n1") + col("n2") - 2))
-    val d = (m1 - m2) / sp
-    wide.select(col("l_linestatus"), col("n1").as("n_returned"),
+    // r12 (guide §1.2/§7.2): moments staged as NAMED columns — the old
+    // inline form expanded the d-tree (means→variances→pooled SD) through
+    // three roundPortable calls into a ~24 KB plan whose analysis/codegen
+    // cost dwarfed the ≤|status|-row arithmetic. CollapseProject keeps a
+    // non-cheap alias referenced more than once staged. Identical
+    // arithmetic, identical results.
+    val staged = wide
+      .withColumn("m1", col("s1") / col("n1"))
+      .withColumn("m2", col("s2") / col("n2"))
+      .withColumn("v1",
+        (col("q1") - col("n1") * (col("m1") * col("m1"))) / (col("n1") - 1))
+      .withColumn("v2",
+        (col("q2") - col("n2") * (col("m2") * col("m2"))) / (col("n2") - 1))
+      .withColumn("sp", sqrt(((col("n1") - 1) * col("v1")
+        + (col("n2") - 1) * col("v2")) / (col("n1") + col("n2") - 2)))
+      .withColumn("d0", (col("m1") - col("m2")) / col("sp"))
+    staged.select(col("l_linestatus"), col("n1").as("n_returned"),
         col("n2").as("n_kept"),
-        NumFns.roundPortable(m1 - m2, 4).as("mean_diff"),
-        NumFns.roundPortable(d, 6).as("cohens_d"),
+        NumFns.roundPortable(col("m1") - col("m2"), 4).as("mean_diff"),
+        NumFns.roundPortable(col("d0"), 6).as("cohens_d"),
         NumFns.roundPortable(
-          d * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n1") + col("n2")) - 9)),
+          col("d0") * (lit(1.0) - lit(3.0) / (lit(4.0) * (col("n1") + col("n2")) - 9)),
           6).as("hedges_g"))
       .orderBy(col("l_linestatus"))
   }

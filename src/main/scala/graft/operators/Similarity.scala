@@ -1767,8 +1767,15 @@ object Similarity {
           VectorFns.dot(col("qv"), col("b.v")), col("qnsq"), col("b.nsq")),
           4).as("sim"))
       .localCheckpoint() // one candidate frame serves every depth
+    // r12 (guide §1.2: don't compute things twice): truth is the
+    // brute-force top-3 — an embeddings scan plus a 10×n similarity
+    // window. It used to be re-derived SIX times (hits + n_true, per
+    // depth); checkpointing the ≤30-row frame runs it once, and the
+    // n_true scalar is hoisted out of the depth loop entirely.
     val truth = qAnnTopk(s, dir).filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("tr"))
+      .localCheckpoint()
+    val tt = truth.agg(count(lit(1)).as("n_true"))
     val perDepth = ProbeDepths.map { pd =>
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("neighbor_id"))
@@ -1780,7 +1787,6 @@ object Similarity {
       val hits = top.filter(col("rk") <= 3)
         .join(truth, Seq("query_id", "neighbor_id"), "inner")
         .agg(count(lit(1)).as("n_hits"))
-      val tt = truth.agg(count(lit(1)).as("n_true"))
       nc.crossJoin(broadcast(hits)).crossJoin(broadcast(tt))
         .select(lit(pd.toLong).as("nprobe"),
           NumFns.roundPortable(
