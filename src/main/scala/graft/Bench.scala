@@ -173,8 +173,11 @@ object Bench {
       // 21.3s in-sweep vs 4.3s in a fresh JVM, SAME code — see
       // OPTIMIZATION_r12.md). A 90s periodic GC keeps the resident JVM
       // at steady state; memoized frames (cfMemo etc.) stay referenced
-      // and are never reaped.
-      .config("spark.cleaner.periodicGC.interval", "90s")
+      // and are never reaped. Env-overridable so the interval's own
+      // cost (System.gc() is a stop-the-world full collection) can be
+      // A/B-measured without a rebuild.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

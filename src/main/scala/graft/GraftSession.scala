@@ -41,7 +41,8 @@ object GraftSession {
       // a long-lived session accumulates every past query's lineage
       // blocks in the storage pool (see Bench.scala for the measured
       // in-sweep degradation this caused). 90s keeps steady state.
-      .config("spark.cleaner.periodicGC.interval", "90s")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {
