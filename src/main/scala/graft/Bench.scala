@@ -135,6 +135,41 @@ object Bench {
     * "confirmation" is visible in the data (see the second-opinion rule
     * in main).
     */
+  /** Diagnostic resident-JVM probe (r12 verdict ask #1: "instrument
+    * storage-pool occupancy per 50 queries"). Env-gated —
+    * SPARK_GRAFT_PROBE=N prints one stderr JSON line every N timed
+    * queries with heap / GC / JIT-code-cache / metaspace / storage-pool
+    * occupancy, so the in-sweep degradation can be attributed to a
+    * specific resource instead of guessed at. Off by default; never
+    * touches the timed path (runs BETWEEN queries, stderr only).
+    */
+  private def probe(spark: SparkSession, tag: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val gcN = gcs.map(_.getCollectionCount).sum
+    val gcMs = gcs.map(_.getCollectionTime).sum
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+    val code = pools.filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum
+    val meta = pools.find(_.getName == "Metaspace")
+      .map(_.getUsage.getUsed).getOrElse(-1L)
+    val sc = spark.sparkContext
+    val (stMax, stFree) = sc.getExecutorMemoryStatus.values.headOption
+      .getOrElse((-1L, -1L))
+    val rdds = sc.getRDDStorageInfo
+    def mb(b: Long) = b / 1048576
+    System.err.println(
+      s"""[probe] {"tag":"$tag","heap_mb":${mb(heap.getUsed)},""" +
+      s""""gc_n":$gcN,"gc_ms":$gcMs,"codecache_mb":${mb(code)},""" +
+      s""""metaspace_mb":${mb(meta)},""" +
+      s""""storage_used_mb":${mb(stMax - stFree)},""" +
+      s""""storage_max_mb":${mb(stMax)},"n_cached_rdds":${rdds.length},""" +
+      s""""rdd_mem_mb":${mb(rdds.map(_.memSize).sum)},""" +
+      s""""rdd_disk_mb":${mb(rdds.map(_.diskSize).sum)}}""")
+  }
+
   private def loadavg1(): Double =
     try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")),
@@ -177,7 +212,7 @@ object Bench {
       // cost (System.gc() is a stop-the-world full collection) can be
       // A/B-measured without a rebuild.
       .config("spark.cleaner.periodicGC.interval",
-        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
+        GraftSession.periodicGcInterval())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -200,7 +235,10 @@ object Bench {
     // q_item_cf 7s → 25s) — the async block-removal RPC storm costs more
     // than the storage rent it frees. Leave block-manager hygiene to
     // Spark's own LRU eviction.
-    val results = suite.map { case (name, fn) =>
+    val probeEvery =
+      sys.env.get("SPARK_GRAFT_PROBE").flatMap(_.toIntOption).getOrElse(0)
+    val results = suite.zipWithIndex.map { case ((name, fn), i) =>
+      if (probeEvery > 0 && i % probeEvery == 0) probe(spark, s"$i:$name")
       try {
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -214,6 +252,7 @@ object Bench {
           name -> -1.0
       }
     }
+    if (probeEvery > 0) probe(spark, s"${suite.size}:end")
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON it finds there. Every prior final-line format overflowed
     // that window (r7's 403-entry t_cs array alone was ~1.6 KB, plus the

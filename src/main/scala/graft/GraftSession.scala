@@ -12,6 +12,26 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Resident-driver periodic-GC interval (see the builder comment below).
+    * Centralized here (r12 advice): the env override is validated against
+    * Spark's own duration parser and falls back to the 90s default on a
+    * blank or unparseable value instead of failing session construction
+    * with an opaque Spark error; Bench.scala uses the same helper.
+    */
+  def periodicGcInterval(): String = {
+    val default = "90s"
+    sys.env.get("SPARK_GRAFT_PERIODIC_GC").map(_.trim).filter(_.nonEmpty) match {
+      case Some(v) =>
+        try { org.apache.spark.network.util.JavaUtils.timeStringAsSec(v); v }
+        catch { case _: Throwable =>
+          System.err.println(
+            s"[graft] SPARK_GRAFT_PERIODIC_GC='$v' unparseable; using $default")
+          default
+        }
+      case None => default
+    }
+  }
+
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
@@ -41,8 +61,7 @@ object GraftSession {
       // a long-lived session accumulates every past query's lineage
       // blocks in the storage pool (see Bench.scala for the measured
       // in-sweep degradation this caused). 90s keeps steady state.
-      .config("spark.cleaner.periodicGC.interval",
-        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
+      .config("spark.cleaner.periodicGC.interval", periodicGcInterval())
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {
