@@ -614,8 +614,8 @@ object Analytics {
     */
   def qModeAgg(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))

@@ -592,7 +592,7 @@ object Behavioral {
     // (order, brand) self-join, no second fact-sized exchange. Everything
     // downstream of `byOrder` is order- or brand²-sized.
     val byOrder = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
       .groupBy(col("ok"))
@@ -755,8 +755,8 @@ object Behavioral {
         datediff(to_date(col("o_orderdate")), col("prev")).cast("long")
           .as("gap_days"))
     gaps
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_gaps"),

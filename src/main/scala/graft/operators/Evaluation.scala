@@ -249,8 +249,8 @@ object Evaluation {
     */
   def qChi2(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
       .agg(count(lit(1)).as("o"))

@@ -104,11 +104,11 @@ object Graph {
   def qTriangleCount(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns")),
         col("l_suppkey") === col("s_suppkey"))
       .filter(col("nc") =!= col("ns"))
       .select(least(col("nc"), col("ns")).as("a"), greatest(col("nc"), col("ns")).as("b"))
@@ -176,11 +176,11 @@ object Graph {
   def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns")),
         col("l_suppkey") === col("s_suppkey"))
       .filter(col("nc") =!= col("ns"))
       .select(least(col("nc"), col("ns")).as("a"), greatest(col("nc"), col("ns")).as("b"))
@@ -251,11 +251,11 @@ object Graph {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
     val e = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns")),
         col("l_suppkey") === col("s_suppkey"))
       .filter(col("nc") =!= col("ns"))
       .select(least(col("nc"), col("ns")).as("a"),
@@ -385,8 +385,8 @@ object Graph {
     val votes = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey").as("supp"), col("s_nationkey").as("nation"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("supp"), col("s_nationkey").as("nation")),
         Seq("supp"))
       .groupBy(col("cust"), col("nation"))
       .agg(count(lit(1)).as("votes"))
@@ -481,11 +481,11 @@ object Graph {
   def qClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns")),
         col("l_suppkey") === col("s_suppkey"))
       .filter(col("nc") =!= col("ns"))
       .select(least(col("nc"), col("ns")).as("a"),
@@ -547,11 +547,11 @@ object Graph {
   def qModularity(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns")),
         col("l_suppkey") === col("s_suppkey"))
       .filter(col("nc") =!= col("ns"))
       .select(least(col("nc"), col("ns")).as("a"),
@@ -1273,11 +1273,11 @@ object Graph {
   def qKtruss(s: SparkSession, dir: String): DataFrame = {
     val sup = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns")),
         col("l_suppkey") === col("s_suppkey"))
       .filter(col("nc") =!= col("ns"))
       .groupBy(least(col("nc"), col("ns")).as("a"),
@@ -1432,11 +1432,11 @@ object Graph {
   def qMstBoruvka(s: SparkSession, dir: String): DataFrame = {
     val f = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").as("nc"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nc")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("ns"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("ns")),
         col("l_suppkey") === col("s_suppkey"))
       .filter(col("nc") =!= col("ns"))
       .groupBy(least(col("nc"), col("ns")).as("a"),

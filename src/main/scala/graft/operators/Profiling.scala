@@ -3006,8 +3006,8 @@ object Profiling {
   def qKendallW(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byNation = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)
         .select(col("n_nationkey").as("c_nationkey"),

@@ -78,7 +78,7 @@ object Relational {
     val ord = Tables.orders(s, dir).filter(col("o_orderdate") < to_timestamp(lit("1998-06-01")))
     val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > to_timestamp(lit("1998-06-01")))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(NumFns.stableSum(revenue, 2).as("revenue"))
       .select(
@@ -121,7 +121,7 @@ object Relational {
           .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
             col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))

@@ -73,8 +73,8 @@ object RelationalPlus {
     val nr2 = nr1.select(col("s_nkey").as("c_nkey"), col("supp_region").as("cust_region"))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nr1), col("s_nationkey") === col("s_nkey"))
       .join(broadcast(nr2), col("c_nationkey") === col("c_nkey"))
       .filter(col("supp_region") =!= col("cust_region"))
@@ -117,11 +117,11 @@ object RelationalPlus {
       .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
     val joined = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nAsia), col("c_nationkey") === col("c_nkey"), "left_semi")
-      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")),
+      .join(Tables.part(s, dir).filter(col("p_type") === "ECONOMY"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nSupp), col("s_nationkey") === col("s_nkey"))
     joined
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
@@ -172,9 +172,9 @@ object RelationalPlus {
   def qProductProfit(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.part(s, dir).filter(col("p_name").contains("widget"))),
+      .join(Tables.part(s, dir).filter(col("p_name").contains("widget")),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(NumFns.roundPortable(
@@ -205,7 +205,7 @@ object RelationalPlus {
           .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
             col("o_orderdate") < to_timestamp(lit("1997-07-01"))),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(NumFns.stableSum(revenue, 2).as("revenue"), count(lit(1)).as("n_items"))
@@ -266,7 +266,7 @@ object RelationalPlus {
     */
   def qPromoShare(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(year(col("l_shipdate")).cast("long").as("s_year"))
       .agg(
         NumFns.stableSum(
@@ -297,9 +297,9 @@ object RelationalPlus {
     */
   def qSupplierDiversity(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)
+      .join(Tables.part(s, dir)
           .filter(col("p_type") =!= "PROMO" && col("p_brand") =!= "Brand#5" &&
-            col("p_size").isin(10, 20, 30, 40))),
+            col("p_size").isin(10, 20, 30, 40)),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -326,8 +326,8 @@ object RelationalPlus {
       .groupBy(col("l_partkey").as("a_partkey"))
       .agg(avg(col("l_quantity")).as("avg_qty"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)
-          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))),
+      .join(Tables.part(s, dir)
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")),
         col("l_partkey") === col("p_partkey"))
       .join(pa.hint("shuffle_hash"), col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
@@ -365,7 +365,7 @@ object RelationalPlus {
       .filter(col("sum_qty") > 150.0)
     big.hint("shuffle_hash")
       .join(Tables.orders(s, dir), col("b_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -392,7 +392,7 @@ object RelationalPlus {
     */
   def qOrPushdown(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 11)) ||
@@ -434,7 +434,7 @@ object RelationalPlus {
         col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"), "left_semi")
       .join(lateOthers.hint("shuffle_hash"),
         col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"), "left_anti")
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -515,8 +515,8 @@ object RelationalPlus {
     // part filter (~2% of parts) pushes BELOW the aggregate as a
     // broadcast semi-join — the grouped agg runs over 1/50th of lineitem
     val ps = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)
-          .select(col("p_partkey"))),
+      .join(Tables.part(s, dir).filter(col("p_size") === 15)
+          .select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(NumFns.roundPortable(
@@ -527,9 +527,9 @@ object RelationalPlus {
       .select(col("l_partkey"), col("b.avg_unit").as("avg_unit"),
         col("b.l_suppkey").as("l_suppkey"))
     best
-      .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 15)),
+      .join(Tables.part(s, dir).filter(col("p_size") === 15),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
         col("avg_unit"))
@@ -706,7 +706,7 @@ object RelationalPlus {
       .filter(col("n_name").isin("NATION_3", "NATION_8"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val ord = Tables.orders(s, dir)
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("cust_nation"))
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
@@ -799,9 +799,9 @@ object RelationalPlus {
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_suppkey"))
-      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+      .join(excluded, col("l_suppkey") === col("s_suppkey"),
         "left_anti")
-      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .join(dims, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -1074,8 +1074,8 @@ object RelationalPlus {
   def qHhi(s: SparkSession, dir: String): DataFrame = {
     val D = org.apache.spark.sql.types.DecimalType(38, 12)
     val bySupp = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey"))),
+      .join(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)
         .select(col("n_nationkey").as("s_nationkey"),

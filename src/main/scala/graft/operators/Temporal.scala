@@ -1793,10 +1793,13 @@ object Temporal {
     // shuffle_hash, never broadcast (r12 engine-wide PlanAuditSpec ban)
     val spans = Tables.orders(s, dir)
       .join(ends.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
-      // broadcast the customer-DIMENSION side explicitly: left free,
-      // Catalyst picks the (small at test scale) fact-side subtree as
-      // the build and ships the per-order aggregate over the wire
-      .join(broadcast(geo), col("o_custkey") === col("c_custkey"))
+      // r13: the old hard broadcast(geo) would OOM at real scale (geo is
+      // one row per CUSTOMER — ~10⁹ rows at 100 TB, and an explicit hint
+      // overrides Catalyst's threshold). shuffle_hash pins the join off
+      // the broadcast path on BOTH sides: left free, Catalyst would
+      // build the (small at test scale) fact-side per-order aggregate
+      // and ship it over the wire — the PlanAuditSpec-banned shape.
+      .join(geo.hint("shuffle_hash"), col("o_custkey") === col("c_custkey"))
       .select(col("r_name"),
         datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("start_day"),
         (datediff(col("end_date"), lit("1992-01-01")) + 1).cast("long").as("stop_day"))

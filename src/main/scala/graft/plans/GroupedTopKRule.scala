@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
@@ -68,6 +68,42 @@ object GroupedTopKRule extends Rule[LogicalPlan] {
       .getConfString("spark.graft.groupedTopK", "true") == "true"
 
   override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transformDown {
+    // r13: when the projection directly above the filter DROPS the rank
+    // column, the post-shuffle re-rank is a no-op — the final-phase
+    // TopKPerKey already emits exactly the ≤k order-smallest rows per
+    // key, every survivor's recomputed row_number is ≤ k by
+    // construction, and nothing downstream reads the rank. Eliminating
+    // Filter+Window (and with them the physical per-partition Sort the
+    // window demands) leaves Project(TopKPerKey): same rows, same
+    // attributes, one less full sort of every survivor partition.
+    // Conjuncts that are not rank bounds stay as a residual Filter;
+    // a conjunct that USES the rank non-trivially disqualifies the
+    // elimination (falls through to the under-window lowering below).
+    case p @ Project(projList, Filter(cond,
+        Window(Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partitionSpec, orderSpec, child, _)))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+          !projList.exists(_.references.contains(a.toAttribute)) => {
+      val rn = a.toAttribute
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (rnConjuncts, others) =
+        conjuncts.partition(_.references.contains(rn))
+      val ks = rnConjuncts.flatMap(c => bound(c, rn))
+      ks.reduceOption(math.min) match {
+        case Some(k) if k >= 1 && k <= MaxK && ks.length == rnConjuncts.length =>
+          val topk = child match {
+            case t: TopKPerKey
+                if t.keyExprs == partitionSpec && t.order == orderSpec &&
+                  t.k <= k => t
+            case _ => TopKPerKey(partitionSpec, orderSpec, k, child)
+          }
+          val pruned =
+            if (others.isEmpty) topk
+            else Filter(others.reduce(And), topk)
+          Project(projList, pruned)
+        case _ => p
+      }
+    }
     case f @ Filter(cond,
         w @ Window(Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)),
           partitionSpec, orderSpec, child, _))

@@ -270,6 +270,88 @@ class PlanAuditSpec extends SparkSpec {
         s"like q_burst_detect): ${offenders.mkString(", ")}")
   }
 
+  test("no query HINT-forces a broadcast of an unbounded table") {
+    // r13 (r12 verdict ask #3). The engine-wide test above catches
+    // entity AGGREGATES under a BroadcastExchange, but it deliberately
+    // exempts raw dimension slices on the accurate-scan-stats argument:
+    // Catalyst's own threshold re-plans an over-threshold scan as a
+    // shuffle at real scale. An explicit broadcast() HINT defeats
+    // exactly that safety valve — Catalyst honors the hint at ANY size,
+    // and customer at 100 TB is ~10⁹ rows (so are part and supplier).
+    // So: walk every query's ANALYZED plan (hints still visible as
+    // ResolvedHint; the optimizer erases them into join strategies) and
+    // fail on any broadcast hint whose subtree reads a table that grows
+    // with the data, unless the subtree bounds its cardinality BY
+    // CONSTRUCTION before the hint: a literal bound on an entity key
+    // (the ANN query sets), a LIMIT, or an aggregate whose grouping
+    // keys are all value-domain (per-source stats, price buckets,
+    // 1-row scalars). nation/region are genuinely bounded dimensions
+    // and stay broadcastable.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      GlobalLimit, LocalLimit, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val entityKey =
+      ("(?i)(custkey|user_?id|suppkey|partkey|orderkey|nationkey|doc_?id|" +
+        "vec_?id|neighbor|event_id|session|^word$|^w$|^w1$|^w2$|^part$|" +
+        "^cust$|^item$|^pa$|^pb$)").r
+    val unbounded =
+      "(customer|part|supplier|lineitem|orders|events|documents|embeddings)\\.parquet".r
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+      EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
+      LessThanOrEqual, Literal}
+    def isEntityAttr(e: Expression) = e match {
+      case a: Attribute => entityKey.findFirstIn(a.name).isDefined
+      case _ => false
+    }
+    def boundsEntity(cond: Expression): Boolean = cond match {
+      case And(l, r) => boundsEntity(l) || boundsEntity(r)
+      case LessThan(a, _: Literal) if isEntityAttr(a) => true
+      case LessThanOrEqual(a, _: Literal) if isEntityAttr(a) => true
+      case GreaterThan(_: Literal, a) if isEntityAttr(a) => true
+      case GreaterThanOrEqual(_: Literal, a) if isEntityAttr(a) => true
+      case EqualTo(a, _: Literal) if isEntityAttr(a) => true
+      case EqualTo(_: Literal, a) if isEntityAttr(a) => true
+      case In(a, vs) if isEntityAttr(a) && vs.forall(_.isInstanceOf[Literal]) => true
+      case _ => false
+    }
+    // true when the subtree under a broadcast hint can grow with the
+    // data: descend until a bounding construct or a scan is reached
+    def growsWithData(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => false
+      case Filter(cond, child) =>
+        if (boundsEntity(cond)) false else growsWithData(child)
+      case a: Aggregate =>
+        val keys = a.groupingExpressions
+          .flatMap(e => e.references.map(_.name).toSeq)
+        // entity-keyed aggregate: as large as the entity domain — grows;
+        // value-domain keys (or none): bounded regardless of data size
+        if (keys.exists(k => entityKey.findFirstIn(k).isDefined))
+          a.children.exists(growsWithData)
+        else false
+      case r: LogicalRelation =>
+        unbounded.findFirstIn(r.relation.toString).isDefined
+      case other => other.children.exists(growsWithData)
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val analyzed = fn(spark, sf001).queryExecution.analyzed
+      val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+      analyzed.foreach {
+        case h: ResolvedHint
+            if h.hints.strategy.exists(_.toString.toLowerCase.contains("broadcast")) &&
+              growsWithData(h.child) =>
+          bad += name
+        case _ =>
+      }
+      bad.distinct
+    }
+    assert(offenders.isEmpty,
+      s"queries hint-forcing a broadcast of a frame whose cardinality " +
+        s"grows with the data (drop the hint — Catalyst's threshold " +
+        s"degrades it to a shuffle at scale — or pin shuffle_hash): " +
+        s"${offenders.distinct.mkString(", ")}")
+  }
+
   test("r4 heavy shapes hold their audited plan structure (PlanReport)") {
     import graft.plans.PlanReport
     // q_item_cf: one customer-keyed exchange feeds four consumers; the

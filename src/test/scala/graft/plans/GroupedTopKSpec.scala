@@ -96,6 +96,55 @@ class GroupedTopKSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dropping the rank column eliminates the re-rank window entirely") {
+    // r13: Project(no rk, Filter(rk <= k, Window)) must plan as
+    // Project(TopKPerKey pair) with NO Window and NO re-rank sort —
+    // the final heap phase already emits exactly the k smallest per key
+    val df = topkDf(3).select(col("g"), col("score"), col("id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey ".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("Window"), s"re-rank window not eliminated:\n$plan")
+    // bit-identical to the driver-computed reference
+    val expected = ranked(500).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy { case (_, s, id) => (-s, id) }.take(3)
+      }.sortBy { case (g, _, id) => (g, id) }
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (g, _, id) => (g, id) }.toSeq
+    assert(got == expected)
+  }
+
+  test("the re-rank survives when the rank column is still consumed") {
+    val kept = topkDf(3).select(col("g"), col("rk"))
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"),
+      "rank consumed downstream — the window must stay")
+    // a non-bound rank conjunct also blocks the elimination
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val second = ranked(300).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3 && col("rk") =!= 2).select(col("g"), col("id"))
+    assert(second.queryExecution.executedPlan.toString.contains("Window"),
+      "rk != 2 uses the rank beyond a bound — must not eliminate")
+    assert(second.count() == 14)
+  }
+
+  test("non-rank conjuncts survive the eliminated filter as a residual") {
+    val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+    val df = ranked(300).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3 && col("score") >= 50)
+      .select(col("g"), col("score"), col("id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    val expected = ranked(300).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy { case (_, s, id) => (-s, id) }.take(3)
+      }.filter(_._2 >= 50).sortBy { case (g, _, id) => (g, id) }
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sortBy { case (g, _, id) => (g, id) }.toSeq
+    assert(got == expected)
+  }
+
   test("the kill switch restores the stock plan") {
     spark.conf.set("spark.graft.groupedTopK", "false")
     try {
