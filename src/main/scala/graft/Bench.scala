@@ -73,8 +73,18 @@ object Bench {
       .filter(a => a.startsWith("--add-opens") || a.startsWith("java.base/")
         || a.startsWith("-X") || a.startsWith("-D"))
     val cwd = java.nio.file.Files.createTempDirectory(s"bench_iso_$name")
+    // r13: the child runs with cwd in the temp dir above, so a RELATIVE
+    // classpath (any plain `java -cp target/...` parent, including the
+    // driver's own record runs) made every child die on startup and the
+    // record silently carried isolated:{} — exactly the r12 advice #3
+    // finding. Absolutize each entry against the PARENT's cwd.
+    val absCp = System.getProperty("java.class.path")
+      .split(java.io.File.pathSeparator)
+      .filter(_.nonEmpty)
+      .map(p => java.nio.file.Paths.get(p).toAbsolutePath.toString)
+      .mkString(java.io.File.pathSeparator)
     val cmd = (Seq(javaBin) ++ jvmArgs
-      ++ Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", name))
+      ++ Seq("-cp", absCp, "graft.Bench", name))
     val pb = new ProcessBuilder(cmd.asJava)
     pb.directory(cwd.toFile)
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
@@ -368,7 +378,21 @@ object Bench {
     def pct(p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(((sorted.length - 1) * p).round.toInt)
-    val slowestFirst = results.sortBy(-_._2).take(8)
+    // r13 (r12 verdict ask #7): a purely rank-based top-8 rotates its
+    // membership round over round, so the driver's PERF diff mistook
+    // queries that got FASTER (and left the top-8) for drops. The
+    // compact line now carries the UNION of this sweep's top-8 and the
+    // prior committed record's top-8 BY NAME — membership is stable
+    // across consecutive rounds (n_common ≥ 8), entries are only ever
+    // added, and the line stays well under the driver's 2000-char
+    // capture window. bench_full.json remains the canonical full map.
+    val priorTopNames = prior.toSeq.sortBy(-_._2).take(8).map(_._1)
+    val resultByName = results.toMap
+    val compactNames =
+      (results.sortBy(-_._2).take(8).map(_._1) ++ priorTopNames)
+        .distinct.filter(resultByName.contains)
+    val slowestFirst = compactNames
+      .map(k => k -> resultByName(k)).sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val compactQs = slowestFirst.mkString("{", ",", "}")
     val nFail = results.count(_._2 < 0)
