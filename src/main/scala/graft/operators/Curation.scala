@@ -172,8 +172,12 @@ object Curation {
           .as("n_stop"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("sum_word_len") / col("n_tokens"), 4).as("mean_word_len"),
-        // stripping [a-zA-Z0-9 ] leaves exactly the symbol characters
-        round(length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))
+        // stripping [a-zA-Z0-9 ] leaves exactly the symbol characters;
+        // r13: the class is a finite ASCII set, so `translate` (per-char
+        // dictionary lookup) replaces the regex scan + string rebuild —
+        // identical count for every input (see qCharClasses)
+        round(length(translate(col("text"),
+            "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ", ""))
           / length(col("text")), 4).as("symbol_ratio"),
         col("n_stop"))
       .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
@@ -212,16 +216,35 @@ object Curation {
     * flag template/boilerplate documents even when no cross-document
     * duplicate exists.
     */
-  def qNgramRepetition(s: SparkSession, dir: String): DataFrame =
+  def qNgramRepetition(s: SparkSession, dir: String): DataFrame = {
+    // r13 (r12 verdict ask #6): only the distinct COUNT is needed, and
+    // `size(array_distinct(...))` pays ArrayDistinct's non-primitive
+    // fallback — an O(n²) interpreted linear-scan per trigram (10⁶
+    // string compares for a 1k-token doc). Sorting the trigram array
+    // (O(n log n) binary UTF8 compares) and counting adjacent-equal
+    // boundaries yields the identical count: both equal the number of
+    // distinct trigram strings. The sorted array is STAGED as a named
+    // column (the q_tost_equivalence r12 lesson: CollapseProject keeps
+    // non-cheap aliases staged, so the sort runs once, not once per
+    // consumer).
+    val tri = transform(
+      sequence(lit(0), size(col("t")) - 3),
+      i => concat_ws(" ", element_at(col("t"), i + 1),
+        element_at(col("t"), i + 2), element_at(col("t"), i + 3)))
     Tables.documents(s, dir)
       .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        (size(col("t")) - 2).as("n_trigrams"),
-        size(TextFns.shingles(col("t"))).as("n_distinct"))
+      .select(col("doc_id"), (size(col("t")) - 2).as("n_trigrams"),
+        array_sort(tri).as("srt"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (size(col("srt")) - when(size(col("srt")) >= 2,
+          size(filter(sequence(lit(2), size(col("srt"))),
+            i => element_at(col("srt"), i) === element_at(col("srt"), i - 1))))
+          .otherwise(lit(0))).as("n_distinct"))
       .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
         round(lit(1.0) - col("n_distinct") / col("n_trigrams"), 6).as("rep_ratio"))
       .orderBy(col("doc_id"))
+  }
 
   val qNgramRepetitionOracle: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -59,21 +59,40 @@ object Profiling {
     * code, shouting, garbage encodings) that complement the token-level
     * quality rules. Counting by class = length minus length after
     * deleting the class; pure codegen'd projection, zero shuffle.
+    *
+    * r13 (r12 verdict ask #6): the class deletions run through
+    * `translate` (a per-char dictionary lookup), not `regexp_replace` —
+    * the four regex passes each paid a java.util.regex scan plus a full
+    * StringBuffer rebuild of the document per row. Every class here is
+    * a finite ASCII set, which is exactly what translate expresses:
+    * `[0-9]`/`[A-Z]` enumerate directly and Java's `\s` is the literal
+    * six-char set `[ \t\n\x0B\f\r]` (no UNICODE_CHARACTER_CLASS flag on
+    * either engine). The complement class `[^a-zA-Z0-9\s]` can't be
+    * enumerated, but the four classes partition it out: symbols =
+    * n_chars − digits − uppers − lowers − spaces. Counts are identical
+    * to the regex form for every input, so the DuckDB oracle (still
+    * regex) is untouched.
     */
   def qCharClasses(s: SparkSession, dir: String): DataFrame = {
+    val digits = "0123456789"
+    val uppers = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val lowers = "abcdefghijklmnopqrstuvwxyz"
+    val spaces = " \t\n\u000B\f\r" // Java regex \s = [ \t\n\x0B\f\r], exactly
+    def classCount(chars: String): Column =
+      length(col("text")) - length(translate(col("text"), chars, ""))
     // empty documents: 0/0 is NaN in Spark but version-dependent in
     // DuckDB (NULL vs IEEE nan) — guard to NULL on both engines so an
     // empty doc can never break oracle parity
-    def classRatio(pattern: String): Column =
+    def ratio(cnt: Column): Column =
       when(length(col("text")) > 0,
-        round((length(col("text")) - length(regexp_replace(col("text"), pattern, "")))
-          / length(col("text")).cast("double"), 4))
+        round(cnt / length(col("text")).cast("double"), 4))
     Tables.documents(s, dir)
       .select(col("doc_id"), length(col("text")).as("n_chars"),
-        classRatio("[0-9]").as("digit_ratio"),
-        classRatio("[A-Z]").as("upper_ratio"),
-        classRatio("\\s").as("space_ratio"),
-        classRatio("[^a-zA-Z0-9\\s]").as("symbol_ratio"))
+        ratio(classCount(digits)).as("digit_ratio"),
+        ratio(classCount(uppers)).as("upper_ratio"),
+        ratio(classCount(spaces)).as("space_ratio"),
+        ratio(length(col("text")) - classCount(digits) - classCount(uppers)
+          - classCount(lowers) - classCount(spaces)).as("symbol_ratio"))
       .orderBy(col("doc_id"))
   }
 
